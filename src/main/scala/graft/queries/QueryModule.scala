@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A bundle of named queries plus their DuckDB oracle SQL.
+  *
+  * Contract (driver gate): for every key in [[queries]] that also appears in
+  * [[oracles]], the DataFrame result must hash-match the DuckDB result —
+  * same column names, same values. Keys absent from [[oracles]] get a
+  * weaker rows-only check.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * Double sums are order-dependent, so any aggregate over a money-like
+  * double goes through an exact decimal: cast each row value (or each fully
+  * parenthesized row-level product, which is deterministic IEEE arithmetic
+  * in both engines) to DECIMAL(18,2), sum exactly, then cast the total back
+  * to double. Averages divide that exact double by the row count.
+  */
+object Q {
+  /** Row-level money value → exact decimal. Scale rule: a raw 2dp column
+    * uses scale 2; a product of two 2dp values has an exact 4-decimal
+    * value, so it must round at scale 4 (scale 6 for three factors) —
+    * rounding a 4dp-exact product at 2dp lands on exact half-cent ties,
+    * which Spark (HALF_UP) and DuckDB (binary) resolve differently.
+    */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  def dec4(c: Column): Column = c.cast("decimal(18,4)")
+  def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** Order-insensitive exact sum of a money-like double expression. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+  def dsum4(c: Column): Column = sum(dec4(c)).cast("double")
+  def dsum6(c: Column): Column = sum(dec6(c)).cast("double")
+
+  /** Order-insensitive exact average. */
+  def davg(c: Column): Column = sum(dec2(c)).cast("double") / count(lit(1))
+
+  /** Oracle-side equivalents (DuckDB SQL fragments). */
+  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+  def oSum4(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  def oSum6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  def oAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+  /** Timestamp column → epoch seconds (floor), identical in both engines. */
+  def epochS(c: Column): Column = c.cast("long")
+
+  /** DuckDB: shadow `events` with a µs-truncated ts so both engines see the
+    * same event times (parquet stores ns; Spark reads µs — see Tables).
+    */
+  val eventsUs: String =
+    "events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+}
