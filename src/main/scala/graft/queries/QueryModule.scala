@@ -51,9 +51,10 @@ object Q {
   /** Timestamp column → epoch seconds (floor), identical in both engines. */
   def epochS(c: Column): Column = c.cast("long")
 
-  /** DuckDB: shadow `events` with a µs-truncated ts so both engines see the
+  /** DuckDB: `ev` = events with a µs-truncated ts so both engines see the
     * same event times (parquet stores ns; Spark reads µs — see Tables).
+    * Oracle SQL over events must read FROM ev.
     */
   val eventsUs: String =
-    "events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+    "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 }
