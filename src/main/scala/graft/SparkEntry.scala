@@ -12,7 +12,9 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     CoreQueries,
-    EventQueries
+    EventQueries,
+    TextQueries,
+    VectorQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines.
+  *
+  * Everything here is pure `Column` composition over
+  * org.apache.spark.sql.functions — whole-stage-codegen friendly, no UDFs,
+  * so Catalyst can pushdown/prune around them and the hot path stays in
+  * generated code at 100 TB.
+  *
+  * Hash-bearing functions (minhash/fingerprint) use md5 so an external SQL
+  * engine (the DuckDB oracle) can reproduce them bit-for-bit; a faster
+  * xxhash64 variant of each is provided for production use where
+  * cross-engine reproducibility is not required.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct n-word shingles; empty array when the doc is shorter than n
+    * tokens (mirrors the oracle's `range(1, greatest(len-n+1, 1))`).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k independent hash functions simulated as
+    * md5(i # shingle); the signature component is the lexicographic min of
+    * the fixed-width hex digests (hex-string min == numeric min).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$i#"), s))))
+    }: _*)
+
+  /** LSH band keys over a minhash signature: bands of `rows` signature
+    * components hashed together. Two docs collide on a band iff all rows
+    * in the band match -> P(candidate) = 1-(1-j^rows)^bands.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until rows).map(r => element_at(sig, b * rows + r + 1))
+      md5(concat_ws(":", (lit(s"$b") +: parts): _*))
+    }: _*)
+
+  /** Production minhash (xxhash64 — ~10x cheaper than md5, not
+    * oracle-reproducible). */
+  def minhashSignatureFast(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** Count of tokens found in `stops`. */
+  def stopwordHits(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops.map(x => x: Any): _*)))
+
+  /** Stopword ratio in [0,1]; 0 for empty docs. */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
+    val n = tokenCount(text)
+    when(n > 0, stopwordHits(text, stops).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", ""))
+
+  /** Content fingerprint: min md5 over sliding char n-grams (a
+    * winnowing-style document signature; oracle-reproducible).
+    */
+  def charFingerprint(text: Column, n: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => md5(text.substr(i, lit(n)))))
+
+  /** Production fingerprint via xxhash64 rolling windows. */
+  def charFingerprintFast(text: Column, n: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(n)))))
+
+  /** Simple per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Public, standard closed-class words.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "ich", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+    "it" -> Seq("il", "la", "e", "che", "di", "un", "una", "per", "non", "sono"))
+
+  /** Language-ID heuristic: the profile with the most stopword hits wins;
+    * `und` (undetermined) when nothing matches. Pure column expression —
+    * distributes with no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(size(filter(t, x => x.isin(stops.map(s => s: Any): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact: hash-groupBy on a digest — one shuffle keyed by md5/xxhash64,
+  *    uniform key distribution (no skew by construction).
+  *  - near-dup: MinHash+LSH — cost is O(n·bands) shuffle rows instead of
+  *    O(n²) pairs; only bucket-colliding candidates are verified. Buckets
+  *    are hashes, so they distribute uniformly across reducers.
+  *  - jaccard verification: shingle-explode equi-join — a shuffle join on
+  *    the shingle hash; high-frequency shingles (stop-shingles) are the
+  *    skew risk, handled by `maxShingleFreq` which drops shingles occurring
+  *    in more than N docs (standard frequency-pruning: a shingle shared by
+  *    half the corpus carries no similarity signal but quadratic join
+  *    cost).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per identical
+    * `textCol`. One shuffle on the text digest; the digest (not the full
+    * text) is the shuffle key at scale.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__digest", md5(col(textCol)))
+    val keep = keyed.groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("__digest", idCol), "left_semi").drop("__digest")
+  }
+
+  /** Per-id distinct word shingles, exploded: (id, shingle). */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard via shingle equi-join.
+    *
+    * @param blockCol optional blocking column (e.g. language): only pairs
+    *                 agreeing on it are compared — standard dedup blocking.
+    * @param maxShingleFreq drop shingles occurring in more than this many
+    *                 docs (skew + noise control). <=0 disables.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      blockCol: Option[String] = None, maxShingleFreq: Int = 0): DataFrame = {
+    val sh0 = df.select((col(idCol) +: blockCol.map(col).toSeq :+
+      explode(wordShingles(col(textCol), n)).as("shingle")): _*)
+    val sh = if (maxShingleFreq > 0) {
+      val freq = sh0.groupBy("shingle").agg(countDistinct(col(idCol)).as("__f"))
+        .filter(col("__f") <= maxShingleFreq).select("shingle")
+      sh0.join(freq, Seq("shingle"), "left_semi")
+    } else sh0
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select((col(idCol).as("id_a") +: col("shingle") +:
+      blockCol.map(c => col(c).as("block_a")).toSeq): _*)
+    val b = sh.select((col(idCol).as("id_b") +: col("shingle") +:
+      blockCol.map(c => col(c).as("block_b")).toSeq): _*)
+    val cond = a("shingle") === b("shingle") && a("id_a") < b("id_b") &&
+      blockCol.map(_ => col("block_a") === col("block_b")).getOrElse(lit(true))
+    val inter = a.join(b, cond)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sz", "sz_a"), inter("id_a") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("sz", "sz_b"), col("id_b") === sizes(idCol)).drop(idCol)
+      .withColumn("un", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un").cast("double"))
+      .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
+
+  /** MinHash+LSH candidate pairs: signature -> band keys -> bucket
+    * self-join. Returns distinct (id_a, id_b) candidates; verify with
+    * [[jaccardPairs]] (or trust the LSH probability bound at scale).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol),
+      lshBandKeys(minhashSignature(wordShingles(col(textCol), shingleN), k), bands, rows)
+        .as("bandkeys"))
+    val banded = sig.select(col(idCol),
+      posexplode(col("bandkeys")).as(Seq("band", "bkey")))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    val r = banded.select(col(idCol).as("id_b"), col("band").as("band_r"), col("bkey").as("bkey_r"))
+    l.join(r, l("band") === r("band_r") && l("bkey") === r("bkey_r") && l("id_a") < r("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
+    val jac = jaccardPairs(df, idCol, textCol, shingleN)
+    cand.join(jac, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document: explode tokens, hash each with xxhash64,
+    * sum ±1 per bit position, sign -> bit. Distributed as one groupBy on
+    * the id (no pair joins); near-dups then cluster by hamming distance
+    * (`bit_count(a ^ b)`) on signature prefixes.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a hamming radius, blocked on the top
+    * `prefixBits` bits (near-dups almost always share the prefix;
+    * standard multi-probe would OR several rotations at scale).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, prefixBits: Int = 12): DataFrame = {
+    val sigs = simhash64(df, idCol, textCol)
+      .withColumn("prefix", shiftrightunsigned(col("simhash"), 64 - prefixBits))
+    val l = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("prefix"))
+    val r = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("prefix").as("prefix_r"))
+    l.join(r, l("prefix") === r("prefix_r") && l("id_a") < r("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: brute force is the exactness baseline — O(|Q|·|C|) with
+  * the small query side broadcast, so the corpus never shuffles and the
+  * scan parallelizes over corpus partitions. The LSH variant buckets by
+  * signed-random-projection signature so each query only scans its bucket
+  * (multi-probe widens recall); bucket keys are hashes -> uniform
+  * partitioning. An IVF variant would k-means the corpus and probe nearest
+  * centroids — same join shape as LSH with learned buckets.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (idCol, vecCol Array[Float|Double]).
+    * Query side is broadcast — corpus-side scan stays fully parallel.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, roundScale: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("cos_r", round(cosine(col("qv"), col("cv")), roundScale))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "cos_r")
+  }
+
+  /** LSH-bucketed approximate top-k: random-hyperplane signatures with
+    * `prefixBits` bucket bits; queries only join their own bucket.
+    * Recall < 1.0 by construction; raise `planes`/probe count for recall,
+    * lower `prefixBits` for bigger buckets.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 12,
+      roundScale: Int = 4): DataFrame = {
+    def withBucket(df: DataFrame, id: String, as: String) =
+      df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(as),
+        signatureBucket(hyperplaneSignature(toDoubleVec(col(vecCol)), planes)).as(s"${as}_bkt"))
+    val q = withBucket(queries, "qid", "qv")
+    val c = withBucket(corpus, "vid", "cv")
+    val scored = c.join(broadcast(q), col("qv_bkt") === col("cv_bkt") &&
+        col("vid") =!= col("qid"))
+      .withColumn("cos_r", round(cosine(col("qv"), col("cv")), roundScale))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "cos_r")
+  }
+
+  /** All pairs above a cosine threshold within blocks (embedding near-dup
+    * detection). Blocking bounds the pair count; at scale the block column
+    * is an LSH bucket or cluster id rather than a label.
+    */
+  def blockedNearDups(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double, roundScale: Int = 4): DataFrame = {
+    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    val l = base.select(col("block"), col("id").as("id_a"), col("v").as("va"))
+    val r = base.select(col("block").as("block_r"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, col("block") === col("block_r") && col("id_a") < col("id_b"))
+      .withColumn("cos_r", round(cosine(col("va"), col("vb")), roundScale))
+      .filter(col("cos_r") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("cos_r"))
+  }
+}

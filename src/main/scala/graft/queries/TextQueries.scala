@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup surface over the `documents` table — the
+  * training-data-pipeline operators (token stats, quality scoring, exact
+  * dedup, n-gram Jaccard, MinHash+LSH near-dup, content fingerprinting).
+  * All hash-bearing steps use md5 so the DuckDB oracle reproduces them
+  * exactly; production variants (xxhash64) live in graft.functions.
+  */
+object TextQueries extends QueryModule {
+  import Q._
+
+  private val stops = Seq("the", "a", "of", "to", "and", "is")
+  private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB CTE: tokenized + 3-word-shingled documents (mirrors
+    * TextFunctions.tokens / wordShingles).
+    */
+  private val docShingles =
+    """w AS (SELECT doc_id, lang, source, text, n_chars,
+      |        string_split_regex(trim(text), '\s+') AS words FROM documents),
+      |shl AS (SELECT *, list_distinct(list_transform(
+      |          range(1, greatest(len(words) - 1, 1)),
+      |          i -> array_to_string(words[i:i+2], ' '))) AS shingles FROM w),
+      |sh AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM shl),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token statistics per language.
+    "q20_doc_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("nt", tokenCount($"text"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_sources"),
+          sum($"nt").as("sum_tokens"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy($"lang")
+    }),
+
+    // Exact-dup profile per source: distinct text digests vs rows.
+    "q21_dedup_exact" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5($"text")).as("n_distinct"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"source")
+    }),
+
+    // Quality scoring: stopword-ratio buckets per language.
+    "q22_quality_buckets" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("nt", tokenCount($"text"))
+        .withColumn("hits", stopwordHits($"text", stops))
+        .withColumn("bucket",
+          floor(($"hits".cast("double") / $"nt".cast("double")) * 10).cast("long"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"))
+        .orderBy($"lang", $"bucket")
+    }),
+
+    // Exact 3-gram Jaccard near-dup pairs (same-language blocking),
+    // shingle-join verified — finds the corpus's planted near-duplicates.
+    "q23_ngram_jaccard" -> ((spark, dir) => {
+      Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, blockCol = Some("lang"))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "inter", "un", "jaccard")
+    }),
+
+    // MinHash (k=8) + LSH (4 bands x 2 rows) near-dup candidates, verified
+    // by exact Jaccard >= 0.5.
+    "q24_minhash_lsh" -> ((spark, dir) => {
+      Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5, shingleN = 3, k = 8, bands = 4)
+    }),
+
+    // Winnowing-style content fingerprint: min md5 over char 8-grams.
+    "q25_fingerprint" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", charFingerprint($"text", 8).as("fp"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q20_doc_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q22_quality_buckets" ->
+      s"""WITH t AS (
+         |  SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS nt,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> x IN ($stopsSql))) AS hits
+         |  FROM documents)
+         |SELECT lang,
+         |  CAST(FLOOR((CAST(hits AS DOUBLE) / CAST(nt AS DOUBLE)) * 10) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_docs, SUM(nt) AS sum_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      s"""WITH $docShingles,
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang = b.lang
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS un,
+         |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+         |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q24_minhash_lsh" ->
+      s"""WITH $docShingles,
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_min(list_transform(shingles, s -> md5('0#' || s))) AS m0,
+         |    list_min(list_transform(shingles, s -> md5('1#' || s))) AS m1,
+         |    list_min(list_transform(shingles, s -> md5('2#' || s))) AS m2,
+         |    list_min(list_transform(shingles, s -> md5('3#' || s))) AS m3,
+         |    list_min(list_transform(shingles, s -> md5('4#' || s))) AS m4,
+         |    list_min(list_transform(shingles, s -> md5('5#' || s))) AS m5,
+         |    list_min(list_transform(shingles, s -> md5('6#' || s))) AS m6,
+         |    list_min(list_transform(shingles, s -> md5('7#' || s))) AS m7
+         |  FROM shl),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5('0:' || m0 || ':' || m1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5('1:' || m2 || ':' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5('2:' || m4 || ':' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5('3:' || m6 || ':' || m7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+         |FROM cand c
+         |JOIN pr ON c.id_a = pr.id_a AND c.id_b = pr.id_b
+         |JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(len(text) - 6, 1)),
+        |    i -> md5(substr(text, i, 8)))) AS fp
+        |FROM documents""".stripMargin
+  )
+}
