@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Count-based windows — the one window family Spark lacks natively
+  * (reference java/.../window/CountWindowDemo.java:32 keyed count window;
+  * CountWindowAllApplyDemo.java:32-55 global count window with in-window
+  * sort; cn/ngt/day11/_06_GroupWindow_Count.java:40-50 Tumble/Slide over
+  * rowInterval).
+  *
+  * Implementation tier (c) of the custom-operator ladder: a library
+  * operator on flatMapGroupsWithState. State = the current partial bucket
+  * (≤ size-1 elements per key); one shuffle on the key. A "window all"
+  * (global) count window maps every record to one key — single-partition
+  * by definition (same as the reference's parallelism-1 windowAll), so use
+  * keyed windows at scale.
+  */
+object CountWindows {
+
+  /** One fired count window. `windowSeq` increments per key from 0. */
+  case class CountWindow[E](key: String, windowSeq: Long, events: Seq[E])
+
+  /** Internal partial-bucket state (public: kryo-encoded in the state store). */
+  case class Buf[E](seq: Long, items: List[E])
+
+  /** Tumbling count window of `size` per key (fires every `size` records).
+    *
+    * Batch form: processes each key's full (ordered) sequence; emits all
+    * complete windows, plus the trailing partial if `emitPartial`.
+    */
+  def tumblingBatch[E](ds: Dataset[E])(keyFn: E => String, orderBy: E => Long,
+      size: Int, emitPartial: Boolean = false): Dataset[CountWindow[E]] = {
+    implicit val oe: Encoder[CountWindow[E]] = Encoders.kryo[CountWindow[E]]
+    implicit val se: Encoder[String] = Encoders.STRING
+    ds.groupByKey(keyFn).flatMapGroups { (key, it) =>
+      val sorted = it.toSeq.sortBy(orderBy)
+      val full = sorted.grouped(size).zipWithIndex.flatMap { case (grp, i) =>
+        if (grp.size == size || emitPartial) Some(CountWindow(key, i.toLong, grp))
+        else None
+      }
+      full
+    }
+  }
+
+  /** Streaming tumbling count window: buffers up to size-1 records per key
+    * in state, fires a window as soon as the size-th record arrives.
+    * Per-record firing order inside a micro-batch follows `orderBy`.
+    * `idleTimeoutMs` > 0 flushes a partial window after the key is idle
+    * that long (processing-time), bounding state for dead keys.
+    */
+  def tumblingStream[E](ds: Dataset[E])(keyFn: E => String, orderBy: E => Long,
+      size: Int, idleTimeoutMs: Long = 0L): Dataset[CountWindow[E]] = {
+    implicit val oe: Encoder[CountWindow[E]] = Encoders.kryo[CountWindow[E]]
+    implicit val be: Encoder[Buf[E]] = Encoders.kryo[Buf[E]]
+    implicit val se: Encoder[String] = Encoders.STRING
+    val timeoutConf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(keyFn).flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+      (key: String, it: Iterator[E], state: GroupState[Buf[E]]) =>
+        val buf = state.getOption.getOrElse(Buf[E](0L, Nil))
+        if (!it.hasNext && state.hasTimedOut) {
+          // idle flush: emit the partial window
+          state.remove()
+          if (buf.items.nonEmpty)
+            Iterator(CountWindow(key, buf.seq, buf.items.reverse))
+          else Iterator.empty
+        } else {
+          var cur = buf
+          val fired = List.newBuilder[CountWindow[E]]
+          it.toSeq.sortBy(orderBy).foreach { e =>
+            val items = e :: cur.items
+            if (items.length >= size) {
+              fired += CountWindow(key, cur.seq, items.reverse)
+              cur = Buf(cur.seq + 1, Nil)
+            } else cur = cur.copy(items = items)
+          }
+          if (cur.items.isEmpty && fired.result().nonEmpty) state.remove()
+          else state.update(cur)
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+          fired.result().iterator
+        }
+    }
+  }
+
+  /** Sliding count window (size, slide) per key — batch form (reference
+    * Slide.over(rowInterval(10)).every(rowInterval(5))): a window fires at
+    * every `slide`-th record containing the last `size` records (or fewer
+    * at the head, matching Flink's early partial windows).
+    */
+  def slidingBatch[E](ds: Dataset[E])(keyFn: E => String, orderBy: E => Long,
+      size: Int, slide: Int): Dataset[CountWindow[E]] = {
+    implicit val oe: Encoder[CountWindow[E]] = Encoders.kryo[CountWindow[E]]
+    implicit val se: Encoder[String] = Encoders.STRING
+    ds.groupByKey(keyFn).flatMapGroups { (key, it) =>
+      val sorted = it.toSeq.sortBy(orderBy).toIndexedSeq
+      Iterator.range(0, sorted.length).filter(i => (i + 1) % slide == 0)
+        .zipWithIndex.map { case (endIdx, w) =>
+          val from = math.max(0, endIdx - size + 1)
+          CountWindow(key, w.toLong, sorted.slice(from, endIdx + 1))
+        }
+    }
+  }
+}

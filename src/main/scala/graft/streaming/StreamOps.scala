@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming building blocks mapping the reference's DataStream surface
+  * onto Structured Streaming:
+  *
+  *  - side outputs (reference java/.../function/SideOutputDemo.java:22-50):
+  *    one plan, n tagged sinks via a foreachBatch splitter.
+  *  - late-data capture (reference sideOutputLateData,
+  *    java/.../function/WindowLateDateDemo.java:45-56): watermark-lag
+  *    pre-filter approximation — Spark drops late rows silently, so the
+  *    split happens before the windowed agg.
+  *  - keyed running aggregates with TTL (reference
+  *    java/.../state/KeyedStateTTLDemo.java:64-70 state TTL;
+  *    scala/.../streamingwithflink/_13_StatefulProcessFunction.scala:43-77
+  *    idle-cleanup timers).
+  *  - timer multiplexing (reference NetworkFlow.scala:112-123 uses two
+  *    timers per key; Spark allows one timeout per key, so deadlines are
+  *    stored in state and the single timeout re-arms to the earliest).
+  *  - dimension join with per-batch refresh (reference
+  *    java/.../state/BroadcastStateDemo.java:50-200 updatable broadcast
+  *    dim table).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling/sliding window aggregation — thin wrapper fixing
+    * the reference's window-with-watermark idiom.
+    */
+  def windowedAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+      windowSize: String, slide: Option[String], keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    val w = slide.map(s => window(col(tsCol), windowSize, s))
+      .getOrElse(window(col(tsCol), windowSize))
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((w +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Side-output splitter: run the stream once per micro-batch, fan the
+    * cached batch out to each tagged handler (main + side outputs). The
+    * batch is cached so the source is read once — the Spark-idiomatic
+    * replacement for OutputTag.
+    */
+  def sideOutputs(df: DataFrame, tags: Map[String, Column],
+      handlers: Map[String, (DataFrame, Long) => Unit]): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      batch.persist()
+      try tags.foreach { case (tag, pred) =>
+        handlers.get(tag).foreach(h => h(batch.filter(pred), id))
+      } finally batch.unpersist()
+      ()
+    }
+
+  /** Batch split by predicates (the bounded analog of side outputs). */
+  def split(df: DataFrame, tags: Map[String, Column]): Map[String, DataFrame] =
+    tags.map { case (t, pred) => t -> df.filter(pred) }
+
+  /** Late-row splitter: rows older than (max event time in batch − delay)
+    * are tagged late. An approximation of the reference's
+    * sideOutputLateData: Spark's own watermark would silently drop them
+    * inside the windowed agg, so the split runs upstream.
+    */
+  def tagLate(df: DataFrame, tsCol: String, delay: String): DataFrame = {
+    val mx = df.agg(max(col(tsCol)).as("__mx"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("is_late", col(tsCol) < col("__mx") - expr(s"INTERVAL $delay"))
+      .drop("__mx")
+  }
+
+  /** Keyed running aggregate with idle-state TTL: value = running fold of
+    * `update`; state removed (and final value emitted with `expired=true`)
+    * after `ttlMs` of processing-time inactivity. One output per updated
+    * key per micro-batch (update-mode ≈ the reference's per-record
+    * continuous emission at micro-batch granularity).
+    */
+  case class KeyedValue[V](key: String, value: V, expired: Boolean)
+
+  /** Internal boxed state (kryo needs a public non-primitive class). */
+  case class Box[V](v: V)
+
+  def runningAggregateWithTtl[E, V](ds: Dataset[E])(keyFn: E => String,
+      zero: V, update: (V, E) => V, ttlMs: Long): Dataset[KeyedValue[V]] = {
+    implicit val ve: Encoder[Box[V]] = Encoders.kryo[Box[V]]
+    implicit val oe: Encoder[KeyedValue[V]] = Encoders.kryo[KeyedValue[V]]
+    implicit val se: Encoder[String] = Encoders.STRING
+    // ProcessingTimeTimeout makes the engine run timeout-evaluation batches
+    // continuously — only worth it when a TTL is actually requested.
+    val timeoutConf = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(keyFn).flatMapGroupsWithState(
+      OutputMode.Update, timeoutConf) {
+      (key: String, it: Iterator[E], state: GroupState[Box[V]]) =>
+        if (!it.hasNext && state.hasTimedOut) {
+          val last = state.getOption.map(_.v).getOrElse(zero)
+          state.remove()
+          Iterator(KeyedValue(key, last, expired = true))
+        } else {
+          val next = it.foldLeft(state.getOption.map(_.v).getOrElse(zero))(update)
+          state.update(Box(next))
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+          Iterator(KeyedValue(key, next, expired = false))
+        }
+    }
+  }
+
+  /** Multiplexed per-key timers: Spark grants one timeout per key; this
+    * keeps a deadline list in state and always arms the earliest, firing
+    * all due deadlines on each wake-up (the reference's two-timer pattern,
+    * NetworkFlow.scala:112-123, generalized to n timers).
+    */
+  case class TimerFire(key: String, deadlineMs: Long, tag: String)
+  /** Internal deadline-list state (public: kryo-encoded in the state store). */
+  case class TimerState(deadlines: List[(Long, String)])
+
+  /** `arm`: per incoming event, deadlines (epochMs, tag) to register. */
+  def multiplexedTimers[E](ds: Dataset[E])(keyFn: E => String,
+      arm: E => Seq[(Long, String)]): Dataset[TimerFire] = {
+    implicit val oe: Encoder[TimerFire] = Encoders.kryo[TimerFire]
+    implicit val ts: Encoder[TimerState] = Encoders.kryo[TimerState]
+    implicit val se: Encoder[String] = Encoders.STRING
+    ds.groupByKey(keyFn).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: String, it: Iterator[E], state: GroupState[TimerState]) =>
+        val cur = state.getOption.getOrElse(TimerState(Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val withNew = TimerState(cur.deadlines ++ it.flatMap(arm).toList)
+        val (due, pending) = withNew.deadlines.partition(_._1 <= wm)
+        if (pending.isEmpty) state.remove()
+        else { state.update(TimerState(pending)); state.setTimeoutTimestamp(pending.map(_._1).min) }
+        due.map { case (d, tag) => TimerFire(key, d, tag) }.iterator
+    }
+  }
+
+  /** Stream-static dimension join with per-batch dim refresh — the
+    * updatable broadcast-state dim table: the dim is re-read every micro
+    * batch inside foreachBatch, then broadcast-joined.
+    */
+  def refreshedDimJoin(stream: DataFrame, loadDim: SparkSession => DataFrame,
+      joinCols: Seq[String], sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val dim = loadDim(batch.sparkSession)
+      sink(batch.join(broadcast(dim), joinCols, "left_outer"), id)
+      ()
+    }
+
+  /** Start a memory-sink query (test/dev), process everything, return it. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append)
+      : StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "der hund läuft und das ist ein test nicht wahr")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the smallest id per identical text") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("jaccardPairs finds the near-dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3)
+      .filter(col("jaccard") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates include exact and near dups") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text").
+      as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 4L)))                // identical docs always collide
+    val verified = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups small hamming, distinct docs far") {
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) == 0)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 4L)))
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val out = docs.withColumn("lid", TextFunctions.langId(col("text")))
+      .select("doc_id", "lid").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(5L) == "de")
+  }
+
+  test("token/stopword/fingerprint functions") {
+    val row = docs.filter($"doc_id" === 1)
+      .select(
+        TextFunctions.tokenCount($"text"),
+        TextFunctions.stopwordHits($"text", Seq("the", "a")),
+        TextFunctions.charFingerprint($"text", 8),
+        TextFunctions.charFingerprintFast($"text", 8))
+      .head()
+    assert(row.getInt(0) == 9 && row.getInt(1) == 2)
+    assert(row.getString(2).length == 32) // md5 hex
+  }
+
+  test("brute-force ANN returns exact cosine ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2)
+      .select("vid", "cos_r").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.head._2 > 0.99)
+  }
+
+  test("LSH top-k is a subset of brute-force candidates with high-cos hit") {
+    val vecs = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f * i, 0.5f, 0.0f)
+        else Array(0.0f, 1.0f, -0.5f, 0.1f * i)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 3, planes = 4)
+    // bucketed: every returned neighbor shares the query's bucket; sanity: no self, k respected
+    val rows = out.select("vid").as[Long].collect()
+    assert(!rows.contains(0L) && rows.length <= 3)
+  }
+
+  test("cosine column math matches manual computation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].head()
+    val exp = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+}
