@@ -1,0 +1,65 @@
+package graft.functions
+
+/** Scala-native twin of the md5 minhash column functions in
+  * [[TextFunctions]] — bit-identical results, ~50x faster per row.
+  *
+  * Higher-order Column functions (transform/aggregate) are
+  * CodegenFallback: evaluated interpreted, re-walking the expression tree
+  * per element. For the minhash hot path (k hash functions × every
+  * shingle) that interpretation tax dominates, so the dedup operator runs
+  * this single-pass implementation inside a typed flatMap instead;
+  * OperatorsSpec asserts both paths produce identical signatures.
+  */
+object MinhashImpl {
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex md5 — matches Spark's and DuckDB's `md5()`. */
+  def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct n-word shingles (same tokenization as TextFunctions.tokens:
+    * trim + split on \s+). Empty when the doc has fewer than n tokens.
+    */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** MinHash signature: component i = min over shingles of md5("i#" + s). */
+  def signature(sh: Array[String], k: Int): Array[String] =
+    Array.tabulate(k) { i =>
+      val prefix = s"$i#"
+      var min: String = null
+      var j = 0
+      while (j < sh.length) {
+        val h = md5hex(prefix + sh(j))
+        if (min == null || h < min) min = h
+        j += 1
+      }
+      min
+    }
+
+  /** LSH band keys: md5("b:" + sig(b*rows) + ":" + ...) — identical string
+    * layout to TextFunctions.lshBandKeys (concat_ws ":").
+    */
+  def bandKeys(sig: Array[String], bands: Int, rows: Int): Array[String] =
+    Array.tabulate(bands) { b =>
+      val sb = new StringBuilder
+      sb.append(b)
+      var r = 0
+      while (r < rows) { sb.append(':').append(sig(b * rows + r)); r += 1 }
+      md5hex(sb.toString)
+    }
+}

@@ -45,8 +45,24 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       blockCol: Option[String] = None, maxShingleFreq: Int = 0): DataFrame = {
-    val sh0 = df.select((col(idCol) +: blockCol.map(col).toSeq :+
-      explode(wordShingles(col(textCol), n)).as("shingle")): _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed single-pass shingling (see MinhashImpl scaladoc for why this
+    // beats the interpreted Column HOF path ~50x)
+    val sh0 = blockCol match {
+      case Some(b) =>
+        df.select(col(idCol).cast("long"), col(b).cast("string"),
+            col(textCol).cast("string")).as[(Long, String, String)]
+          .flatMap { case (id, blk, t) =>
+            graft.functions.MinhashImpl.shingles(t, n).iterator.map(s => (id, blk, s)) }
+          .toDF(idCol, b, "shingle")
+      case None =>
+        df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+          .as[(Long, String)]
+          .flatMap { case (id, t) =>
+            graft.functions.MinhashImpl.shingles(t, n).iterator.map(s => (id, s)) }
+          .toDF(idCol, "shingle")
+    }
     val sh = if (maxShingleFreq > 0) {
       val freq = sh0.groupBy("shingle").agg(countDistinct(col(idCol)).as("__f"))
         .filter(col("__f") <= maxShingleFreq).select("shingle")
@@ -77,22 +93,45 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = df.select(col(idCol),
-      lshBandKeys(minhashSignature(wordShingles(col(textCol), shingleN), k), bands, rows)
-        .as("bandkeys"))
-    val banded = sig.select(col(idCol),
-      posexplode(col("bandkeys")).as(Seq("band", "bkey")))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
-    val r = banded.select(col(idCol).as("id_b"), col("band").as("band_r"), col("bkey").as("bkey_r"))
-    l.join(r, l("band") === r("band_r") && l("bkey") === r("bkey_r") && l("id_a") < r("id_b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Single typed pass per doc (see MinhashImpl: the Column HOF version
+    // re-interprets the shingle tree per hash fn). Docs with no shingles
+    // are skipped — they cannot collide.
+    val banded = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = graft.functions.MinhashImpl.shingles(text, shingleN)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = graft.functions.MinhashImpl.signature(sh, k)
+          graft.functions.MinhashImpl.bandKeys(sig, bands, rows)
+            .iterator.zipWithIndex.map { case (bk, b) => (id, b, bk) }
+        }
+      }.toDF(idCol, "band", "bkey")
+    // pairs per bucket via collect_list — evaluates the signature pipeline
+    // once (a self-join would run it twice) and shuffles only (band,bkey)
+    banded.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
-  /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold. */
+  /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
+    * Verification runs only over candidate documents (semi-join pruning) —
+    * the whole point of LSH is that the O(n²) exact compare never touches
+    * non-colliding docs.
+    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
-    val jac = jaccardPairs(df, idCol, textCol, shingleN)
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sub = df.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val jac = jaccardPairs(sub, idCol, textCol, shingleN)
     cand.join(jac, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -23,11 +23,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, roundScale: Int = 4): DataFrame = {
+    // norms precomputed per row (not per pair): the pair loop then costs
+    // one dot product instead of three
     val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vid") =!= col("qid"))
-      .withColumn("cos_r", round(cosine(col("qv"), col("cv")), roundScale))
+      .withColumn("cos_r",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
@@ -66,10 +71,13 @@ object Similarity {
       blockCol: String, threshold: Double, roundScale: Int = 4): DataFrame = {
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("v"))
-    val l = base.select(col("block"), col("id").as("id_a"), col("v").as("va"))
-    val r = base.select(col("block").as("block_r"), col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("n", l2Norm(col("v")))
+    val l = base.select(col("block"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val r = base.select(col("block").as("block_r"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
     l.join(r, col("block") === col("block_r") && col("id_a") < col("id_b"))
-      .withColumn("cos_r", round(cosine(col("va"), col("vb")), roundScale))
+      .withColumn("cos_r",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundScale))
       .filter(col("cos_r") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("cos_r"))
   }

@@ -50,6 +50,25 @@ class OperatorsSpec extends SparkSpec {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("MinhashImpl is bit-identical to the Column minhash functions") {
+    import graft.functions.MinhashImpl
+    val sample = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val colSide = sample
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        TextFunctions.minhashSignature(col("sh"), 8).as("sig"))
+      .select(col("doc_id"),
+        TextFunctions.lshBandKeys(col("sig"), 4, 2).as("bk"))
+      .as[(Long, Seq[String])].collect().toMap
+    val scalaSide = sample.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, t) =>
+        id -> MinhashImpl.bandKeys(
+          MinhashImpl.signature(MinhashImpl.shingles(t, 3), 8), 4, 2).toSeq
+      }.toMap
+    assert(colSide == scalaSide)
+  }
+
   test("langId picks the profile with most stopword hits") {
     val out = docs.withColumn("lid", TextFunctions.langId(col("text")))
       .select("doc_id", "lid").as[(Long, String)].collect().toMap
