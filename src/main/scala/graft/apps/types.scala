@@ -1,0 +1,44 @@
+package graft.apps
+
+import java.sql.Timestamp
+
+/** Typed record schemas of the reference's case studies (FIXTURES.md;
+  * reference bean/case-class citations inline). Event time is carried as
+  * TimestampType (`ts`) — the reference parses epoch seconds and
+  * multiplies by 1000 (e.g. HotItems.scala:44); here sources convert once
+  * at the edge via timestamp_seconds.
+  */
+// reference scala/.../demo/hotitems/HotItems.scala:65
+case class UserBehavior(userId: Long, itemId: Long, categoryId: Int,
+    behavior: String, ts: Timestamp)
+
+// reference scala/.../demo/networkflow/NetworkFlow.scala:70
+case class ApacheLogEvent(ip: String, userId: String, ts: Timestamp,
+    method: String, url: String)
+
+// reference scala/.../demo/loginfail/LoginFail.scala:49,52
+case class LoginEvent(userId: Long, ip: String, eventType: String, ts: Timestamp)
+case class LoginFailWarning(userId: Long, firstFailTime: Long,
+    lastFailTime: Long, warningMsg: String)
+
+// reference scala/.../demo/orderpaydetect/OrderTimeout.scala:46-48
+case class OrderEvent(orderId: Long, eventType: String, txId: String, ts: Timestamp)
+case class OrderResult(orderId: Long, resultMsg: String)
+
+// reference scala/.../demo/orderpaydetect/TxMatch.scala:54
+case class ReceiptEvent(txId: String, payChannel: String, ts: Timestamp)
+
+// reference scala/.../demo/market/AdClickAnalysis.scala:55-60
+case class AdClickLog(userId: Long, adId: Long, province: String,
+    city: String, ts: Timestamp)
+case class BlackListUserWarning(userId: Long, adId: Long, msg: String)
+
+// reference scala/.../demo/market/AppMarketByChannel.scala:49-52
+case class MarketUserBehavior(userId: String, behavior: String,
+    channel: String, ts: Timestamp)
+
+// reference scala/.../streamingwithflink/util/SensorReading.scala:7
+case class SensorReading(id: String, ts: Timestamp, temperature: Double)
+
+// reference cn/ngt/bean/WaterSensor.java:17-21
+case class WaterSensor(id: String, ts: Long, vc: Int)

@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Sink surface (reference §2.2): console, files (rolling), Kafka,
+  * key-value upserts (the reference's Redis/JDBC/ES-upsert sinks share one
+  * shape: key → upsert). External clients are pluggable so the same writer
+  * drives Redis/JDBC/ES/HBase; tests plug an in-memory store.
+  */
+object Sinks {
+
+  /** Console sink (reference PrintSinkDemo.java:21). */
+  def console(df: DataFrame, mode: String = "append"): DataStreamWriter[Row] =
+    df.writeStream.format("console").outputMode(mode)
+
+  /** Rolling file sink (reference StreamingFileSinkDemo.java:28-40:
+    * 30s roll / 100MB max). Spark's equivalents: trigger interval = roll
+    * cadence, maxRecordsPerFile = size bound, checkpoint = exactly-once.
+    */
+  def rollingFiles(df: DataFrame, format: String, path: String,
+      checkpoint: String, rollInterval: String = "30 seconds",
+      maxRecordsPerFile: Long = 1000000L): DataStreamWriter[Row] =
+    df.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .trigger(Trigger.ProcessingTime(rollInterval))
+
+  /** Kafka sink (reference KafkaSinkDemo.java:22-25): expects key/value
+    * columns. */
+  def kafka(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+
+  /** A pluggable upsert client — the common contract behind the
+    * reference's Redis HSET (RedisSinkDemo.java:52+), JDBC
+    * `INSERT ... ON DUPLICATE KEY UPDATE` (JDBCSinkDemo.java:47) and ES
+    * upsert-mode (cn/ngt/day10/_08_Sink_ES_Upsert.java:49-63) sinks.
+    */
+  trait UpsertClient extends Serializable {
+    def open(): Unit
+    def upsert(key: String, value: String): Unit
+    def close(): Unit
+  }
+
+  /** Per-partition upsert writer (foreachPartition batching semantics —
+    * one client per partition, the reference's RichSinkFunction
+    * open/invoke/close lifecycle).
+    */
+  def upsertWriter(keyCol: String, valueCol: String,
+      clientFactory: () => UpsertClient): ForeachWriter[Row] =
+    new ForeachWriter[Row] {
+      @transient private var client: UpsertClient = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        client = clientFactory(); client.open(); true
+      }
+      override def process(row: Row): Unit =
+        client.upsert(String.valueOf(row.getAs[Any](keyCol)),
+          String.valueOf(row.getAs[Any](valueCol)))
+      override def close(errorOrNull: Throwable): Unit =
+        if (client != null) client.close()
+    }
+
+  /** Streaming upsert sink via ForeachWriter. */
+  def upsert(df: DataFrame, keyCol: String, valueCol: String,
+      clientFactory: () => UpsertClient): DataStreamWriter[Row] =
+    df.writeStream.foreach(upsertWriter(keyCol, valueCol, clientFactory))
+
+  /** JDBC append per micro-batch (reference day10/_12_SQL_MySQL.java:28-36);
+    * true upserts route through [[upsert]] with a JDBC-backed client.
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      props: java.util.Properties): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").jdbc(url, table, props)
+      ()
+    }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,6 +24,7 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     // norms precomputed per row (not per pair): the pair loop then costs
     // one dot product instead of three
     val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
@@ -32,7 +34,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vid") =!= col("qid"))
       .withColumn("cos_r",
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
@@ -69,6 +71,7 @@ object Similarity {
     */
   def blockedNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("v"))
       .withColumn("n", l2Norm(col("v")))
@@ -77,7 +80,7 @@ object Similarity {
       col("v").as("vb"), col("n").as("nb"))
     l.join(r, col("block") === col("block_r") && col("id_a") < col("id_b"))
       .withColumn("cos_r",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundScale))
+        round(GraftFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), roundScale))
       .filter(col("cos_r") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("cos_r"))
   }

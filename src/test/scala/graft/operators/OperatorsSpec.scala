@@ -113,6 +113,32 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows.contains(0L) && rows.length <= 3)
   }
 
+  test("codegen DotProduct matches the interpreted fold bit-for-bit") {
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val both = df.select(col("vec_id"),
+      GraftFunctions.dot(col("v"), col("v")).as("native"),
+      VectorFunctions.dot(col("v"), col("v")).as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    // also callable from SQL text
+    df.createOrReplaceTempView("vt")
+    val sqlOut = spark.sql("SELECT graft_dot(v, v) FROM vt LIMIT 1").as[Double].head()
+    assert(sqlOut > 0.0)
+  }
+
+  test("BloomDistinct estimates distinct counts within a few percent") {
+    val agg = udaf(new graft.functions.BloomDistinct(1 << 16))
+    val df = (1 to 10000).map(i => (i % 1000).toLong).toDF("id")
+    val est = df.agg(agg(col("id"))).as[Long].head()
+    assert(math.abs(est - 1000L) <= 50, s"estimate $est")
+    // bitmap merge across partitions: repartition and re-check
+    val est2 = df.repartition(8).agg(agg(col("id"))).as[Long].head()
+    assert(est == est2)
+  }
+
   test("cosine column math matches manual computation") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].head()
