@@ -14,7 +14,8 @@ object SparkEntry {
     CoreQueries,
     EventQueries,
     TextQueries,
-    VectorQueries
+    VectorQueries,
+    ExtendedQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second coverage batch:
+  *  - grouping analytics (rollup/cube — free in batch Spark, absent from
+  *    the reference but part of a complete SQL surface)
+  *  - correlated subqueries / scalar aggregates
+  *  - date/string scalar function surface (SURVEY §2.8)
+  *  - rows-only queries (no SQL-expressible oracle) for the operators the
+  *    driver checks by shape: simhash near-dups, language ID, hyperplane
+  *    LSH ANN, bloom distinct.
+  */
+object ExtendedQueries extends QueryModule {
+  import Q._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP hierarchy totals (region > nation), null-filled subtotals.
+    "q28_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("acctbal"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // CUBE over two independent dims.
+    "q29_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+    }),
+
+    // Correlated scalar subquery: orders above their customer's average.
+    "q30_correlated" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val avgPer = o.groupBy($"o_custkey".as("k"))
+        .agg((sum(dec2($"o_totalprice")).cast("double") / count(lit(1))).as("avg_price"))
+      o.join(avgPer, o("o_custkey") === avgPer("k"))
+        .filter($"o_totalprice" > $"avg_price" * 1.5)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Date arithmetic surface: month truncation, extraction, datediff.
+    "q31_date_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .withColumn("month", date_trunc("month", $"o_orderdate").cast("date"))
+        .withColumn("yr", year($"o_orderdate"))
+        .withColumn("qtr", quarter($"o_orderdate"))
+        .groupBy($"yr", $"qtr", $"month")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"month")
+    }),
+
+    // String function surface: upper/substr/concat/like-filter
+    // (reference MapDemo.java:26 toUpperCase etc.).
+    "q32_string_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .filter($"p_type".contains("ECO") || $"p_name".startsWith("small"))
+        .select($"p_partkey",
+          upper($"p_brand").as("brand_u"),
+          substring($"p_name", 1, 8).as("name_prefix"),
+          concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+          length($"p_name").as("name_len"))
+    }),
+
+    // Multi-column composite-key aggregation (reference
+    // KeyedMultipleDemo.java:33-56) + HAVING.
+    "q33_composite_key_having" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus", $"l_suppkey")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+        .filter($"n" >= 100)
+        .orderBy($"l_returnflag", $"l_linestatus", $"l_suppkey")
+    }),
+
+    // Global aggregate without keys (windowAll analog —
+    // reference CountWindowAllApplyDemo etc.: keyless global aggregation).
+    "q34_global_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum($"l_extendedprice").as("total_price"),
+          min($"l_shipdate").cast("date").as("min_ship"),
+          max($"l_shipdate").cast("date").as("max_ship"),
+          countDistinct($"l_orderkey").as("n_orders"))
+    }),
+
+    // ---- rows-only checks (no SQL oracle) ----
+
+    // SimHash near-dup pairs (engine-specific xxhash64 — not
+    // reproducible in the oracle; validated by OperatorsSpec goldens).
+    "q40_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 6, prefixBits = 8)),
+
+    // Language-ID heuristic distribution.
+    "q41_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("lid", TextFunctions.langId($"text"))
+        .groupBy($"lid").agg(count(lit(1)).as("n"))
+    }),
+
+    // Hyperplane-LSH approximate ANN (recall<1 by design — rows-only).
+    "q42_lsh_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", k = 5, planes = 6)
+    }),
+
+    // Bloom-filter distinct per event type vs exact (bounded-memory
+    // distinct at scale; estimate is engine-specific).
+    "q43_bloom_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val bloom = udaf(new graft.functions.BloomDistinct(1 << 18))
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(bloom($"user_id").as("approx_users"),
+          countDistinct($"user_id").as("exact_users"))
+    }),
+
+    // Production-hash minhash candidates (xxhash64 path) — rows-only.
+    "q44_minhash_fast" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select($"doc_id",
+        TextFunctions.wordShingles($"text", 3).as("sh"))
+      sh.select($"doc_id",
+          TextFunctions.minhashSignatureFast($"sh", 8).as("sig"))
+        .select($"doc_id", hash($"sig").as("sig_hash"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q28_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${oSum("c_acctbal")} AS acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q29_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q30_correlated" ->
+      """WITH avg_per AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderstatus, COUNT(*) AS n_above
+        |FROM orders JOIN avg_per ON o_custkey = k
+        |WHERE o_totalprice > avg_price * 1.5
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q31_date_functions" ->
+      s"""SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |  COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1, 2, 3 ORDER BY month""".stripMargin,
+
+    "q32_string_functions" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  length(p_name) AS name_len
+        |FROM part
+        |WHERE p_type LIKE '%ECO%' OR p_name LIKE 'small%'""".stripMargin,
+
+    "q33_composite_key_having" ->
+      s"""SELECT l_returnflag, l_linestatus, l_suppkey, COUNT(*) AS n,
+         |  ${oSum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 100
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q34_global_agg" ->
+      s"""SELECT COUNT(*) AS n_rows, ${oSum("l_extendedprice")} AS total_price,
+         |  CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+         |  CAST(MAX(l_shipdate) AS DATE) AS max_ship,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem""".stripMargin
+  )
+}
