@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: images/audio/video
+  * travel as opaque `binary` columns plus typed metadata, exactly like a
+  * 100 TB multimodal corpus (payload bytes in parquet, decode at the
+  * edge).
+  *
+  * Split of real vs stub (this container has no image/audio codecs):
+  *  - REAL: schema conventions, metadata extraction (size, content
+  *    fingerprint, magic-byte format sniffing), partition-friendly batch
+  *    shapes, frame/window sampling plumbing, the embedding hand-off into
+  *    graft.operators.Similarity.
+  *  - STUB: the pixel/sample decode itself — `decodeStub`/`embedStub`
+  *    produce deterministic fake values derived from the payload hash, so
+  *    every downstream operator is drivable end-to-end and swapping in a
+  *    real codec changes one function.
+  */
+object Multimodal {
+
+  /** Magic-byte format sniffing over the first payload bytes — pure
+    * Column ops on binary (hex compare), no codec needed.
+    */
+  def sniffFormat(bin: Column): Column = {
+    val head8 = hex(substring(bin, 1, 8))
+    when(head8.startsWith("FFD8FF"), "jpeg")
+      .when(head8.startsWith("89504E47"), "png")
+      .when(head8.startsWith("47494638"), "gif")
+      .when(head8.startsWith("52494646"), "riff") // wav/avi container
+      .when(head8.startsWith("494433"), "mp3")
+      .when(head8.startsWith("000000"), "mp4?")   // ftyp boxes vary
+      .otherwise("unknown")
+  }
+
+  /** Payload metadata: byte size, xxhash64 content fingerprint, sniffed
+    * format. The fingerprint is the exact-dedup key for binary payloads.
+    */
+  def withBinaryMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("byte_size", length(col(binCol)))
+      .withColumn("content_hash", xxhash64(col(binCol)))
+      .withColumn("format", sniffFormat(col(binCol)))
+
+  /** STUB image decode: deterministic fake (width, height, channels)
+    * derived from the payload hash. Real implementation: a vectorized
+    * decode over Arrow batches (mapInPandas/mapInArrow shape) — the
+    * plumbing (one row in, one struct out, partition-parallel) is
+    * identical.
+    */
+  def decodeStub(bin: Column): Column = struct(
+    (pmod(xxhash64(bin), lit(1920)) + 32).cast("int").as("width"),
+    (pmod(xxhash64(bin, lit(1)), lit(1080)) + 32).cast("int").as("height"),
+    lit(3).as("channels"))
+
+  /** STUB resize: scales the fake dimensions — shape-preserving metadata
+    * transform (real version maps the payload too).
+    */
+  def resizeStub(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width")
+    val h = decoded.getField("height")
+    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    struct(
+      ceil(w * scale).cast("int").as("width"),
+      ceil(h * scale).cast("int").as("height"),
+      decoded.getField("channels").as("channels"))
+  }
+
+  /** STUB feature extraction: deterministic pseudo-embedding from payload
+    * bytes (dim floats in [-1,1] from xxhash64(payload, i)). Feeds the
+    * real ANN/near-dup operators so the whole multimodal dedup pipeline
+    * runs end-to-end today.
+    */
+  def embedStub(bin: Column, dim: Int): Column =
+    array((0 until dim).map { i =>
+      (pmod(xxhash64(bin, lit(i)), lit(2000)).cast("double") / 1000.0 - 1.0)
+        .cast("float")
+    }: _*)
+
+  /** Video frame sampling plumbing: given per-row duration + fps metadata,
+    * emit one row per sampled frame timestamp (every `everyNSec`). The
+    * frame decode itself is the stub; the explode/partition shape — the
+    * part that matters at 100 TB (rows explode ~duration×, so repartition
+    * after, not before) — is real.
+    */
+  def sampleFrames(df: DataFrame, durationCol: String, everyNSec: Double)
+      : DataFrame =
+    df.withColumn("frame_idx", explode(sequence(lit(0L),
+        floor(col(durationCol) / everyNSec).cast("long"))))
+      .withColumn("frame_ts", col("frame_idx") * everyNSec)
+      .withColumn("frame_id",
+        concat(col("content_hash"), lit("@"), col("frame_ts")))
+
+  /** End-to-end multimodal near-dup pipeline: payload → meta → stub
+    * embedding → blocked cosine near-dups. Swap `embedStub` for a real
+    * encoder and nothing else changes.
+    */
+  def nearDupPipeline(df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 16, threshold: Double = 0.99): DataFrame = {
+    val embedded = withBinaryMeta(df, binCol)
+      .withColumn("embedding", embedStub(col(binCol), dim))
+      .withColumn("block", pmod(col("content_hash"), lit(64)))
+    graft.operators.Similarity.blockedNearDups(
+      embedded, idCol, "embedding", "block", threshold)
+  }
+}

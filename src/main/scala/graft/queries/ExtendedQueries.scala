@@ -135,6 +135,37 @@ object ExtendedQueries extends QueryModule {
           countDistinct($"user_id").as("exact_users"))
     }),
 
+    // Multimodal binary-column metadata (documents.text cast to binary
+    // payloads): byte size + content digest dedup profile per source —
+    // the REAL (non-stub) part of graft.multimodal.
+    "q45_binary_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("payload", $"text".cast("binary"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(length($"payload")).as("total_bytes"),
+          countDistinct(md5($"payload")).as("n_distinct_payloads"))
+        .orderBy($"source")
+    }),
+
+    // Multimodal decode/resize/embed pipeline (stub decode, real
+    // plumbing) — deterministic rows-only output.
+    "q46_multimodal_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val withBin = Tables.documents(s, dir)
+        .withColumn("payload", $"text".cast("binary"))
+      Multimodal.withBinaryMeta(withBin, "payload")
+        .withColumn("img", Multimodal.decodeStub($"payload"))
+        .withColumn("small", Multimodal.resizeStub($"img", 256))
+        .withColumn("emb", Multimodal.embedStub($"payload", 16))
+        .select($"doc_id", $"byte_size", $"format", $"content_hash",
+          $"img.width", $"img.height",
+          $"small.width".as("rw"), $"small.height".as("rh"),
+          hash($"emb").as("emb_hash"))
+    }),
+
     // Production-hash minhash candidates (xxhash64 path) — rows-only.
     "q44_minhash_fast" -> ((s, dir) => {
       import s.implicits._
@@ -197,6 +228,12 @@ object ExtendedQueries extends QueryModule {
          |  CAST(MIN(l_shipdate) AS DATE) AS min_ship,
          |  CAST(MAX(l_shipdate) AS DATE) AS max_ship,
          |  COUNT(DISTINCT l_orderkey) AS n_orders
-         |FROM lineitem""".stripMargin
+         |FROM lineitem""".stripMargin,
+
+    "q45_binary_meta" ->
+      """SELECT source, COUNT(*) AS n,
+        |  SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }
