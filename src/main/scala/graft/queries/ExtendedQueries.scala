@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   *    driver checks by shape: simhash near-dups, language ID, hyperplane
   *    LSH ANN, bloom distinct.
   */
+/** SQL statements shared verbatim between spark.sql and the DuckDB
+  * oracle (dialect-neutral ANSI).
+  */
+object SqlText {
+  val q35: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  val q36: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer) t
+      |WHERE rk <= 5""".stripMargin
+}
+
 object ExtendedQueries extends QueryModule {
   import Q._
 
@@ -99,6 +120,20 @@ object ExtendedQueries extends QueryModule {
           min($"l_shipdate").cast("date").as("min_ship"),
           max($"l_shipdate").cast("date").as("max_ship"),
           countDistinct($"l_orderkey").as("n_orders"))
+    }),
+
+    // Text-SQL entry point (reference SQL surface, day10/_09-_11): the
+    // exact same statement runs via spark.sql over registered views AND
+    // as the DuckDB oracle.
+    "q35_sql_text" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql(SqlText.q35)
+    }),
+
+    // SQL window functions via text (rank over partition).
+    "q36_sql_window" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql(SqlText.q36)
     }),
 
     // ---- rows-only checks (no SQL oracle) ----
@@ -229,6 +264,9 @@ object ExtendedQueries extends QueryModule {
          |  CAST(MAX(l_shipdate) AS DATE) AS max_ship,
          |  COUNT(DISTINCT l_orderkey) AS n_orders
          |FROM lineitem""".stripMargin,
+
+    "q35_sql_text" -> SqlText.q35,
+    "q36_sql_window" -> SqlText.q36,
 
     "q45_binary_meta" ->
       """SELECT source, COUNT(*) AS n,

@@ -1,0 +1,27 @@
+package graft.sql
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-SQL surface (reference cn/ngt/day10/_09_SQL_Test.java:33,
+  * _10_SQL_TestAgg.java:32, _11_SQL_KafkaToKafka.java:18-36): the
+  * reference registers tables in a catalog and drives everything with SQL
+  * strings; here the star schema registers as temp views and `spark.sql`
+  * is the entry point. Streaming DDL (CREATE TABLE ... WITH kafka) maps
+  * to a readStream-backed temp view + `spark.sql(...).writeStream`.
+  */
+object SqlSurface {
+
+  /** Register every test table as a temp view named like the table. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** Register a streaming DataFrame as a queryable view (the reference's
+    * Kafka DDL shape): `sql` text can then select from it and the result
+    * is started with writeStream.
+    */
+  def registerStream(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+}

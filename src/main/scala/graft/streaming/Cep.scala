@@ -33,10 +33,15 @@ object Cep {
       copy(steps = steps :+ Step(name, pred, strict = true))
     def followedBy(name: String)(pred: E => Boolean): Pattern[E] =
       copy(steps = steps :+ Step(name, pred, strict = false))
-    /** Repeat the last step `n` times total (reference `times(n).consecutive()`). */
-    def times(n: Int): Pattern[E] = {
+    /** Repeat the last step `n` times total. `consecutive=true` (default)
+      * gives the reference's `times(n).consecutive()` semantics — the
+      * repeats require strict continuity; false allows gaps
+      * (`allowCombinations`-style).
+      */
+    def times(n: Int, consecutive: Boolean = true): Pattern[E] = {
       val last = steps.last
-      copy(steps = steps ++ Vector.fill(n - 1)(last))
+      copy(steps = steps ++
+        Vector.fill(n - 1)(last.copy(strict = consecutive)))
     }
     def within(ms: Long): Pattern[E] = copy(withinMs = ms)
   }

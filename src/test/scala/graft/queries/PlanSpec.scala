@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan assertions: the scale-relevant plan properties the
+  * Scaladoc promises (pushdown, broadcast, partial aggregation,
+  * whole-stage codegen) hold in the executed plans — not just in intent.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // materialize so AQE finalizes (codegen spans appear)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_quantity") || p.contains("l_quantity")),
+      s"no pushed filters in:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "projection not pruned — scan reads unused columns")
+  }
+
+  test("q03: dimension join broadcasts (no shuffle for customer side)") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("q04: star dims broadcast end-to-end") {
+    val p = plan("q04_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim chain fell back to SMJ")
+  }
+
+  test("q01: partial (map-side) aggregation before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), s"no hash aggregation in:\n$p")
+    // partial + final pair means the shuffle carries group partials only
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no two-phase aggregation")
+    assert(p.contains("*(1)"), "aggregate chain not codegen'd (no *(n) stage markers)")
+  }
+
+  test("q12: windowed aggregation keeps two-phase shape") {
+    val p = plan("q12_window_tumble")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q26: ANN scoring uses the codegen dot product, not HOF fold") {
+    val p = plan("q26_ann_topk")
+    assert(p.contains("graft_dot"), s"native dot product missing in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side not broadcast")
+  }
+}
