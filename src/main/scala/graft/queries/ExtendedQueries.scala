@@ -125,6 +125,48 @@ object ExtendedQueries extends QueryModule {
     // Text-SQL entry point (reference SQL surface, day10/_09-_11): the
     // exact same statement runs via spark.sql over registered views AND
     // as the DuckDB oracle.
+    // Exact interpolated percentiles (rounded for cross-engine compare).
+    "q37_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pq"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+        .select($"l_returnflag",
+          round(element_at($"pq", 1), 4).as("p25"),
+          round(element_at($"pq", 2), 4).as("p50"),
+          round(element_at($"pq", 3), 4).as("p75"),
+          $"median_qty")
+        .orderBy($"l_returnflag")
+    }),
+
+    // Array aggregation + array functions.
+    "q38_array_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(sort_array(collect_set($"l_linestatus")).as("st"))
+        .select($"l_returnflag",
+          concat_ws(",", $"st").as("statuses"),
+          size($"st").as("n_statuses"),
+          array_contains($"st", "O").as("has_o"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // NULL semantics: nullif/coalesce/conditionals.
+    "q39_null_handling" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .withColumn("prio", nullif($"o_orderpriority", lit("5-LOW")))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count($"prio").as("n_not_low"),
+          count(when($"prio".isNull, 1)).as("n_low"),
+          min(coalesce($"prio", lit("ZZZ"))).as("min_prio"))
+        .orderBy($"o_orderstatus")
+    }),
+
     "q35_sql_text" -> ((s, dir) => {
       graft.sql.SqlSurface.registerTables(s, dir)
       s.sql(SqlText.q35)
@@ -264,6 +306,28 @@ object ExtendedQueries extends QueryModule {
          |  CAST(MAX(l_shipdate) AS DATE) AS max_ship,
          |  COUNT(DISTINCT l_orderkey) AS n_orders
          |FROM lineitem""".stripMargin,
+
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q38_array_agg" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  len(list(DISTINCT l_linestatus)) AS n_statuses,
+        |  list_contains(list(DISTINCT l_linestatus), 'O') AS has_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q39_null_handling" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(nullif(o_orderpriority, '5-LOW')) AS n_not_low,
+        |  COUNT(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 END) AS n_low,
+        |  MIN(coalesce(nullif(o_orderpriority, '5-LOW'), 'ZZZ')) AS min_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q35_sql_text" -> SqlText.q35,
     "q36_sql_window" -> SqlText.q36,

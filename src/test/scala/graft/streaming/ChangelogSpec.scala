@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Changelog._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retract stream emits (false,old)(true,new) pairs (reference _02 golden)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KV]
+    val agg = ms.toDF().groupBy($"k").agg(sum($"v").as("total"))
+    val got = scala.collection.mutable.ArrayBuffer[Change]()
+    val q = retractStream(agg, "k", "total", cs => got.synchronized { got ++= cs }).start()
+    try {
+      // reference golden: sensor sums 45 then +45 -> retract 45, add 90
+      ms.addData(KV("ws_001", 45)); q.processAllAvailable()
+      ms.addData(KV("ws_001", 45)); q.processAllAvailable()
+      val seq = got.toList.map(c => (c.add, c.key, c.value))
+      assert(seq == List(
+        (true, "ws_001", 45L),
+        (false, "ws_001", 45L), (true, "ws_001", 90L)))
+    } finally q.stop()
+  }
+
+  test("emission tagging: first then update on re-fired key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KV]
+    val agg = ms.toDF().groupBy($"k").agg(count(lit(1)).as("n"))
+    val got = scala.collection.mutable.ArrayBuffer[Tagged]()
+    val q = tagEmissions(agg, Seq("k"), "n", ts => got.synchronized { got ++= ts }).start()
+    try {
+      ms.addData(KV("a", 1), KV("b", 1)); q.processAllAvailable()
+      ms.addData(KV("a", 2)); q.processAllAvailable()
+      val byKey = got.toList.groupBy(_.key)
+      assert(byKey("a").map(_.tag) == List("first", "update"))
+      assert(byKey("b").map(_.tag) == List("first"))
+    } finally q.stop()
+  }
+
+  test("iterateBatch: decrement-until-zero loop (IterateDemo golden)") {
+    // reference semantics: values decrement each pass; values that reach
+    // <= 0 leave the loop
+    val out = iterateBatch[Long](
+      Seq(3L, 1L, 2L).toDS(),
+      ds => ds.map(_ - 1),
+      ds => (ds.filter(_ > 0), ds.filter(_ <= 0)),
+      maxIter = 10)
+    assert(out.collect().sorted.toSeq == Seq(0L, 0L, 0L))
+  }
+}
