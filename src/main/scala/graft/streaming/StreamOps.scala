@@ -134,6 +134,43 @@ object StreamOps {
     }
   }
 
+  /** Control-stream gating (reference
+    * scala/.../streamingwithflink/_05_CoProcessFunctionTimers.scala:29-81:
+    * a switch event opens a per-key gate for N ms; data events pass only
+    * while the gate is open). The two differently-typed streams become a
+    * tagged union — the Spark replacement for connect+CoProcessFunction —
+    * and the gate deadline lives in per-key state.
+    */
+  case class GateControl(key: String, tsMs: Long, openForMs: Long)
+  /** Internal tagged envelope + gate state (public for kryo). */
+  case class GateEnv[E](key: String, tsMs: Long, control: Option[GateControl],
+      payload: Option[E])
+
+  def gateByControl[E](data: Dataset[E], dataKey: E => String, dataTs: E => Long,
+      controls: Dataset[GateControl]): Dataset[E] = {
+    implicit val ee: Encoder[GateEnv[E]] = Encoders.kryo[GateEnv[E]]
+    implicit val oe: Encoder[E] = data.encoder
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val be: Encoder[Box[Long]] = Encoders.kryo[Box[Long]]
+    val tagged = data.map(e => GateEnv(dataKey(e), dataTs(e), None, Some(e)))
+      .union(controls.map(c => GateEnv[E](c.key, c.tsMs, Some(c), None)))
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[GateEnv[E]], state: GroupState[Box[Long]]) =>
+        var openUntil = state.getOption.map(_.v).getOrElse(Long.MinValue)
+        val out = List.newBuilder[E]
+        it.toSeq.sortBy(_.tsMs).foreach { env =>
+          env.control match {
+            case Some(c) => openUntil = math.max(openUntil, c.tsMs + c.openForMs)
+            case None if env.tsMs < openUntil => out ++= env.payload
+            case None => ()
+          }
+        }
+        state.update(Box(openUntil))
+        out.result().iterator
+    }
+  }
+
   /** Stream-static dimension join with per-batch dim refresh — the
     * updatable broadcast-state dim table: the dim is re-read every micro
     * batch inside foreachBatch, then broadcast-joined.

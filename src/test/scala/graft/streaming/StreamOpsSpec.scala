@@ -67,6 +67,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("control-stream gating forwards data only while the gate is open") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = MemoryStream[Reading]
+    val ctrl = MemoryStream[StreamOps.GateControl]
+    val out = StreamOps.gateByControl[Reading](
+        data.toDS(), _.id, _.ts.getTime, ctrl.toDS())
+      .map(r => (r.id, r.ts.getTime / 1000))
+    val q = out.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      ctrl.addData(StreamOps.GateControl("a", 10000L, 5000L)) // open [10s,15s)
+      data.addData(Reading("a", t(12), 1),  // inside gate -> forwarded
+        Reading("a", t(16), 2),             // after gate closed -> dropped
+        Reading("b", t(12), 3))             // no gate for b -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("gate_out").as[(String, Long)].collect().toSet
+      assert(rows == Set(("a", 12L)))
+      ctrl.addData(StreamOps.GateControl("a", 20000L, 5000L)) // reopen
+      data.addData(Reading("a", t(21), 4))
+      q.processAllAvailable()
+      assert(spark.table("gate_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("multiplexed event-time timers fire in deadline order") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Reading]
