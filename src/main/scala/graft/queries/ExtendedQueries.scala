@@ -178,6 +178,31 @@ object ExtendedQueries extends QueryModule {
       s.sql(SqlText.q36)
     }),
 
+    // As-of join by composition (custom-operator ladder tier (a)): for
+    // each purchase, the user's latest signup at-or-before it — a running
+    // max over the unioned, time-ordered event sequence instead of a
+    // per-row range probe. One shuffle on user_id; no join explosion.
+    "q47_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .filter($"event_type".isin("signup", "purchase"))
+        .withColumn("asof_signup_sec",
+          max(when($"event_type" === "signup", epochS($"ts"))).over(w))
+        .filter($"event_type" === "purchase" && $"asof_signup_sec".isNotNull)
+        .select($"user_id", $"event_id".as("purchase_id"),
+          epochS($"ts").as("purchase_sec"), $"asof_signup_sec")
+    }),
+
+    // Exact dedup keeping the smallest id per identical payload
+    // (operators.Dedup.exactDedup through the gate).
+    "q48_dedup_keep_first" -> ((s, dir) => {
+      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "source")
+    }),
+
     // ---- rows-only checks (no SQL oracle) ----
 
     // SimHash near-dup pairs (engine-specific xxhash64 — not
@@ -328,6 +353,26 @@ object ExtendedQueries extends QueryModule {
         |  COUNT(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 END) AS n_low,
         |  MIN(coalesce(nullif(o_orderpriority, '5-LOW'), 'ZZZ')) AS min_prio
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q47_asof_join" ->
+      s"""WITH $eventsUs,
+         |x AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) // 1000000 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS asof_signup_sec
+         |  FROM ev WHERE event_type IN ('signup', 'purchase'))
+         |SELECT user_id, event_id AS purchase_id,
+         |  epoch_us(ts) // 1000000 AS purchase_sec, asof_signup_sec
+         |FROM x
+         |WHERE event_type = 'purchase' AND asof_signup_sec IS NOT NULL""".stripMargin,
+
+    "q48_dedup_keep_first" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1""".stripMargin,
 
     "q35_sql_text" -> SqlText.q35,
     "q36_sql_window" -> SqlText.q36,
