@@ -15,7 +15,8 @@ object SparkEntry {
     EventQueries,
     TextQueries,
     VectorQueries,
-    ExtendedQueries
+    ExtendedQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

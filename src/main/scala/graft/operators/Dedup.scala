@@ -164,6 +164,41 @@ object Dedup {
       maxHamming: Int = 8, prefixBits: Int = 12): DataFrame = {
     val sigs = simhash64(df, idCol, textCol)
       .withColumn("prefix", shiftrightunsigned(col("simhash"), 64 - prefixBits))
+    simhashPairs(sigs, idCol, maxHamming)
+  }
+
+  /** 32-bit SimHash over md5 token hashes (first 8 hex chars → uint32) —
+    * bit-for-bit reproducible in any SQL engine with md5, so the DuckDB
+    * oracle can verify the full near-dup pipeline. Production uses the
+    * xxhash64 64-bit form above (~10x cheaper hash, wider signature).
+    */
+  def simhash32Md5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitSums: Seq[Column] = (0 until 32).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Oracle-reproducible near-dup pairs over [[simhash32Md5]]. */
+  def simhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 4, prefixBits: Int = 8): DataFrame = {
+    val sigs = simhash32Md5(df, idCol, textCol)
+      .withColumn("prefix", shiftrightunsigned(col("simhash"), 32 - prefixBits))
+    simhashPairs(sigs, idCol, maxHamming)
+  }
+
+  /** Prefix-blocked pair join + hamming filter shared by both simhash
+    * variants. The prefix block bounds the self-join: only same-prefix
+    * docs pair up (2^prefixBits buckets, uniform by hash construction).
+    */
+  private def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val l = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("prefix"))
     val r = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
       col("prefix").as("prefix_r"))

@@ -230,7 +230,7 @@ object EventQueries extends QueryModule {
     "q19_props_extract" ->
       s"""WITH $eventsUs
          |SELECT event_type, COUNT(*) AS n,
-         |  SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+         |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
          |  MIN(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS min_k,
          |  MAX(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS max_k
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -227,7 +227,9 @@ object ExtendedQueries extends QueryModule {
     }),
 
     // Bloom-filter distinct per event type vs exact (bounded-memory
-    // distinct at scale; estimate is engine-specific).
+    // distinct at scale). The raw estimate is engine-specific, so the
+    // gate-checkable form asserts the estimate lands within 5% of exact —
+    // the oracle supplies exact + TRUE.
     "q43_bloom_distinct" -> ((s, dir) => {
       import s.implicits._
       val bloom = udaf(new graft.functions.BloomDistinct(1 << 18))
@@ -235,6 +237,9 @@ object ExtendedQueries extends QueryModule {
         .groupBy($"event_type")
         .agg(bloom($"user_id").as("approx_users"),
           countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users") <=
+            $"exact_users".cast("double") * 0.05).as("bloom_ok"))
     }),
 
     // Multimodal binary-column metadata (documents.text cast to binary
@@ -270,14 +275,15 @@ object ExtendedQueries extends QueryModule {
 
     // Custom physical operator: heap-based top-k per group
     // (O(n log k), no per-group sort — 2.7x the row_number plan at
-    // sf0.1). Rows-only: tie order at the k-th slot is heap-stable, not
-    // SQL-defined.
+    // sf0.1). Output is (group, value) only: the top-3 ov MULTISET per
+    // group is deterministic even when tied rows differ in identity, so
+    // this hash-matches a row_number oracle.
     "q49_native_topk" -> ((s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
         .withColumn("ov", $"l_extendedprice" * 100 + $"l_linenumber")
       graft.plans.TopK.topKPerGroup(li, Seq("l_suppkey"), "ov", 3)
-        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"ov")
+        .select($"l_suppkey", $"ov")
     }),
 
     // Production-hash minhash candidates (xxhash64 path) — rows-only.
@@ -391,8 +397,47 @@ object ExtendedQueries extends QueryModule {
 
     "q45_binary_meta" ->
       """SELECT source, COUNT(*) AS n,
-        |  SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors TextFunctions.langId exactly: max stopword hits wins, ties
+    // resolved to the lexicographically greatest language (Spark's
+    // greatest() over struct(hits, lang)), 'und' when nothing hits.
+    "q41_lang_id" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |h AS (SELECT
+        |  len(list_filter(t, x -> x IN ('the','a','of','to','and','is','in','that','it','for'))) AS he,
+        |  len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','ich','mit'))) AS hd,
+        |  len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS hf,
+        |  len(list_filter(t, x -> x IN ('el','la','los','las','y','es','un','una','de','que'))) AS hs,
+        |  len(list_filter(t, x -> x IN ('il','la','e','che','di','un','una','per','non','sono'))) AS hi
+        |  FROM toks)
+        |SELECT lid, COUNT(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN greatest(he, hd, hf, hs, hi) = 0 THEN 'und'
+        |    WHEN hi >= he AND hi >= hd AND hi >= hf AND hi >= hs THEN 'it'
+        |    WHEN hf >= he AND hf >= hd AND hf >= hs THEN 'fr'
+        |    WHEN hs >= he AND hs >= hd THEN 'es'
+        |    WHEN he >= hd THEN 'en'
+        |    ELSE 'de' END AS lid
+        |  FROM h) GROUP BY lid""".stripMargin,
+
+    "q43_bloom_distinct" ->
+      s"""WITH $eventsUs
+         |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+         |  TRUE AS bloom_ok
+         |FROM ev GROUP BY event_type""".stripMargin,
+
+    "q49_native_topk" ->
+      """WITH t AS (
+        |  SELECT l_suppkey, l_extendedprice * 100 + l_linenumber AS ov
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_suppkey, ov,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY ov DESC) AS rn
+        |  FROM t)
+        |SELECT l_suppkey, ov FROM r WHERE rn <= 3""".stripMargin
   )
 }

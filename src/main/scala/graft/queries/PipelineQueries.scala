@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{Cep, StreamOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed event record for the CEP gate query (top-level: kryo/product
+  * encoders need a public, non-nested-in-class type).
+  */
+case class UEvent(userId: Long, eventId: Long, etype: String, tsMs: Long)
+
+/** Third coverage batch — the reference's case-study jobs as oracle-gated
+  * batch queries over the shared test tables:
+  *
+  *  - q51 ad-click blacklisting (reference
+  *    scala/.../demo/market/AdClickAnalysis.scala:81-123: count threshold
+  *    per (user, day), clean counts exclude blacklisted pairs)
+  *  - q52 order-timeout CEP (reference
+  *    scala/.../demo/orderpaydetect/OrderTimeoutWithCEP.scala:38-56:
+  *    followedBy + within + timeout extraction) — runs the REAL
+  *    Cep.detectBatch NFA and checks it against a relational oracle
+  *  - q53 late-data tagging (reference sideOutputLateData,
+  *    java/.../function/WindowLateDateDemo.java:45-56)
+  *  - q54 two-phase salted aggregation (reference
+  *    PageView.scala:48-59,106-109 — skew-proof keyless counting; the
+  *    result is salt-invariant, which is exactly what the oracle checks)
+  *  - q55 word count (reference scala/.../wc/StreamWordCount.scala:13-22)
+  */
+object PipelineQueries extends QueryModule {
+  import Q._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Blacklist users clicking more than 2x per day; report per day the
+    // clean click count and blacklisted-user count. Anti-join keyed on
+    // (day, user) — both sides pre-aggregated, so the shuffle carries
+    // groups, not raw clicks.
+    "q51_blacklist" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir).filter($"event_type" === "click")
+        .withColumn("day", $"ts".cast("date"))
+      val daily = clicks.groupBy($"day", $"user_id").agg(count(lit(1)).as("n"))
+      val blacklist = daily.filter($"n" > 2)
+      val clean = clicks.join(blacklist.select("day", "user_id"),
+        Seq("day", "user_id"), "left_anti")
+      val b = blacklist.groupBy($"day").agg(count(lit(1)).as("blacklisted_users"))
+      val c = clean.groupBy($"day").agg(count(lit(1)).as("clean_clicks"))
+      c.join(b, Seq("day"), "full_outer")
+        .select($"day",
+          coalesce($"clean_clicks", lit(0L)).as("clean_clicks"),
+          coalesce($"blacklisted_users", lit(0L)).as("blacklisted_users"))
+        .orderBy($"day")
+    }),
+
+    // CEP order-timeout: signup followedBy purchase within 1h per user;
+    // unmatched signups surface as timeouts (the reference's
+    // PatternTimeoutFunction side output). Exercises the NFA operator
+    // end-to-end; the oracle is the equivalent relational spec (first
+    // qualifying purchase per signup). All times in the ms domain —
+    // (user, ms) is collision-free in the test data, so ordering is total.
+    "q52_order_timeout_cep" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("signup", "purchase"))
+        .select($"user_id".as("userId"), $"event_id".as("eventId"),
+          $"event_type".as("etype"), expr("unix_micros(ts) div 1000").as("tsMs"))
+        .as[UEvent]
+      val pat = Cep.Pattern.begin[UEvent]("signup")(_.etype == "signup")
+        .followedBy("purchase")(_.etype == "purchase")
+        .within(3600000L)
+      Cep.detectBatch(ev)(_.userId.toString, _.tsMs, pat,
+          emitTimeouts = true, endOfInputTimeouts = true)
+        .map(r => (r.key.toLong, r.events.head.eventId, r.kind, r.firstTs, r.lastTs))
+        .toDF("user_id", "signup_id", "kind", "signup_ms", "end_ms")
+    }),
+
+    // Late-data tagging: rows older than (max event time - 10 min) are
+    // tagged late — the batch analog of the watermark-lag side output.
+    "q53_late_tag" -> ((s, dir) => {
+      import s.implicits._
+      StreamOps.tagLate(Tables.events(s, dir), "ts", "10 MINUTES")
+        .groupBy($"event_type", $"is_late").agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"is_late")
+    }),
+
+    // Two-phase salted count per hour: phase 1 aggregates (window, salt)
+    // partials, phase 2 merges — the all-to-one shuffle carries |salts|
+    // rows per window instead of |events| (the reference's hand-salting,
+    // same physics at 100 TB). Result is salt-invariant by construction.
+    "q54_salted_agg" -> ((s, dir) => {
+      import s.implicits._
+      val salted = Tables.events(s, dir).filter($"event_type" === "view")
+        .withColumn("salt", (rand(42) * 16).cast("int"))
+        .groupBy(window($"ts", "1 hour"), $"salt")
+        .agg(count(lit(1)).as("partial"))
+      salted.groupBy($"window")
+        .agg(sum($"partial").as("pv"))
+        .select($"window.start".cast("long").as("w_start"), $"pv")
+    }),
+
+    // WordCount over the documents corpus (explode + groupBy; update mode
+    // in the streaming form).
+    "q55_wordcount" -> ((s, dir) =>
+      graft.apps.CaseStudies.wordCount(
+        Tables.documents(s, dir).select(col("text")), "text"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q51_blacklist" ->
+      s"""WITH $eventsUs,
+         |clicks AS (
+         |  SELECT CAST(ts AS DATE) AS day, user_id FROM ev
+         |  WHERE event_type = 'click'),
+         |daily AS (SELECT day, user_id, COUNT(*) AS n FROM clicks GROUP BY 1, 2),
+         |bl AS (SELECT day, user_id FROM daily WHERE n > 2),
+         |clean AS (
+         |  SELECT c.day FROM clicks c LEFT JOIN bl
+         |    ON c.day = bl.day AND c.user_id = bl.user_id
+         |  WHERE bl.user_id IS NULL),
+         |b AS (SELECT day, COUNT(*) AS blacklisted_users FROM bl GROUP BY day),
+         |c2 AS (SELECT day, COUNT(*) AS clean_clicks FROM clean GROUP BY day)
+         |SELECT COALESCE(c2.day, b.day) AS day,
+         |  COALESCE(clean_clicks, 0) AS clean_clicks,
+         |  COALESCE(blacklisted_users, 0) AS blacklisted_users
+         |FROM c2 FULL OUTER JOIN b ON c2.day = b.day
+         |ORDER BY day""".stripMargin,
+
+    "q52_order_timeout_cep" ->
+      s"""WITH $eventsUs,
+         |su AS (
+         |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS tms FROM ev
+         |  WHERE event_type = 'signup'),
+         |pu AS (
+         |  SELECT user_id, epoch_us(ts) // 1000 AS tms FROM ev
+         |  WHERE event_type = 'purchase'),
+         |m AS (
+         |  SELECT s.user_id, s.event_id AS signup_id, s.tms AS signup_ms,
+         |    MIN(p.tms) AS pms
+         |  FROM su s LEFT JOIN pu p
+         |    ON s.user_id = p.user_id AND p.tms > s.tms
+         |   AND p.tms - s.tms <= 3600000
+         |  GROUP BY 1, 2, 3)
+         |SELECT user_id, signup_id,
+         |  CASE WHEN pms IS NOT NULL THEN 'match' ELSE 'timeout' END AS kind,
+         |  signup_ms, COALESCE(pms, signup_ms) AS end_ms
+         |FROM m""".stripMargin,
+
+    "q53_late_tag" ->
+      s"""WITH $eventsUs,
+         |m AS (SELECT MAX(ts) AS mx FROM ev)
+         |SELECT event_type, ts < mx - INTERVAL 10 MINUTE AS is_late,
+         |  COUNT(*) AS n
+         |FROM ev CROSS JOIN m
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q54_salted_agg" ->
+      s"""WITH $eventsUs
+         |SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start, COUNT(*) AS pv
+         |FROM ev WHERE event_type = 'view' GROUP BY 1""".stripMargin,
+
+    "q55_wordcount" ->
+      """SELECT t AS word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents)
+        |WHERE len(t) > 0 GROUP BY t""".stripMargin
+  )
+}

@@ -90,13 +90,47 @@ object TextQueries extends QueryModule {
       import spark.implicits._
       Tables.documents(spark, dir)
         .select($"doc_id", charFingerprint($"text", 8).as("fp"))
-    })
+    }),
+
+    // Oracle-verifiable SimHash near-dup pipeline (32-bit md5 variant of
+    // the production xxhash64 q40): signature -> prefix block -> hamming.
+    "q50_simhash_md5" -> ((spark, dir) =>
+      Dedup.simhashNearDupsMd5(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 4, prefixBits = 8))
   )
+
+  /** DuckDB mirror of Dedup.simhash32Md5 + prefix-blocked hamming pairs —
+    * the 32 per-bit majority sums are generated, not hand-written.
+    */
+  private val simhashMd5Sql: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val sig = (0 until 32)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+       |  FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM bits),
+       |p AS (SELECT doc_id, simhash, simhash >> 24 AS prefix FROM sig)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM p a JOIN p b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "q20_doc_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
-        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -113,7 +147,7 @@ object TextQueries extends QueryModule {
          |  FROM documents)
          |SELECT lang,
          |  CAST(FLOOR((CAST(hits AS DOUBLE) / CAST(nt AS DOUBLE)) * 10) AS BIGINT) AS bucket,
-         |  COUNT(*) AS n_docs, SUM(nt) AS sum_tokens
+         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
          |FROM t GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "q23_ngram_jaccard" ->
@@ -165,6 +199,8 @@ object TextQueries extends QueryModule {
       """SELECT doc_id,
         |  list_min(list_transform(range(1, greatest(len(text) - 6, 1)),
         |    i -> md5(substr(text, i, 8)))) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q50_simhash_md5" -> simhashMd5Sql
   )
 }

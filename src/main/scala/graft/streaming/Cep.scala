@@ -59,6 +59,14 @@ object Cep {
 
   private case class Partial[E](step: Int, firstTs: Long, events: List[E])
 
+  /** Expiry instant of a partial, saturating at Long.MaxValue so a pattern
+    * without `.within()` (withinMs = Long.MaxValue) never wraps negative.
+    */
+  private def deadlineOf(firstTs: Long, withinMs: Long): Long = {
+    val d = firstTs + withinMs
+    if (withinMs > 0 && d < firstTs) Long.MaxValue else d
+  }
+
   /** Advance all partials with one event; returns (new partials, completed). */
   private def advance[E](pattern: Pattern[E], partials: List[Partial[E]],
       e: E, ts: Long): (List[Partial[E]], List[Partial[E]]) = {
@@ -141,13 +149,19 @@ object Cep {
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: String, it: Iterator[E], state: GroupState[List[Partial[E]]]) =>
         val carry = state.getOption.getOrElse(Nil)
+        // Unbounded patterns (no .within()) never expire: don't register a
+        // timeout at all — the saturated deadline would otherwise be passed
+        // to setTimeoutTimestamp and rejected (pre-watermark/negative).
+        val bounded = pattern.withinMs != Long.MaxValue
         if (!it.hasNext && state.hasTimedOut) {
           // watermark passed the earliest deadline: expire partials
           val wm = state.getCurrentWatermarkMs()
-          val (live, dead) = carry.partition(p => p.firstTs + pattern.withinMs >= wm)
+          val (live, dead) =
+            carry.partition(p => deadlineOf(p.firstTs, pattern.withinMs) >= wm)
           if (live.isEmpty) state.remove() else state.update(live)
-          if (live.nonEmpty)
-            state.setTimeoutTimestamp(live.map(_.firstTs + pattern.withinMs).min)
+          if (live.nonEmpty && bounded)
+            state.setTimeoutTimestamp(math.max(
+              live.map(p => deadlineOf(p.firstTs, pattern.withinMs)).min, wm + 1))
           (if (emitTimeouts)
             dead.map(p => toResult(key, "timeout", pattern, p, tsOf))
           else Nil).iterator
@@ -157,7 +171,13 @@ object Cep {
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
-            state.setTimeoutTimestamp(open.map(_.firstTs + pattern.withinMs).min)
+            if (bounded)
+              // clamp past the watermark: a late partial's deadline may
+              // already be behind it, and setTimeoutTimestamp rejects
+              // pre-watermark instants (it then fires next micro-batch).
+              state.setTimeoutTimestamp(math.max(
+                open.map(p => deadlineOf(p.firstTs, pattern.withinMs)).min,
+                state.getCurrentWatermarkMs() + 1))
           }
           results.iterator
         }

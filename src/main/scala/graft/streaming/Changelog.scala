@@ -27,9 +27,12 @@ object Changelog {
     * `keyCol`/`valueCol` name the group key and aggregate value; `sink`
     * receives the full (false,old)/(true,new) sequence per micro-batch.
     *
-    * Test/driver form keeps snapshots on the driver (bounded: one row per
-    * key); the at-scale form persists the snapshot as a keyed table and
-    * diffs distributed — same logic, different store.
+    * Test/dev form ONLY: the snapshot is a driver-side map held in this
+    * closure, so it (a) grows with key cardinality and (b) resets if the
+    * query restarts from checkpoint — a restarted query re-emits inserts
+    * without retractions and re-tags keys "first". Production queries must
+    * use [[retractStreamPersisted]], which keeps the snapshot in a keyed
+    * parquet state table that survives restarts and diffs distributed.
     */
   def retractStream(updates: DataFrame, keyCol: String, valueCol: String,
       sink: Seq[Change] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
@@ -52,9 +55,67 @@ object Changelog {
     }
   }
 
+  /** At-scale retract stream: the previous-aggregate snapshot persists as
+    * a versioned keyed parquet table under `stateDir` (one version per
+    * micro-batch, previous version retained), so it survives query
+    * restarts from checkpoint; a replayed micro-batch diffs against the
+    * same prior snapshot and re-emits identical changes (idempotent). The
+    * diff is a distributed join on the group key — nothing is collected to
+    * the driver, state scales with the cluster, not the driver heap.
+    *
+    * `sink` receives a changes DataFrame (add BOOLEAN, key STRING,
+    * value BIGINT, batchId BIGINT) per micro-batch.
+    */
+  def retractStreamPersisted(updates: DataFrame, keyCol: String, valueCol: String,
+      stateDir: String, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    updates.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val base = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(base))
+            fs.listStatus(base).map(_.getPath.getName)
+              .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+              .filter(_ < id).sorted
+          else Array.empty[Long]
+        val cur = batch
+          .select(col(keyCol).cast("string").as("k"), col(valueCol).cast("long").as("v"))
+          .dropDuplicates("k").persist()
+        try {
+          val prev = versions.lastOption match {
+            case Some(vid) => spark.read.parquet(s"$stateDir/v$vid")
+              .select(col("k"), col("v").as("old"))
+            case None => cur.filter(lit(false)).select(col("k"), col("v").as("old"))
+          }
+          val diff = cur.join(prev, Seq("k"), "left_outer")
+            .filter(col("old").isNull || col("old") =!= col("v")).persist()
+          val changes = diff.filter(col("old").isNotNull)
+            .select(lit(false).as("add"), col("k").as("key"),
+              col("old").as("value"), lit(id).as("batchId"))
+            .unionByName(diff.select(lit(true).as("add"), col("k").as("key"),
+              col("v").as("value"), lit(id).as("batchId")))
+          sink(changes, id)
+          // upsert: previous snapshot minus updated keys, plus this batch
+          val snap = prev.join(cur, Seq("k"), "left_anti")
+            .select(col("k"), col("old").as("v")).unionByName(cur)
+          snap.write.mode("overwrite").parquet(s"$stateDir/v$id")
+          diff.unpersist()
+          // keep only the latest prior version for replay-after-restart
+          versions.dropRight(1).foreach(vid =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$vid"), true))
+        } finally cur.unpersist()
+        ()
+    }
+  }
+
   /** Tag each emitted window row "first" or "update" (late re-fires) —
     * the reference's allowedLateness tagging. Works on any update-mode
-    * aggregate whose key is `keyCols`.
+    * aggregate whose key is `keyCols`. Same driver-form restriction as
+    * [[retractStream]]: the `seen` set resets on restart-from-checkpoint;
+    * use a persisted key table (cf. [[retractStreamPersisted]]) in
+    * production.
     */
   case class Tagged(key: String, value: Long, tag: String, batchId: Long)
 

@@ -75,8 +75,11 @@ object CountWindows {
               cur = Buf(cur.seq + 1, Nil)
             } else cur = cur.copy(items = items)
           }
-          if (cur.items.isEmpty && fired.result().nonEmpty) state.remove()
-          else state.update(cur)
+          // Keep the (possibly empty) buffer: the seq counter must survive a
+          // batch ending exactly on a window boundary, or the next batch
+          // would restart windowSeq at 0 and emit duplicate (key, seq) ids.
+          // State is reclaimed only by the idle-timeout flush.
+          state.update(cur)
           if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
           fired.result().iterator
         }

@@ -146,28 +146,54 @@ object StreamOps {
   case class GateEnv[E](key: String, tsMs: Long, control: Option[GateControl],
       payload: Option[E])
 
+  /** Ordering approximation (documented delta vs the reference's
+    * CoProcessFunction): events are ordered by tsMs only *within* a
+    * micro-batch. A control event arriving in a *later* micro-batch than
+    * data events it should have gated cannot retroactively open the gate —
+    * those data rows were already dropped. Per-key state is bounded: a key
+    * whose gate is closed w.r.t. the events seen keeps no state; with
+    * `gcIdleMs` > 0 an open-gate key idle that long (processing time) is
+    * additionally GC'd — leave it 0 in tests, since ProcessingTimeTimeout
+    * makes the engine run continuous no-data batches and
+    * `processAllAvailable()` never settles (production streams with real
+    * triggers want it on).
+    */
   def gateByControl[E](data: Dataset[E], dataKey: E => String, dataTs: E => Long,
-      controls: Dataset[GateControl]): Dataset[E] = {
+      controls: Dataset[GateControl], gcIdleMs: Long = 0L): Dataset[E] = {
     implicit val ee: Encoder[GateEnv[E]] = Encoders.kryo[GateEnv[E]]
     implicit val oe: Encoder[E] = data.encoder
     implicit val se: Encoder[String] = Encoders.STRING
     implicit val be: Encoder[Box[Long]] = Encoders.kryo[Box[Long]]
     val tagged = data.map(e => GateEnv(dataKey(e), dataTs(e), None, Some(e)))
       .union(controls.map(c => GateEnv[E](c.key, c.tsMs, Some(c), None)))
+    val timeoutConf = if (gcIdleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged.groupByKey(_.key).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append, timeoutConf) {
       (_: String, it: Iterator[GateEnv[E]], state: GroupState[Box[Long]]) =>
-        var openUntil = state.getOption.map(_.v).getOrElse(Long.MinValue)
-        val out = List.newBuilder[E]
-        it.toSeq.sortBy(_.tsMs).foreach { env =>
-          env.control match {
-            case Some(c) => openUntil = math.max(openUntil, c.tsMs + c.openForMs)
-            case None if env.tsMs < openUntil => out ++= env.payload
-            case None => ()
+        if (!it.hasNext && state.hasTimedOut) {
+          state.remove() // idle open-gate key: GC
+          Iterator.empty
+        } else {
+          var openUntil = state.getOption.map(_.v).getOrElse(Long.MinValue)
+          var maxTs = Long.MinValue
+          val out = List.newBuilder[E]
+          it.toSeq.sortBy(_.tsMs).foreach { env =>
+            maxTs = math.max(maxTs, env.tsMs)
+            env.control match {
+              case Some(c) => openUntil = math.max(openUntil, c.tsMs + c.openForMs)
+              case None if env.tsMs < openUntil => out ++= env.payload
+              case None => ()
+            }
           }
+          if (openUntil > maxTs) {
+            // gate still open beyond what we've seen: keep state, bounded
+            // by the optional idle TTL so abandoned keys don't pile up
+            state.update(Box(openUntil))
+            if (gcIdleMs > 0) state.setTimeoutDuration(gcIdleMs)
+          } else state.remove() // closed gate ≡ no state (default is closed)
+          out.result().iterator
         }
-        state.update(Box(openUntil))
-        out.result().iterator
     }
   }
 
