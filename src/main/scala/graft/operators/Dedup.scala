@@ -69,13 +69,23 @@ object Dedup {
       sh0.join(freq, Seq("shingle"), "left_semi")
     } else sh0
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select((col(idCol).as("id_a") +: col("shingle") +:
-      blockCol.map(c => col(c).as("block_a")).toSeq): _*)
-    val b = sh.select((col(idCol).as("id_b") +: col("shingle") +:
-      blockCol.map(c => col(c).as("block_b")).toSeq): _*)
-    val cond = a("shingle") === b("shingle") && a("id_a") < b("id_b") &&
-      blockCol.map(_ => col("block_a") === col("block_b")).getOrElse(lit(true))
-    val inter = a.join(b, cond)
+    // Pair generation via bucket + collect_list + pair explode, NOT a
+    // shingle self-join: a self-join evaluates the shingling subtree once
+    // per side and shuffles both sides separately; this shape evaluates it
+    // once and shuffles once (on the shingle). Same skew hazard either
+    // way — a stop-shingle shared by m docs yields m² pairs — which is
+    // what maxShingleFreq caps.
+    val buckets = blockCol match {
+      case Some(b) => sh.groupBy(col("shingle"), col(b))
+        .agg(collect_list(col(idCol)).as("ids"))
+      case None => sh.groupBy(col("shingle"))
+        .agg(collect_list(col(idCol)).as("ids"))
+    }
+    val inter = buckets
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -127,6 +137,10 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    // The candidate DAG feeds three consumers (candIds, the verify
+    // subset, the final join); its shuffles canonicalize identically, so
+    // AQE's ReuseExchange materializes the signature stage once — an
+    // explicit persist() measured slower (cache-write overhead).
     val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
