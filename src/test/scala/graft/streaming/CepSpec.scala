@@ -83,4 +83,26 @@ class CepSpec extends SparkSpec {
       assert(rows.contains(("1", "match", 3)))
     } finally q.stop()
   }
+
+  test("streaming CEP: pattern without within() runs (deadline saturates)") {
+    // regression: Pattern.begin defaults withinMs = Long.MaxValue;
+    // firstTs + withinMs used to wrap negative, killing every partial and
+    // feeding setTimeoutTimestamp an illegal pre-watermark instant.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val unbounded = Pattern.begin[Login]("f1")(_.eventType == "fail")
+      .next("f2")(_.eventType == "fail") // no .within()
+    val ms = MemoryStream[Login]
+    val withWm = ms.toDS().withWatermark("ts", "0 seconds").as[Login]
+    val results = detectStream(withWm)(_.userId.toString, _.ts.getTime, unbounded)
+      .map(r => (r.key, r.kind, r.events.size))
+    val q = results.writeStream.format("memory").queryName("cep_unbounded")
+      .outputMode("append").start()
+    try {
+      ms.addData(Login(1, "a", "fail", t(1))); q.processAllAvailable()
+      // arbitrarily later: the partial must still be alive
+      ms.addData(Login(1, "a", "fail", t(1000000))); q.processAllAvailable()
+      val rows = spark.table("cep_unbounded").as[(String, String, Int)].collect()
+      assert(rows.toSeq == Seq(("1", "match", 2)))
+    } finally q.stop()
+  }
 }

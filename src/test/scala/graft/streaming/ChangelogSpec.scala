@@ -40,6 +40,34 @@ class ChangelogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("persisted retract stream diffs against a parquet snapshot") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("retract_state")
+      .toString + "/snap"
+    val ms = MemoryStream[KV]
+    val agg = ms.toDF().groupBy($"k").agg(sum($"v").as("total"))
+    val got = scala.collection.mutable.ArrayBuffer[(Boolean, String, Long)]()
+    val q = retractStreamPersisted(agg, "k", "total", stateDir,
+      (changes, _) => got.synchronized {
+        got ++= changes.collect().map(r =>
+          (r.getBoolean(0), r.getString(1), r.getLong(2)))
+      }).start()
+    try {
+      ms.addData(KV("ws_001", 45)); q.processAllAvailable()
+      ms.addData(KV("ws_001", 45), KV("ws_002", 7)); q.processAllAvailable()
+      val seq = got.toList.sortBy(t => (t._3, t._1))
+      assert(seq.contains((true, "ws_001", 45L)))
+      assert(seq.contains((false, "ws_001", 45L)))
+      assert(seq.contains((true, "ws_001", 90L)))
+      assert(seq.contains((true, "ws_002", 7L)))
+      assert(seq.size == 4)
+      // snapshot for the latest batch exists on disk (restart-safe store)
+      val versions = new java.io.File(stateDir).listFiles()
+        .map(_.getName).filter(_.matches("v\\d+"))
+      assert(versions.nonEmpty)
+    } finally q.stop()
+  }
+
   test("iterateBatch: decrement-until-zero loop (IterateDemo golden)") {
     // reference semantics: values decrement each pass; values that reach
     // <= 0 leave the loop

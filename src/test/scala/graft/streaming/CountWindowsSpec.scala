@@ -56,4 +56,23 @@ class CountWindowsSpec extends SparkSpec {
       assert(rows.toSeq == Seq(("a", 0L, 6L))) // 1+2+3 fired, 4 buffered
     } finally q.stop()
   }
+
+  test("streaming seq counter survives a batch ending on a window boundary") {
+    // regression: when a micro-batch ended exactly as a window fired, the
+    // emptied buffer was removed from state and the next batch restarted
+    // windowSeq at 0, duplicating (key, windowSeq) ids.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KV]
+    val out = tumblingStream(ms.toDS())(_.k, _.v, size = 2)
+      .map(w => (w.key, w.windowSeq, w.events.map(_.v).toList))
+    val q = out.writeStream.format("memory").queryName("cw_seq")
+      .outputMode("append").start()
+    try {
+      ms.addData(KV("a", 1), KV("a", 2)); q.processAllAvailable() // fires seq 0, buffer empty
+      ms.addData(KV("a", 3), KV("a", 4)); q.processAllAvailable() // must fire seq 1
+      val rows = spark.table("cw_seq").as[(String, Long, List[Long])].collect()
+        .sortBy(_._2)
+      assert(rows.map(r => (r._1, r._2)).toSeq == Seq(("a", 0L), ("a", 1L)))
+    } finally q.stop()
+  }
 }
