@@ -63,6 +63,29 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session window agg: streaming complete == batch groupBy") {
+    val batch = Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".cast("long").as("ss"), $"n")
+      .collect().toSet
+
+    val agg = streamEvents()
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".cast("long").as("ss"), $"n")
+    val q = agg.writeStream.format("memory").queryName("parity_session")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_session")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))))
+    } finally q.stop()
+  }
+
   test("streaming agg under RocksDB state store matches in-memory provider") {
     val rocks = spark.newSession()
     rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
