@@ -197,6 +197,34 @@ object StreamOps {
     }
   }
 
+  /** Streaming Top-N per closed window (reference HotItems
+    * scala/.../demo/hotitems/HotItems.scala:97-136: ListState buffer +
+    * event-time timer at windowEnd+1 → sort desc → take N). Spark form:
+    * watermarked windowed count in APPEND mode — a window row is emitted
+    * exactly once, when the watermark closes it — then each micro-batch
+    * ranks the windows it just received and hands (window, key, cnt, rank)
+    * rows to `sink`. The rank runs over |keys|x|closed windows this batch|
+    * pre-aggregated rows, never raw events — the same state-pressure
+    * optimization the reference encodes manually with its incremental
+    * CountAgg.
+    */
+  def streamingTopN(df: DataFrame, tsCol: String, wmDelay: String,
+      windowSize: String, keyCol: String, n: Int,
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.withWatermark(tsCol, wmDelay)
+      .groupBy(window(col(tsCol), windowSize), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, id: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("window")).orderBy(col("cnt").desc, col(keyCol))
+          sink(batch.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= n)
+            .select(col("window.end").cast("long").as("windowEnd"),
+              col(keyCol), col("cnt"), col("rank")), id)
+          ()
+      }
+
   /** Stream-static dimension join with per-batch dim refresh — the
     * updatable broadcast-state dim table: the dim is re-read every micro
     * batch inside foreachBatch, then broadcast-joined.

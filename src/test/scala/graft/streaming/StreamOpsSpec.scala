@@ -91,6 +91,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-N ranks each window once, when the watermark closes it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Reading]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Int)]()
+    val q = StreamOps.streamingTopN(ms.toDF(), "ts", "0 seconds",
+        "10 seconds", "id", n = 2,
+        (ranked, _) => got.synchronized {
+          got ++= ranked.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        }).start()
+    try {
+      // window [0,10s): a=3 events, b=2, c=1 -> top-2 is a then b
+      ms.addData(
+        Reading("a", t(1), 0), Reading("a", t(2), 0), Reading("a", t(3), 0),
+        Reading("b", t(4), 0), Reading("b", t(5), 0), Reading("c", t(6), 0))
+      q.processAllAvailable()
+      assert(got.isEmpty) // window still open: nothing ranked yet
+      ms.addData(Reading("z", t(60), 0)) // watermark past 10s closes it
+      q.processAllAvailable()
+      val w0 = got.filter(_._1 == 10L).sortBy(_._4)
+      assert(w0.map(r => (r._2, r._3, r._4)).toList ==
+        List(("a", 3L, 1), ("b", 2L, 2)))
+    } finally q.stop()
+  }
+
+  test("refreshed dim join re-reads the dimension every micro-batch") {
+    // the reference's updatable broadcast-state dim table
+    // (BroadcastStateDemo: dict INSERT/UPDATE visible to later events)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KV]
+    @volatile var dimRows = Seq(("a", "A1"))
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    val q = StreamOps.refreshedDimJoin(ms.toDF(),
+      s => { val ss = s; import ss.implicits._; dimRows.toDF("k", "name") },
+      Seq("k"),
+      (df, _) => got.synchronized {
+        got ++= df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      }).start()
+    try {
+      ms.addData(KV("a", 1)); q.processAllAvailable()
+      dimRows = Seq(("a", "A2")) // dim UPDATE between micro-batches
+      ms.addData(KV("a", 2)); q.processAllAvailable()
+      assert(got.toSet == Set(("a", 1L, "A1"), ("a", 2L, "A2")))
+    } finally q.stop()
+  }
+
   test("multiplexed event-time timers fire in deadline order") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Reading]
