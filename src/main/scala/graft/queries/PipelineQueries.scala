@@ -102,7 +102,38 @@ object PipelineQueries extends QueryModule {
     // in the streaming form).
     "q55_wordcount" -> ((s, dir) =>
       graft.apps.CaseStudies.wordCount(
-        Tables.documents(s, dir).select(col("text")), "text"))
+        Tables.documents(s, dir).select(col("text")), "text")),
+
+    // HLL++ approximate distinct (the 100 TB form of the reference's
+    // bloom/Redis-bitmap UV counting) checked the q43 way: the oracle
+    // supplies exact + TRUE, the query asserts the estimate lands within
+    // 5% (rsd 0.02 ≈ 2.5σ headroom).
+    "q56_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx"),
+          countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx" - $"exact_users") <=
+            $"exact_users".cast("double") * 0.05).as("hll_ok"))
+    }),
+
+    // Dynamic-gap session windows: view events extend the session only
+    // 10 min, everything else 30 min (per-event gap expression — the
+    // custom-WindowAssigner tier of the reference expressed declaratively).
+    // Sessions merge while an event starts before the running max end.
+    "q57_session_dynamic_gap" -> ((s, dir) => {
+      import s.implicits._
+      // session_window's dynamic-gap form takes duration strings
+      val gap = when($"event_type" === "view", lit("10 minutes"))
+        .otherwise(lit("30 minutes"))
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", gap))
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id",
+          $"session_window.start".cast("long").as("sess_start"), $"n")
+    })
   )
 
   override def oracles: Map[String, String] = Map(
@@ -162,6 +193,39 @@ object PipelineQueries extends QueryModule {
       """SELECT t AS word, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
         |  FROM documents)
-        |WHERE len(t) > 0 GROUP BY t""".stripMargin
+        |WHERE len(t) > 0 GROUP BY t""".stripMargin,
+
+    "q56_approx_distinct" ->
+      s"""WITH $eventsUs
+         |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+         |  TRUE AS hll_ok
+         |FROM ev GROUP BY event_type""".stripMargin,
+
+    // Dynamic-gap sessionization: an event extends the session iff it
+    // starts before the running MAX of (ts + its gap) over prior events.
+    "q57_session_dynamic_gap" ->
+      s"""WITH $eventsUs,
+         |x AS (
+         |  SELECT user_id, ts,
+         |    ts + CASE WHEN event_type = 'view' THEN INTERVAL 10 MINUTE
+         |              ELSE INTERVAL 30 MINUTE END AS e
+         |  FROM ev),
+         |y AS (
+         |  SELECT user_id, ts, e,
+         |    MAX(e) OVER (PARTITION BY user_id ORDER BY ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_max_end
+         |  FROM x),
+         |z AS (
+         |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM y),
+         |s AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM z)
+         |SELECT user_id, epoch_us(MIN(ts)) // 1000000 AS sess_start,
+         |  COUNT(*) AS n
+         |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }
