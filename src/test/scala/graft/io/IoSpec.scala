@@ -1,0 +1,81 @@
+package graft.io
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** IO surface round-trips (reference §2.1/§2.2): file-format sinks feed
+  * file-stream sources and converge to the batch answer; the pluggable
+  * upsert writer sees the RichSinkFunction open/process/close lifecycle.
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("csv sink -> csv stream source round-trip equals batch") {
+    val out = java.nio.file.Files.createTempDirectory("io_csv").toString
+    val batch = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    batch.write.mode("overwrite").csv(out)
+
+    val streamed = Sources.csvStream(spark, out, batch.schema)
+      .groupBy().agg(count(lit(1)).as("n"),
+        sum($"o_orderkey").as("key_sum"))
+    val q = streamed.writeStream.format("memory").queryName("io_csv_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("io_csv_out").as[(Long, Long)].head()
+      assert(got._1 == batch.count())
+      assert(got._2 == batch.agg(sum($"o_orderkey")).as[Long].head())
+    } finally q.stop()
+  }
+
+  test("rolling file sink writes parquet a batch reader can audit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("io_roll").toString
+    val q = Sinks.rollingFiles(ms.toDF().toDF("id", "payload"), "parquet",
+        s"$out/data", s"$out/ckpt", maxRecordsPerFile = 2)
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val readBack = spark.read.parquet(s"$out/data")
+    assert(readBack.count() == 5)
+    // maxRecordsPerFile bounds file size (>= ceil(5/2) part files)
+    assert(readBack.inputFiles.length >= 3)
+  }
+
+  test("upsert writer drives the open/process/close client lifecycle") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = Sinks.upsert(ms.toDF().toDF("k", "v").coalesce(1), "k", "v",
+        () => IoSpec.newClient()).start()
+    try {
+      ms.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+      ms.addData(("a", 3L)); q.processAllAvailable() // upsert overwrites
+      val store = IoSpec.store
+      assert(store.get("a") == Some("3") && store.get("b") == Some("2"))
+      assert(IoSpec.opens.get() == IoSpec.closes.get()) // lifecycle balanced
+      assert(IoSpec.opens.get() >= 2)
+    } finally q.stop()
+  }
+}
+
+/** Static in-memory upsert store (executors and driver share the JVM in
+  * local mode, so statics observe the writer's effects).
+  */
+object IoSpec {
+  import java.util.concurrent.atomic.AtomicInteger
+  val store = new scala.collection.concurrent.TrieMap[String, String]()
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+  def newClient(): Sinks.UpsertClient = new Sinks.UpsertClient {
+    def open(): Unit = opens.incrementAndGet()
+    def upsert(key: String, value: String): Unit = store.put(key, value)
+    def close(): Unit = closes.incrementAndGet()
+  }
+}

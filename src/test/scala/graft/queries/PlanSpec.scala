@@ -54,4 +54,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "query side not broadcast")
   }
+
+  test("q47: as-of join is one window pass, not a range self-join") {
+    val p = plan("q47_asof_join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected running-window plan in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "as-of join planned as a join — range-probe explosion at scale")
+  }
+
+  test("q24: LSH pipeline never plans a cartesian product") {
+    val p = plan("q24_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the LSH pipeline:\n$p")
+  }
+
+  test("q52: CEP shuffles once on the key (single grouping exchange)") {
+    // AQE's string rendering appends an "Initial Plan" section that would
+    // double-count operators — assert on the final plan only.
+    val p = plan("q52_order_timeout_cep").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly one keyed exchange for the NFA, got $exchanges:\n$p")
+  }
 }
