@@ -50,14 +50,20 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 12,
       roundScale: Int = 4): DataFrame = {
-    def withBucket(df: DataFrame, id: String, as: String) =
+    GraftFunctions.register(queries.sparkSession)
+    // signature/norm computed once per row; the pair loop costs one
+    // codegen dot product (the HOF cosine re-interprets the expression
+    // tree per element — the MinhashImpl lesson, vector edition)
+    def withBucket(df: DataFrame, id: String, as: String, n: String) =
       df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(as),
         signatureBucket(hyperplaneSignature(toDoubleVec(col(vecCol)), planes)).as(s"${as}_bkt"))
-    val q = withBucket(queries, "qid", "qv")
-    val c = withBucket(corpus, "vid", "cv")
+        .withColumn(n, l2Norm(col(as)))
+    val q = withBucket(queries, "qid", "qv", "qn")
+    val c = withBucket(corpus, "vid", "cv", "cn")
     val scored = c.join(broadcast(q), col("qv_bkt") === col("cv_bkt") &&
         col("vid") =!= col("qid"))
-      .withColumn("cos_r", round(cosine(col("qv"), col("cv")), roundScale))
+      .withColumn("cos_r",
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
