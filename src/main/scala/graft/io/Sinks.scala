@@ -77,4 +77,37 @@ object Sinks {
       batch.write.mode("append").jdbc(url, table, props)
       ()
     }
+
+  /** Run one micro-batch exactly once: a committed-batch marker under
+    * `ledgerDir` makes a checkpoint-replayed batchId a no-op. The marker
+    * is written only AFTER `write` succeeds, so a crash between write and
+    * marker re-runs the batch — `write` must therefore be idempotent per
+    * batch (overwrite-by-batchId, upsert), which this ledger upgrades to
+    * exactly-once visible effects.
+    */
+  def runIdempotent(batch: DataFrame, batchId: Long, ledgerDir: String)(
+      write: (DataFrame, Long) => Unit): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$ledgerDir/batch-$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      write(batch, batchId)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** Exactly-once foreachBatch for non-transactional stores (the
+    * reference's exactly-once StreamingFileSink story generalized): Spark
+    * replays the last uncommitted micro-batch after restart; the ledger
+    * skips batchIds whose effects are already committed.
+    */
+  def idempotentForeachBatch(df: DataFrame, ledgerDir: String)(
+      write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      runIdempotent(batch, id, ledgerDir)(write)
+      ()
+    }
 }

@@ -49,6 +49,17 @@ class IoSpec extends SparkSpec {
     assert(readBack.inputFiles.length >= 3)
   }
 
+  test("idempotent batch ledger makes replayed batchIds no-ops") {
+    val ledger = java.nio.file.Files.createTempDirectory("ledger").toString
+    val batch = Seq((1, "a")).toDF("id", "v")
+    var writes = 0
+    def write(df: org.apache.spark.sql.DataFrame, id: Long): Unit = writes += 1
+    assert(Sinks.runIdempotent(batch, 7L, ledger)(write))   // first run writes
+    assert(!Sinks.runIdempotent(batch, 7L, ledger)(write))  // replay skipped
+    assert(Sinks.runIdempotent(batch, 8L, ledger)(write))   // next batch writes
+    assert(writes == 2)
+  }
+
   test("upsert writer drives the open/process/close client lifecycle") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
