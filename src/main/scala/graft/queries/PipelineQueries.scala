@@ -119,6 +119,34 @@ object PipelineQueries extends QueryModule {
             $"exact_users".cast("double") * 0.05).as("hll_ok"))
     }),
 
+    // Deep join tree (TPC-H Q5 shape): two fact-fact shuffle joins
+    // (lineitem⋈orders on orderkey, ⋈customer on custkey) with the
+    // supplier co-nationality predicate and broadcast dim chain
+    // (supplier/nation/region) — exercises Catalyst join ordering and
+    // mixed broadcast/shuffle strategy under one plan.
+    "q58_deep_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter($"r_name" === "ASIA" &&
+          $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(dsum4($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"n_name")
+    }),
+
     // Dynamic-gap session windows: view events extend the session only
     // 10 min, everything else 30 min (per-event gap expression — the
     // custom-WindowAssigner tier of the reference expressed declaratively).
@@ -200,6 +228,21 @@ object PipelineQueries extends QueryModule {
          |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
          |  TRUE AS hll_ok
          |FROM ev GROUP BY event_type""".stripMargin,
+
+    "q58_deep_join" ->
+      s"""SELECT n_name,
+         |  ${oSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // Dynamic-gap sessionization: an event extends the session iff it
     // starts before the running MAX of (ts + its gap) over prior events.
