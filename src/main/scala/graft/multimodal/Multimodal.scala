@@ -91,6 +91,73 @@ object Multimodal {
       .withColumn("frame_id",
         concat(col("content_hash"), lit("@"), col("frame_ts")))
 
+  /** Partition-batched decode plumbing — the Scala analog of a Pandas UDF
+    * over mapInPandas: one "codec" per partition (expensive init amortized
+    * across the partition, the RichFunction open/close lifecycle),
+    * iterator-in/iterator-out so nothing materializes per partition, rows
+    * processed in bounded batches (the Arrow-batch shape). The decoder
+    * itself is the stub; everything the 100 TB pipeline cares about —
+    * schema, batch size, partition parallelism, codec lifecycle — is real.
+    *
+    * Swap `StubCodec` for a JNI/image-library codec and nothing else
+    * changes. Input column must be BINARY; output appends (width, height,
+    * channels).
+    */
+  trait BatchCodec extends Serializable {
+    def open(): Unit
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Int, Int, Int)]
+    def close(): Unit
+  }
+
+  /** Deterministic fake codec (no image libs in this environment): same
+    * (width, height, channels) law as [[decodeStub]], computed JVM-side.
+    */
+  class StubCodec extends BatchCodec {
+    var opened = false
+    def open(): Unit = opened = true
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Int, Int, Int)] =
+      payloads.map { b =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42)
+        (math.floorMod(h, 1920) + 32, math.floorMod(h / 7, 1080) + 32, 3)
+      }
+    def close(): Unit = opened = false
+  }
+
+  /** Decode `binCol` partition-by-partition in batches of `batchSize`.
+    * Returns (id, width, height, channels) — join back on the id for the
+    * full row (keeps the decode exchange-free and the shuffled payload
+    * bytes out of the decode output).
+    */
+  def decodePartitioned(df: DataFrame, idCol: String, binCol: String,
+      codecFactory: () => BatchCodec, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = codecFactory()
+        codec.open()
+        val batched = it.grouped(batchSize).flatMap { chunk =>
+          val decoded = codec.decodeBatch(chunk.map(_._2))
+          chunk.iterator.zip(decoded.iterator).map { case ((id, _), (w, h, c)) =>
+            (id, w, h, c)
+          }
+        }
+        // close the codec when the partition iterator is exhausted
+        new Iterator[(Long, Int, Int, Int)] {
+          def hasNext: Boolean = {
+            val n = batched.hasNext
+            if (!n) codec.close()
+            n
+          }
+          def next(): (Long, Int, Int, Int) = batched.next()
+        }
+      }
+      .toDF(idCol, "width", "height", "channels")
+  }
+
   /** End-to-end multimodal near-dup pipeline: payload → meta → stub
     * embedding → blocked cosine near-dups. Swap `embedStub` for a real
     * encoder and nothing else changes.

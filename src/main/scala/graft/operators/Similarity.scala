@@ -71,6 +71,56 @@ object Similarity {
       .select("qid", "vid", "cos_r")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is bucketed into `nlist` cells
+    * by nearest centroid; each query probes only its `nProbe` nearest
+    * cells, so the scan cost drops from O(|corpus|) to
+    * ~O(|corpus|·nProbe/nlist) per query. Centroids are a deterministic
+    * hash-picked sample of the corpus (no stored model, reproducible
+    * runs); a k-means refinement would drop in without changing the join
+    * shape. Same scale story as LSH: centroid assignment is one parallel
+    * corpus pass against broadcast centroids, and cell search shuffles on
+    * the cell id (uniform-ish by construction).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
+      roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val cent = corpus
+      .select(col(idCol).as("cid"), toDoubleVec(col(vecCol)).as("centv"))
+      .withColumn("hk", xxhash64(col("cid")))
+      .withColumn("rk", row_number().over(Window.orderBy(col("hk"), col("cid"))))
+      .filter(col("rk") <= nlist)
+      .withColumn("centn", l2Norm(col("centv")))
+      .select("cid", "centv", "centn")
+    val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("sim",
+        GraftFunctions.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("ark") === 1)
+      .select("cid", "vid", "cv", "cn")
+    val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("sim",
+        GraftFunctions.dot(col("qv"), col("centv")) / (col("qn") * col("centn")))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("prk") <= nProbe)
+      .select("cid", "qid", "qv", "qn")
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("cos_r",
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "cos_r")
+  }
+
   /** All pairs above a cosine threshold within blocks (embedding near-dup
     * detection). Blocking bounds the pair count; at scale the block column
     * is an LSH bucket or cluster id rather than a label.

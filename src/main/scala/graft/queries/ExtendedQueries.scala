@@ -286,6 +286,16 @@ object ExtendedQueries extends QueryModule {
         .select($"l_suppkey", $"ov")
     }),
 
+    // Partition-batched decode plumbing (the mapInPandas shape in Scala:
+    // per-partition codec lifecycle + bounded batches) — rows-only, stub
+    // codec; plumbing asserted in MultimodalSpec.
+    "q59_decode_partitioned" -> ((s, dir) => {
+      val df = Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.multimodal.Multimodal.decodePartitioned(df, "doc_id", "payload",
+        () => new graft.multimodal.Multimodal.StubCodec)
+    }),
+
     // Production-hash minhash candidates (xxhash64 path) — rows-only.
     "q44_minhash_fast" -> ((s, dir) => {
       import s.implicits._

@@ -26,6 +26,15 @@ object VectorQueries extends QueryModule {
       Similarity.blockedNearDups(Tables.embeddings(spark, dir),
         "vec_id", "embedding", "label", threshold = 0.45)
         .withColumnRenamed("block", "label")
+    }),
+
+    // IVF ANN (rows-only: centroid sample is xxhash-picked, not
+    // oracle-reproducible; recall vs brute force asserted in
+    // OperatorsSpec).
+    "q60_ivf_ann" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", k = 5, nlist = 16, nProbe = 4)
     })
   )
 

@@ -53,6 +53,34 @@ class MultimodalSpec extends SparkSpec {
     assert(counts == Map(1L -> 5L, 2L -> 2L)) // 0,2.5,5,7.5,10 and 0,2.5
   }
 
+  test("partition-batched decode: codec lifecycle, batch shape, stable output") {
+    import graft.multimodal.Multimodal
+    val df = spark.range(0, 200)
+      .selectExpr("id AS doc_id", "CAST(concat('payload_', id) AS BINARY) AS payload")
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val maxBatch = spark.sparkContext.longAccumulator("maxBatch")
+    val decoded = Multimodal.decodePartitioned(df, "doc_id", "payload",
+      () => new Multimodal.StubCodec {
+        override def open(): Unit = { opens.add(1); super.open() }
+        override def decodeBatch(p: Seq[Array[Byte]]): Seq[(Int, Int, Int)] = {
+          maxBatch.add(math.max(0, p.size - 64)) // records any over-size batch
+          super.decodeBatch(p)
+        }
+        override def close(): Unit = { closes.add(1); super.close() }
+      }, batchSize = 64)
+    val rows = decoded.collect()
+    assert(rows.length == 200)
+    assert(rows.forall(r => r.getInt(1) >= 32 && r.getInt(2) >= 32))
+    assert(maxBatch.value == 0, "a decode batch exceeded batchSize")
+    assert(opens.value > 0 && opens.value == closes.value,
+      s"codec lifecycle unbalanced: ${opens.value} opens, ${closes.value} closes")
+    // deterministic: re-decoding yields identical dimensions
+    val again = Multimodal.decodePartitioned(df, "doc_id", "payload",
+      () => new Multimodal.StubCodec, 64).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("near-dup pipeline: identical payloads -> cosine 1.0 pair") {
     val dup = Seq((1L, jpeg), (2L, jpeg), (3L, png), (4L, wav)).toDF("id", "payload")
     val pairs = Multimodal.nearDupPipeline(dup, "id", "payload")

@@ -113,6 +113,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows.contains(0L) && rows.length <= 3)
   }
 
+  test("IVF top-k: valid neighbors, and probing every cell recovers brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val ivfAll = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+      k = 3, nlist = 8, nProbe = 8) // probe all cells -> exact
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+    val ivfSet = ivfAll.select("qid", "vid").as[(Long, Long)].collect().toSet
+    val bruteSet = brute.select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(ivfSet == bruteSet,
+      s"nProbe=nlist IVF must equal brute force; ivf=$ivfSet brute=$bruteSet")
+    // partial probing: no self-matches, k respected, subset of corpus
+    val part = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+      k = 3, nlist = 8, nProbe = 2)
+      .select("qid", "vid").as[(Long, Long)].collect()
+    assert(part.forall(p => p._1 != p._2))
+    assert(part.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
   test("codegen DotProduct matches the interpreted fold bit-for-bit") {
     import graft.plans.GraftFunctions
     GraftFunctions.register(spark)
