@@ -24,4 +24,22 @@ object SqlSurface {
     */
   def registerStream(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
+
+  /** Pure-DDL registration (reference day10/_11_SQL_KafkaToKafka.java:18-33
+    * CREATE TABLE ... WITH (...)): every table becomes a temp view via SQL
+    * text only — no DataFrame code. The events view applies the same
+    * ns→µs timestamp normalization as [[graft.Tables]], in SQL.
+    */
+  def registerTablesDdl(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      if (n == "events")
+        spark.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW events AS
+             |SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts
+             |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      else
+        spark.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW $n
+             |USING parquet OPTIONS (path '$dir/$n.parquet')""".stripMargin)
+    }
 }

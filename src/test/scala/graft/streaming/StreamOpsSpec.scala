@@ -91,6 +91,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark bounds state") {
+    // the streaming form of exact dedup (reference UV/dedup story): state
+    // holds only keys younger than the watermark delay, so it is bounded
+    // at 100 TB — unlike dropDuplicates on a stream, which keeps all keys
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Reading]
+    val deduped = ms.toDF().withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+      .select($"id", $"ts".cast("long").as("sec"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Reading("a", t(1), 0), Reading("a", t(2), 0), Reading("b", t(3), 0))
+      q.processAllAvailable()
+      ms.addData(Reading("a", t(4), 0)) // still within watermark: duplicate
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[(String, Long)].collect()
+      assert(rows.map(_._1).sorted.toSeq == Seq("a", "b")) // one 'a', one 'b'
+    } finally q.stop()
+  }
+
   test("streaming top-N ranks each window once, when the watermark closes it") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Reading]
