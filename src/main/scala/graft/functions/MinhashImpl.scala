@@ -14,10 +14,19 @@ object MinhashImpl {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
+  /** One digest per thread: getInstance("MD5") does a JCA provider lookup
+    * per call, which dominates when hashing millions of short shingles.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Lowercase hex md5 — matches Spark's and DuckDB's `md5()`. */
   def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
