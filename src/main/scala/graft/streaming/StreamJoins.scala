@@ -74,4 +74,24 @@ object StreamJoins {
         "left_outer")
       .withColumnRenamed("__wl", "window").drop("__wr")
   }
+
+  /** Full-outer equi-key join within the same tumbling window — the
+    * streaming transaction-match shape (reference
+    * scala/.../demo/orderpaydetect/TxMatch.scala:43-113): matched pairs
+    * inner-join; unmatched rows from EITHER side surface with the other
+    * side null once the watermark closes their window — the join-native
+    * replacement for the reference's two unmatched side outputs.
+    */
+  def windowFullJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, leftKey: String, rightKey: String,
+      size: String, wmDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, wmDelay)
+      .withColumn("__wl", window(col(leftTs), size)).drop(leftTs)
+    val r = right.withWatermark(rightTs, wmDelay)
+      .withColumn("__wr", window(col(rightTs), size)).drop(rightTs)
+    l.join(r, col(leftKey) === col(rightKey) && col("__wl") === col("__wr"),
+        "full_outer")
+      .withColumn("window", coalesce(col("__wl"), col("__wr")))
+      .drop("__wl", "__wr")
+  }
 }

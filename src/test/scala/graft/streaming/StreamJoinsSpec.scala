@@ -77,6 +77,35 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream full-outer window join surfaces both unmatched sides") {
+    // the streaming TxMatch shape: pays with no receipt AND receipts with
+    // no pay both surface with nulls once the watermark closes the window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lms = MemoryStream[LRow]
+    val rms = MemoryStream[RRow]
+    val joined = StreamJoins.windowFullJoin(lms.toDF(), rms.toDF(),
+        "lts", "rts", "lk", "rk", "5 seconds", "0 seconds")
+      .select($"lk", $"rk", $"lv", $"rv")
+    val q = joined.writeStream.format("memory").queryName("fj_out")
+      .outputMode("append").start()
+    try {
+      lms.addData(LRow(ts(1609512630000L), "pay1", 1)) // matched
+      lms.addData(LRow(ts(1609512631000L), "pay2", 2)) // no receipt
+      rms.addData(RRow(ts(1609512630500L), "pay1", 10)) // matched
+      rms.addData(RRow(ts(1609512632000L), "rcpt9", 90)) // no pay
+      q.processAllAvailable()
+      lms.addData(LRow(ts(flushL._1), flushL._2, flushL._3))
+      rms.addData(RRow(ts(flushR._1), flushR._2, flushR._3))
+      q.processAllAvailable()
+      val got = spark.table("fj_out")
+        .as[(Option[String], Option[String], Option[Int], Option[Int])]
+        .collect().toSet
+      assert(got.contains((Some("pay1"), Some("pay1"), Some(1), Some(10))))
+      assert(got.contains((Some("pay2"), None, Some(2), None)))   // unmatched pay
+      assert(got.contains((None, Some("rcpt9"), None, Some(90)))) // unmatched receipt
+    } finally q.stop()
+  }
+
   test("stream-stream left-outer window join emits null-extended rows on close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lms = MemoryStream[LRow]
