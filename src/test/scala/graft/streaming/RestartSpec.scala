@@ -55,4 +55,68 @@ class RestartSpec extends SparkSpec {
       assert(afterWave1.values.sum < batchCounts.values.sum)
     } finally q2.stop()
   }
+
+  test("CEP partials survive stop/restart: match completes across the crash") {
+    import graft.streaming.Cep._
+    import java.sql.Timestamp
+    val work = Files.createTempDirectory("graft_cep_restart")
+    val srcDir = work.resolve("src"); Files.createDirectory(srcDir)
+    val ckpt = work.resolve("ckpt").toString
+
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val pat = Pattern.begin[Login]("f1")(_.eventType == "fail")
+      .next("f2")(_.eventType == "fail")
+      .within(60000L)
+
+    // wave 1: one fail for user 1 (an OPEN partial lives in state at stop)
+    Seq(Login(1, "a", "fail", t(10)))
+      .toDF().write.parquet(srcDir.resolve("w1").toString)
+
+    val schema = Seq.empty[Login].toDF().schema
+    // append-mode memory sink cannot recover a checkpoint; foreachBatch
+    // can, collecting into a static buffer (same JVM in local mode)
+    RestartSpec.cepResults.clear()
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir.toString)
+        .withWatermark("ts", "0 seconds").as[Login]
+      detectStream(src)(_.userId.toString, _.ts.getTime, pat)
+        .map(r => (r.key, r.kind, r.events.size))
+        .toDF("key", "kind", "n")
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = batch.collect().map(r =>
+              (r.getString(0), r.getString(1), r.getInt(2)))
+            RestartSpec.cepResults.synchronized {
+              RestartSpec.cepResults ++= rows
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(RestartSpec.cepResults.isEmpty) // partial open, no match yet
+    q1.stop() // crash with the partial in the state store
+
+    // wave 2: the completing fail arrives after restart
+    Seq(Login(1, "a", "fail", t(20)), Login(9, "z", "ok", t(100)))
+      .toDF().write.parquet(srcDir.resolve("w2").toString)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val rows = RestartSpec.cepResults.toSeq
+      assert(rows == Seq(("1", "match", 2)),
+        s"partial lost or duplicated across restart: $rows")
+    } finally q2.stop()
+  }
+}
+
+/** Cross-restart result collector (static: survives query restarts within
+  * the test JVM).
+  */
+object RestartSpec {
+  val cepResults = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
 }
