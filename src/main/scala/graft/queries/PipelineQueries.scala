@@ -104,6 +104,31 @@ object PipelineQueries extends QueryModule {
       graft.apps.CaseStudies.wordCount(
         Tables.documents(s, dir).select(col("text")), "text")),
 
+    // Sliding count window through the gate (reference
+    // Slide.over(rowInterval(10)).every(rowInterval(5)),
+    // cn/ngt/day11/_06_GroupWindow_Count.java:40-50): fires at every 5th
+    // record per user with the last <=10 records; checked against a
+    // row_number + bounded-frame oracle. Exercises the CountWindows
+    // library operator end-to-end.
+    "q61_sliding_count_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id".as("userId"), $"event_id".as("eventId"),
+          $"event_type".as("etype"), expr("unix_micros(ts) div 1000").as("tsMs"))
+        .as[UEvent]
+      graft.streaming.CountWindows
+        .slidingBatch(ev)(_.userId.toString, _.tsMs, size = 10, slide = 5)
+        .map(w => (w.key.toLong, w.windowSeq, w.events.size.toLong,
+          w.events.map(_.eventId).min, w.events.map(_.eventId).max))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("user_id", "win_seq", "n", "min_event", "max_event")
+    }),
+
     // HLL++ approximate distinct (the 100 TB form of the reference's
     // bloom/Redis-bitmap UV counting) checked the q43 way: the oracle
     // supplies exact + TRUE, the query asserts the estimate lands within
@@ -228,6 +253,22 @@ object PipelineQueries extends QueryModule {
          |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
          |  TRUE AS hll_ok
          |FROM ev GROUP BY event_type""".stripMargin,
+
+    "q61_sliding_count_window" ->
+      s"""WITH $eventsUs,
+         |numbered AS (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER w AS rn,
+         |    COUNT(*) OVER f AS n,
+         |    MIN(event_id) OVER f AS min_event,
+         |    MAX(event_id) OVER f AS max_event
+         |  FROM ev
+         |  WINDOW
+         |    w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000),
+         |    f AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000
+         |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, rn // 5 - 1 AS win_seq, n, min_event, max_event
+         |FROM numbered WHERE rn % 5 = 0""".stripMargin,
 
     "q58_deep_join" ->
       s"""SELECT n_name,

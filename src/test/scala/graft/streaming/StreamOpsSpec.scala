@@ -91,6 +91,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming side outputs: one source read, n tagged sinks per batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KV]
+    val hot = scala.collection.mutable.ArrayBuffer[String]()
+    val cold = scala.collection.mutable.ArrayBuffer[String]()
+    val q = StreamOps.sideOutputs(ms.toDF(),
+      Map("hot" -> (col("v") >= 10), "cold" -> (col("v") < 10)),
+      Map(
+        "hot" -> ((df, _) => hot.synchronized {
+          hot ++= df.collect().map(_.getString(0)) }),
+        "cold" -> ((df, _) => cold.synchronized {
+          cold ++= df.collect().map(_.getString(0)) })))
+      .start()
+    try {
+      ms.addData(KV("a", 15), KV("b", 3), KV("c", 20)); q.processAllAvailable()
+      assert(hot.sorted.toSeq == Seq("a", "c"))
+      assert(cold.toSeq == Seq("b"))
+    } finally q.stop()
+  }
+
+  test("late rows dropped by watermark are observable in query progress") {
+    // Spark drops late rows silently inside the stateful operator; the
+    // operational signal is stateOperators.numRowsDroppedByWatermark —
+    // the engine's replacement for the reference's late-data side output
+    // counter (WindowLateDateDemo).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Reading]
+    val agg = ms.toDF().withWatermark("ts", "5 seconds")
+      .groupBy(window($"ts", "10 seconds"), $"id")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_obs")
+      .outputMode("append").start()
+    try {
+      ms.addData(Reading("a", t(100), 0)); q.processAllAvailable() // wm -> 95s
+      ms.addData(Reading("a", t(50), 0));  q.processAllAvailable() // late: dropped
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, s"expected a watermark-dropped row, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark bounds state") {
     // the streaming form of exact dedup (reference UV/dedup story): state
     // holds only keys younger than the watermark delay, so it is bounded
