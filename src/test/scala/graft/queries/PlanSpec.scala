@@ -70,6 +70,21 @@ class PlanSpec extends SparkSpec {
       s"cartesian product in the LSH pipeline:\n$p")
   }
 
+  test("q58: deep join mixes broadcast dims with shuffled fact joins") {
+    val p = plan("q58_deep_join").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "dim chain not broadcast")
+    assert(p.contains("PushedFilters"), "scan filters not pushed")
+    // the orderdate range must reach the orders scan, not sit post-join
+    assert(p.contains("IsNotNull(o_orderdate)") || p.contains("o_orderdate),"),
+      s"date filter not pushed to the orders scan:\n$p")
+  }
+
+  test("q01: global sort plans a range-partitioned exchange") {
+    val p = plan("q01_pricing_summary").split("== Initial Plan ==")(0)
+    assert(p.contains("rangepartitioning"),
+      s"orderBy did not produce a range exchange:\n$p")
+  }
+
   test("q52: CEP shuffles once on the key (single grouping exchange)") {
     // AQE's string rendering appends an "Initial Plan" section that would
     // double-count operators — assert on the final plan only.
