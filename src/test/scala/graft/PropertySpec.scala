@@ -68,6 +68,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join == batch theta join (parity property)") {
+    // SURVEY §5.2 item 3: the streaming interval join on random two-sided
+    // inputs must equal the plain theta-join predicate evaluated in batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val twoSided = Gen.zip(evGen, evGen)
+    samples(twoSided, 3).zipWithIndex.foreach { case ((ls, rs), i) =>
+      // dedup (key, ts) per side so row identity is unambiguous
+      val l = ls.groupBy(e => (e.k, e.ts.getTime)).map(_._2.head).toList
+      val r = rs.groupBy(e => (e.k, e.ts.getTime)).map(_._2.head).toList
+      val lDf = l.toDF("lk", "lkind", "lts").drop("lkind")
+      val rDf = r.toDF("rk", "rkind", "rts").drop("rkind")
+      val batch = lDf.join(rDf, col("lk") === col("rk") &&
+          col("rts") >= col("lts") - expr("INTERVAL 5 SECONDS") &&
+          col("rts") < col("lts") + expr("INTERVAL 5 SECONDS"))
+        .select(col("lk"), col("lts").cast("long"), col("rts").cast("long"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+
+      val lms = MemoryStream[(String, Timestamp)]
+      val rms = MemoryStream[(String, Timestamp)]
+      val joined = graft.streaming.StreamJoins.intervalJoin(
+          lms.toDF().toDF("lk", "lts"), rms.toDF().toDF("rk", "rts"),
+          "lts", "rts", "lk", "rk",
+          "INTERVAL 5 SECONDS", "INTERVAL 5 SECONDS", "0 seconds")
+        .select(col("lk"), col("lts").cast("long"), col("rts").cast("long"))
+      val q = joined.writeStream.format("memory").queryName(s"ijprop$i")
+        .outputMode("append").start()
+      try {
+        lms.addData(l.map(e => (e.k, e.ts)): _*)
+        rms.addData(r.map(e => (e.k, e.ts)): _*)
+        q.processAllAvailable()
+        val streamed = spark.table(s"ijprop$i")
+          .as[(String, Long, Long)].collect().toSet
+        assert(streamed == batch, s"trial $i: streamed=$streamed batch=$batch")
+      } finally q.stop()
+    }
+  }
+
   test("minhash signature is monotone under shingle-set union") {
     import graft.functions.MinhashImpl
     val strs = Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))
