@@ -1,0 +1,82 @@
+package graft.apps
+
+import graft.streaming.{Cep, StreamOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The reference's streaming jobs end-to-end: each is a thin composition
+  * of the library operators over a streaming `Dataset` of the typed
+  * records in [[graft.apps]] — a user of the reference runs the same job
+  * by swapping `readTextFile → readStream` and keeping the operator
+  * chain. Batch twins live in [[CaseStudies]]; these are the unbounded
+  * forms with watermarks + state.
+  */
+object StreamingApps {
+
+  /** HotItems streaming (reference HotItems.scala:47-58): pv filter →
+    * sliding windowed count → top-N per closed window via the append-mode
+    * rank (each window ranked exactly once, when its watermark closes).
+    */
+  def hotItemsStream(behaviors: DataFrame, topN: Int = 5,
+      size: String = "1 hour", slide: String = "5 minutes",
+      wmDelay: String = "0 seconds")(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val pv = behaviors.filter(col("behavior") === "pv")
+    pv.withWatermark("ts", wmDelay)
+      .groupBy(window(col("ts"), size, slide), col("itemId"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, id: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("window")).orderBy(col("cnt").desc, col("itemId"))
+          sink(batch.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= topN)
+            .select(col("window.end").cast("long").as("windowEnd"),
+              col("itemId"), col("cnt"), col("rank")), id)
+          ()
+      }
+  }
+
+  /** UV per window, streaming (reference UniqueVisitor/WithBloom): the
+    * bounded-memory approx path is the 100 TB default.
+    */
+  def uniqueVisitorsStream(behaviors: DataFrame, size: String = "1 hour",
+      wmDelay: String = "0 seconds", exact: Boolean = false): DataFrame = {
+    val base = behaviors.filter(col("behavior") === "pv")
+      .withWatermark("ts", wmDelay)
+      .groupBy(window(col("ts"), size))
+    val agg = if (exact) base.agg(countDistinct(col("userId")).as("uv"))
+      else base.agg(approx_count_distinct(col("userId")).as("uv"))
+    agg.select(col("window.start").cast("long").as("windowStart"), col("uv"))
+  }
+
+  /** Login-fail streaming (reference LoginFailWithCep): n consecutive
+    * fails within the window, per user, via the streaming NFA.
+    */
+  def loginFailStream(logins: Dataset[LoginEvent], fails: Int = 3,
+      withinMs: Long = 5000L): Dataset[LoginFailWarning] = {
+    import logins.sparkSession.implicits._
+    val pat = Cep.Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .times(fails).within(withinMs)
+    Cep.detectStream(logins)(_.userId.toString, _.ts.getTime, pat)
+      .filter(_.kind == "match")
+      .map(r => LoginFailWarning(r.key.toLong, r.firstTs / 1000,
+        r.lastTs / 1000, s"login failed ${r.events.size} times in a row"))
+  }
+
+  /** Order-timeout streaming (reference OrderTimeoutWithCEP): matches AND
+    * watermark-expired timeouts stream out of the same NFA (the timeout
+    * side output).
+    */
+  def orderTimeoutStream(orders: Dataset[OrderEvent],
+      payDeadlineMs: Long = 15 * 60 * 1000L): Dataset[OrderResult] = {
+    import orders.sparkSession.implicits._
+    val pat = Cep.Pattern.begin[OrderEvent]("create")(_.eventType == "create")
+      .followedBy("pay")(_.eventType == "pay").within(payDeadlineMs)
+    Cep.detectStream(orders)(_.orderId.toString, _.ts.getTime, pat,
+        emitTimeouts = true)
+      .map(r => OrderResult(r.key.toLong,
+        if (r.kind == "match") "payed successfully" else "order timeout"))
+  }
+}
