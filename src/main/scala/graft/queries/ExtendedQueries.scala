@@ -34,6 +34,15 @@ object SqlText {
       |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
       |  FROM customer) t
       |WHERE rk <= 5""".stripMargin
+
+  /** GROUPING SETS — the explicit form completing the rollup/cube family
+    * (dialect-neutral: identical text runs on Spark and DuckDB).
+    */
+  val q62: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 }
 
 object ExtendedQueries extends QueryModule {
@@ -170,6 +179,12 @@ object ExtendedQueries extends QueryModule {
     "q35_sql_text" -> ((s, dir) => {
       graft.sql.SqlSurface.registerTables(s, dir)
       s.sql(SqlText.q35)
+    }),
+
+    // GROUPING SETS through the shared-SQL path.
+    "q62_grouping_sets" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql(SqlText.q62)
     }),
 
     // SQL window functions via text (rank over partition).
@@ -404,6 +419,7 @@ object ExtendedQueries extends QueryModule {
 
     "q35_sql_text" -> SqlText.q35,
     "q36_sql_window" -> SqlText.q36,
+    "q62_grouping_sets" -> SqlText.q62,
 
     "q45_binary_meta" ->
       """SELECT source, COUNT(*) AS n,

@@ -111,6 +111,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe() metrics surface per-batch aggregates in query progress") {
+    // in-stream metrics without a second aggregation pass — the ops
+    // counterpart of the reference's per-operator counters
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KV]
+    val observed = ms.toDF()
+      .observe("m", count(lit(1)).as("rows"), sum($"v").as("vsum"))
+    val q = observed.writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(KV("a", 5), KV("b", 7)); q.processAllAvailable()
+      val m = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("m"))).lastOption
+      assert(m.exists(r => r.getLong(0) == 2L && r.getLong(1) == 12L),
+        s"observed metrics missing/wrong: $m")
+    } finally q.stop()
+  }
+
   test("late rows dropped by watermark are observable in query progress") {
     // Spark drops late rows silently inside the stateful operator; the
     // operational signal is stateOperators.numRowsDroppedByWatermark —
