@@ -13,6 +13,18 @@ class LayoutSpec extends SparkSpec {
 
   test("same-bucketed tables join without any Exchange") {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_layout")
+    // the warehouse directory outlives the in-memory catalog: a table dir
+    // left by a previous JVM makes saveAsTable fail LOCATION_ALREADY_EXISTS
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_layout.$t")
+      val loc = new java.io.File(s"spark-warehouse/graft_layout.db/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_quantity")
     val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_totalprice")
     Layout.writeBucketed(li, "graft_layout.li_b", "l_orderkey", 8)
