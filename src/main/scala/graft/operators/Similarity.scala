@@ -28,9 +28,9 @@ object Similarity {
     // norms precomputed per row (not per pair): the pair loop then costs
     // one dot product instead of three
     val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
-      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qn", GraftFunctions.norm(col("qv")))
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("cn", GraftFunctions.norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vid") =!= col("qid"))
       .withColumn("cos_r",
@@ -57,7 +57,7 @@ object Similarity {
     def withBucket(df: DataFrame, id: String, as: String, n: String) =
       df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(as),
         signatureBucket(hyperplaneSignature(toDoubleVec(col(vecCol)), planes)).as(s"${as}_bkt"))
-        .withColumn(n, l2Norm(col(as)))
+        .withColumn(n, GraftFunctions.norm(col(as)))
     val q = withBucket(queries, "qid", "qv", "qn")
     val c = withBucket(corpus, "vid", "cv", "cn")
     val scored = c.join(broadcast(q), col("qv_bkt") === col("cv_bkt") &&
@@ -90,10 +90,10 @@ object Similarity {
       .withColumn("hk", xxhash64(col("cid")))
       .withColumn("rk", row_number().over(Window.orderBy(col("hk"), col("cid"))))
       .filter(col("rk") <= nlist)
-      .withColumn("centn", l2Norm(col("centv")))
+      .withColumn("centn", GraftFunctions.norm(col("centv")))
       .select("cid", "centv", "centn")
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("cn", GraftFunctions.norm(col("cv")))
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("sim",
         GraftFunctions.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
@@ -102,7 +102,7 @@ object Similarity {
       .filter(col("ark") === 1)
       .select("cid", "vid", "cv", "cn")
     val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
-      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qn", GraftFunctions.norm(col("qv")))
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("sim",
         GraftFunctions.dot(col("qv"), col("centv")) / (col("qn") * col("centn")))
@@ -130,7 +130,7 @@ object Similarity {
     GraftFunctions.register(df.sparkSession)
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("v"))
-      .withColumn("n", l2Norm(col("v")))
+      .withColumn("n", GraftFunctions.norm(col("v")))
     val l = base.select(col("block"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val r = base.select(col("block").as("block_r"), col("id").as("id_b"),
       col("v").as("vb"), col("n").as("nb"))

@@ -21,6 +21,13 @@ object GraftFunctions {
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Codegen'd L2 norm = sqrt(dot(v, v)) — bit-identical to the
+    * interpreted left-fold (same sequential accumulation), without the
+    * per-element HOF interpretation tax.
+    */
+  def norm(v: Column): Column =
+    org.apache.spark.sql.functions.sqrt(call_function("graft_dot", v, v))
 }
 
 /** SparkSessionExtensions entry point:
