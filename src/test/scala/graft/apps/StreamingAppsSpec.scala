@@ -79,6 +79,27 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("adClickBlacklistStream warns once per day and resets on rollover") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[AdClickLog]
+    val out = StreamingApps.adClickBlacklistStream(ms.toDS(), threshold = 2)
+    val q = out.writeStream.format("memory").queryName("bl_out")
+      .outputMode("append").start()
+    try {
+      def click(sec: Long) = AdClickLog(7, 42, "p", "c", t(sec))
+      ms.addData(click(10), click(20), click(30)) // 3 > 2 -> warn
+      q.processAllAvailable()
+      ms.addData(click(40)) // same day: already warned, silent
+      q.processAllAvailable()
+      val day2 = 86400L
+      ms.addData(click(day2 + 10), click(day2 + 20), click(day2 + 30)) // reset, re-warn
+      q.processAllAvailable()
+      val rows = spark.table("bl_out").as[BlackListUserWarning].collect()
+      assert(rows.length == 2, s"expected one warning per day, got ${rows.toSeq}")
+      assert(rows.forall(w => w.userId == 7 && w.adId == 42))
+    } finally q.stop()
+  }
+
   test("uniqueVisitorsStream approx matches exact on small data") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[UserBehavior]
