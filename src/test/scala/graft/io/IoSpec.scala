@@ -49,6 +49,15 @@ class IoSpec extends SparkSpec {
     assert(readBack.inputFiles.length >= 3)
   }
 
+  test("rate-derived synthetic sources expose the documented schemas") {
+    val s = Sources.sensorSource(spark)
+    assert(s.isStreaming)
+    assert(s.schema.fieldNames.toSeq == Seq("id", "ts", "temperature"))
+    val e = Sources.enumSource(spark, Seq("LOW", "HIGH"))
+    assert(e.isStreaming)
+    assert(e.schema.fieldNames.toSeq == Seq("ts", "level"))
+  }
+
   test("idempotent batch ledger makes replayed batchIds no-ops") {
     val ledger = java.nio.file.Files.createTempDirectory("ledger").toString
     val batch = Seq((1, "a")).toDF("id", "v")
