@@ -36,13 +36,13 @@ class IoSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val out = java.nio.file.Files.createTempDirectory("io_roll").toString
+    // data BEFORE start: an AvailableNow query can drain an empty source
+    // and finish before addData, leaving no files (race)
+    ms.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
     val q = Sinks.rollingFiles(ms.toDF().toDF("id", "payload"), "parquet",
         s"$out/data", s"$out/ckpt", maxRecordsPerFile = 2)
       .trigger(Trigger.AvailableNow()).start()
-    try {
-      ms.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     val readBack = spark.read.parquet(s"$out/data")
     assert(readBack.count() == 5)
     // maxRecordsPerFile bounds file size (>= ceil(5/2) part files)
