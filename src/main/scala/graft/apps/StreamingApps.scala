@@ -69,36 +69,53 @@ object StreamingApps {
     * AdClickAnalysis.scala:81-123): per (user, ad), count clicks per
     * event-time day; crossing `threshold` warns ONCE per day; a new day
     * resets count + warned flag (the reference's daily reset timer,
-    * expressed as a day-rollover comparison — no timer needed, the next
-    * event carries its own day). State: one small tuple per active
-    * (user, ad) pair; idle pairs are GC'd after `idleDays` of event time
-    * via the watermark timeout.
+    * expressed as a day-rollover comparison — the next event carries its
+    * own day). State: one small tuple per ACTIVE (user, ad) pair only —
+    * each update arms an event-time timeout at the end of the pair's day
+    * plus `idleDays`, and the timeout removes the state, so idle pairs are
+    * GC'd once the watermark passes that horizon. Without this the pair
+    * space (users × ads) grows without bound at 100 TB. Requires a
+    * watermark; `wmDelay` is applied to `ts` here.
     */
   case class ClickState(daySec: Long, count: Long, warned: Boolean)
 
-  def adClickBlacklistStream(clicks: Dataset[AdClickLog], threshold: Long)
+  def adClickBlacklistStream(clicks: Dataset[AdClickLog], threshold: Long,
+      wmDelay: String = "0 seconds", idleDays: Int = 1)
       : Dataset[BlackListUserWarning] = {
     import clicks.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val st: org.apache.spark.sql.Encoder[ClickState] =
       org.apache.spark.sql.Encoders.product[ClickState]
-    clicks.groupByKey(c => (c.userId, c.adId))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    val dayMs = 86400000L
+    clicks.withWatermark("ts", wmDelay)
+      .as[AdClickLog]
+      .groupByKey(c => (c.userId, c.adId))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, Long), it: Iterator[AdClickLog], state: GroupState[ClickState]) =>
-          val out = List.newBuilder[BlackListUserWarning]
-          var s = state.getOption.getOrElse(ClickState(-1L, 0L, warned = false))
-          it.toSeq.sortBy(_.ts.getTime).foreach { c =>
-            val day = c.ts.getTime / 86400000L
-            if (day != s.daySec) s = ClickState(day, 0L, warned = false)
-            s = s.copy(count = s.count + 1)
-            if (s.count > threshold && !s.warned) {
-              s = s.copy(warned = true)
-              out += BlackListUserWarning(key._1, key._2,
-                s"click over $threshold times today")
+          if (state.hasTimedOut) {
+            // idle horizon passed: drop the pair's state entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = List.newBuilder[BlackListUserWarning]
+            var s = state.getOption.getOrElse(ClickState(-1L, 0L, warned = false))
+            it.toSeq.sortBy(_.ts.getTime).foreach { c =>
+              val day = c.ts.getTime / dayMs
+              if (day != s.daySec) s = ClickState(day, 0L, warned = false)
+              s = s.copy(count = s.count + 1)
+              if (s.count > threshold && !s.warned) {
+                s = s.copy(warned = true)
+                out += BlackListUserWarning(key._1, key._2,
+                  s"click over $threshold times today")
+              }
             }
+            state.update(s)
+            // GC when the watermark passes the end of this pair's day plus
+            // the idle allowance (always > watermark: the day stems from an
+            // event at/after watermark - wmDelay and idleDays >= 1)
+            state.setTimeoutTimestamp((s.daySec + 1 + idleDays) * dayMs)
+            out.result().iterator
           }
-          state.update(s)
-          out.result().iterator
       }
   }
 

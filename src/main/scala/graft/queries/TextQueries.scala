@@ -71,9 +71,12 @@ object TextQueries extends QueryModule {
 
     // Exact 3-gram Jaccard near-dup pairs (same-language blocking),
     // shingle-join verified — finds the corpus's planted near-duplicates.
+    // maxShingleFreq caps stop-shingle skew (a shingle in >50 docs carries
+    // no similarity signal but quadratic pair cost) AND bounds the
+    // per-shingle id list, so the one-shuffle collect_list shape is safe.
     "q23_ngram_jaccard" -> ((spark, dir) => {
       Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, blockCol = Some("lang"))
+          n = 3, blockCol = Some("lang"), maxShingleFreq = 50)
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "inter", "un", "jaccard")
     }),
@@ -92,39 +95,61 @@ object TextQueries extends QueryModule {
         .select($"doc_id", charFingerprint($"text", 8).as("fp"))
     }),
 
-    // Oracle-verifiable SimHash near-dup pipeline (32-bit md5 variant of
-    // the production xxhash64 q40): signature -> prefix block -> hamming.
+    // Oracle-verifiable SimHash near-dup pipeline (32-bit md5 variant):
+    // signature -> prefix block -> hamming.
     "q50_simhash_md5" -> ((spark, dir) =>
       Dedup.simhashNearDupsMd5(Tables.documents(spark, dir), "doc_id", "text",
-        maxHamming = 4, prefixBits = 8))
+        maxHamming = 4, prefixBits = 8)),
+
+    // Wide (48-bit) SimHash near-dup pairs, md5-derived so the whole
+    // pipeline is oracle-checked. The 64-bit xxhash64 production form
+    // (Dedup.simhashNearDups) is golden-tested in OperatorsSpec — 48 bits
+    // is the widest signature that stays strictly positive in a signed
+    // long, which keeps prefix shifts engine-neutral.
+    "q40_simhash_neardup" -> ((spark, dir) =>
+      Dedup.simhashNearDupsMd5(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 8, prefixBits = 8, bits = 48)),
+
+    // Production-hash MinHash+LSH near-dups: xxhash64 signatures, 8 bands
+    // of 2 rows (candidate P = 1-(1-j²)^8: vanishing for unrelated docs,
+    // ~1 above the threshold — rows=1 banding collides unrelated docs at
+    // rate j per band, which explodes quadratically at scale), then
+    // hash-free exact-Jaccard verification. Output equals the exact
+    // jaccard >= 0.6 pair set, which the oracle computes directly — the
+    // engine-specific hashes never reach the output.
+    "q44_minhash_fast" -> ((spark, dir) =>
+      Dedup.minhashNearDupsFast(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.6, shingleN = 3, k = 16, bands = 8))
   )
 
-  /** DuckDB mirror of Dedup.simhash32Md5 + prefix-blocked hamming pairs —
-    * the 32 per-bit majority sums are generated, not hand-written.
+  /** DuckDB mirror of Dedup.simhashMd5 + prefix-blocked hamming pairs —
+    * the per-bit majority sums are generated, not hand-written.
+    * Parameterized on signature width / prefix / radius so q50 (32-bit)
+    * and q40 (48-bit) share one generator.
     */
-  private val simhashMd5Sql: String = {
-    val bitSums = (0 until 32)
+  private def simhashMd5Sql(bits: Int, prefixBits: Int, maxHamming: Int): String = {
+    val bitSums = (0 until bits)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n    ")
-    val sig = (0 until 32)
+    val sig = (0 until bits)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
        |  FROM documents),
        |h AS (
-       |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+       |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, ${bits / 4}) AS BIGINT) AS h
        |  FROM tok),
        |bits AS (
        |  SELECT doc_id,
        |    $bitSums
        |  FROM h GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sig AS simhash FROM bits),
-       |p AS (SELECT doc_id, simhash, simhash >> 24 AS prefix FROM sig)
+       |p AS (SELECT doc_id, simhash, simhash >> ${bits - prefixBits} AS prefix FROM sig)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM p a JOIN p b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
   }
 
   override def oracles: Map[String, String] = Map(
@@ -150,16 +175,24 @@ object TextQueries extends QueryModule {
          |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
          |FROM t GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
+    // mirrors jaccardPairs(maxShingleFreq = 50): stop-shingles (in >50
+    // docs) are dropped BEFORE pair generation and doc sizes — sz here is
+    // post-prune, matching the operator
     "q23_ngram_jaccard" ->
       s"""WITH $docShingles,
+         |keep AS (
+         |  SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING COUNT(DISTINCT doc_id) <= 50),
+         |shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         |szp AS (SELECT doc_id, COUNT(*) AS sz FROM shp GROUP BY doc_id),
          |pr AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b
+         |  FROM shp a JOIN shp b
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang = b.lang
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS un,
          |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-         |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |FROM pr JOIN szp sa ON id_a = sa.doc_id JOIN szp sb ON id_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5""".stripMargin,
 
     "q24_minhash_lsh" ->
@@ -201,6 +234,23 @@ object TextQueries extends QueryModule {
         |    i -> md5(substr(text, i, 8)))) AS fp
         |FROM documents""".stripMargin,
 
-    "q50_simhash_md5" -> simhashMd5Sql
+    "q50_simhash_md5" -> simhashMd5Sql(bits = 32, prefixBits = 8, maxHamming = 4),
+
+    "q40_simhash_neardup" -> simhashMd5Sql(bits = 48, prefixBits = 8, maxHamming = 8),
+
+    // the oracle computes the exact jaccard >= 0.6 pair set directly (no
+    // LSH): with 8 bands × 2 rows the xxhash64 candidate pass misses a
+    // verified pair with probability (1-j²)^8 <= 2e-6 on this corpus
+    // (planted pairs have j >= 0.9) — recall 1, asserted by this gate row
+    "q44_minhash_fast" ->
+      s"""WITH $docShingles,
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+         |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.6""".stripMargin
   )
 }

@@ -28,13 +28,23 @@ object VectorQueries extends QueryModule {
         .withColumnRenamed("block", "label")
     }),
 
-    // IVF ANN (rows-only: centroid sample is xxhash-picked, not
-    // oracle-reproducible; recall vs brute force asserted in
-    // OperatorsSpec).
+    // IVF ANN: md5-picked centroids + rounded-similarity ranking make the
+    // whole pipeline (centroid sample, cell assignment, probe selection,
+    // final top-k) oracle-reproducible; recall vs brute force additionally
+    // asserted in OperatorsSpec.
     "q60_ivf_ann" -> ((spark, dir) => {
       val e = Tables.embeddings(spark, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 50), e,
         "vec_id", "embedding", k = 5, nlist = 16, nProbe = 4)
+    }),
+
+    // Hyperplane-LSH ANN, md5-derived planes + integer projections so the
+    // bucketing is engine-neutral (the xxhash64 production path is
+    // Similarity.lshTopK, recall-tested in OperatorsSpec).
+    "q42_lsh_ann" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.lshTopKMd5(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", k = 5, planes = 6, dim = 64)
     })
   )
 
@@ -73,6 +83,90 @@ object VectorQueries extends QueryModule {
         |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
         |  FROM z GROUP BY 1, 2, 3)
         |SELECT label, id_a, id_b, ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) AS cos_r
-        |FROM s WHERE ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) >= 0.45""".stripMargin
+        |FROM s WHERE ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) >= 0.45""".stripMargin,
+
+    // mirrors lshTopKMd5: Rademacher signs from md5('p:d') first-nibble
+    // parity; projections in integer micro-units (floor(x*1e6 + 0.5)) so
+    // the sign decision is exact; then the q26 scoring pattern restricted
+    // to same-bucket pairs
+    "q42_lsh_ann" ->
+      """WITH pl AS (
+        |  SELECT p, d, CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR)
+        |      || ':' || CAST(d AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+        |    THEN 1 ELSE -1 END AS w
+        |  FROM range(6) tp(p) CROSS JOIN range(64) td(d)),
+        |pr AS (
+        |  SELECT e.vec_id, pl.p,
+        |    SUM(CAST(FLOOR(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 1000000 + 0.5)
+        |        AS BIGINT) * pl.w) AS s
+        |  FROM embeddings e CROSS JOIN pl GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bkt
+        |  FROM pr GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bkt AS qb
+        |      FROM embeddings e JOIN bk b ON e.vec_id = b.vec_id WHERE e.vec_id < 50),
+        |c AS (SELECT e.vec_id AS vid, e.embedding AS ce, b.bkt AS cb
+        |      FROM embeddings e JOIN bk b ON e.vec_id = b.vec_id),
+        |z AS (SELECT qid, vid, unnest(qe) AS a, unnest(ce) AS b
+        |      FROM q JOIN c ON qb = cb AND vid <> qid),
+        |s AS (
+        |  SELECT qid, vid,
+        |    SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dt,
+        |    SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS qq,
+        |    SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS cc
+        |  FROM z GROUP BY qid, vid)
+        |SELECT qid, vid, cos_r FROM (
+        |  SELECT qid, vid, ROUND(dt / (SQRT(qq) * SQRT(cc)), 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dt / (SQRT(qq) * SQRT(cc)), 4) DESC, vid) AS rk
+        |  FROM s)
+        |WHERE rk <= 5""".stripMargin,
+
+    // mirrors ivfTopK: centroids = 16 corpus rows by (md5(vec_id), vec_id)
+    // order; cell assignment / probes / final ranking all on ROUND(cos, 4)
+    // with id tie-breaks — identical ranks in both engines
+    "q60_ivf_ann" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS centv FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |az AS (SELECT e.vec_id AS vid, c.cid, unnest(e.embedding) AS x,
+        |         unnest(c.centv) AS y
+        |       FROM embeddings e CROSS JOIN cent c),
+        |ac AS (
+        |  SELECT vid, cid,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+        |  FROM az GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vid, cid FROM (
+        |    SELECT vid, cid, row_number() OVER (PARTITION BY vid
+        |      ORDER BY ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) DESC, cid) AS rn
+        |    FROM ac) WHERE rn = 1),
+        |prb AS (
+        |  SELECT vid AS qid, cid FROM (
+        |    SELECT vid, cid, row_number() OVER (PARTITION BY vid
+        |      ORDER BY ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) DESC, cid) AS rn
+        |    FROM ac WHERE vid < 50) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.qid, a.vid FROM prb p JOIN asg a ON p.cid = a.cid
+        |  WHERE a.vid <> p.qid),
+        |z AS (SELECT pr.qid, pr.vid, unnest(q.embedding) AS a,
+        |        unnest(v.embedding) AS b
+        |      FROM pairs pr JOIN embeddings q ON q.vec_id = pr.qid
+        |                    JOIN embeddings v ON v.vec_id = pr.vid),
+        |s AS (
+        |  SELECT qid, vid,
+        |    SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dt,
+        |    SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS qq,
+        |    SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS cc
+        |  FROM z GROUP BY qid, vid)
+        |SELECT qid, vid, cos_r FROM (
+        |  SELECT qid, vid, ROUND(dt / (SQRT(qq) * SQRT(cc)), 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dt / (SQRT(qq) * SQRT(cc)), 4) DESC, vid) AS rk
+        |  FROM s)
+        |WHERE rk <= 5""".stripMargin
   )
 }

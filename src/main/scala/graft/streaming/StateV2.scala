@@ -67,13 +67,16 @@ object StateV2 {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
     override def handleInputRows(key: String, rows: Iterator[E],
         tv: TimerValues): Iterator[Fire] = {
+      // a deadline already behind the watermark would never fire as a
+      // timer: emit synchronously instead (same semantics as an immediate
+      // timer), so late events still get their Fire
+      val out = List.newBuilder[Fire]
       rows.foreach { e =>
         val d = deadlineOf(e)
         if (d > tv.getCurrentWatermarkInMs()) getHandle.registerTimer(d)
-        // a deadline already behind the watermark would never fire: emit
-        // synchronously instead (same semantics as an immediate timer)
+        else out += Fire(key, d)
       }
-      Iterator.empty
+      out.result().iterator
     }
     override def handleExpiredTimer(key: String, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[Fire] =

@@ -100,6 +100,36 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("adClickBlacklistStream GCs idle pairs once the watermark passes the idle horizon") {
+    // the 100 TB guard: state must hold only ACTIVE (user, ad) pairs, not
+    // every pair ever seen — idle pairs time out at day end + idleDays
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[AdClickLog]
+    val out = StreamingApps.adClickBlacklistStream(ms.toDS(), threshold = 100,
+      idleDays = 1)
+    val q = out.writeStream.format("memory").queryName("bl_gc_out")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // day 0: three distinct pairs -> three state rows
+      ms.addData(AdClickLog(1, 1, "p", "c", t(10)),
+        AdClickLog(2, 2, "p", "c", t(20)), AdClickLog(3, 3, "p", "c", t(30)))
+      q.processAllAvailable()
+      assert(stateRows == 3, s"expected 3 live pairs, got $stateRows")
+      // jump the watermark past day0's horizon (day end + 1 idle day =
+      // 2 days); the day-3 click arms its own fresh state entry
+      val day3 = 3 * 86400L
+      ms.addData(AdClickLog(9, 9, "p", "c", t(day3)))
+      q.processAllAvailable()
+      // one more batch so the expired timers are processed and reported
+      ms.addData(AdClickLog(9, 9, "p", "c", t(day3 + 10)))
+      q.processAllAvailable()
+      assert(stateRows == 1,
+        s"idle day-0 pairs not GC'd: $stateRows state rows")
+    } finally q.stop()
+  }
+
   test("uniqueVisitorsStream approx matches exact on small data") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[UserBehavior]

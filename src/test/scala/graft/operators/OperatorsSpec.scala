@@ -69,6 +69,40 @@ class OperatorsSpec extends SparkSpec {
     assert(colSide == scalaSide)
   }
 
+  test("XxMinhashImpl is bit-identical to the xxhash64 Column minhash path") {
+    import graft.functions.XxMinhashImpl
+    val sample = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val colSide = sample
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        TextFunctions.minhashSignatureFast(col("sh"), 16).as("sig"))
+      .select(col("doc_id"), array((0 until 8).map { b =>
+        val parts = (0 until 2).map(r => element_at(col("sig"), b * 2 + r + 1))
+        xxhash64(lit(b) +: parts: _*)
+      }: _*).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val scalaSide = sample.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().flatMap { case (id, t) =>
+        val sh = graft.functions.MinhashImpl.shingles(t, 3)
+        if (sh.isEmpty) None
+        else Some(id -> XxMinhashImpl.bandKeys(
+          XxMinhashImpl.signature(sh, 16), 8, 2).toSeq)
+      }.toMap
+    assert(colSide == scalaSide)
+  }
+
+  test("minhashNearDupsFast equals the exact jaccard pair set on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Dedup.minhashNearDupsFast(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3)
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == exact)
+  }
+
   test("langId picks the profile with most stopword hits") {
     val out = docs.withColumn("lid", TextFunctions.langId(col("text")))
       .select("doc_id", "lid").as[(Long, String)].collect().toMap
