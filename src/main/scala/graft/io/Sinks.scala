@@ -68,6 +68,37 @@ object Sinks {
       clientFactory: () => UpsertClient): DataStreamWriter[Row] =
     df.writeStream.foreach(upsertWriter(keyCol, valueCol, clientFactory))
 
+  /** Socket sink (reference java/.../sink/SocketSinkDemo.java:17
+    * `writeToSocket`): one line per row over a TCP connection, one
+    * connection per partition per micro-batch (the RichSinkFunction
+    * open/invoke/close lifecycle). At-least-once — a socket is not a
+    * transactional store; route through [[idempotentForeachBatch]] + an
+    * idempotent receiver when effects must be exactly-once.
+    */
+  def socketWriter(host: String, port: Int,
+      encode: Row => String = _.mkString(",")): ForeachWriter[Row] =
+    new ForeachWriter[Row] {
+      @transient private var sock: java.net.Socket = _
+      @transient private var out: java.io.PrintWriter = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        sock = new java.net.Socket(host, port)
+        out = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream,
+            java.nio.charset.StandardCharsets.UTF_8), false)
+        true
+      }
+      override def process(row: Row): Unit = out.println(encode(row))
+      override def close(errorOrNull: Throwable): Unit = {
+        if (out != null) out.flush()
+        if (sock != null) sock.close()
+      }
+    }
+
+  /** Streaming socket sink via ForeachWriter. */
+  def socket(df: DataFrame, host: String, port: Int,
+      encode: Row => String = _.mkString(",")): DataStreamWriter[Row] =
+    df.writeStream.foreach(socketWriter(host, port, encode))
+
   /** JDBC append per micro-batch (reference day10/_12_SQL_MySQL.java:28-36);
     * true upserts route through [[upsert]] with a JDBC-backed client.
     */

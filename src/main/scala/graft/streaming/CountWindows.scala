@@ -104,4 +104,52 @@ object CountWindows {
         }
     }
   }
+
+  /** Ring buffer for the streaming slide: the last ≤ size-1 records
+    * (newest first) + total record count + next window seq.
+    */
+  case class SlideBuf[E](count: Long, wseq: Long, items: List[E])
+
+  /** Streaming sliding count window — the unbounded form of
+    * [[slidingBatch]] (reference `Slide.over(rowInterval(size))
+    * .every(rowInterval(slide))`, cn/ngt/day11/_06_GroupWindow_Count
+    * .java:40-50): fires at every `slide`-th record per key with the last
+    * `size` records (fewer at the head). State per key is the last
+    * ≤ size-1 records plus two counters — bounded regardless of stream
+    * length. Emissions agree exactly with [[slidingBatch]] on the same
+    * input (spec'd), with per-batch arrival order resolved by `orderBy`.
+    * `idleTimeoutMs` > 0 removes state for keys idle that long
+    * (processing time); unlike the tumbling form nothing is flushed — a
+    * sliding window only ever fires on its slide boundary — so the
+    * timeout is purely state GC (the count restarts if the key revives).
+    */
+  def slidingStream[E](ds: Dataset[E])(keyFn: E => String, orderBy: E => Long,
+      size: Int, slide: Int, idleTimeoutMs: Long = 0L): Dataset[CountWindow[E]] = {
+    implicit val oe: Encoder[CountWindow[E]] = Encoders.kryo[CountWindow[E]]
+    implicit val be: Encoder[SlideBuf[E]] = Encoders.kryo[SlideBuf[E]]
+    implicit val se: Encoder[String] = Encoders.STRING
+    val timeoutConf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(keyFn).flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+      (key: String, it: Iterator[E], state: GroupState[SlideBuf[E]]) =>
+        if (!it.hasNext && state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var cur = state.getOption.getOrElse(SlideBuf[E](0L, 0L, Nil))
+          val fired = List.newBuilder[CountWindow[E]]
+          it.toSeq.sortBy(orderBy).foreach { e =>
+            val windowItems = (e :: cur.items).take(size) // newest first
+            val cnt = cur.count + 1
+            if (cnt % slide == 0) {
+              fired += CountWindow(key, cur.wseq, windowItems.reverse)
+              cur = SlideBuf(cnt, cur.wseq + 1, windowItems.take(size - 1))
+            } else cur = SlideBuf(cnt, cur.wseq, windowItems.take(size - 1))
+          }
+          state.update(cur)
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+          fired.result().iterator
+        }
+    }
+  }
 }

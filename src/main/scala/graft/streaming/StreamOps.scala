@@ -237,6 +237,25 @@ object StreamOps {
       ()
     }
 
+  /** Idle-source watermark policy (reference `withIdleness`,
+    * scala/.../streamingwithflink/_02_WatermarkGeneration.scala:54-56):
+    * Flink marks a SINGLE stalled source idle so it stops holding the
+    * watermark back. Spark has no per-source knob; the session-level
+    * `multipleWatermarkPolicy` chooses how multi-source watermarks
+    * combine —
+    *  - "min" (default): global watermark = slowest source; one idle
+    *    source freezes every window downstream (the production trap);
+    *  - "max": global watermark = fastest source, i.e. idleness handling
+    *    applied to every source at once — late data from the slow source
+    *    beyond its watermark delay may then be dropped, exactly like
+    *    events arriving on a Flink source already marked idle.
+    * Set BEFORE starting the query (read at query start).
+    */
+  def setMultipleWatermarkPolicy(spark: SparkSession, policy: String): Unit = {
+    require(policy == "min" || policy == "max", s"policy must be min|max: $policy")
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+  }
+
   /** Start a memory-sink query (test/dev), process everything, return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append)
       : StreamingQuery = {

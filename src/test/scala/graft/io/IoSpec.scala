@@ -83,6 +83,40 @@ class IoSpec extends SparkSpec {
       assert(IoSpec.opens.get() >= 2)
     } finally q.stop()
   }
+
+  test("socket sink delivers one line per row to a TCP server") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // loopback line-collecting server
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val accepter = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val s = server.accept()
+          val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+            s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+          var line = rd.readLine()
+          while (line != null) { received.add(line); line = rd.readLine() }
+          s.close()
+        }
+      } catch { case _: java.net.SocketException => () } // closed
+    })
+    accepter.setDaemon(true)
+    accepter.start()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = Sinks.socket(ms.toDF().toDF("k", "v").coalesce(1),
+      "127.0.0.1", server.getLocalPort).start()
+    try {
+      ms.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+      ms.addData(("c", 3L)); q.processAllAvailable()
+      // the writer flushes on close (end of partition); poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (received.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val lines = received.toArray(Array.empty[String]).toSet
+      assert(lines == Set("a,1", "b,2", "c,3"), s"got $lines")
+    } finally { q.stop(); server.close() }
+  }
 }
 
 /** Static in-memory upsert store (executors and driver share the JVM in

@@ -57,6 +57,29 @@ class CountWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding count window agrees with the batch form") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq.tabulate(11)(i => KV(if (i % 3 == 0) "b" else "a", i.toLong))
+    val ms = MemoryStream[KV]
+    val out = slidingStream(ms.toDS())(_.k, _.v, size = 4, slide = 2)
+      .map(w => (w.key, w.windowSeq, w.events.map(_.v)))
+    val q = out.writeStream.format("memory").queryName("scw_out")
+      .outputMode("append").start()
+    try {
+      // feed across three micro-batches so windows span batch boundaries
+      ms.addData(events.take(3): _*); q.processAllAvailable()
+      ms.addData(events.slice(3, 8): _*); q.processAllAvailable()
+      ms.addData(events.drop(8): _*); q.processAllAvailable()
+      val streamed = spark.table("scw_out").as[(String, Long, Seq[Long])]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+      val batch = slidingBatch(events.toDS())(_.k, _.v, size = 4, slide = 2)
+        .collect().toSeq.map(w => (w.key, w.windowSeq, w.events.map(_.v)))
+        .sortBy(r => (r._1, r._2))
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming seq counter survives a batch ending on a window boundary") {
     // regression: when a micro-batch ended exactly as a window fired, the
     // emptied buffer was removed from state and the next batch restarted

@@ -12,6 +12,33 @@ class StreamOpsSpec extends SparkSpec {
 
   private def t(sec: Long) = new Timestamp(sec * 1000L)
 
+  test("max watermark policy lets an idle source stop holding windows open (withIdleness analog)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    StreamOps.setMultipleWatermarkPolicy(spark, "max")
+    try {
+      val live = MemoryStream[Reading]
+      val idle = MemoryStream[Reading] // never receives data
+      val union = live.toDF().withWatermark("ts", "0 seconds")
+        .unionByName(idle.toDF().withWatermark("ts", "0 seconds"))
+      val agg = union.groupBy(window($"ts", "5 seconds"), $"id")
+        .agg(count(lit(1)).as("n"))
+        .select($"id", $"window.start".cast("long").as("ws"), $"n")
+      val q = agg.writeStream.format("memory").queryName("idle_out")
+        .outputMode("append").start()
+      try {
+        live.addData(Reading("a", t(1), 1), Reading("a", t(3), 3))
+        q.processAllAvailable()
+        live.addData(Reading("a", t(9), 9)) // live watermark -> 9s
+        q.processAllAvailable()
+        // under the default "min" policy the idle source pins the global
+        // watermark at 0 and [0,5) never closes; "max" follows the live one
+        val rows = spark.table("idle_out").as[(String, Long, Long)].collect()
+        assert(rows.toSet == Set(("a", 0L, 2L)),
+          s"window [0,5) should close under max policy, got ${rows.toSeq}")
+      } finally q.stop()
+    } finally StreamOps.setMultipleWatermarkPolicy(spark, "min")
+  }
+
   test("streaming tumbling window agg closes on watermark (EvenTimeTumblingWindowDemo golden shape)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Reading]
