@@ -246,8 +246,9 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within a hamming radius, blocked on the top
-    * `prefixBits` bits (near-dups almost always share the prefix;
-    * standard multi-probe would OR several rotations at scale).
+    * `prefixBits` bits — the cheap single-probe heuristic (recall < 1:
+    * a differing bit inside the prefix hides the pair). For guaranteed
+    * full recall within the radius use [[simhashNearDupsExact]].
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, prefixBits: Int = 12): DataFrame = {
@@ -292,6 +293,54 @@ object Dedup {
     val sigs = simhashMd5(df, idCol, textCol, bits)
       .withColumn("prefix", shiftrightunsigned(col("simhash"), bits - prefixBits))
     simhashPairs(sigs, idCol, maxHamming)
+  }
+
+  /** EXACT Hamming-radius near-dup pairs over the 64-bit production
+    * SimHash — multi-probe done right: the signature is split into
+    * `maxHamming + 1` disjoint chunks and pairs are blocked on (chunk
+    * index, chunk value). Pigeonhole guarantees recall 1: a pair with at
+    * most `maxHamming` differing bits cannot touch all `maxHamming + 1`
+    * chunks, so it collides on at least one block. Precision 1 comes from
+    * the explicit hamming filter. Cost: `maxHamming + 1` blocking rows per
+    * doc (vs 1 for the single-prefix heuristic [[simhashNearDups]], which
+    * misses pairs whose differing bits land in the prefix) — same shuffle
+    * shape, uniform hash-valued keys. This is the standard exact
+    * Hamming-LSH construction (chunk blocking, cf. multi-index hashing).
+    */
+  def simhashNearDupsExact(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame =
+    simhashChunkPairs(simhash64(df, idCol, textCol), idCol, 64, maxHamming)
+
+  /** Oracle-reproducible twin of [[simhashNearDupsExact]] over the
+    * `bits`-wide md5 signature — the DuckDB gate verifies the pigeonhole
+    * blocking equals brute-force all-pairs hamming.
+    */
+  def simhashNearDupsExactMd5(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, bits: Int = 48): DataFrame =
+    simhashChunkPairs(simhashMd5(df, idCol, textCol, bits), idCol, bits, maxHamming)
+
+  private def simhashChunkPairs(sigs: DataFrame, idCol: String, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val n = maxHamming + 1
+    val w = (bits + n - 1) / n
+    val chunkCols: Seq[Column] = (0 until n).map { i =>
+      val lo = i * w
+      val width = math.min(w, bits - lo)
+      shiftrightunsigned(col("simhash"), lo)
+        .bitwiseAND(lit((1L << width) - 1L))
+    }
+    val keyed = sigs.select(col(idCol).as("__id"), col("simhash"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+    val l = keyed.select(col("chunk"), col("ckey"),
+      col("__id").as("id_a"), col("simhash").as("sig_a"))
+    val r = keyed.select(col("chunk").as("chunk_r"), col("ckey").as("ckey_r"),
+      col("__id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r, col("chunk") === col("chunk_r") && col("ckey") === col("ckey_r") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Prefix-blocked pair join + hamming filter shared by both simhash

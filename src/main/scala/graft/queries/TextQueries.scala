@@ -119,7 +119,15 @@ object TextQueries extends QueryModule {
     // engine-specific hashes never reach the output.
     "q44_minhash_fast" -> ((spark, dir) =>
       Dedup.minhashNearDupsFast(Tables.documents(spark, dir), "doc_id", "text",
-        threshold = 0.6, shingleN = 3, k = 16, bands = 8))
+        threshold = 0.6, shingleN = 3, k = 16, bands = 8)),
+
+    // Chunk-blocked EXACT-recall SimHash near-dups (pigeonhole: h+1
+    // disjoint chunks, a pair within radius h shares >= 1) — the oracle is
+    // literally the brute-force all-pairs hamming set, so this gate row IS
+    // the recall-1 proof on the corpus.
+    "q63_simhash_exact" -> ((spark, dir) =>
+      Dedup.simhashNearDupsExactMd5(Tables.documents(spark, dir), "doc_id",
+        "text", maxHamming = 6, bits = 48))
   )
 
   /** DuckDB mirror of Dedup.simhashMd5 + prefix-blocked hamming pairs —
@@ -127,7 +135,8 @@ object TextQueries extends QueryModule {
     * Parameterized on signature width / prefix / radius so q50 (32-bit)
     * and q40 (48-bit) share one generator.
     */
-  private def simhashMd5Sql(bits: Int, prefixBits: Int, maxHamming: Int): String = {
+  /** Shared CTE chain: per-doc `bits`-wide md5 simhash signature. */
+  private def simhashSigCtes(bits: Int): String = {
     val bitSums = (0 until bits)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n    ")
@@ -144,13 +153,26 @@ object TextQueries extends QueryModule {
        |  SELECT doc_id,
        |    $bitSums
        |  FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sig AS simhash FROM bits),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM bits)""".stripMargin
+  }
+
+  private def simhashMd5Sql(bits: Int, prefixBits: Int, maxHamming: Int): String =
+    s"""${simhashSigCtes(bits)},
        |p AS (SELECT doc_id, simhash, simhash >> ${bits - prefixBits} AS prefix FROM sig)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM p a JOIN p b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
-  }
+
+  /** Brute-force all-pairs hamming — the oracle for the chunk-blocked
+    * EXACT variant (whose whole point is equality with this).
+    */
+  private def simhashExactMd5Sql(bits: Int, maxHamming: Int): String =
+    s"""${simhashSigCtes(bits)}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q20_doc_stats" ->
@@ -237,6 +259,8 @@ object TextQueries extends QueryModule {
     "q50_simhash_md5" -> simhashMd5Sql(bits = 32, prefixBits = 8, maxHamming = 4),
 
     "q40_simhash_neardup" -> simhashMd5Sql(bits = 48, prefixBits = 8, maxHamming = 8),
+
+    "q63_simhash_exact" -> simhashExactMd5Sql(bits = 48, maxHamming = 6),
 
     // the oracle computes the exact jaccard >= 0.6 pair set directly (no
     // LSH): with 8 bands × 2 rows the xxhash64 candidate pass misses a

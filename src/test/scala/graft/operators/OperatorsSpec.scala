@@ -93,6 +93,26 @@ class OperatorsSpec extends SparkSpec {
     assert(colSide == scalaSide)
   }
 
+  test("chunked simhash blocking recovers EVERY pair within the hamming radius") {
+    // pigeonhole recall guarantee vs the all-pairs brute force
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val maxH = 6
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashNearDupsExact(docs, "doc_id", "text", maxH)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3.toLong)).toSet
+    assert(got == brute.map(t => (t._1, t._2, t._3.toLong)),
+      s"chunk blocking missed pairs: brute=${brute.size} got=${got.size}")
+    // the single-prefix heuristic is a subset of the exact result
+    val prefix = Dedup.simhashNearDups(docs, "doc_id", "text", maxH, 12)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    assert(prefix.subsetOf(got.map(t => (t._1, t._2))))
+  }
+
   test("minhashNearDupsFast equals the exact jaccard pair set on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fast = Dedup.minhashNearDupsFast(docs, "doc_id", "text", threshold = 0.6)

@@ -85,6 +85,31 @@ class PlanSpec extends SparkSpec {
       s"orderBy did not produce a range exchange:\n$p")
   }
 
+  test("q60: IVF centroid pick is a distributed top-k, no partitionless window") {
+    // A row_number window without partitionBy funnels the whole corpus
+    // through ONE task — the centroid pick must plan as
+    // TakeOrderedAndProject (per-partition heaps) instead. AQE off so the
+    // plan is a plain tree to traverse.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q60_ivf_ann")(spark, dir)
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(walk)
+      val nodes = walk(df.queryExecution.executedPlan)
+      val windows = nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected ranking windows in the IVF plan")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"partitionless WindowExec (single-partition global stage) in:\n$df")
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+        "centroid pick did not plan TakeOrderedAndProject")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q52: CEP shuffles once on the key (single grouping exchange)") {
     // AQE's string rendering appends an "Initial Plan" section that would
     // double-count operators — assert on the final plan only.
