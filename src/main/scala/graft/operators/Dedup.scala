@@ -66,10 +66,13 @@ object Dedup {
     val sh = if (maxShingleFreq > 0) {
       // (id, shingle) rows are distinct by construction (shingles are
       // de-duped per doc), so doc frequency is a plain count — no
-      // distinct-aggregate expand
-      val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("__f"))
-        .filter(col("__f") <= maxShingleFreq).select("shingle")
-      sh0.join(freq, Seq("shingle"), "left_semi")
+      // distinct-aggregate expand. Join against the STOP set (freq > cap),
+      // not the keep set: heavy hitters are few (Zipf), so the anti side
+      // broadcasts and the big shingle table is never shuffled for the
+      // pruning — a keep-set semi-join would shuffle it a second time.
+      val stop = sh0.groupBy("shingle").agg(count(lit(1)).as("__f"))
+        .filter(col("__f") > maxShingleFreq).select("shingle")
+      sh0.join(broadcast(stop), Seq("shingle"), "left_anti")
     } else sh0
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // Pair generation, two shapes:

@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
       s"cartesian product in the LSH pipeline:\n$p")
   }
 
+  test("q44: fast minhash pipeline never plans a cartesian product") {
+    val p = plan("q44_minhash_fast")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the fast LSH pipeline:\n$p")
+  }
+
+  test("q23: stop-shingle pruning never shuffle-joins the shingle table") {
+    // the prune must be a broadcast anti join against the (tiny) stop set;
+    // at sf0.001 the stop set is empty and AQE's empty-relation propagation
+    // elides the join entirely — both shapes are shuffle-free, which is
+    // what matters at scale
+    val p = plan("q23_ngram_jaccard").split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stop-shingle prune shuffle-joined the shingle table:\n$p")
+    p.linesIterator.filter(_.contains("LeftAnti")).foreach { l =>
+      assert(l.contains("BroadcastHashJoin"),
+        s"anti join not broadcast: $l")
+    }
+  }
+
   test("q58: deep join mixes broadcast dims with shuffled fact joins") {
     val p = plan("q58_deep_join").split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"), "dim chain not broadcast")
