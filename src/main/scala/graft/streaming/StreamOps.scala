@@ -237,6 +237,29 @@ object StreamOps {
       ()
     }
 
+  /** Queryable state (reference
+    * java/.../state/QueryableStateDemo.java:29,66: a running keyed
+    * aggregate exposed to external point queries via
+    * QueryableStateClient). Spark runs no state server; the engine-native
+    * approximations, by state size:
+    *
+    *  (a) full-snapshot SQL view (this method): complete-mode memory sink
+    *      — after every micro-batch `spark.table(viewName)` IS the entire
+    *      current keyed state, queryable with plain SQL (through the
+    *      Thrift/Connect server in production). Snapshot-per-batch
+    *      consistency, state must fit the driver — same practical bound
+    *      as the reference demo's client-side reads.
+    *  (b) point lookups at scale: update-mode upsert into an external KV
+    *      store via [[graft.io.Sinks.upsert]] — only CHANGED keys flow
+    *      per batch, the store serves gets (the getKvState shape), state
+    *      size bounded by the store, not the driver.
+    *
+    * `agg` must be a streaming aggregation (complete mode requirement).
+    */
+  def queryableStateView(agg: DataFrame, viewName: String): StreamingQuery =
+    agg.writeStream.format("memory").queryName(viewName)
+      .outputMode(OutputMode.Complete()).start()
+
   /** Idle-source watermark policy (reference `withIdleness`,
     * scala/.../streamingwithflink/_02_WatermarkGeneration.scala:54-56):
     * Flink marks a SINGLE stalled source idle so it stops holding the

@@ -39,6 +39,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally StreamOps.setMultipleWatermarkPolicy(spark, "min")
   }
 
+  test("queryable state: the view serves the latest per-key state after each batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Reading]
+    val agg = ms.toDF().groupBy($"id").agg(count(lit(1)).as("n"),
+      sum($"temp").as("total"))
+    val q = StreamOps.queryableStateView(agg, "qs_state")
+    try {
+      ms.addData(Reading("a", t(1), 10), Reading("a", t(2), 5), Reading("b", t(3), 1))
+      q.processAllAvailable()
+      def get(id: String) = spark.table("qs_state").filter($"id" === id)
+        .as[(String, Long, Double)].collect().headOption
+      assert(get("a").contains(("a", 2L, 15.0)))   // point query
+      assert(get("b").contains(("b", 1L, 1.0)))
+      ms.addData(Reading("a", t(9), 100))
+      q.processAllAvailable()
+      assert(get("a").contains(("a", 3L, 115.0)))  // state advanced
+      assert(get("b").contains(("b", 1L, 1.0)))    // untouched key retained
+    } finally q.stop()
+  }
+
   test("streaming tumbling window agg closes on watermark (EvenTimeTumblingWindowDemo golden shape)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Reading]
