@@ -61,6 +61,20 @@ object TextFunctions {
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
 
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape: leading-
+    * space word / number / punctuation runs, plus bare contraction tails)
+    * without lookarounds, so the same pattern runs on Java regex and RE2 —
+    * engine-neutral and oracle-checkable. A real BPE vocab merge happens
+    * downstream in the tokenizer; counting pre-tokens is the standard
+    * cheap token-budget estimate for corpus sizing.
+    */
+  val bpePretokenPattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Number of BPE-style pre-tokens in `text`. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePretokenPattern), lit(0)))
+
   /** Count of tokens found in `stops`. */
   def stopwordHits(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops.map(x => x: Any): _*)))

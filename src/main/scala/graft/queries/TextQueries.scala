@@ -121,6 +121,22 @@ object TextQueries extends QueryModule {
       Dedup.minhashNearDupsFast(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.6, shingleN = 3, k = 16, bands = 8)),
 
+    // Token budgeting: whitespace tokens vs BPE-style pre-tokens per
+    // language (corpus sizing for training runs) — both counts are pure
+    // regex column ops, no shuffle beyond the final small aggregate.
+    "q64_token_count" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("ws", tokenCount($"text"))
+        .withColumn("bpe", bpeTokenCount($"text"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"ws").as("ws_tokens"),
+          sum($"bpe").as("bpe_tokens"),
+          max($"bpe").as("max_bpe"))
+        .orderBy($"lang")
+    }),
+
     // Chunk-blocked EXACT-recall SimHash near-dups (pigeonhole: h+1
     // disjoint chunks, a pair within radius h shares >= 1) — the oracle is
     // literally the brute-force all-pairs hamming set, so this gate row IS
@@ -261,6 +277,15 @@ object TextQueries extends QueryModule {
     "q40_simhash_neardup" -> simhashMd5Sql(bits = 48, prefixBits = 8, maxHamming = 8),
 
     "q63_simhash_exact" -> simhashExactMd5Sql(bits = 48, maxHamming = 6),
+
+    "q64_token_count" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(MAX(len(regexp_extract_all(text,
+        |    '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS INTEGER) AS max_bpe
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the oracle computes the exact jaccard >= 0.6 pair set directly (no
     // LSH): with 8 bands × 2 rows the xxhash64 candidate pass misses a

@@ -56,6 +56,56 @@ class RestartSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("sliding count window ring buffer survives stop/restart") {
+    // windows straddle the crash: the kryo'd SlideBuf (count, wseq, ring)
+    // must come back from the checkpoint or windowSeq/content diverge
+    // from the batch oracle
+    val work = Files.createTempDirectory("graft_slide_restart")
+    val srcDir = work.resolve("src"); Files.createDirectory(srcDir)
+    val ckpt = work.resolve("ckpt").toString
+    val all = (0 until 11).map(i => KV(if (i % 3 == 0) "b" else "a", i.toLong))
+    val schema = all.toDS().schema
+    RestartSpec.slideResults.synchronized(RestartSpec.slideResults.clear())
+
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString).as[KV]
+      CountWindows.slidingStream(src)(_.k, _.v, size = 4, slide = 2)
+        .map(w => (w.key, w.windowSeq, w.events.map(_.v).mkString("|")))
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[(String, Long, String)], _: Long) =>
+            val rows = b.collect()
+            RestartSpec.slideResults.synchronized {
+              RestartSpec.slideResults ++= rows
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    all.take(6).toDS().write.parquet(srcDir.resolve("wave1").toString)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    val afterWave1 = RestartSpec.slideResults.synchronized(RestartSpec.slideResults.size)
+    q1.stop() // "crash"
+
+    all.drop(6).toDS().write.parquet(srcDir.resolve("wave2").toString)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got = RestartSpec.slideResults.synchronized(RestartSpec.slideResults.toSet)
+      val expect = CountWindows.slidingBatch(all.toDS())(_.k, _.v, 4, 2)
+        .collect().map(w => (w.key, w.windowSeq, w.events.map(_.v).mkString("|")))
+        .toSet
+      assert(got == expect, s"restart diverged:\n got=$got\n exp=$expect")
+      assert(afterWave1 < expect.size) // it genuinely resumed, not recomputed
+    } finally q2.stop()
+  }
+
   test("CEP partials survive stop/restart: match completes across the crash") {
     import graft.streaming.Cep._
     import java.sql.Timestamp
@@ -119,4 +169,5 @@ class RestartSpec extends SparkSpec {
   */
 object RestartSpec {
   val cepResults = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+  val slideResults = scala.collection.mutable.LinkedHashSet[(String, Long, String)]()
 }
