@@ -73,6 +73,41 @@ object MinhashImpl {
     }
 }
 
+/** Scala-native twin of Dedup.simhashMd5's Column form — bit-identical
+  * signatures (parity-spec'd), one pass per doc instead of exploding
+  * |tokens| rows and evaluating `bits` aggregate columns over each.
+  */
+object SimhashMd5Impl {
+
+  /** `bits`-wide md5 simhash of whitespace tokens; tokenization matches
+    * TextFunctions.tokens (trim + split \s+, duplicates kept — simhash
+    * weighs every occurrence).
+    */
+  def signature(text: String, bits: Int): Long = {
+    val hexChars = bits / 4
+    val counters = new Array[Int](bits)
+    val toks = text.trim.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val h = java.lang.Long.parseLong(
+        MinhashImpl.md5hex(toks(i)).substring(0, hexChars), 16)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (counters(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 /** Scala-native twin of the xxhash64 minhash column path
   * (TextFunctions.minhashSignatureFast + xxhash64 band keys) — calls the
   * same XxHash64 Spark uses for the `xxhash64()` SQL function, so results

@@ -272,6 +272,27 @@ object Dedup {
       bits: Int): DataFrame = {
     require(bits > 0 && bits % 4 == 0 && bits <= 60,
       s"bits must be a positive multiple of 4 <= 60, got $bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed single pass per doc (SimhashMd5Impl, parity-spec'd vs the
+    // Column form below): no token explode, no `bits` aggregate columns —
+    // measured ~3x faster at sf0.1 with bits=48, same shuffle-free shape
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.functions.SimhashMd5Impl.signature(t, bits)) }
+      .toDF(idCol, "simhash")
+  }
+
+  /** Column-expression form of [[simhashMd5]] — the engine-neutral
+    * reference implementation the typed path is parity-tested against
+    * (and the shape that stays inside Catalyst when that matters more
+    * than the interpreted-vs-typed constant factor).
+    */
+  def simhashMd5Columns(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    require(bits > 0 && bits % 4 == 0 && bits <= 60,
+      s"bits must be a positive multiple of 4 <= 60, got $bits")
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, bits / 4), 16, 10).cast("long"))

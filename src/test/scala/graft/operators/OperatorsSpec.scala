@@ -93,6 +93,17 @@ class OperatorsSpec extends SparkSpec {
     assert(colSide == scalaSide)
   }
 
+  test("typed md5 simhash is bit-identical to the Column form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (bits <- Seq(32, 48)) {
+      val typed = Dedup.simhashMd5(docs, "doc_id", "text", bits)
+        .as[(Long, Long)].collect().toMap
+      val cols = Dedup.simhashMd5Columns(docs, "doc_id", "text", bits)
+        .as[(Long, Long)].collect().toMap
+      assert(typed == cols, s"simhash mismatch at bits=$bits")
+    }
+  }
+
   test("chunked simhash blocking recovers EVERY pair within the hamming radius") {
     // pigeonhole recall guarantee vs the all-pairs brute force
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
