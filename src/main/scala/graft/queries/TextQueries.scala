@@ -143,7 +143,29 @@ object TextQueries extends QueryModule {
     // the recall-1 proof on the corpus.
     "q63_simhash_exact" -> ((spark, dir) =>
       Dedup.simhashNearDupsExactMd5(Tables.documents(spark, dir), "doc_id",
-        "text", maxHamming = 6, bits = 48))
+        "text", maxHamming = 6, bits = 48)),
+
+    // Flagship training-corpus selection pipeline — the composition a
+    // 100 TB data pipeline actually runs, end-to-end in one gate row:
+    // exact dedup (keep-first) -> MinHash+LSH near-dup removal (drop the
+    // larger id of each verified pair) -> quality gate (stopword ratio +
+    // length) -> per-language doc/token budget. Every stage is
+    // md5-reproducible, so the DuckDB oracle replays the whole pipeline.
+    "q65_corpus_select" -> ((spark, dir) => {
+      import spark.implicits._
+      val d0 = Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+      val nd = Dedup.minhashNearDups(d0, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, k = 8, bands = 4)
+      val kept = d0.join(nd.select($"id_b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      kept
+        .withColumn("nt", tokenCount($"text"))
+        .withColumn("ratio", stopwordRatio($"text", stops))
+        .filter($"n_chars" >= 100 && $"ratio".between(0.05, 0.6))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("tokens"))
+        .orderBy($"lang")
+    })
   )
 
   /** DuckDB mirror of Dedup.simhashMd5 + prefix-blocked hamming pairs —
@@ -273,6 +295,62 @@ object TextQueries extends QueryModule {
         |FROM documents""".stripMargin,
 
     "q50_simhash_md5" -> simhashMd5Sql(bits = 32, prefixBits = 8, maxHamming = 4),
+
+    // full pipeline replay: dedup -> shingles over the deduped set ->
+    // md5 minhash bands -> verified near-dup pairs -> drop id_b -> quality
+    // gate -> per-language budget
+    "q65_corpus_select" ->
+      s"""WITH ded AS (
+         |  SELECT doc_id, lang, text, n_chars FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |w AS (SELECT doc_id, lang, text, n_chars,
+         |        string_split_regex(trim(text), '\\s+') AS words FROM ded),
+         |shl AS (SELECT *, list_distinct(list_transform(
+         |          range(1, greatest(len(words) - 1, 1)),
+         |          i -> array_to_string(words[i:i+2], ' '))) AS shingles FROM w),
+         |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_min(list_transform(shingles, s -> md5('0#' || s))) AS m0,
+         |    list_min(list_transform(shingles, s -> md5('1#' || s))) AS m1,
+         |    list_min(list_transform(shingles, s -> md5('2#' || s))) AS m2,
+         |    list_min(list_transform(shingles, s -> md5('3#' || s))) AS m3,
+         |    list_min(list_transform(shingles, s -> md5('4#' || s))) AS m4,
+         |    list_min(list_transform(shingles, s -> md5('5#' || s))) AS m5,
+         |    list_min(list_transform(shingles, s -> md5('6#' || s))) AS m6,
+         |    list_min(list_transform(shingles, s -> md5('7#' || s))) AS m7
+         |  FROM shl),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5('0:' || m0 || ':' || m1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5('1:' || m2 || ':' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5('2:' || m4 || ':' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5('3:' || m6 || ':' || m7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN pr ON c.id_a = pr.id_a AND c.id_b = pr.id_b
+         |  JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+         |kept AS (
+         |  SELECT * FROM w WHERE doc_id NOT IN (SELECT id_b FROM nd)),
+         |q AS (
+         |  SELECT lang, n_chars, len(words) AS nt,
+         |    len(list_filter(words, x -> x IN ($stopsSql))) AS hits
+         |  FROM kept)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS tokens
+         |FROM q
+         |WHERE n_chars >= 100
+         |  AND CAST(hits AS DOUBLE) / CAST(nt AS DOUBLE) BETWEEN 0.05 AND 0.6
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q40_simhash_neardup" -> simhashMd5Sql(bits = 48, prefixBits = 8, maxHamming = 8),
 
