@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import graft.plans.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,46 @@ object Similarity {
     val q = withBucket(queries, "qid", "qv", "qn")
     val c = withBucket(corpus, "vid", "cv", "cn")
     val scored = c.join(broadcast(q), col("qv_bkt") === col("cv_bkt") &&
+        col("vid") =!= col("qid"))
+      .withColumn("cos_r",
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "cos_r")
+  }
+
+  /** Multi-probe variant of [[lshTopK]]: each query probes its own bucket
+    * PLUS the `planes` buckets at hamming distance 1 from its signature —
+    * the standard multi-probe LSH recall fix (a vector near one hyperplane
+    * is the dominant source of missed neighbors; flipping that bit reaches
+    * the bucket across the plane). The corpus index is untouched (one
+    * bucket per vector); only the small, broadcast query side fans out
+    * (planes+1)x, so the scan cost stays ~bucket-sized per probe. Each
+    * corpus vector has exactly one bucket, so a (query, candidate) pair
+    * matches at most one probe — no dedup pass needed.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 12,
+      roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    require(planes <= 30, s"int bucket packing supports <= 30 planes, got $planes")
+    def packed(sigArr: Column): Column =
+      (0 until planes).map(p => element_at(sigArr, p + 1) * lit(1 << p))
+        .reduce(_ + _)
+    def withBucket(df: DataFrame, id: String, v: String, n: String,
+        bkt: String): DataFrame =
+      df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(v))
+        .withColumn(n, GraftFunctions.norm(col(v)))
+        .withColumn(bkt,
+          packed(hyperplaneSignature(col(v), planes)))
+    val c = withBucket(corpus, "vid", "cv", "cn", "cb")
+    val q = withBucket(queries, "qid", "qv", "qn", "qb")
+      .withColumn("probe", explode(array(
+        col("qb") +: (0 until planes).map(p =>
+          col("qb").bitwiseXOR(lit(1 << p))): _*)))
+    val scored = c.join(broadcast(q), col("probe") === col("cb") &&
         col("vid") =!= col("qid"))
       .withColumn("cos_r",
         round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))

@@ -178,6 +178,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows.contains(0L) && rows.length <= 3)
   }
 
+  test("multi-probe LSH recall dominates single-probe and approaches brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val k = 5
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").as[(Long, Long)].collect().toSet
+    val planes = 4
+    val exact = hits(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k))
+    val single = hits(Similarity.lshTopK(q, e, "vec_id", "embedding", k, planes))
+    val multi = hits(Similarity.lshTopKMultiProbe(q, e, "vec_id", "embedding", k, planes))
+    def recall(got: Set[(Long, Long)]) =
+      (got intersect exact).size.toDouble / exact.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} < single ${recall(single)}")
+    // the multi-probe candidate set is a strict superset: with k = corpus
+    // size, everything single-probe returns must also be returned
+    val allSingle = hits(Similarity.lshTopK(q, e, "vec_id", "embedding",
+      500, planes))
+    val allMulti = hits(Similarity.lshTopKMultiProbe(q, e, "vec_id", "embedding",
+      500, planes))
+    assert(allSingle.subsetOf(allMulti))
+    assert(allMulti.size > allSingle.size,
+      "1-bit probes reached no extra buckets — multi-probe inert")
+  }
+
   test("IVF top-k: valid neighbors, and probing every cell recovers brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
