@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as first-class API, built by
+  * composition (custom-operator ladder tier (a) — no planner changes, so
+  * Catalyst still optimizes around them).
+  */
+object Relational {
+
+  /** As-of join: for each left row, the LATEST right row with
+    * `rightTs <= leftTs` on the same key (the time-series / temporal-table
+    * lookup; reference analog: Flink temporal joins and the
+    * interval-join family, scala/.../demo/orderpaydetect/TxMatch.scala).
+    *
+    * Shape: NOT a per-row range probe (a range join explodes to
+    * O(|L|·|R|/keys) pairs and often plans a broadcast-nested-loop) — the
+    * two sides are unioned, sorted per key by time, and the right payload
+    * propagates forward with `last(_, ignoreNulls)` over an unbounded
+    * preceding window. ONE shuffle on the key, linear work, no pair
+    * explosion: the same plan shape at 1 or 1000 executors.
+    *
+    * Ties: a right row at exactly `leftTs` matches (<=); right rows on
+    * identical (key, ts) resolve by the later row in `tieBreak` order.
+    * Left rows with no prior right row keep a null `payload`.
+    *
+    * @param left     probe side
+    * @param right    build side (its columns are packed into `payload`)
+    * @param keyCols  equality keys
+    * @param leftTs / rightTs  event-time columns (same comparable type)
+    * @param tieBreak extra ordering columns for deterministic resolution
+    *                 of equal timestamps (e.g. an id)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val rightPayload = struct(right.columns.map(col): _*)
+    val leftPayload = struct(left.columns.map(col): _*)
+    // tie-break columns ride along (must exist on both sides); keys are
+    // already projected. BOTH payloads travel through the union, so no
+    // join-back is needed afterwards — the whole operator is one shuffle
+    // (the window's partitioning) and zero joins.
+    val tb = tieBreak.filterNot(keyCols.contains)
+    // tag: right rows sort BEFORE left rows at the same timestamp so a
+    // same-instant right row is visible to the left row (<= semantics)
+    val r = right.select(
+      keyCols.map(col) ++ tb.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          rightPayload.as("__payload"),
+          lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields))
+            .as("__lrow")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++ tb.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(org.apache.spark.sql.types.StructType(right.schema.fields))
+            .as("__payload"),
+          leftPayload.as("__lrow")): _*)
+    val ordering: Seq[Column] =
+      col("__ts") +: col("__side") +: tieBreak.map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(lTagged)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*"), col("__asof").as("asof"))
+  }
+
+  /** One aggregate of [[Relational.saltedAgg]]: `op` in
+    * count|sum|min|max (the decomposable family — salt-invariant by
+    * algebra), `input` the source column ("*" for count(*)), `out` the
+    * output column name.
+    */
+  final case class Salted(op: String, input: String, out: String) {
+    require(Set("count", "sum", "min", "max")(op), s"non-decomposable op $op")
+    private[operators] def phase1: Column = (op match {
+      case "count" if input == "*" => count(lit(1))
+      case "count" => count(col(input))
+      case "sum" => sum(col(input))
+      case "min" => min(col(input))
+      case "max" => max(col(input))
+    }).as(s"__p_$out")
+    private[operators] def phase2: Column = (op match {
+      case "count" | "sum" => sum(col(s"__p_$out"))
+      case "min" => min(col(s"__p_$out"))
+      case "max" => max(col(s"__p_$out"))
+    }).as(out)
+  }
+
+  /** Two-phase salted aggregation — the skew-proof form of
+    * `df.groupBy(keys).agg(...)` when one key dominates (reference
+    * PageView.scala:48-59,106-109 keyless counting): phase 1 aggregates on
+    * (keys, random salt in [0, salts)), spreading a hot key over `salts`
+    * reducers; phase 2 re-aggregates the (|keys|·salts)-row partials.
+    * The result is salt-invariant, so it equals the unsalted aggregate
+    * (which is exactly what the q54 oracle checks for the inline form).
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
+      aggs: Seq[Salted], seed: Long = 42L): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate required")
+    val phase1 = df
+      .withColumn("__salt", (rand(seed) * salts).cast("int"))
+      .groupBy(keyCols.map(col) :+ col("__salt"): _*)
+      .agg(aggs.head.phase1, aggs.tail.map(_.phase1): _*)
+    phase1.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head.phase2, aggs.tail.map(_.phase2): _*)
+  }
+}

@@ -193,22 +193,24 @@ object ExtendedQueries extends QueryModule {
       s.sql(SqlText.q36)
     }),
 
-    // As-of join by composition (custom-operator ladder tier (a)): for
-    // each purchase, the user's latest signup at-or-before it — a running
-    // max over the unioned, time-ordered event sequence instead of a
-    // per-row range probe. One shuffle on user_id; no join explosion.
+    // As-of join through the library operator (custom-operator ladder
+    // tier (a)): for each purchase, the user's latest signup at-or-before
+    // it. Relational.asOfJoin unions the sides and propagates the right
+    // payload with last() over a per-key time window — one shuffle on
+    // user_id, no range-probe pair explosion.
     "q47_asof_join" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"ts", $"event_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.events(s, dir)
-        .filter($"event_type".isin("signup", "purchase"))
-        .withColumn("asof_signup_sec",
-          max(when($"event_type" === "signup", epochS($"ts"))).over(w))
-        .filter($"event_type" === "purchase" && $"asof_signup_sec".isNotNull)
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts", $"event_id")
+      graft.operators.Relational.asOfJoin(purchases, signups,
+          Seq("user_id"), "ts", "ts", tieBreak = Seq("event_id"))
+        .filter($"asof".isNotNull)
         .select($"user_id", $"event_id".as("purchase_id"),
-          epochS($"ts").as("purchase_sec"), $"asof_signup_sec")
+          epochS($"ts").as("purchase_sec"),
+          epochS($"asof.ts").as("asof_signup_sec"))
     }),
 
     // Exact dedup keeping the smallest id per identical payload
@@ -377,12 +379,17 @@ object ExtendedQueries extends QueryModule {
         |  MIN(coalesce(nullif(o_orderpriority, '5-LOW'), 'ZZZ')) AS min_prio
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // ordering mirrors Relational.asOfJoin: at equal ts the signup (right
+    // side) sorts first, so a same-instant signup matches (<= semantics)
     "q47_asof_join" ->
       s"""WITH $eventsUs,
          |x AS (
          |  SELECT user_id, event_id, ts, event_type,
          |    MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) // 1000000 END)
-         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      OVER (PARTITION BY user_id
+         |            ORDER BY ts,
+         |              CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+         |              event_id
          |            ROWS UNBOUNDED PRECEDING) AS asof_signup_sec
          |  FROM ev WHERE event_type IN ('signup', 'purchase'))
          |SELECT user_id, event_id AS purchase_id,

@@ -89,12 +89,11 @@ object PipelineQueries extends QueryModule {
     // same physics at 100 TB). Result is salt-invariant by construction.
     "q54_salted_agg" -> ((s, dir) => {
       import s.implicits._
-      val salted = Tables.events(s, dir).filter($"event_type" === "view")
-        .withColumn("salt", (rand(42) * 16).cast("int"))
-        .groupBy(window($"ts", "1 hour"), $"salt")
-        .agg(count(lit(1)).as("partial"))
-      salted.groupBy($"window")
-        .agg(sum($"partial").as("pv"))
+      graft.operators.Relational.saltedAgg(
+          Tables.events(s, dir).filter($"event_type" === "view")
+            .withColumn("window", window($"ts", "1 hour")),
+          keyCols = Seq("window"), salts = 16,
+          aggs = Seq(graft.operators.Relational.Salted("count", "*", "pv")))
         .select($"window.start".cast("long").as("w_start"), $"pv")
     }),
 

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val trades = Seq( // (sym, trade_id, t)
+      ("A", 1L, 10L), ("A", 2L, 25L), ("A", 3L, 30L), ("B", 4L, 10L)
+    ).toDF("sym", "trade_id", "t")
+    val quotes = Seq( // (sym, t, px)
+      ("A", 5L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0), ("B", 50L, 9.0)
+    ).toDF("sym", "t", "px")
+    val out = Relational.asOfJoin(trades, quotes, Seq("sym"), "t", "t")
+      .select($"trade_id", $"asof.px".as("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0)) // quote@5 <= trade@10
+    assert(out(2L).contains(2.0)) // quote@20 <= trade@25
+    assert(out(3L).contains(3.0)) // same-instant quote matches (<=)
+    assert(out(4L).isEmpty)       // no quote at-or-before trade@10 for B
+  }
+
+  test("asOfJoin left rows without a match keep all left columns") {
+    val l = Seq(("k", 1L, "keepme")).toDF("k", "t", "extra")
+    val r = Seq(("k", 5L, 1.0)).toDF("k", "t", "v") // only AFTER the left row
+    val out = Relational.asOfJoin(l, r, Seq("k"), "t", "t").collect()
+    assert(out.length == 1 && out.head.getAs[String]("extra") == "keepme")
+    assert(out.head.getAs[Any]("asof") == null)
+  }
+
+  test("saltedAgg equals the unsalted aggregate (salt-invariance)") {
+    val df = Seq.tabulate(1000)(i => (s"k${i % 3}", i.toLong))
+      .toDF("k", "v")
+    val salted = Relational.saltedAgg(df, Seq("k"), salts = 8, aggs = Seq(
+        Relational.Salted("count", "*", "n"),
+        Relational.Salted("sum", "v", "total"),
+        Relational.Salted("min", "v", "lo"),
+        Relational.Salted("max", "v", "hi")))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val plain = df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("total"),
+        min($"v").as("lo"), max($"v").as("hi"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("saltedAgg rejects non-decomposable ops") {
+    intercept[IllegalArgumentException] {
+      Relational.Salted("avg", "v", "a")
+    }
+  }
+}
