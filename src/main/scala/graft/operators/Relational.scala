@@ -68,6 +68,48 @@ object Relational {
       .select(col("__lrow.*"), col("__asof").as("asof"))
   }
 
+  /** Range join WITHOUT an equality key: one output row per (left, right)
+    * pair with `left.leftTs` in `[right.loCol, right.hiCol]`. Naive Spark
+    * plans this as BroadcastNestedLoopJoin / cartesian — O(|L|·|R|)
+    * comparisons. Bucketing turns it into an equi-join: time is quantized
+    * to `bucketWidth` (seconds for timestamp columns), each right interval
+    * explodes to the buckets it covers, each left row carries its single
+    * bucket, and the bucket equi-join shuffle-partitions both sides; the
+    * exact range predicate filters inside the join. A left row matches an
+    * interval in exactly one bucket (its own), so no dedup pass.
+    *
+    * Pick `bucketWidth` near the typical interval length: per-right-row
+    * explode factor is len/bucketWidth + 1 (guard against accidental
+    * explosion with `maxBucketsPerRow` — oversized intervals fail fast
+    * instead of OOMing an executor).
+    *
+    * Output: all left columns + the matched right row packed as `r`.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
+      loCol: String, hiCol: String, bucketWidth: Long,
+      maxBucketsPerRow: Int = 1024): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val rightPayload = struct(right.columns.map(col): _*)
+    def bkt(c: Column): Column = floor(c.cast("long") / bucketWidth).cast("long")
+    val r = right
+      .withColumn("__lo_b", bkt(col(loCol)))
+      // the guard sits in the sequence's data path (a detached check
+      // column would be pruned away unevaluated)
+      .withColumn("__hi_b",
+        when(bkt(col(hiCol)) - col("__lo_b") < maxBucketsPerRow, bkt(col(hiCol)))
+          .otherwise(raise_error(lit(
+            s"rangeJoin: interval spans >= $maxBucketsPerRow buckets — " +
+              "raise bucketWidth or split the interval")).cast("long")))
+      .select(rightPayload.as("__r"),
+        explode(sequence(col("__lo_b"), col("__hi_b"))).as("__bkt"))
+    val l = left.withColumn("__bkt", bkt(col(leftTs)))
+    l.join(r, Seq("__bkt"))
+      .filter(col(leftTs) >= col("__r").getField(loCol) &&
+        col(leftTs) <= col("__r").getField(hiCol))
+      .drop("__bkt")
+      .withColumnRenamed("__r", "r")
+  }
+
   /** One aggregate of [[Relational.saltedAgg]]: `op` in
     * count|sum|min|max (the decomposable family — salt-invariant by
     * algebra), `input` the source column ("*" for count(*)), `out` the

@@ -97,6 +97,30 @@ object PipelineQueries extends QueryModule {
         .select($"window.start".cast("long").as("w_start"), $"pv")
     }),
 
+    // Pure range join (NO equality key) through the bucketed library
+    // operator: purchases landing inside any "hot hour" promo interval
+    // (hour with >= 2 views, padded 15 min both sides). Naive Spark plans
+    // a nested-loop here; Relational.rangeJoin quantizes time to buckets
+    // and equi-joins (RelationalSpec gates the plan).
+    "q66_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val hot = ev.filter($"event_type" === "view")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("views"))
+        .filter($"views" >= 2)
+        .select(epochS($"w.start").as("h_start"),
+          (epochS($"w.start") - 900).as("lo"),
+          (epochS($"w.end") + 900).as("hi"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", epochS($"ts").as("t"))
+      graft.operators.Relational.rangeJoin(purchases, hot, "t", "lo", "hi",
+          bucketWidth = 3600)
+        .groupBy($"r.h_start".as("h_start"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy($"h_start")
+    }),
+
     // WordCount over the documents corpus (explode + groupBy; update mode
     // in the streaming form).
     "q55_wordcount" -> ((s, dir) =>
@@ -240,6 +264,19 @@ object PipelineQueries extends QueryModule {
       s"""WITH $eventsUs
          |SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start, COUNT(*) AS pv
          |FROM ev WHERE event_type = 'view' GROUP BY 1""".stripMargin,
+
+    "q66_range_join" ->
+      s"""WITH $eventsUs,
+         |hot AS (
+         |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS h_start
+         |  FROM ev WHERE event_type = 'view'
+         |  GROUP BY 1 HAVING COUNT(*) >= 2),
+         |p AS (SELECT epoch_us(ts) // 1000000 AS t FROM ev
+         |      WHERE event_type = 'purchase')
+         |SELECT h.h_start, COUNT(*) AS n_purchases
+         |FROM hot h JOIN p
+         |  ON p.t >= h.h_start - 900 AND p.t <= h.h_start + 4500
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q55_wordcount" ->
       """SELECT t AS word, COUNT(*) AS cnt FROM (

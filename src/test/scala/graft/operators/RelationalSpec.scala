@@ -30,6 +30,36 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getAs[Any]("asof") == null)
   }
 
+  test("rangeJoin equals the naive cross-filter and never plans a cartesian") {
+    val left = Seq.tabulate(200)(i => (i.toLong, i.toLong * 7 % 500))
+      .toDF("lid", "t")
+    val right = Seq.tabulate(40)(j =>
+      (j.toLong, (j * 13 % 400).toLong, (j * 13 % 400 + 25).toLong))
+      .toDF("rid", "lo", "hi")
+    val out = Relational.rangeJoin(left, right, "t", "lo", "hi",
+      bucketWidth = 20)
+    out.collect() // materialize for the AQE-final plan
+    val got = out.select($"lid", $"r.rid").as[(Long, Long)].collect().toSet
+    val naive = left.crossJoin(right)
+      .filter($"t" >= $"lo" && $"t" <= $"hi")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got == naive, s"rangeJoin mismatch: ${got.size} vs ${naive.size}")
+    assert(naive.nonEmpty)
+    val p = out.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join planned a pair explosion:\n$p")
+  }
+
+  test("rangeJoin fails fast on an interval spanning too many buckets") {
+    val left = Seq((1L, 5L)).toDF("lid", "t")
+    val right = Seq((1L, 0L, 1000000L)).toDF("rid", "lo", "hi")
+    val ex = intercept[Exception] {
+      Relational.rangeJoin(left, right, "t", "lo", "hi", bucketWidth = 10,
+        maxBucketsPerRow = 100).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("saltedAgg equals the unsalted aggregate (salt-invariance)") {
     val df = Seq.tabulate(1000)(i => (s"k${i % 3}", i.toLong))
       .toDF("k", "v")
