@@ -150,6 +150,21 @@ object ExtendedQueries extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Bounded-memory percentile sketch vs exact (completes the sketch
+    // family: HLL q56, bloom q43, quantile here) — the q43 gate pattern:
+    // the oracle supplies exact + TRUE, the estimate must land within 1%.
+    "q67_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"))
+        .select($"l_returnflag", $"exact_p50",
+          (abs($"ap" - $"exact_p50") <= abs($"exact_p50") * 0.01).as("approx_ok"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Array aggregation + array functions.
     "q38_array_agg" -> ((s, dir) => {
       import s.implicits._
@@ -363,6 +378,12 @@ object ExtendedQueries extends QueryModule {
         |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q67_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q38_array_agg" ->

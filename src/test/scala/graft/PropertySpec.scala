@@ -117,4 +117,32 @@ class PropertySpec extends SparkSpec {
       assert(sa.zip(sb).forall { case (x, y) => y <= x })
     }
   }
+
+  test("bucketed rangeJoin == cross-filter on random intervals (incl. negatives)") {
+    val caseGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)], Long)] = for {
+      nl <- Gen.choose(0, 40)
+      lefts <- Gen.listOfN(nl, for {
+        id <- Gen.choose(0L, 1000L); t <- Gen.choose(-200L, 200L)
+      } yield (id, t))
+      nr <- Gen.choose(0, 15)
+      rights <- Gen.listOfN(nr, for {
+        id <- Gen.choose(0L, 1000L)
+        lo <- Gen.choose(-220L, 180L)
+        len <- Gen.choose(0L, 60L)
+      } yield (id, lo, lo + len))
+      bw <- Gen.oneOf(7L, 20L, 100L)
+    } yield (lefts, rights, bw)
+    samples(caseGen, 6).foreach { case (lefts, rights, bw) =>
+      val l = lefts.zipWithIndex.map { case ((id, t), i) => (i.toLong, id, t) }
+        .toDF("lrow", "lid", "t")
+      val r = rights.zipWithIndex.map { case ((id, lo, hi), i) => (i.toLong, id, lo, hi) }
+        .toDF("rrow", "rid", "lo", "hi")
+      val got = graft.operators.Relational.rangeJoin(l, r, "t", "lo", "hi", bw)
+        .select($"lrow", $"r.rrow").as[(Long, Long)].collect().toSet
+      val naive = l.crossJoin(r).filter($"t" >= $"lo" && $"t" <= $"hi")
+        .select($"lrow", $"rrow").as[(Long, Long)].collect().toSet
+      assert(got == naive,
+        s"rangeJoin(bw=$bw) diverged: got=${got.size} naive=${naive.size}")
+    }
+  }
 }
