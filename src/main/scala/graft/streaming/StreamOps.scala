@@ -237,6 +237,56 @@ object StreamOps {
       ()
     }
 
+  /** One emission of [[earlyFinalWindowCount]]: `kind` = "early" (running
+    * result, every micro-batch the window receives data — the reference's
+    * 1s early-fire trigger at micro-batch granularity) or "final"
+    * (watermark closed the window; state purged — FIRE_AND_PURGE).
+    */
+  case class WinFire(key: String, windowStart: Long, cnt: Long, kind: String)
+
+  /** Custom-trigger window semantics (reference
+    * scala/.../streamingwithflink/_07_CustomWindows.scala:76-117: early
+    * fire every second, FIRE_AND_PURGE on window close) — the exact
+    * control Spark's built-in windowed aggregation doesn't expose, built
+    * on flatMapGroupsWithState keyed by (key, window):
+    *  - every micro-batch with data for a window emits an "early" running
+    *    count (update-style preview in an append stream);
+    *  - an event-time timeout at window end fires the "final" count and
+    *    REMOVES the state (purge — state is bounded by open windows only).
+    * Caller must set a watermark on the source; window end at-or-behind
+    * the watermark finalizes immediately (late-but-within-delay data).
+    */
+  def earlyFinalWindowCount[E](ds: Dataset[E])(keyFn: E => String,
+      tsMs: E => Long, windowMs: Long): Dataset[WinFire] = {
+    implicit val ke: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val oe: Encoder[WinFire] = Encoders.product[WinFire]
+    implicit val se: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(e => (keyFn(e), math.floorDiv(tsMs(e), windowMs) * windowMs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (kw: (String, Long), it: Iterator[E], state: GroupState[Long]) =>
+          val (key, winStart) = kw
+          if (state.hasTimedOut) {
+            val c = state.get
+            state.remove()
+            Iterator(WinFire(key, winStart, c, "final"))
+          } else {
+            val c = state.getOption.getOrElse(0L) + it.size
+            state.update(c)
+            val fireAt = winStart + windowMs
+            if (fireAt > state.getCurrentWatermarkMs()) {
+              state.setTimeoutTimestamp(fireAt)
+              Iterator(WinFire(key, winStart, c, "early"))
+            } else {
+              // window already closed by the watermark: purge immediately
+              state.remove()
+              Iterator(WinFire(key, winStart, c, "final"))
+            }
+          }
+      }
+  }
+
   /** Queryable state (reference
     * java/.../state/QueryableStateDemo.java:29,66: a running keyed
     * aggregate exposed to external point queries via

@@ -39,6 +39,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally StreamOps.setMultipleWatermarkPolicy(spark, "min")
   }
 
+  test("early-fire window count: early previews per batch, FIRE_AND_PURGE on close") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Reading]
+    val src = ms.toDS().withWatermark("ts", "0 seconds").as[Reading]
+    val out = StreamOps.earlyFinalWindowCount(src)(_.id, _.ts.getTime, 10000L)
+    val q = out.writeStream.format("memory").queryName("ef_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Reading("a", t(1), 0), Reading("a", t(2), 0))
+      q.processAllAvailable()
+      ms.addData(Reading("a", t(4), 0)) // same window, next batch
+      q.processAllAvailable()
+      val early = spark.table("ef_out").as[StreamOps.WinFire].collect()
+      // two early previews for window [0,10s): 2 then 3
+      assert(early.filter(_.kind == "early").map(_.cnt).sorted.toSeq == Seq(2L, 3L))
+      assert(!early.exists(_.kind == "final"))
+      ms.addData(Reading("a", t(15), 0)) // watermark -> 15s: closes [0,10)
+      q.processAllAvailable()
+      ms.addData(Reading("a", t(16), 0)) // next batch processes the timer
+      q.processAllAvailable()
+      val fires = spark.table("ef_out").as[StreamOps.WinFire].collect()
+      val finals = fires.filter(f => f.kind == "final" && f.windowStart == 0L)
+      assert(finals.length == 1 && finals.head.cnt == 3L,
+        s"expected one final(cnt=3) for [0,10s), got ${fires.toSeq}")
+      // purge: only the open [10,20s) window may hold state
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1, s"closed-window state not purged: $stateRows")
+    } finally q.stop()
+  }
+
   test("queryable state: the view serves the latest per-key state after each batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Reading]
