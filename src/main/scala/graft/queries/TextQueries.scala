@@ -145,6 +145,28 @@ object TextQueries extends QueryModule {
       Dedup.simhashNearDupsExactMd5(Tables.documents(spark, dir), "doc_id",
         "text", maxHamming = 6, bits = 48)),
 
+    // Consistent (hash-ordered) per-language sample: deterministic across
+    // runs/engines and stable under appends — the sampling a multi-week
+    // training run can rely on (operators.Sampling).
+    "q68_consistent_sample" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sampling.consistentSamplePerGroup(
+          Tables.documents(spark, dir), Seq("lang"), "doc_id", n = 5)
+        .select($"lang", $"doc_id")
+        .orderBy($"lang", $"doc_id")
+    }),
+
+    // Deterministic train/val/test split by id hash: same id -> same
+    // split, forever and across tables; counts per (lang, split).
+    "q69_split_by_hash" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sampling.splitByHash(Tables.documents(spark, dir),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"))
+        .orderBy($"lang", $"split")
+    }),
+
     // Flagship training-corpus selection pipeline — the composition a
     // 100 TB data pipeline actually runs, end-to-end in one gate row:
     // exact dedup (keep-first) -> MinHash+LSH near-dup removal (drop the
@@ -355,6 +377,30 @@ object TextQueries extends QueryModule {
     "q40_simhash_neardup" -> simhashMd5Sql(bits = 48, prefixBits = 8, maxHamming = 8),
 
     "q63_simhash_exact" -> simhashExactMd5Sql(bits = 48, maxHamming = 6),
+
+    "q68_consistent_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // bounds for (0.8, 0.1, 0.1) over 10000 buckets: 8000, 9000, 10000
+    "q69_split_by_hash" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents),
+        |lab AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN b < 8000 THEN 'train'
+        |         WHEN b < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM s)
+        |SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "q64_token_count" ->
       """SELECT lang, COUNT(*) AS n_docs,

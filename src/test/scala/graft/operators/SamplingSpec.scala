@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("consistent sample is stable under appends (membership only shrinks by better hashes)") {
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val sHalf = Sampling.consistentSamplePerGroup(half, Seq("lang"), "doc_id", 3)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    val sFull = Sampling.consistentSamplePerGroup(docs, Seq("lang"), "doc_id", 3)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    // every full-corpus pick present in the half corpus was picked there too
+    val fullPicksInHalf = sFull.filter { case (_, id) => id % 2 == 0 }
+    // a half-corpus pick can only be evicted by a smaller-hash newcomer;
+    // picks that survive are exactly the full picks restricted to half
+    assert(fullPicksInHalf.subsetOf(sHalf))
+    // and sizes are exact: min(3, group size)
+    val sizes = Sampling.consistentSamplePerGroup(docs, Seq("lang"), "doc_id", 3)
+      .groupBy($"lang").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 3) && sizes.nonEmpty)
+  }
+
+  test("splitByHash is total, deterministic, and roughly proportional") {
+    val out = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.filter($"split".isNull).count() == 0)
+    val counts = out.groupBy($"split").count().as[(String, Long)]
+      .collect().toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.6, s"train share off: $counts")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // determinism: same assignment on re-computation
+    val again = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    val first = out.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toSet
+    assert(first == again)
+  }
+
+  test("splitByHash weights normalize (2:1:1 == 0.5:0.25:0.25)") {
+    val a = Sampling.splitByHash(docs, "doc_id",
+      Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    val b = Sampling.splitByHash(docs, "doc_id",
+      Seq("x" -> 0.5, "y" -> 0.25, "z" -> 0.25))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+}
