@@ -35,6 +35,18 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** ALL n-word shingles in order, duplicates kept — the form repetition
+    * metrics need (dedup'd shingles would hide exactly the signal).
+    */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** MinHash signature: k independent hash functions simulated as
     * md5(i # shingle); the signature component is the lexicographic min of
     * the fixed-width hex digests (hex-string min == numeric min).

@@ -145,6 +145,32 @@ object TextQueries extends QueryModule {
       Dedup.simhashNearDupsExactMd5(Tables.documents(spark, dir), "doc_id",
         "text", maxHamming = 6, bits = 48)),
 
+    // Repetition-based quality signals (the Gopher-style rep filters):
+    // within-doc duplicate-word mass and the share of the most frequent
+    // bigram. All sums are exact integers — the per-language ratios
+    // divide two exact sums, so the compare is order-independent.
+    "q70_rep_quality" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val base = docs.select($"doc_id", $"lang",
+          tokenCount($"text").as("nt"),
+          size(array_distinct(tokens($"text"))).as("nd"))
+      val bigrams = docs.select($"doc_id",
+          explode(wordShinglesAll($"text", 2)).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_bigram"), sum($"c").as("n_bigrams"))
+      base.join(bigrams, Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(sum($"nt").as("sum_tokens"),
+          sum($"nd").as("sum_distinct"),
+          round(lit(1.0) - sum($"nd").cast("double") / sum($"nt").cast("double"), 6)
+            .as("dup_frac"),
+          sum(coalesce($"top_bigram", lit(0L))).as("sum_top_bigram"),
+          sum(coalesce($"n_bigrams", lit(0L))).as("sum_bigrams"))
+        .orderBy($"lang")
+    }),
+
     // Consistent (hash-ordered) per-language sample: deterministic across
     // runs/engines and stable under appends — the sampling a multi-week
     // training run can rely on (operators.Sampling).
@@ -377,6 +403,32 @@ object TextQueries extends QueryModule {
     "q40_simhash_neardup" -> simhashMd5Sql(bits = 48, prefixBits = 8, maxHamming = 8),
 
     "q63_simhash_exact" -> simhashExactMd5Sql(bits = 48, maxHamming = 6),
+
+    "q70_rep_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt,
+        |    len(list_distinct(string_split_regex(trim(text), '\s+'))) AS nd
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |bgl AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(ws), 1)),
+        |      i -> array_to_string(ws[i:i+1], ' '))) AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+        |        FROM bgc GROUP BY doc_id)
+        |SELECT b.lang,
+        |  CAST(SUM(b.nt) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(b.nd) AS BIGINT) AS sum_distinct,
+        |  ROUND(1.0 - CAST(SUM(b.nd) AS DOUBLE) / CAST(SUM(b.nt) AS DOUBLE), 6)
+        |    AS dup_frac,
+        |  CAST(SUM(COALESCE(a.top_bigram, 0)) AS BIGINT) AS sum_top_bigram,
+        |  CAST(SUM(COALESCE(a.n_bigrams, 0)) AS BIGINT) AS sum_bigrams
+        |FROM base b LEFT JOIN bga a ON b.doc_id = a.doc_id
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
     "q68_consistent_sample" ->
       """SELECT lang, doc_id FROM (
