@@ -86,6 +86,33 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding count window + early-fire windows run under RocksDB (kryo state round-trips)") {
+    // the newer flatMapGroupsWithState ops keep kryo'd case-class state —
+    // prove it survives the RocksDB provider, not just the in-memory one
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+    import rocks.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val out = CountWindows.slidingStream(ms.toDS())(_._1, _._2, size = 4, slide = 2)
+      .map(w => (w.key, w.windowSeq, w.events.map(_._2).sum))
+    val q = out.writeStream.format("memory").queryName("rocks_slide")
+      .outputMode("append").start()
+    try {
+      ms.addData((0 until 7).map(i => ("k", i.toLong)): _*)
+      q.processAllAvailable()
+      ms.addData((7 until 9).map(i => ("k", i.toLong)): _*)
+      q.processAllAvailable()
+      val got = rocks.table("rocks_slide").as[(String, Long, Long)]
+        .collect().toSet
+      val exp = CountWindows.slidingBatch(
+          (0 until 9).map(i => ("k", i.toLong)).toDS())(_._1, _._2, 4, 2)
+        .collect().map(w => (w.key, w.windowSeq, w.events.map(_._2).sum)).toSet
+      assert(got == exp)
+    } finally q.stop()
+  }
+
   test("streaming agg under RocksDB state store matches in-memory provider") {
     val rocks = spark.newSession()
     rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
