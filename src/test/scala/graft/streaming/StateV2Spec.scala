@@ -57,4 +57,28 @@ class StateV2Spec extends SparkSpec {
       assert(rows == Seq(12000L, 15000L)) // both timers fired for one key
     } finally q.stop()
   }
+
+  test("deadline already behind the watermark fires synchronously, not silently dropped") {
+    val s = rocks
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[Reading](s)
+    val src = ms.toDS().withWatermark("ts", "0 seconds").as[Reading]
+    // deadline = event time MINUS a minute: an on-time event can carry a
+    // deadline already behind the watermark (e.g. re-processing a backlog)
+    val fires = StateV2.multiTimers(src)(_.id, _.ts.getTime - 60000L)
+    val q = fires.toDF("key", "deadlineMs").writeStream.format("memory")
+      .queryName("twslate").outputMode("append").start()
+    try {
+      ms.addData(Reading("w", new Timestamp(100000L), 0)) // watermark -> 100s
+      q.processAllAvailable()
+      // on-time event at 150s, deadline 90s < watermark 100s — a
+      // registered timer would never fire; the Fire must come out NOW
+      ms.addData(Reading("b", new Timestamp(150000L), 0))
+      q.processAllAvailable()
+      val got = s.table("twslate").as[(String, Long)].collect()
+        .filter(_._1 == "b").map(_._2).toSeq
+      assert(got == Seq(90000L), s"past-watermark deadline lost: $got")
+    } finally q.stop()
+  }
 }
