@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the unbounded form of
+  * [[graft.operators.Dedup.minhashNearDupsFast]]: each arriving document
+  * is shingled and minhashed (xxhash64, typed single pass); every LSH
+  * band key is "claimed" by the first document that carries it, and any
+  * later document hitting a claimed band within the event-time horizon is
+  * flagged as a near-dup candidate of the claimant.
+  *
+  * Scale shape: state = ONE small entry per distinct band key seen within
+  * `horizonMs`, GC'd by event-time timeout — bounded by the (deduped)
+  * document arrival rate times bands, NOT by stream length. One shuffle
+  * on the band key (hash-valued — uniform).
+  *
+  * Semantics: candidates, exactly like the batch LSH pass — a production
+  * pipeline either trusts the LSH probability bound (bands of >= 2 rows)
+  * or verifies candidates downstream against the claimant's text.
+  * The watermark is applied INSIDE the operator (`wmDelay` on the doc
+  * event time) — a caller-side watermark would not survive the typed
+  * banding flatMap.
+  */
+object StreamDedup {
+
+  /** One flagged candidate: `dupId` collided with `firstId`'s band `band`. */
+  case class NearDupHit(dupId: Long, firstId: Long, band: Int)
+
+  /** Band-key claim state (public: product-encoded in the state store). */
+  case class Claim(firstId: Long)
+
+  def nearDupCandidates[E](docs: Dataset[E])(idOf: E => Long,
+      textOf: E => String, tsOf: E => Timestamp,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      horizonMs: Long = 24L * 3600 * 1000,
+      wmDelay: String = "0 seconds"): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val ce: Encoder[Claim] = Encoders.product[Claim]
+    val rows = k / bands
+    // doc -> (bandKey, band, docId, eventTime); docs with no shingles
+    // cannot collide and emit nothing
+    val banded = docs.flatMap { e =>
+      val sh = graft.functions.MinhashImpl.shingles(textOf(e), shingleN)
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val sig = graft.functions.XxMinhashImpl.signature(sh, k)
+        graft.functions.XxMinhashImpl.bandKeys(sig, bands, rows)
+          .iterator.zipWithIndex.map { case (bk, b) =>
+            (bk, b, idOf(e), tsOf(e))
+          }
+      }
+    }.toDF("bkey", "band", "id", "ts")
+      .withWatermark("ts", wmDelay)
+      .as[(Long, Int, Long, Timestamp)]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Int), it: Iterator[(Long, Int, Long, Timestamp)],
+            state: GroupState[Claim]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = List.newBuilder[NearDupHit]
+            var claim = state.getOption
+            var maxTs = Long.MinValue
+            // deterministic in-batch order: by (ts, id)
+            it.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach { case (_, b, id, ts) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              claim match {
+                case None => claim = Some(Claim(id))
+                case Some(c) if c.firstId != id => out += NearDupHit(id, c.firstId, b)
+                case _ => ()
+              }
+            }
+            claim.foreach(state.update)
+            // GC the claim once the watermark passes the horizon; a claim
+            // whose horizon is already behind the watermark is dropped on
+            // the spot (setTimeoutTimestamp must exceed the watermark)
+            val fireAt = maxTs + horizonMs
+            if (fireAt > state.getCurrentWatermarkMs())
+              state.setTimeoutTimestamp(fireAt)
+            else state.remove()
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class Doc(id: Long, text: String, ts: Timestamp)
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(sec: Long) = new Timestamp(sec * 1000L)
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("streaming near-dup flags later copies against the first claimant, state GC'd by horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val hits = StreamDedup.nearDupCandidates(ms.toDS())(_.id, _.text, _.ts,
+      horizonMs = 60000L)
+    val q = hits.writeStream.format("memory").queryName("sdd_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Doc(1, base, t(10)), Doc(50, "totally different words entirely unrelated content here now", t(11)))
+      q.processAllAvailable()
+      assert(spark.table("sdd_out").count() == 0) // two distinct docs, no hits
+      ms.addData(Doc(2, base, t(20))) // exact copy of doc 1 -> all bands collide
+      q.processAllAvailable()
+      val hit = spark.table("sdd_out").as[StreamDedup.NearDupHit].collect()
+      assert(hit.nonEmpty && hit.forall(h => h.dupId == 2L && h.firstId == 1L))
+      // near-copy (one word changed): most bands still collide
+      ms.addData(Doc(3, base.replace("lazy", "sleepy"), t(25)))
+      q.processAllAvailable()
+      val h3 = spark.table("sdd_out").as[StreamDedup.NearDupHit].collect()
+        .filter(_.dupId == 3L)
+      assert(h3.nonEmpty && h3.forall(_.firstId == 1L))
+      // jump the watermark past the horizon: claims are GC'd, so a fresh
+      // copy becomes the NEW claimant instead of being flagged
+      ms.addData(Doc(90, "advance the watermark far beyond every horizon boundary", t(200)))
+      q.processAllAvailable()
+      ms.addData(Doc(4, base, t(210)))
+      q.processAllAvailable()
+      assert(!spark.table("sdd_out").as[StreamDedup.NearDupHit].collect()
+        .exists(_.dupId == 4L), "expired claim still flagged doc 4")
+      // and the state is bounded: only recent claims remain
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3 * 8 + 8, s"claims not GC'd: $stateRows state rows")
+    } finally q.stop()
+  }
+
+  test("streaming candidates agree with the batch fast path on the same corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      Doc(1, base, t(10)),
+      Doc(2, base + " extra", t(20)),
+      Doc(7, "some other totally distinct document about spark physical plans", t(30)),
+      Doc(9, base, t(40)))
+    val ms = MemoryStream[Doc]
+    val hits = StreamDedup.nearDupCandidates(ms.toDS())(_.id, _.text, _.ts)
+    val q = hits.writeStream.format("memory").queryName("sdd_par")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d => ms.addData(d); q.processAllAvailable() }
+      // the streaming op flags AGAINST THE FIRST CLAIMANT (dedup
+      // semantics), so compare the flagged-doc set: every doc that batch
+      // LSH pairs with an earlier doc must be flagged, and nothing else
+      // (arrival order == id order here)
+      val streamDups = spark.table("sdd_par").as[StreamDedup.NearDupHit]
+        .collect().map(_.dupId).toSet
+      val batchDups = graft.operators.Dedup.minhashCandidatesFast(
+          docs.toDF(), "id", "text")
+        .as[(Long, Long)].collect().map(p => math.max(p._1, p._2)).toSet
+      assert(streamDups == batchDups,
+        s"stream $streamDups != batch $batchDups")
+    } finally q.stop()
+  }
+}
