@@ -101,12 +101,18 @@ object StreamingApps {
             var s = state.getOption.getOrElse(ClickState(-1L, 0L, warned = false))
             it.toSeq.sortBy(_.ts.getTime).foreach { c =>
               val day = c.ts.getTime / dayMs
-              if (day != s.daySec) s = ClickState(day, 0L, warned = false)
-              s = s.copy(count = s.count + 1)
-              if (s.count > threshold && !s.warned) {
-                s = s.copy(warned = true)
-                out += BlackListUserWarning(key._1, key._2,
-                  s"click over $threshold times today")
+              // only a LATER day rolls the counter over; a late click from
+              // an earlier day (admitted by wmDelay) must not wipe the
+              // current day's count + warned flag — it belongs to a day
+              // whose books are closed and is dropped
+              if (day > s.daySec) s = ClickState(day, 0L, warned = false)
+              if (day == s.daySec) {
+                s = s.copy(count = s.count + 1)
+                if (s.count > threshold && !s.warned) {
+                  s = s.copy(warned = true)
+                  out += BlackListUserWarning(key._1, key._2,
+                    s"click over $threshold times today")
+                }
               }
             }
             state.update(s)

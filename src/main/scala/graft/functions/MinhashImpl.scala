@@ -156,4 +156,29 @@ object XxMinhashImpl {
       }
       seed
     }
+
+  /** Full doc -> band-row pipeline shared by the batch candidates
+    * (Dedup.minhashCandidatesFast) and the streaming claims
+    * (StreamDedup): (band index, band key) per band; empty when the doc
+    * has no shingles (it cannot collide). Callers validate banding params
+    * via [[requireBanding]] ONCE per operator — rows = 0 bands would
+    * degenerate every key to the constant band seed and pair the whole
+    * corpus.
+    */
+  def bandRows(text: String, shingleN: Int, k: Int, bands: Int)
+      : Iterator[(Int, Long)] = {
+    val sh = MinhashImpl.shingles(text, shingleN)
+    if (sh.isEmpty) Iterator.empty
+    else bandKeys(signature(sh, k), bands, k / bands)
+      .iterator.zipWithIndex.map { case (bk, b) => (b, bk) }
+  }
+
+  /** Fail fast on banding configs that silently explode: bands must
+    * divide k with >= 1 row per band (rows = 0 -> constant band keys ->
+    * full cross product; k % bands != 0 -> trailing signature components
+    * silently ignored).
+    */
+  def requireBanding(k: Int, bands: Int): Unit =
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"bands must divide k with >= 1 row per band, got k=$k bands=$bands")
 }

@@ -78,18 +78,26 @@ object Sinks {
   def socketWriter(host: String, port: Int,
       encode: Row => String = _.mkString(",")): ForeachWriter[Row] =
     new ForeachWriter[Row] {
+      // NOT a PrintWriter: PrintWriter swallows IOExceptions (sets an
+      // internal flag), which would silently drop the rest of a partition
+      // on a broken connection while Spark still commits the epoch —
+      // at-least-once requires the write failure to THROW so the task
+      // retries
       @transient private var sock: java.net.Socket = _
-      @transient private var out: java.io.PrintWriter = _
+      @transient private var out: java.io.BufferedWriter = _
       override def open(partitionId: Long, epochId: Long): Boolean = {
         sock = new java.net.Socket(host, port)
-        out = new java.io.PrintWriter(
+        out = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(sock.getOutputStream,
-            java.nio.charset.StandardCharsets.UTF_8), false)
+            java.nio.charset.StandardCharsets.UTF_8))
         true
       }
-      override def process(row: Row): Unit = out.println(encode(row))
+      override def process(row: Row): Unit = {
+        out.write(encode(row))
+        out.write('\n')
+      }
       override def close(errorOrNull: Throwable): Unit = {
-        if (out != null) out.flush()
+        if (out != null && errorOrNull == null) out.flush()
         if (sock != null) sock.close()
       }
     }

@@ -122,7 +122,9 @@ object Dedup {
     * [[jaccardPairs]] (or trust the LSH probability bound at scale).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    graft.functions.XxMinhashImpl.requireBanding(k, bands)
     val rows = k / bands
     val spark = df.sparkSession
     import spark.implicits._
@@ -140,15 +142,9 @@ object Dedup {
             .iterator.zipWithIndex.map { case (bk, b) => (id, b, bk) }
         }
       }.toDF(idCol, "band", "bkey")
-    // pairs per bucket via collect_list — evaluates the signature pipeline
-    // once (a self-join would run it twice) and shuffles only (band,bkey)
-    banded.groupBy(col("band"), col("bkey"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // pairs per bucket — evaluates the signature pipeline once (a
+    // self-join would run it twice) and shuffles only (band, bkey)
+    bucketPairs(banded, idCol, maxBucketSize)
   }
 
   /** Production-hash MinHash+LSH candidate pairs: xxhash64 signatures
@@ -161,8 +157,9 @@ object Dedup {
     * (1-j²)^bands < 1e-3.
     */
   def minhashCandidatesFast(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
-    val rows = k / bands
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      maxBucketSize: Int = 4096): DataFrame = {
+    graft.functions.XxMinhashImpl.requireBanding(k, bands)
     val spark = df.sparkSession
     import spark.implicits._
     // Single typed pass per doc (XxMinhashImpl = bit-identical twin of the
@@ -173,15 +170,32 @@ object Dedup {
     val banded = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val sh = graft.functions.MinhashImpl.shingles(text, shingleN)
-        if (sh.isEmpty) Iterator.empty
-        else {
-          val sig = graft.functions.XxMinhashImpl.signature(sh, k)
-          graft.functions.XxMinhashImpl.bandKeys(sig, bands, rows)
-            .iterator.zipWithIndex.map { case (bk, b) => (id, b, bk) }
-        }
+        graft.functions.XxMinhashImpl.bandRows(text, shingleN, k, bands)
+          .map { case (b, bk) => (id, b, bk) }
       }.toDF(idCol, "band", "bkey")
-    banded.groupBy(col("band"), col("bkey"))
+    bucketPairs(banded, idCol, maxBucketSize)
+  }
+
+  /** Bucket -> candidate-pair expansion shared by both minhash paths.
+    * The per-bucket id list is CAPPED before collect_list: a bucket of m
+    * docs (an exact-dup/template cluster — precisely what a dedup corpus
+    * contains) would otherwise materialize one m-element array in a
+    * single aggregate row (2 GB record limit / reducer OOM at corpus
+    * scale). The rank window keeps the `maxBucketSize` SMALLEST ids
+    * (deterministic; sorts spill gracefully, arrays are bounded); run
+    * [[exactDedup]] first so monster buckets are near-dup clusters, not
+    * exact copies.
+    */
+  private def bucketPairs(banded: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1: $maxBucketSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey")).orderBy(col(idCol))
+    banded
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxBucketSize)
+      .drop("__r")
+      .groupBy(col("band"), col("bkey"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -345,11 +359,20 @@ object Dedup {
 
   private def simhashChunkPairs(sigs: DataFrame, idCol: String, bits: Int,
       maxHamming: Int): DataFrame = {
+    // BALANCED chunk widths (base or base+1): the naive ceil split can
+    // leave trailing zero-width chunks when bits % n != 0, whose constant
+    // 0 key degenerates the block join to all-pairs; every chunk must own
+    // >= 1 bit for the pigeonhole argument to hold. maxHamming = 0 is
+    // rejected — radius-0 search is exact signature equality (group on
+    // the signature), not a blocking problem.
+    require(maxHamming >= 1 && maxHamming + 1 <= bits,
+      s"need 1 <= maxHamming <= bits-1, got maxHamming=$maxHamming bits=$bits")
     val n = maxHamming + 1
-    val w = (bits + n - 1) / n
-    val chunkCols: Seq[Column] = (0 until n).map { i =>
-      val lo = i * w
-      val width = math.min(w, bits - lo)
+    val base = bits / n
+    val extra = bits % n
+    val widths = Seq.tabulate(n)(i => base + (if (i < extra) 1 else 0))
+    val lows = widths.scanLeft(0)(_ + _).init
+    val chunkCols: Seq[Column] = lows.zip(widths).map { case (lo, width) =>
       shiftrightunsigned(col("simhash"), lo)
         .bitwiseAND(lit((1L << width) - 1L))
     }

@@ -91,7 +91,11 @@ object Relational {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val rightPayload = struct(right.columns.map(col): _*)
     def bkt(c: Column): Column = floor(c.cast("long") / bucketWidth).cast("long")
+    // null bounds / timestamps never match a BETWEEN (same as the naive
+    // cross-filter) — drop them up front instead of feeding null buckets
+    // into the explode or tripping the span guard with a misleading error
     val r = right
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
       .withColumn("__lo_b", bkt(col(loCol)))
       // the guard sits in the sequence's data path (a detached check
       // column would be pruned away unevaluated)
@@ -102,7 +106,8 @@ object Relational {
               "raise bucketWidth or split the interval")).cast("long")))
       .select(rightPayload.as("__r"),
         explode(sequence(col("__lo_b"), col("__hi_b"))).as("__bkt"))
-    val l = left.withColumn("__bkt", bkt(col(leftTs)))
+    val l = left.filter(col(leftTs).isNotNull)
+      .withColumn("__bkt", bkt(col(leftTs)))
     l.join(r, Seq("__bkt"))
       .filter(col(leftTs) >= col("__r").getField(loCol) &&
         col(leftTs) <= col("__r").getField(hiCol))

@@ -28,30 +28,28 @@ object StreamDedup {
   /** One flagged candidate: `dupId` collided with `firstId`'s band `band`. */
   case class NearDupHit(dupId: Long, firstId: Long, band: Int)
 
-  /** Band-key claim state (public: product-encoded in the state store). */
-  case class Claim(firstId: Long)
+  /** Band-key claim state (public: product-encoded in the state store).
+    * `fireAtMs` is the GC horizon — kept in state so a LATE row in a
+    * subsequent batch cannot move the timeout backwards past an extension
+    * a newer event already granted.
+    */
+  case class Claim(firstId: Long, fireAtMs: Long)
 
   def nearDupCandidates[E](docs: Dataset[E])(idOf: E => Long,
       textOf: E => String, tsOf: E => Timestamp,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,
       horizonMs: Long = 24L * 3600 * 1000,
       wmDelay: String = "0 seconds"): Dataset[NearDupHit] = {
+    graft.functions.XxMinhashImpl.requireBanding(k, bands)
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val ce: Encoder[Claim] = Encoders.product[Claim]
-    val rows = k / bands
     // doc -> (bandKey, band, docId, eventTime); docs with no shingles
-    // cannot collide and emit nothing
+    // cannot collide and emit nothing (shared banding pipeline —
+    // batch-parity with minhashCandidatesFast by construction)
     val banded = docs.flatMap { e =>
-      val sh = graft.functions.MinhashImpl.shingles(textOf(e), shingleN)
-      if (sh.isEmpty) Iterator.empty
-      else {
-        val sig = graft.functions.XxMinhashImpl.signature(sh, k)
-        graft.functions.XxMinhashImpl.bandKeys(sig, bands, rows)
-          .iterator.zipWithIndex.map { case (bk, b) =>
-            (bk, b, idOf(e), tsOf(e))
-          }
-      }
+      graft.functions.XxMinhashImpl.bandRows(textOf(e), shingleN, k, bands)
+        .map { case (b, bk) => (bk, b, idOf(e), tsOf(e)) }
     }.toDF("bkey", "band", "id", "ts")
       .withWatermark("ts", wmDelay)
       .as[(Long, Int, Long, Timestamp)]
@@ -71,16 +69,19 @@ object StreamDedup {
             it.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach { case (_, b, id, ts) =>
               maxTs = math.max(maxTs, ts.getTime)
               claim match {
-                case None => claim = Some(Claim(id))
+                case None => claim = Some(Claim(id, 0L))
                 case Some(c) if c.firstId != id => out += NearDupHit(id, c.firstId, b)
                 case _ => ()
               }
             }
-            claim.foreach(state.update)
-            // GC the claim once the watermark passes the horizon; a claim
-            // whose horizon is already behind the watermark is dropped on
-            // the spot (setTimeoutTimestamp must exceed the watermark)
-            val fireAt = maxTs + horizonMs
+            // GC the claim once the watermark passes the horizon of the
+            // LATEST activity ever seen — max with the stored horizon so a
+            // late row cannot shrink an extension a newer event granted;
+            // a claim already past its horizon is dropped on the spot
+            // (setTimeoutTimestamp must exceed the watermark)
+            val fireAt = claim.map(c => math.max(c.fireAtMs, maxTs + horizonMs))
+              .getOrElse(maxTs + horizonMs)
+            claim.foreach(c => state.update(c.copy(fireAtMs = fireAt)))
             if (fireAt > state.getCurrentWatermarkMs())
               state.setTimeoutTimestamp(fireAt)
             else state.remove()

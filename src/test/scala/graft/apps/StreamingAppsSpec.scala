@@ -100,6 +100,31 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("adClickBlacklistStream: a late previous-day click cannot reset the current day") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[AdClickLog]
+    // 1h lateness admits cross-day stragglers — exactly the case where a
+    // naive day != state.day rollover wipes today's count + warned flag
+    val out = StreamingApps.adClickBlacklistStream(ms.toDS(), threshold = 2,
+      wmDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("bl_late_out")
+      .outputMode("append").start()
+    try {
+      def click(sec: Long) = AdClickLog(7, 42, "p", "c", t(sec))
+      val day2 = 86400L
+      ms.addData(click(day2 + 10), click(day2 + 20), click(day2 + 30)) // warn on day 2
+      q.processAllAvailable()
+      // straggler from day 1, within the 1h lateness allowance
+      ms.addData(click(day2 - 60))
+      q.processAllAvailable()
+      ms.addData(click(day2 + 40), click(day2 + 50), click(day2 + 60))
+      q.processAllAvailable()
+      val rows = spark.table("bl_late_out").as[BlackListUserWarning].collect()
+      assert(rows.length == 1,
+        s"late straggler reset the day -> duplicate warning: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("adClickBlacklistStream GCs idle pairs once the watermark passes the idle horizon") {
     // the 100 TB guard: state must hold only ACTIVE (user, ad) pairs, not
     // every pair ever seen — idle pairs time out at day end + idleDays
