@@ -23,10 +23,18 @@ object Bench {
       Tables.events(spark, sfDir).count()
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    // best of 2 runs per query: single-run local[32] numbers swing 2-4x
+    // on sub-second queries (JIT/GC timing), which reads as a phantom
+    // regression round over round; min-of-2 measures the query, not the
+    // JVM's mood. SPARK_GRAFT_BENCH_RUNS overrides (1 = old behavior).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
