@@ -192,17 +192,69 @@ object Similarity {
     *    before ranking, ties broken by id, so float-summation-order
     *    differences across engines cannot flip a rank.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
-      roundScale: Int = 4): DataFrame = {
-    GraftFunctions.register(queries.sparkSession)
-    val cent = corpus
+  /** Deterministic md5-ordered centroid sample (cid, centv, centn) — the
+    * IVF "coarse quantizer" before any refinement.
+    */
+  def hashCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus
       .select(col(idCol).as("cid"), toDoubleVec(col(vecCol)).as("centv"))
       .withColumn("hk", md5(col("cid").cast("string")))
       .orderBy(col("hk"), col("cid"))
       .limit(nlist)
       .withColumn("centn", GraftFunctions.norm(col("centv")))
       .select("cid", "centv", "centn")
+  }
+
+  /** One spherical-k-means (Lloyd) step over the IVF centroids: assign
+    * every corpus vector to its best-cosine centroid, replace each
+    * centroid with its cell's element-wise MEAN. Because cosine is
+    * scale-invariant, dividing by the mean's norm makes this exactly the
+    * spherical k-means update, whose objective (sum of assigned cosines)
+    * is non-decreasing per step. The join shape is the same as the search
+    * itself — one parallel corpus pass against broadcast centroids plus a
+    * small (nlist × dim)-row aggregate — so refinement costs iters × one
+    * scan, no new shuffle pattern. Cells that lose every vector keep
+    * their previous centroid (nlist never shrinks).
+    */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, iters: Int = 1): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", GraftFunctions.norm(col("cv")))
+    (0 until iters).foldLeft(cent) { (cur, _) =>
+      val assigned = c.crossJoin(broadcast(cur))
+        .withColumn("sim",
+          GraftFunctions.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+        .withColumn("ark", row_number().over(
+          Window.partitionBy(col("vid")).orderBy(col("sim").desc, col("cid"))))
+        .filter(col("ark") === 1)
+        .select(col("cid"), col("cv"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), p => p.getField("m")).as("newv"))
+      cur.join(means, Seq("cid"), "left")
+        .withColumn("centv", coalesce(col("newv"), col("centv")))
+        .withColumn("centn", GraftFunctions.norm(col("centv")))
+        .select("cid", "centv", "centn")
+    }
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
+      roundScale: Int = 4, refineIters: Int = 0): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    // refineIters = 0 keeps the hash-picked sample (oracle-reproducible —
+    // the q60 gate path); > 0 runs spherical-k-means steps for tighter
+    // cells (recall per probe goes up; no longer engine-reproducible
+    // since float means depend on summation order)
+    val cent = refineCentroids(corpus, idCol, vecCol,
+      hashCentroids(corpus, idCol, vecCol, nlist), refineIters)
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", GraftFunctions.norm(col("cv")))
     val assigned = c.crossJoin(broadcast(cent))

@@ -221,6 +221,28 @@ class OperatorsSpec extends SparkSpec {
     assert(part.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("spherical k-means refinement never decreases the IVF objective") {
+    import graft.functions.VectorFunctions._
+    import graft.plans.GraftFunctions
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def objective(cent: org.apache.spark.sql.DataFrame): Double = {
+      val c = e.select(col("vec_id").as("vid"), toDoubleVec(col("embedding")).as("cv"))
+        .withColumn("cn", GraftFunctions.norm(col("cv")))
+      c.crossJoin(broadcast(cent))
+        .withColumn("sim",
+          GraftFunctions.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+        .groupBy(col("vid")).agg(max(col("sim")).as("best"))
+        .agg(avg(col("best"))).as[Double].collect().head
+    }
+    val cent0 = Similarity.hashCentroids(e, "vec_id", "embedding", 8)
+    val obj0 = objective(cent0)
+    val cent2 = Similarity.refineCentroids(e, "vec_id", "embedding", cent0, iters = 2)
+    val obj2 = objective(cent2)
+    assert(obj2 >= obj0 - 1e-9,
+      s"Lloyd step decreased the objective: $obj0 -> $obj2")
+    assert(cent2.count() == 8) // empty cells keep their centroid
+  }
+
   test("codegen DotProduct matches the interpreted fold bit-for-bit") {
     import graft.plans.GraftFunctions
     GraftFunctions.register(spark)
