@@ -307,6 +307,26 @@ object ExtendedQueries extends QueryModule {
         .select($"l_suppkey", $"ov")
     }),
 
+    // Video frame-sampling plumbing through the gate (duration stand-in:
+    // n_chars seconds, one frame per 50s): the explode shape, frame ids,
+    // and per-source frame budget are all oracle-checked; only the frame
+    // DECODE stays stubbed (no codecs in this environment).
+    "q71_frame_sampling" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val withBin = Tables.documents(s, dir)
+        .withColumn("payload", $"text".cast("binary"))
+      val meta = Multimodal.withBinaryMetaMd5(withBin, "payload")
+        .withColumn("dur", $"n_chars".cast("double"))
+      Multimodal.sampleFrames(meta, "dur", everyNSec = 50.0)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(concat($"content_hash", lit("#"),
+            $"frame_idx".cast("string"))).as("n_distinct_frames"),
+          max($"frame_idx").as("max_idx"))
+        .orderBy($"source")
+    }),
+
     // Partition-batched decode plumbing (the mapInPandas shape in Scala:
     // per-partition codec lifecycle + bounded batches). The Md5Codec twin
     // makes the decoded dimensions oracle-reproducible, so the whole
@@ -498,6 +518,16 @@ object ExtendedQueries extends QueryModule {
         |  CAST(CEIL(height * sc) AS INTEGER) AS rh,
         |  emb_milli
         |FROM f JOIN e ON f.doc_id = e.doc_id""".stripMargin,
+
+    "q71_frame_sampling" ->
+      """WITH f AS (
+        |  SELECT source, md5(text) AS h,
+        |    unnest(range(0, (n_chars // 50) + 1)) AS i
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_frames,
+        |  COUNT(DISTINCT h || '#' || CAST(i AS VARCHAR)) AS n_distinct_frames,
+        |  CAST(MAX(i) AS BIGINT) AS max_idx
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // mirrors Md5Codec: first/second 4 md5 digest bytes as unsigned ints
     "q59_decode_partitioned" ->
