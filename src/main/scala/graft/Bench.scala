@@ -27,7 +27,9 @@ object Bench {
     // on sub-second queries (JIT/GC timing), which reads as a phantom
     // regression round over round; min-of-2 measures the query, not the
     // JVM's mood. SPARK_GRAFT_BENCH_RUNS overrides (1 = old behavior).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()

@@ -96,10 +96,11 @@ object Sinks {
         out.write(encode(row))
         out.write('\n')
       }
-      override def close(errorOrNull: Throwable): Unit = {
-        if (out != null && errorOrNull == null) out.flush()
-        if (sock != null) sock.close()
-      }
+      override def close(errorOrNull: Throwable): Unit =
+        // flush may throw (that's the point — the task must retry), but
+        // the socket must close either way or every retry leaks an FD
+        try { if (out != null && errorOrNull == null) out.flush() }
+        finally { if (sock != null) sock.close() }
     }
 
   /** Streaming socket sink via ForeachWriter. */

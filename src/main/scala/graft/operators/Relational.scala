@@ -91,11 +91,14 @@ object Relational {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val rightPayload = struct(right.columns.map(col): _*)
     def bkt(c: Column): Column = floor(c.cast("long") / bucketWidth).cast("long")
-    // null bounds / timestamps never match a BETWEEN (same as the naive
-    // cross-filter) — drop them up front instead of feeding null buckets
-    // into the explode or tripping the span guard with a misleading error
+    // null bounds / timestamps and INVERTED intervals (lo > hi) never
+    // match a BETWEEN (same as the naive cross-filter) — drop them up
+    // front instead of feeding null buckets into the explode, tripping
+    // the span guard with a misleading error, or letting a negative span
+    // bypass the guard and explode a DESCENDING sequence
     val r = right
-      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
       .withColumn("__lo_b", bkt(col(loCol)))
       // the guard sits in the sequence's data path (a detached check
       // column would be pruned away unevaluated)

@@ -209,18 +209,23 @@ object Similarity {
 
   /** One spherical-k-means (Lloyd) step over the IVF centroids: assign
     * every corpus vector to its best-cosine centroid, replace each
-    * centroid with its cell's element-wise MEAN. Because cosine is
-    * scale-invariant, dividing by the mean's norm makes this exactly the
-    * spherical k-means update, whose objective (sum of assigned cosines)
-    * is non-decreasing per step. The join shape is the same as the search
-    * itself — one parallel corpus pass against broadcast centroids plus a
-    * small (nlist × dim)-row aggregate — so refinement costs iters × one
-    * scan, no new shuffle pattern. Cells that lose every vector keep
-    * their previous centroid (nlist never shrinks).
+    * centroid with its cell's element-wise mean of UNIT-NORMALIZED
+    * vectors — the spherical k-means update (the mean of raw vectors
+    * would let one long vector drag the centroid and can DECREASE the
+    * cosine objective on mixed-magnitude corpora). With the normalized
+    * mean, the objective (sum of assigned cosines) is non-decreasing per
+    * step. The join shape is the same as the search itself — one parallel
+    * corpus pass against broadcast centroids plus a small (nlist × dim)
+    * aggregate; the refreshed centroid table is localized to the driver
+    * between steps (it is nlist rows and about to be broadcast anyway),
+    * so iteration i does NOT re-execute iterations 1..i-1's lineage.
+    * Cells that lose every vector keep their previous centroid (nlist
+    * never shrinks).
     */
   def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       cent: DataFrame, iters: Int = 1): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", GraftFunctions.norm(col("cv")))
     (0 until iters).foldLeft(cent) { (cur, _) =>
@@ -230,18 +235,24 @@ object Similarity {
         .withColumn("ark", row_number().over(
           Window.partitionBy(col("vid")).orderBy(col("sim").desc, col("cid"))))
         .filter(col("ark") === 1)
-        .select(col("cid"), col("cv"))
+        .select(col("cid"), col("cv"), col("cn"))
       val means = assigned
-        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .select(col("cid"), col("cn"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x") / col("cn")).as("m"))
         .groupBy(col("cid"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), p => p.getField("m")).as("newv"))
-      cur.join(means, Seq("cid"), "left")
+      val next = cur.join(means, Seq("cid"), "left")
         .withColumn("centv", coalesce(col("newv"), col("centv")))
         .withColumn("centn", GraftFunctions.norm(col("centv")))
         .select("cid", "centv", "centn")
+      // materialize: nlist tiny rows; keeps the fold's lineage flat
+      // (otherwise iteration i re-runs iterations 1..i-1 on every action)
+      val rows = next.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), next.schema)
     }
   }
 

@@ -243,6 +243,34 @@ class OperatorsSpec extends SparkSpec {
     assert(cent2.count() == 8) // empty cells keep their centroid
   }
 
+  test("k-means refinement stays monotone on a MIXED-MAGNITUDE corpus") {
+    // the update must average unit-normalized vectors: a raw mean lets
+    // one long vector drag the centroid and can decrease the objective —
+    // scale half the corpus 100x to exercise exactly that case
+    import graft.functions.VectorFunctions._
+    import graft.plans.GraftFunctions
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding",
+        when(col("vec_id") % 2 === 0,
+          transform(col("embedding"), x => x * 100.0f))
+          .otherwise(col("embedding")))
+    def objective(cent: org.apache.spark.sql.DataFrame): Double = {
+      val c = e.select(col("vec_id").as("vid"), toDoubleVec(col("embedding")).as("cv"))
+        .withColumn("cn", GraftFunctions.norm(col("cv")))
+      c.crossJoin(broadcast(cent))
+        .withColumn("sim",
+          GraftFunctions.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+        .groupBy(col("vid")).agg(max(col("sim")).as("best"))
+        .agg(avg(col("best"))).as[Double].collect().head
+    }
+    val cent0 = Similarity.hashCentroids(e, "vec_id", "embedding", 8)
+    val obj0 = objective(cent0)
+    val cent3 = Similarity.refineCentroids(e, "vec_id", "embedding", cent0, iters = 3)
+    val obj3 = objective(cent3)
+    assert(obj3 >= obj0 - 1e-9,
+      s"refinement decreased the objective on mixed magnitudes: $obj0 -> $obj3")
+  }
+
   test("codegen DotProduct matches the interpreted fold bit-for-bit") {
     import graft.plans.GraftFunctions
     GraftFunctions.register(spark)

@@ -50,6 +50,19 @@ class RelationalSpec extends SparkSpec {
       s"range join planned a pair explosion:\n$p")
   }
 
+  test("rangeJoin ignores inverted and null intervals like the cross-filter") {
+    val left = Seq((1L, 50L)).toDF("lid", "t")
+    val right = Seq(
+      (1L, Some(40L), Some(60L)),  // matches
+      (2L, Some(60L), Some(40L)),  // inverted: BETWEEN matches nothing
+      (3L, None, Some(60L)),       // null lo
+      (4L, Some(40L), None)        // null hi
+    ).toDF("rid", "lo", "hi")
+    val got = Relational.rangeJoin(left, right, "t", "lo", "hi", bucketWidth = 20)
+      .select($"r.rid").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"expected only the valid interval: $got")
+  }
+
   test("rangeJoin fails fast on an interval spanning too many buckets") {
     val left = Seq((1L, 5L)).toDF("lid", "t")
     val right = Seq((1L, 0L, 1000000L)).toDF("rid", "lo", "hi")
