@@ -118,6 +118,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin == per-row brute force (incl. same-instant ties)") {
+    val caseGen: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
+      nl <- Gen.choose(0, 30)
+      lefts <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 20L) // dense → ties
+      } yield (k, t))
+      nr <- Gen.choose(0, 20)
+      rights <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 20L)
+        v <- Gen.choose(0, 999)
+      } yield (k, t, v.toDouble))
+    } yield (lefts, rights)
+    samples(caseGen, 6).foreach { case (lefts, rights) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lrow", "k", "t")
+      // one right row per (k, t) so "latest at-or-before" is unambiguous
+      // without a tie-break column
+      val rl = rights.groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toList
+      val r = rl.toDF("k", "t", "v")
+      val got = graft.operators.Relational
+        .asOfJoin(l, r, Seq("k"), "t", "t")
+        .select($"lrow", $"asof.t", $"asof.v")
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map(x => x._1 -> (x._2, x._3)).toMap
+      lefts.zipWithIndex.foreach { case ((k, t), i) =>
+        val cands = rl.filter(x => x._1 == k && x._2 <= t)
+        val exp = if (cands.isEmpty) (None, None)
+          else {
+            val best = cands.maxBy(_._2) // latest ts (unique per key+ts)
+            (Some(best._2), Some(best._3))
+          }
+        assert(got(i.toLong) == exp,
+          s"asOf mismatch for left ($k,$t): got ${got(i.toLong)} exp $exp")
+      }
+    }
+  }
+
+  test("slidingStream == slidingBatch on random inputs and batch splits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val caseGen: Gen[(List[(String, Long)], Int, Int, Int)] = for {
+      n <- Gen.choose(0, 25)
+      evs <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+      size <- Gen.choose(2, 5)
+      slide <- Gen.choose(1, 4)
+      cut <- Gen.choose(0, math.max(n, 1))
+    } yield (evs.zipWithIndex.map { case (k, i) => (k, i.toLong) }, size, slide, cut)
+    samples(caseGen, 5).foreach { case (evs, size, slide, cut) =>
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      val out = CountWindows.slidingStream(ms.toDS())(_._1, _._2, size, slide)
+        .map(w => (w.key, w.windowSeq, w.events.map(_._2).mkString("|")))
+      val name = s"prop_scw_${size}_${slide}_${cut}_${evs.length}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (w1, w2) = evs.splitAt(cut)
+        if (w1.nonEmpty) { ms.addData(w1: _*); q.processAllAvailable() }
+        if (w2.nonEmpty) { ms.addData(w2: _*); q.processAllAvailable() }
+        q.processAllAvailable()
+        val streamed = spark.table(name).as[(String, Long, String)]
+          .collect().toSet
+        val batch = CountWindows.slidingBatch(evs.toDS())(_._1, _._2, size, slide)
+          .collect().map(w => (w.key, w.windowSeq, w.events.map(_._2).mkString("|")))
+          .toSet
+        assert(streamed == batch,
+          s"slide mismatch (size=$size slide=$slide cut=$cut): $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
+
   test("bucketed rangeJoin == cross-filter on random intervals (incl. negatives)") {
     val caseGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)], Long)] = for {
       nl <- Gen.choose(0, 40)
