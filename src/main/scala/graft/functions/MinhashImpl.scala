@@ -126,17 +126,23 @@ object XxMinhashImpl {
   private def seedFor(i: Int): Long = XxHash64Function.hash(i, IntegerType, 42L)
 
   /** MinHash signature: component i = min over shingles of
-    * xxhash64(i, shingle); signed long min (array_min on LongType order).
+    * xxhash64(i, xxhash64(shingle)); signed long min (array_min on
+    * LongType order). The shingle's bytes are walked ONCE — the k
+    * components re-hash the resulting 8-byte value, so per-shingle cost
+    * is one string hash + k constant-width hashes instead of k string
+    * hashes (one-hash minhash family; same collision analysis, the
+    * derived hashes stay pairwise-independent enough for banding).
     */
   def signature(sh: Array[String], k: Int): Array[Long] = {
     val seeds = Array.tabulate(k)(seedFor)
     val out = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < sh.length) {
-      val u = UTF8String.fromString(sh(j))
+      val h0 = XxHash64Function.hash(UTF8String.fromString(sh(j)),
+        org.apache.spark.sql.types.StringType, 42L)
       var i = 0
       while (i < k) {
-        val h = XxHash64Function.hash(u, org.apache.spark.sql.types.StringType, seeds(i))
+        val h = XxHash64Function.hash(h0, LongType, seeds(i))
         if (h < out(i)) out(i) = h
         i += 1
       }

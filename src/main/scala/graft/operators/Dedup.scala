@@ -177,31 +177,61 @@ object Dedup {
   }
 
   /** Bucket -> candidate-pair expansion shared by both minhash paths.
-    * The per-bucket id list is CAPPED before collect_list: a bucket of m
-    * docs (an exact-dup/template cluster — precisely what a dedup corpus
-    * contains) would otherwise materialize one m-element array in a
-    * single aggregate row (2 GB record limit / reducer OOM at corpus
-    * scale). The rank window keeps the `maxBucketSize` SMALLEST ids
-    * (deterministic; sorts spill gracefully, arrays are bounded); run
-    * [[exactDedup]] first so monster buckets are near-dup clusters, not
-    * exact copies.
+    * The per-bucket id list is CAPPED: a bucket of m docs (an exact-dup/
+    * template cluster — precisely what a dedup corpus contains) would
+    * otherwise materialize one m-element array in a single aggregate row
+    * (2 GB record limit / reducer OOM at corpus scale). The cap keeps the
+    * `maxBucketSize` SMALLEST ids (deterministic) via [[graft.functions
+    * .BoundedIdSet]] — a bounded-buffer Aggregator, so the cap is applied
+    * in ONE shuffle with map-side partial aggregation (the earlier
+    * `row_number` window form paid a full extra sort pass over the banded
+    * table, measured 7x on q44 at sf0.1, and shipped uncapped buckets to
+    * the reducer before capping). Run [[exactDedup]] first so monster
+    * buckets are near-dup clusters, not exact copies.
     */
   private def bucketPairs(banded: DataFrame, idCol: String,
       maxBucketSize: Int): DataFrame = {
     require(maxBucketSize > 1, s"maxBucketSize must be > 1: $maxBucketSize")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey")).orderBy(col(idCol))
     banded
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= maxBucketSize)
-      .drop("__r")
       .groupBy(col("band"), col("bkey"))
-      .agg(collect_list(col(idCol)).as("ids"))
+      .agg(graft.functions.BoundedIdSet(maxBucketSize)(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard for an EXPLICIT candidate-pair set: per-doc distinct
+    * shingle sets are joined onto the pairs and intersected per pair
+    * (`array_intersect` over sorted distinct arrays). This verifies ONLY
+    * the pairs LSH proposed — [[jaccardPairs]] over the candidate-doc
+    * subset would instead rebuild every shared-shingle pair among those
+    * docs (measured 47x the candidate count at sf0.1: 54,945 shingle
+    * pairs to verify 1,168 LSH candidates). Two equi-joins keyed on the
+    * id, candidate side ~O(n·P(collide)) — no pair explosion at scale.
+    */
+  def pairJaccard(cand: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    // only candidate docs are ever shingled (semi-join pruning)
+    val sets = df.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.functions.MinhashImpl.shingles(t, n)) }
+      .toDF(idCol, "__sh")
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("un",
+        size(col("__sh_a")) + size(col("__sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un").cast("double"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"), col("jaccard"))
   }
 
   /** [[minhashNearDups]] on the production xxhash64 signature path:
@@ -211,16 +241,11 @@ object Dedup {
     * jaccard >= threshold pair set).
     */
   def minhashNearDupsFast(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
-    val cand = minhashCandidatesFast(df, idCol, textCol, shingleN, k, bands)
-    val candIds = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b").as(idCol))).distinct()
-    val sub = df.join(broadcast(candIds), Seq(idCol), "left_semi")
-    val jac = jaccardPairs(sub, idCol, textCol, shingleN)
-    cand.join(jac, Seq("id_a", "id_b"))
+      threshold: Double, shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame =
+    pairJaccard(minhashCandidatesFast(df, idCol, textCol, shingleN, k, bands),
+        df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
     * Verification runs only over candidate documents (semi-join pruning) —
@@ -228,20 +253,16 @@ object Dedup {
     * non-colliding docs.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    // The candidate DAG feeds three consumers (candIds, the verify
-    // subset, the final join); its shuffles canonicalize identically, so
-    // AQE's ReuseExchange materializes the signature stage once — an
-    // explicit persist() measured slower (cache-write overhead).
-    val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
-    val candIds = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b").as(idCol))).distinct()
-    val sub = df.join(broadcast(candIds), Seq(idCol), "left_semi")
-    val jac = jaccardPairs(sub, idCol, textCol, shingleN)
-    cand.join(jac, Seq("id_a", "id_b"))
+      threshold: Double, shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    // The candidate DAG feeds two consumers (the semi-join prune inside
+    // pairJaccard and the pair join itself); its shuffles canonicalize
+    // identically, so AQE's ReuseExchange materializes the signature
+    // stage once — an explicit persist() measured slower (cache-write
+    // overhead).
+    pairJaccard(minhashCandidates(df, idCol, textCol, shingleN, k, bands),
+        df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** 64-bit SimHash per document: explode tokens, hash each with xxhash64,
     * sum ±1 per bit position, sign -> bit. Distributed as one groupBy on
