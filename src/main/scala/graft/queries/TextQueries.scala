@@ -137,6 +137,34 @@ object TextQueries extends QueryModule {
         .orderBy($"lang")
     }),
 
+    // Sequence packing (concat-and-chunk): docs laid head-to-tail in
+    // doc_id order, exact token offsets via the two-level DISTRIBUTED
+    // prefix sum (no corpus-wide single-partition window — see Packing
+    // scaladoc), cut into fixed 512-token packs. bucketWidth 256
+    // exercises the multi-bucket path at gate SF (dense ids -> ~20
+    // buckets at sf0.1); all outputs are integers.
+    "q72_seq_packing" -> ((spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", tokenCount($"text").cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packByBudget(toks, "doc_id", "n_tokens", budget = 512L, bucketWidth = 256L)
+        .select("doc_id", "n_tokens", "start_off", "end_off",
+          "pack_first", "pack_last", "n_packs")
+    }),
+
+    // Pack-level roll-up of q72: docs starting per pack + seam
+    // (boundary-crossing) counts — the packing-quality dashboard numbers.
+    "q73_pack_summary" -> ((spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", tokenCount($"text").cast("long").as("n_tokens"))
+      graft.operators.Packing.packSummary(
+        graft.operators.Packing.packByBudget(
+          toks, "doc_id", "n_tokens", budget = 512L, bucketWidth = 256L),
+        budget = 512L)
+    }),
+
     // Chunk-blocked EXACT-recall SimHash near-dups (pigeonhole: h+1
     // disjoint chunks, a pair within radius h shares >= 1) — the oracle is
     // literally the brute-force all-pairs hamming set, so this gate row IS
@@ -453,6 +481,46 @@ object TextQueries extends QueryModule {
         |  FROM s)
         |SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q72_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, end_off - n_tokens AS start_off, end_off,
+        |  (end_off - n_tokens) // 512 AS pack_first,
+        |  CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
+        |       ELSE (end_off - n_tokens) // 512 END AS pack_last,
+        |  CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
+        |       ELSE (end_off - n_tokens) // 512 END
+        |    - (end_off - n_tokens) // 512 + 1 AS n_packs
+        |FROM c""".stripMargin,
+
+    "q73_pack_summary" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, n_tokens, end_off - n_tokens AS start_off, end_off,
+        |    (end_off - n_tokens) // 512 AS pack_first,
+        |    CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
+        |         ELSE (end_off - n_tokens) // 512 END AS pack_last
+        |  FROM c)
+        |SELECT pack_first AS pack_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(pack_last - pack_first) AS BIGINT) AS n_boundary_crossings,
+        |  MIN(start_off) AS first_off, MAX(end_off) AS last_off
+        |FROM p GROUP BY pack_first""".stripMargin,
 
     "q64_token_count" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Packing (distributed prefix sum + concat-and-chunk sequence packing)
+  * vs brute-force references, plus the scale-shape assertion that the
+  * corpus-wide window never plans partitionless.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val rowsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 60)
+    // sparse, unordered ids; token counts include 0
+    ids <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    toks <- Gen.listOfN(n, Gen.choose(0L, 40L))
+  } yield ids.distinct.zip(toks)
+
+  test("prefixSum matches the sequential scan for random inputs and bucket widths") {
+    for {
+      rows <- samples(rowsGen, 12)
+      width <- Seq(1L, 7L, 64L, 1L << 16)
+    } {
+      val df = rows.toDF("id", "v")
+      val got = Packing.prefixSum(df, "id", "v", "cs", width)
+        .select($"id", $"cs").as[(Long, Long)].collect().toMap
+      val want = rows.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+        .tail.toMap
+      assert(got == want, s"width=$width rows=$rows")
+    }
+  }
+
+  test("packByBudget spans partition the token stream exactly") {
+    for (rows <- samples(rowsGen, 8).filter(_.nonEmpty)) {
+      val budget = 16L
+      val packed = Packing.packByBudget(rows.toDF("id", "v"), "id", "v", budget, 7L)
+        .select($"id", $"v", $"start_off", $"end_off", $"pack_first", $"pack_last", $"n_packs")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      // spans are contiguous half-open intervals covering [0, total)
+      var expectStart = 0L
+      packed.foreach { case (_, v, s, e, pf, pl, np) =>
+        assert(s == expectStart && e == s + v)
+        expectStart = e
+        assert(pf == s / budget)
+        assert(pl == (if (v > 0) (e - 1) / budget else s / budget))
+        assert(np == pl - pf + 1)
+      }
+      assert(expectStart == rows.map(_._2).sum)
+    }
+  }
+
+  test("packSummary agrees with a brute-force roll-up") {
+    val rows = samples(rowsGen, 1).head
+    val budget = 16L
+    val packed = Packing.packByBudget(rows.toDF("id", "v"), "id", "v", budget, 7L)
+    val got = Packing.packSummary(packed, budget)
+      .select($"pack_id", $"n_docs", $"n_boundary_crossings")
+      .as[(Long, Long, Long)].collect().toSet
+    val spans = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, e), (id, v)) => (id, e, e + v) }.tail
+    val want = spans.groupBy { case (_, s, _) => s / budget }
+      .map { case (p, xs) =>
+        (p, xs.size.toLong,
+          xs.map { case (_, s, e) =>
+            (if (e > s) (e - 1) / budget else s / budget) - s / budget
+          }.sum)
+      }.toSet
+    assert(got == want)
+  }
+
+  test("prefixSum windows are all partitioned (no corpus-wide single-partition stage)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (0L until 1000L).map(i => (i, i % 7)).toDF("id", "v")
+      val out = Packing.prefixSum(df, "id", "v", "cs", 64L)
+      out.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(walk)) ++ p.subqueries.flatMap(walk)
+      val nodes = walk(out.queryExecution.executedPlan)
+      val windows = nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected window nodes in the prefix-sum plan")
+      // the within-bucket scan (over the full table) must be partitioned;
+      // the only unpartitioned window runs over the REDUCED bucket-totals
+      // table — assert it sits above an aggregate, not the raw scan
+      val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+      unpartitioned.foreach { w =>
+        def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+            p.children.exists(hasAgg)
+        assert(hasAgg(w),
+          s"unpartitioned window over non-aggregated input:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
