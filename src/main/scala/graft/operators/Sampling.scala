@@ -33,6 +33,66 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Stratified deterministic sample: per-stratum keep fraction applied
+    * via the hash-bucket threshold (row kept iff its md5 bucket falls
+    * under `floor(frac * buckets)`). Pure column expression — no
+    * shuffle, no RNG; membership is stable under appends and
+    * reproducible on any engine with md5. Strata missing from
+    * `fractions` are DROPPED (explicit beats silent pass-through in a
+    * data pipeline: an unlisted source must not leak into the mix).
+    */
+  def stratifiedSampleByHash(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions")
+    val b = hashBucket(col(idCol), buckets)
+    val thr = fractions.toSeq.sortBy(_._1).map { case (s, f) =>
+      (s, math.floor(f * buckets).toLong)
+    }
+    val cond = thr.map { case (s, t) => col(strataCol) === s && b < t }
+      .reduce(_ || _)
+    df.filter(cond)
+  }
+
+  /** Weighted corpus mixing: downsample each stratum so the surviving
+    * corpus matches integer target `weights` while keeping as much data
+    * as possible — the BINDING stratum (smallest count/weight ratio)
+    * keeps 100%, every other stratum keeps
+    * `floor(buckets * w_s * n_m / (w_m * n_s))` of its hash buckets.
+    * All threshold arithmetic is exact integer (no float rounding to
+    * disagree across engines); strata not in `weights` are dropped.
+    *
+    * The per-stratum counts come from one small aggregate collected to
+    * the driver (|strata| rows — corpus mixing has a handful of sources;
+    * this is planning metadata, not data movement). The filter itself is
+    * a pure column expression over the full table — no shuffle.
+    */
+  def mixCorpus(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Int], buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"positive integer weights required: $weights")
+    val counts: Map[String, Long] = df
+      .filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.keys.toSeq.sorted.filter(s => counts.getOrElse(s, 0L) > 0)
+    require(present.nonEmpty, s"no rows in any weighted stratum: $weights")
+    // binding stratum m: minimizes n_s / w_s, compared by exact
+    // cross-multiplication (name tie-break)
+    val m = present.reduceLeft { (a, c) =>
+      val cmp = BigInt(counts(a)) * weights(c) - BigInt(counts(c)) * weights(a)
+      if (cmp < 0 || (cmp == 0 && a < c)) a else c
+    }
+    val b = hashBucket(col(idCol), buckets)
+    val cond = present.map { s =>
+      val thr = (BigInt(buckets) * weights(s) * counts(m) /
+        (BigInt(weights(m)) * counts(s))).min(BigInt(buckets)).toLong
+      col(strataCol) === s && b < thr
+    }.reduce(_ || _)
+    df.filter(cond)
+  }
+
   /** Deterministic train/val/test split: each row lands in the split
     * whose cumulative weight range contains its hash bucket. Pure column
     * expression — no shuffle, no RNG; the same id always lands in the

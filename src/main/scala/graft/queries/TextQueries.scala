@@ -221,6 +221,36 @@ object TextQueries extends QueryModule {
         .orderBy($"lang", $"split")
     }),
 
+    // Stratified deterministic sample: per-language keep fraction via
+    // the md5 bucket threshold (clean fractions -> exact integer
+    // thresholds in both engines). Summary output so the gate checks
+    // WHICH rows survived, not just how many.
+    "q74_stratified_sample" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sampling.stratifiedSampleByHash(
+          Tables.documents(spark, dir), "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25, "fr" -> 0.1, "es" -> 0.1))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"), sum($"doc_id").as("sum_doc"))
+        .orderBy($"lang")
+    }),
+
+    // Weighted corpus mixing: downsample each language toward integer
+    // target weights, binding stratum keeps 100%. Thresholds are exact
+    // integer arithmetic over the observed counts, so the DuckDB oracle
+    // re-derives them from the same table.
+    "q75_corpus_mix" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sampling.mixCorpus(
+          Tables.documents(spark, dir), "lang", "doc_id",
+          Map("en" -> 4, "zh" -> 2, "de" -> 2, "fr" -> 1, "es" -> 1))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"),
+          sum($"doc_id").as("sum_doc"))
+        .orderBy($"lang")
+    }),
+
     // Flagship training-corpus selection pipeline — the composition a
     // 100 TB data pipeline actually runs, end-to-end in one gate row:
     // exact dedup (keep-first) -> MinHash+LSH near-dup removal (drop the
@@ -481,6 +511,54 @@ object TextQueries extends QueryModule {
         |  FROM s)
         |SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // thresholds floor(frac*10000): en 5000, zh/de 2500, fr/es 1000
+    "q74_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, doc_id FROM s
+        |  WHERE (lang = 'en' AND b < 5000) OR (lang = 'zh' AND b < 2500)
+        |     OR (lang = 'de' AND b < 2500) OR (lang = 'fr' AND b < 1000)
+        |     OR (lang = 'es' AND b < 1000))
+        |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc, CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // re-derives the integer mix thresholds from the table: binding
+    // stratum m minimizes n/w (cross-multiplied, name tie-break), every
+    // stratum keeps (10000 * w_s * n_m) // (w_m * n_s) buckets
+    "q75_corpus_mix" ->
+      """WITH w(lang, wt) AS (
+        |  VALUES ('en', 4), ('zh', 2), ('de', 2), ('fr', 1), ('es', 1)),
+        |cnt AS (
+        |  SELECT d.lang, ANY_VALUE(w.wt) AS wt, COUNT(*) AS n
+        |  FROM documents d JOIN w ON d.lang = w.lang
+        |  GROUP BY d.lang),
+        |m AS (
+        |  SELECT a.lang AS mlang, a.wt AS mwt, a.n AS mn FROM cnt a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cnt b
+        |    WHERE b.n * a.wt < a.n * b.wt
+        |       OR (b.n * a.wt = a.n * b.wt AND b.lang < a.lang))),
+        |thr AS (
+        |  SELECT c.lang,
+        |    LEAST((10000 * c.wt * m.mn) // (m.mwt * c.n), 10000) AS t
+        |  FROM cnt c, m),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT s.lang, s.doc_id
+        |  FROM s JOIN thr ON s.lang = thr.lang WHERE s.b < thr.t)
+        |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q72_seq_packing" ->
       """WITH t AS (

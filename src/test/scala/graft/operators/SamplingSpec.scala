@@ -44,6 +44,44 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("stratifiedSampleByHash applies per-stratum thresholds and drops unlisted strata") {
+    val fr = Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.0)
+    val kept = Sampling.stratifiedSampleByHash(docs, "lang", "doc_id", fr)
+      .select($"lang", $"doc_id").as[(String, Long)].collect()
+    assert(kept.forall { case (l, _) => fr.getOrElse(l, 0.0) > 0 })
+    // en keeps everything (threshold = buckets), de nothing
+    val all = docs.select($"lang", $"doc_id").as[(String, Long)].collect()
+    assert(kept.count(_._1 == "en") == all.count(_._1 == "en"))
+    assert(!kept.exists(_._1 == "de") && !kept.exists(_._1 == "fr"))
+    // zh membership is exactly the hash-bucket rule
+    val zhWant = docs.filter($"lang" === "zh")
+      .filter(Sampling.hashBucket($"doc_id", 10000) < 5000)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.filter(_._1 == "zh").map(_._2).toSet == zhWant)
+  }
+
+  test("mixCorpus keeps the binding stratum whole and respects ratios") {
+    val weights = Map("en" -> 4, "zh" -> 1)
+    val before = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val after = Sampling.mixCorpus(docs, "lang", "doc_id", weights)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(after.keySet.subsetOf(weights.keySet))
+    // exactly one stratum binds (keeps 100%)
+    val whole = weights.keys.filter(s => after.getOrElse(s, 0L) == before(s))
+    assert(whole.nonEmpty, s"no binding stratum: before=$before after=$after")
+    // kept mixture cannot OVERSHOOT the target ratio by more than the
+    // hash-bucket granularity: n_en/n_zh <= 4 within bucket slack
+    val ratio = after("en").toDouble / after("zh").max(1L)
+    assert(ratio <= 4.0 * 1.5 && ratio >= 4.0 / 1.5,
+      s"mixture ratio $ratio far from 4:1 (after=$after)")
+    // determinism
+    val again = Sampling.mixCorpus(docs, "lang", "doc_id", weights)
+      .select($"doc_id").as[Long].collect().toSet
+    val first = Sampling.mixCorpus(docs, "lang", "doc_id", weights)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(first == again)
+  }
+
   test("splitByHash weights normalize (2:1:1 == 0.5:0.25:0.25)") {
     val a = Sampling.splitByHash(docs, "doc_id",
       Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0))
