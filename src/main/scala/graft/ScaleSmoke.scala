@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke for the corpus operators (dedup / near-dup / ANN): runs
+  * them on an N-fold replication of the sf0.1 tables and asserts the
+  * plan shapes that matter at 100 TB hold on the EXECUTED plan —
+  * no CartesianProduct in any dedup pipeline, no partitionless window
+  * over unaggregated input, broadcast on the query/centroid side only.
+  *
+  * Replication plants structure on purpose:
+  *  - replica 1 copies the text verbatim -> every doc has one EXACT dup
+  *    (exercises exactDedup and the LSH bucket caps on dup clusters);
+  *  - replicas 2..R append a replica tag -> near-dup clusters of size
+  *    R-1 with high-but-<1 Jaccard (exercises candidate banding and the
+  *    pair-targeted verify at a candidate volume ~C(R-1,2) per doc);
+  *  - embeddings get a per-replica nudge on one component -> distinct
+  *    vectors with tight neighborhoods.
+  *
+  * Prints one `SCALE <op> <sec> <rows>` line per operator and a
+  * `SCALE plan_checks PASS` line; run via
+  * `SPARK_GRAFT_SCALE_REP=8 sbt "runMain graft.ScaleSmoke"`.
+  */
+object ScaleSmoke {
+  private final val Off = 10000000L
+
+  def replicateDocs(docs: DataFrame, rep: Int): DataFrame =
+    docs
+      .select(explode(sequence(lit(0), lit(rep - 1))).as("r"), col("doc_id"),
+        col("text"), col("lang"), col("source"))
+      .select(
+        (col("r") * Off + col("doc_id")).as("doc_id"),
+        when(col("r") <= 1, col("text"))
+          .otherwise(concat(col("text"), lit(" zz"), col("r"))).as("text"),
+        col("lang"), col("source"))
+
+  def replicateEmbeddings(emb: DataFrame, rep: Int): DataFrame =
+    emb
+      .select(explode(sequence(lit(0), lit(rep - 1))).as("r"), col("vec_id"),
+        col("embedding"))
+      .select(
+        (col("r") * Off + col("vec_id")).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + col("r").cast("float") * lit(0.001f))
+            .otherwise(x)).as("embedding"))
+
+  private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p.children ++ p.subqueries ++ (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r.child)
+      case _ => Seq.empty
+    })
+    p +: kids.flatMap(walk)
+  }
+
+  /** Executes df.count() and returns (seconds, rows, executed-plan nodes). */
+  private def timed(df: DataFrame)
+      : (Double, Long, Seq[org.apache.spark.sql.execution.SparkPlan]) = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, n, walk(df.queryExecution.executedPlan))
+  }
+
+  private def assertShapes(op: String,
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan],
+      allowBroadcastNlj: Boolean): Unit = {
+    val cartesian = nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    require(!cartesian, s"$op: CartesianProduct in executed plan")
+    if (!allowBroadcastNlj) {
+      val nlj = nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      require(!nlj, s"$op: BroadcastNestedLoopJoin in executed plan")
+    }
+    val badWindow = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    // a partitionless window is only tolerable above an aggregate
+    // (reduced input — the Packing bucket-totals pattern)
+    badWindow.foreach { w =>
+      def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+          p.children.exists(hasAgg)
+      require(hasAgg(w), s"$op: partitionless WindowExec over raw input")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_SCALE_REP", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = replicateDocs(Tables.documents(spark, sfDir), rep)
+    val emb = replicateEmbeddings(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), rep)
+    val nDocs = docs.count(); val nVec = emb.count()
+    println(s"SCALE corpus ${nDocs} docs, ${nVec} vectors (rep=$rep)")
+
+    def run(op: String, df: DataFrame, allowBroadcastNlj: Boolean = false): Unit = {
+      val (sec, n, nodes) = timed(df)
+      assertShapes(op, nodes, allowBroadcastNlj)
+      println(f"SCALE $op%-24s $sec%8.2f sec  rows=$n")
+    }
+
+    run("exact_dedup", graft.operators.Dedup.exactDedup(docs, "doc_id", "text"))
+    run("minhash_candidates", graft.operators.Dedup.minhashCandidatesFast(
+      docs, "doc_id", "text", 3, 16, 8))
+    run("minhash_neardups", graft.operators.Dedup.minhashNearDupsFast(
+      docs, "doc_id", "text", 0.6, 3, 16, 8))
+    run("simhash_neardups", graft.operators.Dedup.simhashNearDups(
+      docs, "doc_id", "text", maxHamming = 3, prefixBits = 12))
+
+    val queries = emb.filter(col("vec_id") < 50)
+    run("ann_brute_force", graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10), allowBroadcastNlj = true)
+    run("ann_lsh", graft.operators.Similarity.lshTopK(
+      queries, emb, "vec_id", "embedding", k = 10), allowBroadcastNlj = true)
+    run("ann_ivf", graft.operators.Similarity.ivfTopK(
+      queries, emb, "vec_id", "embedding", k = 10, nlist = 16, nProbe = 4),
+      allowBroadcastNlj = true)
+
+    println("SCALE plan_checks PASS")
+    spark.stop()
+  }
+}
