@@ -69,12 +69,31 @@ object Sampling {
     * a pure column expression over the full table — no shuffle.
     */
   def mixCorpus(df: DataFrame, strataCol: String, idCol: String,
-      weights: Map[String, Int], buckets: Int = 10000): DataFrame = {
+      weights: Map[String, Int], buckets: Int = 10000): DataFrame =
+    mixByMeasure(df, strataCol, idCol, weights, buckets, count(lit(1)))
+
+  /** [[mixCorpus]] weighted by a per-row MEASURE (typically a token
+    * count) instead of row count: the target mixture is over summed
+    * measure, which is what training-corpus weights actually mean
+    * ("40% of TOKENS from web"). The kept share per stratum is exact in
+    * expectation (hash buckets are uniform over docs); per-doc measure
+    * variance makes the realized token share approximate, which is the
+    * standard trade — exact token mixtures would need doc splitting.
+    */
+  def mixCorpusByMeasure(df: DataFrame, strataCol: String, idCol: String,
+      measureCol: String, weights: Map[String, Int],
+      buckets: Int = 10000): DataFrame =
+    mixByMeasure(df, strataCol, idCol, weights, buckets,
+      sum(col(measureCol).cast("long")))
+
+  private def mixByMeasure(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Int], buckets: Int,
+      measure: Column): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"positive integer weights required: $weights")
     val counts: Map[String, Long] = df
       .filter(col(strataCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .groupBy(col(strataCol)).agg(measure.as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.keys.toSeq.sorted.filter(s => counts.getOrElse(s, 0L) > 0)
     require(present.nonEmpty, s"no rows in any weighted stratum: $weights")

@@ -251,6 +251,32 @@ object TextQueries extends QueryModule {
         .orderBy($"lang")
     }),
 
+    // Overlapping token-window chunking (RAG / fixed-context splits):
+    // 32-token chunks, stride 24 — one narrow flatMap, chunks
+    // byte-reproduced by the oracle (md5 over the joined tokens).
+    "q76_token_chunks" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Chunking.slidingTokenChunks(
+          Tables.documents(spark, dir), "doc_id", "text", size = 32, stride = 24)
+        .select($"doc_id", $"chunk_idx", $"chunk_tokens",
+          md5($"chunk_text").as("chunk_md5"))
+    }),
+
+    // Corpus mixing weighted by TOKENS (what mixture weights actually
+    // mean in a training run): thresholds re-derived from per-language
+    // token sums with the same exact-integer rule as q75.
+    "q77_token_mix" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .withColumn("n_tokens", tokenCount($"text").cast("long"))
+      graft.operators.Sampling.mixCorpusByMeasure(docs, "lang", "doc_id",
+          "n_tokens", Map("en" -> 4, "zh" -> 2, "de" -> 2, "fr" -> 1, "es" -> 1))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("kept_tokens"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"lang")
+    }),
+
     // Flagship training-corpus selection pipeline — the composition a
     // 100 TB data pipeline actually runs, end-to-end in one gate row:
     // exact dedup (keep-first) -> MinHash+LSH near-dup removal (drop the
@@ -511,6 +537,56 @@ object TextQueries extends QueryModule {
         |  FROM s)
         |SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q76_token_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |x AS (SELECT doc_id, words, len(words) AS n FROM w),
+        |e AS (
+        |  SELECT doc_id, words, n,
+        |    unnest(range(1 + greatest((n - 32 + 23) // 24, 0))) AS i
+        |  FROM x)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, n - i*24) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(words[i*24+1 : i*24+32], ' ')) AS chunk_md5
+        |FROM e""".stripMargin,
+
+    // same threshold derivation as q75, measured in tokens
+    "q77_token_mix" ->
+      """WITH wt(lang, wt) AS (
+        |  VALUES ('en', 4), ('zh', 2), ('de', 2), ('fr', 1), ('es', 1)),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT t.lang, ANY_VALUE(wt.wt) AS wt,
+        |    CAST(SUM(t.n_tokens) AS BIGINT) AS n
+        |  FROM tok t JOIN wt ON t.lang = wt.lang
+        |  GROUP BY t.lang),
+        |m AS (
+        |  SELECT a.lang AS mlang, a.wt AS mwt, a.n AS mn FROM cnt a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cnt b
+        |    WHERE b.n * a.wt < a.n * b.wt
+        |       OR (b.n * a.wt = a.n * b.wt AND b.lang < a.lang))),
+        |thr AS (
+        |  SELECT c.lang,
+        |    LEAST((10000 * c.wt * m.mn) // (m.mwt * c.n), 10000) AS t
+        |  FROM cnt c, m),
+        |s AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM tok),
+        |k AS (
+        |  SELECT s.lang, s.doc_id, s.n_tokens
+        |  FROM s JOIN thr ON s.lang = thr.lang WHERE s.b < thr.t)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // thresholds floor(frac*10000): en 5000, zh/de 2500, fr/es 1000
     "q74_stratified_sample" ->

@@ -82,6 +82,22 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("mixCorpusByMeasure binds on the measure, not row count") {
+    // lang with FEW docs but MANY tokens per doc should bind under a
+    // token measure even when doc counts alone would not pick it
+    val rows = (0L until 200L).map { i =>
+      if (i < 20) ("heavy", i, 1000L) else ("light", i, 1L)
+    }
+    val df = rows.toDF("lang", "doc_id", "n_tokens")
+    val out = Sampling.mixCorpusByMeasure(df, "lang", "doc_id", "n_tokens",
+      Map("heavy" -> 1, "light" -> 1))
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // heavy: n/w = 20000; light: n/w = 180 -> light binds, keeps all 180
+    assert(out("light") == 180L, s"binding stratum downsampled: $out")
+    // heavy keeps ~180/20000 of buckets = 0.9% -> a handful of docs
+    assert(out.getOrElse("heavy", 0L) < 20L, s"heavy not downsampled: $out")
+  }
+
   test("splitByHash weights normalize (2:1:1 == 0.5:0.25:0.25)") {
     val a = Sampling.splitByHash(docs, "doc_id",
       Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0))
