@@ -45,31 +45,19 @@ object ScaleSmoke {
           (x, i) => when(i === 0, x + col("r").cast("float") * lit(0.001f))
             .otherwise(x)).as("embedding"))
 
-  private def walk(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    val kids = p.children ++ p.subqueries ++ (p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        Seq(q.plan)
-      case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r.child)
-      case _ => Seq.empty
-    })
-    p +: kids.flatMap(walk)
-  }
-
-  /** Executes df.count() and returns (seconds, rows, executed-plan nodes). */
+  /** Executes df.count() and returns (seconds, rows, executed plan). */
   private def timed(df: DataFrame)
-      : (Double, Long, Seq[org.apache.spark.sql.execution.SparkPlan]) = {
+      : (Double, Long, org.apache.spark.sql.execution.SparkPlan) = {
     val t0 = System.nanoTime()
     val n = df.count()
     val sec = (System.nanoTime() - t0) / 1e9
-    (sec, n, walk(df.queryExecution.executedPlan))
+    (sec, n, df.queryExecution.executedPlan)
   }
 
   private def assertShapes(op: String,
-      nodes: Seq[org.apache.spark.sql.execution.SparkPlan],
+      root: org.apache.spark.sql.execution.SparkPlan,
       allowBroadcastNlj: Boolean): Unit = {
+    val nodes = graft.plans.PlanWalk.walk(root)
     val cartesian = nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
     require(!cartesian, s"$op: CartesianProduct in executed plan")
@@ -78,18 +66,9 @@ object ScaleSmoke {
         org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
       require(!nlj, s"$op: BroadcastNestedLoopJoin in executed plan")
     }
-    val badWindow = nodes.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
-    // a partitionless window is only tolerable above an aggregate
-    // (reduced input — the Packing bucket-totals pattern)
-    badWindow.foreach { w =>
-      def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
-          p.children.exists(hasAgg)
-      require(hasAgg(w), s"$op: partitionless WindowExec over raw input")
-    }
+    val bad = graft.plans.PlanWalk.badPartitionlessWindows(root)
+    require(bad.isEmpty,
+      s"$op: partitionless WindowExec over raw input:\n${bad.mkString("\n")}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,8 +88,8 @@ object ScaleSmoke {
     println(s"SCALE corpus ${nDocs} docs, ${nVec} vectors (rep=$rep)")
 
     def run(op: String, df: DataFrame, allowBroadcastNlj: Boolean = false): Unit = {
-      val (sec, n, nodes) = timed(df)
-      assertShapes(op, nodes, allowBroadcastNlj)
+      val (sec, n, plan) = timed(df)
+      assertShapes(op, plan, allowBroadcastNlj)
       println(f"SCALE $op%-24s $sec%8.2f sec  rows=$n")
     }
 

@@ -52,7 +52,7 @@ object Packing {
       .select(col("__b"), col("__off"))
     within.join(broadcast(offsets), Seq("__b"))
       .withColumn(outCol, col("__cs") + col("__off"))
-      .drop("__b", "__cs")
+      .drop("__b", "__cs", "__off")
   }
 
   /** Concat-and-chunk packing: every document gets its half-open token
@@ -76,14 +76,14 @@ object Packing {
       .withColumn("n_packs", col("pack_last") - col("pack_first") + lit(1L))
   }
 
-  /** Per-pack roll-up of [[packByBudget]]: how many documents START in
-    * each pack and how many of its tokens are seam overflow from a doc
-    * that began in an earlier pack — the packing-quality numbers a
-    * pipeline dashboards (seam fraction rises as budget shrinks relative
-    * to doc length).
+  /** Per-pack roll-up of [[packByBudget]] output: how many documents
+    * START in each pack and how many cross its boundary — the
+    * packing-quality numbers a pipeline dashboards (seam fraction rises
+    * as the budget shrinks relative to doc length). Reads the pack
+    * columns the packing step emitted, so there is no budget parameter
+    * to get out of sync with it.
     */
-  def packSummary(packed: DataFrame, budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
+  def packSummary(packed: DataFrame): DataFrame = {
     packed
       .groupBy(col("pack_first").as("pack_id"))
       .agg(

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Shared executed-plan traversal for scale-shape assertions (used by
+  * ScaleSmoke and the plan-gating specs — one copy, so the checks can't
+  * drift). `walk` crosses AQE boundaries (AdaptiveSparkPlanExec, query
+  * stages, reused subqueries), which plain `children` recursion does
+  * not: a materialized shuffle stage is a LEAF whose real subtree hangs
+  * off `plan`.
+  */
+object PlanWalk {
+  def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    (p +: p.children.flatMap(walk)) ++ p.subqueries.flatMap(walk) ++
+      extra.flatMap(walk)
+  }
+
+  /** Does any node at-or-below `p` aggregate? (crosses AQE stages) */
+  def hasAggBelow(p: SparkPlan): Boolean = walk(p).exists(
+    _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+
+  /** Partitionless windows over UNAGGREGATED input — the single-task
+    * scale-killer pattern. Windows above an aggregate (reduced input,
+    * the Packing bucket-totals shape) are tolerated.
+    */
+  def badPartitionlessWindows(root: SparkPlan): Seq[SparkPlan] =
+    walk(root).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && !hasAggBelow(w) => w
+    }
+}

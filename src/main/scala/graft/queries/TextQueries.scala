@@ -161,8 +161,7 @@ object TextQueries extends QueryModule {
         .select($"doc_id", tokenCount($"text").cast("long").as("n_tokens"))
       graft.operators.Packing.packSummary(
         graft.operators.Packing.packByBudget(
-          toks, "doc_id", "n_tokens", budget = 512L, bucketWidth = 256L),
-        budget = 512L)
+          toks, "doc_id", "n_tokens", budget = 512L, bucketWidth = 256L))
     }),
 
     // Chunk-blocked EXACT-recall SimHash near-dups (pigeonhole: h+1

@@ -60,7 +60,7 @@ class PackingSpec extends SparkSpec {
     val rows = samples(rowsGen, 1).head
     val budget = 16L
     val packed = Packing.packByBudget(rows.toDF("id", "v"), "id", "v", budget, 7L)
-    val got = Packing.packSummary(packed, budget)
+    val got = Packing.packSummary(packed)
       .select($"pack_id", $"n_docs", $"n_boundary_crossings")
       .as[(Long, Long, Long)].collect().toSet
     val spans = rows.sortBy(_._1)
@@ -76,30 +76,20 @@ class PackingSpec extends SparkSpec {
   }
 
   test("prefixSum windows are all partitioned (no corpus-wide single-partition stage)") {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val df = (0L until 1000L).map(i => (i, i % 7)).toDF("id", "v")
-      val out = Packing.prefixSum(df, "id", "v", "cs", 64L)
-      out.collect()
-      def walk(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] =
-        (p +: p.children.flatMap(walk)) ++ p.subqueries.flatMap(walk)
-      val nodes = walk(out.queryExecution.executedPlan)
-      val windows = nodes.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }
-      assert(windows.nonEmpty, "expected window nodes in the prefix-sum plan")
-      // the within-bucket scan (over the full table) must be partitioned;
-      // the only unpartitioned window runs over the REDUCED bucket-totals
-      // table — assert it sits above an aggregate, not the raw scan
-      val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
-      unpartitioned.foreach { w =>
-        def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-          p.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
-            p.children.exists(hasAgg)
-        assert(hasAgg(w),
-          s"unpartitioned window over non-aggregated input:\n$w")
-      }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // runs with AQE ON — PlanWalk crosses query-stage boundaries, so the
+    // bucket-totals aggregate behind the shuffle stage is still seen
+    val df = (0L until 1000L).map(i => (i, i % 7)).toDF("id", "v")
+    val out = Packing.prefixSum(df, "id", "v", "cs", 64L)
+    out.collect()
+    val root = out.queryExecution.executedPlan
+    val windows = graft.plans.PlanWalk.walk(root).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected window nodes in the prefix-sum plan")
+    // the within-bucket scan (over the full table) must be partitioned;
+    // the only unpartitioned window runs over the REDUCED bucket-totals
+    // table (above an aggregate) — PlanWalk encodes exactly that rule
+    assert(graft.plans.PlanWalk.badPartitionlessWindows(root).isEmpty,
+      s"unpartitioned window over non-aggregated input:\n$root")
   }
 }

@@ -114,10 +114,7 @@ class PlanSpec extends SparkSpec {
     try {
       val df = SparkEntry.queries("q60_ivf_ann")(spark, dir)
       df.collect()
-      def walk(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] =
-        p +: p.children.flatMap(walk)
-      val nodes = walk(df.queryExecution.executedPlan)
+      val nodes = graft.plans.PlanWalk.walk(df.queryExecution.executedPlan)
       val windows = nodes.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
