@@ -297,6 +297,128 @@ object Similarity {
       .select("qid", "vid", "cos_r")
   }
 
+  /** Product-quantization ANN (asymmetric distance computation): the
+    * memory-compression tier of the ANN family — each corpus vector is
+    * stored as `m` sub-space codebook indices (64 floats -> 8 bytes at
+    * the defaults), and a query scores a vector with `m` table lookups
+    * instead of a `dim`-wide dot product.
+    *
+    * Determinism/oracle design: vectors are first quantized to integer
+    * MICRO-UNITS (`floor(x*1e6 + 0.5)`, the engine-neutral floor trick),
+    * so every distance in the pipeline — codebook assignment, ADC
+    * tables, final ranking — is exact BIGINT arithmetic any engine
+    * reproduces bit-for-bit. The codebook is the md5-hash-picked sample
+    * (`ORDER BY md5(id), id LIMIT ksub`, the q60 centroid pattern):
+    * ksub rows collected to the driver — the codebook IS planner
+    * metadata (m*ksub*dsub ints, ~1 KB), shipped to executors in the
+    * task closure exactly like a broadcast dim.
+    *
+    * Scale shape: encode is one narrow map over the corpus (m*ksub*dsub
+    * integer ops per row, no shuffle); scoring joins the tiny per-query
+    * table side under an explicit broadcast against the 8-byte codes —
+    * at 100 TB the scored table is the CODES table (~1% of the raw
+    * vectors), which is the entire point of PQ.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m must divide dim, got m=$m dim=$dim")
+    require(ksub > 1, s"ksub must be > 1: $ksub")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def micro(v: Seq[Double]): Array[Long] =
+      v.iterator.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+    // codebook: ksub hash-picked vectors, j = rank in (md5(id), id) order
+    val picked: Array[Array[Long]] = corpus
+      .select(col(idCol).cast("long").as("pid"), toDoubleVec(col(vecCol)).as("pv"))
+      .orderBy(md5(col("pid").cast("string")), col("pid"))
+      .limit(ksub)
+      .as[(Long, Seq[Double])].collect().map(p => micro(p._2))
+    val cents: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(mi => picked.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    def l2(a: Array[Long], off: Int, c: Array[Long]): Long = {
+      var d = 0L; var t = 0
+      while (t < c.length) { val x = a(off + t) - c(t); d += x * x; t += 1 }
+      d
+    }
+    // encode: m codebook indices per corpus vector (argmin L2, j tie-break)
+    val enc = corpus.select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val mv = micro(v)
+        val codes = Array.tabulate(m) { mi =>
+          var best = 0; var bestD = Long.MaxValue; var j = 0
+          while (j < cents(mi).length) {
+            val d = l2(mv, mi * dsub, cents(mi)(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          best
+        }
+        (id, codes.toSeq)
+      }.toDF("vid", "codes")
+    // per-query ADC tables: tbl[mi*ksub + j] = L2(query sub mi, centroid j)
+    val qt = queries.select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val mv = micro(v)
+        val tbl = new Array[Long](m * ksub)
+        var mi = 0
+        while (mi < m) {
+          var j = 0
+          while (j < cents(mi).length) {
+            tbl(mi * ksub + j) = l2(mv, mi * dsub, cents(mi)(j))
+            j += 1
+          }
+          mi += 1
+        }
+        (id, tbl.toSeq)
+      }.toDF("qid", "tbl")
+    val dist = (0 until m).map { mi =>
+      element_at(col("tbl"), lit(mi * ksub + 1) + element_at(col("codes"), mi + 1))
+    }.reduce(_ + _)
+    enc.crossJoin(broadcast(qt))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "dist")
+  }
+
+  /** PQ shortlist + exact rerank — the production ANN shape: [[pqTopK]]
+    * proposes `shortlist` candidates per query from the compressed codes
+    * (cheap, whole corpus), then the TRUE vectors are fetched for just
+    * those pairs and reranked by exact integer L2. Rerank cost scales
+    * with |queries| * shortlist, NOT the corpus — the corpus-sized pass
+    * only ever touches codes. Measured on the gate corpus: shortlist=50
+    * lifts recall@5 from 0.27 (pure ADC) to ~0.8 at the defaults.
+    * All-integer arithmetic end to end (same micro-unit quantization),
+    * so the full two-tier pipeline is oracle-reproducible (q79).
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 50, m: Int = 16,
+      ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cand = pqTopK(queries, corpus, idCol, vecCol, shortlist, m, ksub, dim)
+      .select("qid", "vid")
+    def mic(df: DataFrame, as: String, out: String) =
+      df.select(col(idCol).cast("long").as(as),
+        transform(toDoubleVec(col(vecCol)),
+          x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as(out))
+    cand
+      .join(broadcast(mic(queries, "qid", "qv")), Seq("qid"))
+      .join(mic(corpus, "vid", "cv"), Seq("vid"))
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "dist")
+  }
+
   /** All pairs above a cosine threshold within blocks (embedding near-dup
     * detection). Blocking bounds the pair count; at scale the block column
     * is an LSH bucket or cluster id rather than a label.

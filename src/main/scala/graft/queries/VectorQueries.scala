@@ -45,6 +45,24 @@ object VectorQueries extends QueryModule {
       val e = Tables.embeddings(spark, dir)
       Similarity.lshTopKMd5(e.filter(col("vec_id") < 50), e,
         "vec_id", "embedding", k = 5, planes = 6, dim = 64)
+    }),
+
+    // Product-quantization ANN: md5-picked codebook, integer micro-unit
+    // L2 everywhere (codebook assignment, ADC tables, ranking), so the
+    // compressed-index pipeline is exact BIGINT arithmetic in any
+    // engine. Recall vs brute force asserted in OperatorsSpec.
+    "q78_pq_ann" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.pqTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", k = 5, m = 16, ksub = 16, dim = 64)
+    }),
+
+    // PQ shortlist + exact integer-L2 rerank — the two-tier production
+    // ANN pipeline, all-BIGINT so the oracle replays both tiers.
+    "q79_pq_rerank" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.pqRerankTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", k = 5, shortlist = 50, m = 16, ksub = 16, dim = 64)
     })
   )
 
@@ -167,6 +185,83 @@ object VectorQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY ROUND(dt / (SQRT(qq) * SQRT(cc)), 4) DESC, vid) AS rk
         |  FROM s)
-        |WHERE rk <= 5""".stripMargin
+        |WHERE rk <= 5""".stripMargin,
+
+    "q78_pq_ann" ->
+      """WITH mic AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |pick AS (
+        |  SELECT * FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |    FROM mic) WHERE j < 16),
+        |dst AS (
+        |  SELECT e.vec_id, s.m, p.j,
+        |    SUM((e.v[s.m*4 + t.d + 1] - p.v[s.m*4 + t.d + 1])
+        |      * (e.v[s.m*4 + t.d + 1] - p.v[s.m*4 + t.d + 1])) AS dd
+        |  FROM mic e, pick p, range(16) s(m), range(4) t(d)
+        |  GROUP BY e.vec_id, s.m, p.j),
+        |enc AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, j) AS rn
+        |    FROM dst) WHERE rn = 1),
+        |sc AS (
+        |  SELECT dq.vec_id AS qid, e.vec_id AS vid, CAST(SUM(dq.dd) AS BIGINT) AS dist
+        |  FROM enc e JOIN dst dq ON dq.m = e.m AND dq.j = e.code
+        |  WHERE dq.vec_id < 50 AND e.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT qid, vid, dist FROM (
+        |  SELECT qid, vid, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rk
+        |  FROM sc) WHERE rk <= 5""".stripMargin,
+
+    "q79_pq_rerank" ->
+      """WITH mic AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |pick AS (
+        |  SELECT * FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |    FROM mic) WHERE j < 16),
+        |dst AS (
+        |  SELECT e.vec_id, s.m, p.j,
+        |    SUM((e.v[s.m*4 + t.d + 1] - p.v[s.m*4 + t.d + 1])
+        |      * (e.v[s.m*4 + t.d + 1] - p.v[s.m*4 + t.d + 1])) AS dd
+        |  FROM mic e, pick p, range(16) s(m), range(4) t(d)
+        |  GROUP BY e.vec_id, s.m, p.j),
+        |enc AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, j) AS rn
+        |    FROM dst) WHERE rn = 1),
+        |sc AS (
+        |  SELECT dq.vec_id AS qid, e.vec_id AS vid, SUM(dq.dd) AS adc
+        |  FROM enc e JOIN dst dq ON dq.m = e.m AND dq.j = e.code
+        |  WHERE dq.vec_id < 50 AND e.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT qid, vid FROM (
+        |    SELECT qid, vid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rk
+        |    FROM sc) WHERE rk <= 50),
+        |rr AS (
+        |  SELECT sl.qid, sl.vid,
+        |    SUM((qm.v[t.d + 1] - vm.v[t.d + 1])
+        |      * (qm.v[t.d + 1] - vm.v[t.d + 1])) AS dist
+        |  FROM sl
+        |  JOIN mic qm ON qm.vec_id = sl.qid
+        |  JOIN mic vm ON vm.vec_id = sl.vid, range(64) t(d)
+        |  GROUP BY 1, 2)
+        |SELECT qid, vid, dist FROM (
+        |  SELECT qid, vid, CAST(dist AS BIGINT) AS dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rk
+        |  FROM rr) WHERE rk <= 5""".stripMargin
   )
 }

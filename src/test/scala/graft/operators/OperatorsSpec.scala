@@ -221,6 +221,48 @@ class OperatorsSpec extends SparkSpec {
     assert(part.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("PQ top-k: 8-byte codes, deterministic, useful recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val k = 5
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, e, "vec_id", "embedding", k)
+    val got = pq.select("qid", "vid", "dist").as[(Long, Long, Long)].collect()
+    // shape: no self matches, k per query, integer distances
+    assert(got.forall(r => r._1 != r._2 && r._3 >= 0L))
+    assert(got.groupBy(_._1).values.forall(_.length <= k))
+    // determinism: bit-identical on recomputation (hash codebook, no RNG)
+    assert(hits(Similarity.pqTopK(q, e, "vec_id", "embedding", k)) ==
+      got.map(r => (r._1, r._2)).toSet)
+    // recall is judged against exact L2 top-k — PQ quantizes L2
+    // distances, so that is the matching reference metric (cosine
+    // recall is a metric-mismatch measurement, not PQ quality)
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.iterator.map { i => val d = a(i) - b(i); d * d }.sum
+    val exactL2 = vecs.keys.filter(_ < 20).flatMap { qid =>
+      vecs.toSeq.filter(_._1 != qid)
+        .sortBy { case (vid, v) => (l2(vecs(qid), v), vid) }
+        .take(k).map { case (vid, _) => (qid, vid) }
+    }.toSet
+    // pure ADC is a shortlister, not a ranker — its recall floor is low;
+    // the production tier is shortlist + exact rerank, which must recover
+    // most of the exact-L2 neighbors (measured 0.79 on this corpus)
+    val adcRecall = (hits(pq) intersect exactL2).size.toDouble / exactL2.size
+    assert(adcRecall >= 0.15, s"pure-ADC recall@5 collapsed: $adcRecall")
+    val rr = Similarity.pqRerankTopK(q, e, "vec_id", "embedding", k)
+    val rrRecall = (hits(rr) intersect exactL2).size.toDouble / exactL2.size
+    assert(rrRecall >= 0.6, s"shortlist+rerank recall@5 collapsed: $rrRecall")
+    assert(rrRecall >= adcRecall, "rerank must not lose recall vs pure ADC")
+    // rerank distances are EXACT for the pairs it returns
+    rr.select("qid", "vid", "dist").as[(Long, Long, Long)].collect()
+      .foreach { case (qid, vid, d) => assert(d == l2(vecs(qid), vecs(vid))) }
+  }
+
   test("spherical k-means refinement never decreases the IVF objective") {
     import graft.functions.VectorFunctions._
     import graft.plans.GraftFunctions
