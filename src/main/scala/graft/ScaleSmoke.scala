@@ -109,6 +109,9 @@ object ScaleSmoke {
     run("ann_ivf", graft.operators.Similarity.ivfTopK(
       queries, emb, "vec_id", "embedding", k = 10, nlist = 16, nProbe = 4),
       allowBroadcastNlj = true)
+    run("ann_pq_rerank", graft.operators.Similarity.pqRerankTopK(
+      queries, emb, "vec_id", "embedding", k = 10, shortlist = 50),
+      allowBroadcastNlj = true)
 
     println("SCALE plan_checks PASS")
     spark.stop()

@@ -297,6 +297,18 @@ object Similarity {
       .select("qid", "vid", "cos_r")
   }
 
+  /** LSH plane count that holds expected bucket occupancy at
+    * `targetBucketSize` as the corpus grows: planes = ceil(log2(n /
+    * target)). Fixed planes at a growing n is the superlinear-cost trap
+    * the scale smoke measures (SCALE.md) — per-bucket pair work grows
+    * ~n²/2^planes, so planes must track log2(n).
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0, "positive sizes required")
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (corpusSize + targetBucketSize - 1) / targetBucketSize) - 1))
+  }
+
   /** Product-quantization ANN (asymmetric distance computation): the
     * memory-compression tier of the ANN family — each corpus vector is
     * stored as `m` sub-space codebook indices (64 floats -> 8 bytes at

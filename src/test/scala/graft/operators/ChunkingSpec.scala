@@ -49,6 +49,27 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("chunking is stream/batch unified: same output on a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"), (3L, "p q r s t"))
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(docs: _*)
+    val sq = Chunking.slidingTokenChunks(
+        mem.toDF.toDF("id", "text"), "id", "text", 4, 3)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val batch = Chunking.slidingTokenChunks(docs.toDF("id", "text"),
+          "id", "text", 4, 3)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally sq.stop()
+  }
+
   test("stride == size gives disjoint chunks; short docs give exactly one") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("id", "text")
     val out = Chunking.slidingTokenChunks(docs, "id", "text", 3, 3)

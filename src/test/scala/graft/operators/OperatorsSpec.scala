@@ -221,6 +221,17 @@ class OperatorsSpec extends SparkSpec {
     assert(part.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("planesFor holds bucket occupancy across corpus growth") {
+    // expected occupancy n / 2^planes stays within [target/2, target]
+    for (n <- Seq(100L, 1000L, 100000L, 10000000L, 10000000000L)) {
+      val p = Similarity.planesFor(n, 64)
+      val occ = n.toDouble / math.pow(2, p)
+      assert(occ <= 64.0, s"n=$n planes=$p occupancy $occ above target")
+      assert(p == 1 || occ > 16.0, s"n=$n planes=$p over-partitioned ($occ)")
+    }
+    assert(Similarity.planesFor(1, 64) == 1)
+  }
+
   test("PQ top-k: 8-byte codes, deterministic, useful recall vs brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 20)
