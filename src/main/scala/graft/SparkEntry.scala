@@ -16,7 +16,8 @@ object SparkEntry {
     TextQueries,
     VectorQueries,
     ExtendedQueries,
-    PipelineQueries
+    PipelineQueries,
+    CorpusQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -124,6 +124,48 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => xxhash64(text.substr(i, lit(n)))))
 
+  // --- PII scrubbing -------------------------------------------------
+  // Patterns stay inside the Java-regex ∩ RE2 subset (no lookaround, no
+  // backreferences) so the DuckDB oracle (RE2) replays them identically.
+  // NOTE for oracle SQL: DuckDB regexp_replace is first-match unless the
+  // 'g' flag is passed; Spark replaces all occurrences by default.
+
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** TPC-H-style phone numbers: `25-989-741-2988`. */
+  val phonePattern: String = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Replace emails / IPv4s / phone numbers with typed placeholders.
+    * Email runs first so its digit-bearing domain can't be half-eaten by
+    * the narrower numeric patterns. Pure codegen'd expression — the scrub
+    * runs in the scan stage at 100 TB, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Number of PII hits by type (email + ip + phone). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)) +
+      regexp_count(regexp_replace(text, emailPattern, "<EMAIL>"),
+        lit(ipv4Pattern)) +
+      regexp_count(
+        regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+          ipv4Pattern, "<IP>"),
+        lit(phonePattern))
+
+  /** Canonical text normalization for dedup keys: lowercase, non-alnum
+    * runs to a single space, whitespace collapsed, trimmed. The standard
+    * pre-pass before exact/near dedup so cosmetic variants (case,
+    * punctuation, spacing) collapse to one digest.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+
   /** Simple per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Public, standard closed-class words.
     */

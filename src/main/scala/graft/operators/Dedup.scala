@@ -32,9 +32,20 @@ object Dedup {
     keyed.join(keep, Seq("__digest", idCol), "left_semi").drop("__digest")
   }
 
-  /** Per-id distinct word shingles, exploded: (id, shingle). */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+  /** Per-id distinct word shingles, exploded: (id, shingle). `idCol` is
+    * cast to long. Typed single-pass shingling — the interpreted Column
+    * HOF form (`explode(wordShingles(...))`) is ~50x slower (see
+    * MinhashImpl scaladoc).
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.MinhashImpl.shingles(t, n).iterator.map(s => (id, s)) }
+      .toDF(idCol, "shingle")
+  }
 
   /** Exact pairwise n-gram Jaccard via shingle equi-join.
     *

@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Clusters, Decontam, Dedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation batch: the training-data-pipeline steps that run AFTER
+  * candidate generation — duplicate-cluster resolution (connected
+  * components), benchmark decontamination, PII scrubbing, normalization,
+  * and BM25 relevance scoring. Each is oracle-gated; the cluster oracle is
+  * a recursive CTE (min-label reachability), the rest mirror the Spark
+  * column programs in DuckDB SQL.
+  */
+object CorpusQueries extends QueryModule {
+  import Q._
+
+  // BM25 query terms + parameters (fixed, public constants)
+  private val bmTerms = Seq("spark", "table", "window")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+
+  /** PII-bearing synthetic text derived deterministically from customer
+    * columns (the shared tables carry no natural PII). Email always;
+    * phone on custkey%3==0; IP on custkey%2==0 — so hit counts vary.
+    */
+  private def piiText(k: Column, name: Column): Column =
+    concat(
+      name, lit(" contact "),
+      lower(regexp_replace(name, "#", ".")), lit("@example.com"),
+      when(k % 3 === 0, concat(lit(" call "),
+        (k % 90 + 10).cast("string"), lit("-"),
+        (k % 900 + 100).cast("string"), lit("-"),
+        (k % 899 + 100).cast("string"), lit("-"),
+        (k % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(k % 2 === 0, concat(lit(" from 10.0."),
+        (k % 256).cast("string"), lit("."),
+        (k % 100).cast("string"))).otherwise(lit("")))
+
+  private val piiTextSql: String =
+    """c_name || ' contact ' || lower(replace(c_name, '#', '.')) ||
+      |'@example.com' ||
+      |CASE WHEN c_custkey % 3 = 0 THEN ' call ' ||
+      |  CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+      |  CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+      |  CAST(c_custkey % 899 + 100 AS VARCHAR) || '-' ||
+      |  CAST(c_custkey % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+      |CASE WHEN c_custkey % 2 = 0 THEN ' from 10.0.' ||
+      |  CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+      |  CAST(c_custkey % 100 AS VARCHAR) ELSE '' END""".stripMargin
+      .replace('\n', ' ')
+
+  /** Mixed-case / punctuation / whitespace variants of the market
+    * segment, for the normalization gate (cosmetic variants must collapse
+    * to one normalized digest).
+    */
+  private def messyText(k: Column, seg: Column): Column =
+    concat(
+      when(k % 3 === 0, concat(upper(seg), lit("!!!")))
+        .when(k % 3 === 1, concat(lower(seg), lit("   ")))
+        .otherwise(seg),
+      lit(" Customer "), (k % 50).cast("string"))
+
+  private val messyTextSql: String =
+    """CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment) || '!!!'
+      |     WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment) || '   '
+      |     ELSE c_mktsegment END || ' Customer ' ||
+      |CAST(c_custkey % 50 AS VARCHAR)""".stripMargin.replace('\n', ' ')
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Near-dup pairs (exact 3-gram Jaccard >= 0.3, the q23 generator at a
+    // looser threshold) closed into connected components; every clustered
+    // doc reports its cluster (= min reachable doc_id) and whether it is
+    // the canonical survivor. Distributed CC: min-label rounds + pointer
+    // jumping, O(log n) rounds (Clusters scaladoc).
+    "q80_dup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id",
+          "text", n = 3, blockCol = Some("lang"), maxShingleFreq = 50)
+        .filter($"jaccard" >= 0.3)
+        .select("id_a", "id_b")
+      Clusters.connectedComponents(pairs)
+        .select($"id".as("doc_id"), $"cluster",
+          ($"id" === $"cluster").as("is_canonical"))
+    }),
+
+    // Benchmark decontamination: overlap report of the training split
+    // (doc_id % 20 != 0) against the held-out eval split (doc_id % 20 ==
+    // 0) on distinct word 3-grams. The eval shingle set broadcasts; the
+    // corpus side never shuffles to discover overlaps (plan-gated in
+    // ClustersSpec).
+    "q81_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Decontam.contaminationReport(
+          docs.filter($"doc_id" % 20 =!= 0),
+          docs.filter($"doc_id" % 20 === 0),
+          "doc_id", "text", n = 3)
+        .select($"doc_id", $"n_shared", $"n_shingles", $"ratio")
+    }),
+
+    // PII scrub: redact emails / phones / IPv4s from deterministic
+    // PII-bearing text; per nation report hit totals and how much the
+    // redaction changed the byte length. Pure codegen'd regex columns —
+    // at 100 TB the scrub runs inside the scan stage.
+    "q82_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .withColumn("txt", piiText($"c_custkey", $"c_name"))
+        .withColumn("red", redactPii($"txt"))
+        .groupBy($"c_nationkey".cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(piiCount($"txt")).as("pii_hits"),
+          sum(length($"red") - length($"txt")).as("len_delta"))
+        .orderBy($"nation")
+    }),
+
+    // Canonical normalization before dedup: cosmetic variants (case,
+    // punctuation, trailing space) must collapse — per market segment,
+    // distinct raw digests vs distinct normalized digests.
+    "q83_normalize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .withColumn("raw", messyText($"c_custkey", $"c_mktsegment"))
+        .withColumn("norm", normalizeText($"raw"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(md5($"raw")).as("distinct_raw"),
+          countDistinct(md5($"norm")).as("distinct_norm"),
+          sum(length($"raw") - length($"norm")).as("len_delta"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // BM25 relevance of every document against a fixed 3-term query;
+    // top 20 by score (doc_id tiebreak). Term frequencies are per-row
+    // column expressions (no explode/shuffle); the corpus stats (N, df,
+    // avg len) are one aggregate row cross-joined back — at 100 TB that
+    // is one scalar broadcast, and scoring stays in the scan stage.
+    // Score arithmetic is written in a fixed operation order so both
+    // engines round identically.
+    "q84_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("w"))
+        .withColumn("len", size($"w"))
+      val tf = bmTerms.foldLeft(docs) { (d, t) =>
+        d.withColumn(s"tf_$t", size(filter($"w", x => x === t)))
+      }
+      val stats = tf.agg(
+        (count(lit(1)).cast("double")).as("n"),
+        sum($"len".cast("long")).cast("double").as("sumlen") +:
+          bmTerms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double")
+              .as(s"df_$t")): _*)
+      // ln() can differ by 1 ulp between JVM Math.log and libm, so the
+      // score is quantized through an exact decimal (the Q.dec pattern)
+      // before output AND ordering — sub-ulp engine noise can't flip
+      // either the value or the ranking.
+      val scored = tf.crossJoin(broadcast(stats))
+        .withColumn("score", bmTerms.map { t =>
+          val tfc = col(s"tf_$t").cast("double")
+          val idf = log(($"n" - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+          idf * (tfc * (bmK1 + 1.0)) /
+            (tfc + lit(bmK1) * (lit(1.0 - bmB) +
+              lit(bmB) * ($"len".cast("double") / ($"sumlen" / $"n"))))
+        }.reduce(_ + _).cast("decimal(18,9)").cast("double"))
+      scored.orderBy($"score".desc, $"doc_id")
+        .limit(20)
+        .select($"doc_id" +: bmTerms.map(t =>
+          col(s"tf_$t").cast("long").as(s"tf_$t")) :+ $"score": _*)
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // Recursive min-label reachability: symmetric edges, every node
+    // starts labeled with itself, labels flow along edges until fixpoint
+    // (UNION dedups states, so the recursion terminates); a node's
+    // component is the MIN label that reached it.
+    "q80_dup_clusters" ->
+      s"""WITH RECURSIVE ${TextQueries.docShingles},
+         |keep AS (
+         |  SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING COUNT(DISTINCT doc_id) <= 50),
+         |shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         |szp AS (SELECT doc_id, COUNT(*) AS sz FROM shp GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM shp a JOIN shp b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang = b.lang
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM pr JOIN szp sa ON id_a = sa.doc_id JOIN szp sb ON id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.3),
+         |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |wk AS (
+         |  SELECT s AS id, s AS lbl FROM e
+         |  UNION
+         |  SELECT e.d, wk.lbl FROM wk JOIN e ON e.s = wk.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster,
+         |  id = MIN(lbl) AS is_canonical
+         |FROM wk GROUP BY id""".stripMargin,
+
+    "q81_decontam" ->
+      s"""WITH ${TextQueries.docShingles},
+         |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         |t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+         |tsz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM t GROUP BY doc_id)
+         |SELECT t.doc_id, COUNT(*) AS n_shared, tsz.n_shingles,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(tsz.n_shingles AS DOUBLE) AS ratio
+         |FROM t JOIN b USING (shingle) JOIN tsz ON t.doc_id = tsz.doc_id
+         |GROUP BY t.doc_id, tsz.n_shingles""".stripMargin,
+
+    "q82_pii_redact" ->
+      s"""WITH base AS (SELECT c_custkey, c_nationkey, $piiTextSql AS txt
+         |  FROM customer),
+         |red AS (SELECT c_nationkey, txt,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$emailPattern', '<EMAIL>', 'g'),
+         |    '$ipv4Pattern', '<IP>', 'g'),
+         |    '$phonePattern', '<PHONE>', 'g') AS red,
+         |  len(regexp_extract_all(txt, '$emailPattern')) +
+         |  len(regexp_extract_all(regexp_replace(txt, '$emailPattern',
+         |    '<EMAIL>', 'g'), '$ipv4Pattern')) +
+         |  len(regexp_extract_all(regexp_replace(regexp_replace(txt,
+         |    '$emailPattern', '<EMAIL>', 'g'), '$ipv4Pattern', '<IP>', 'g'),
+         |    '$phonePattern')) AS npii
+         |  FROM base)
+         |SELECT CAST(c_nationkey AS BIGINT) AS nation, COUNT(*) AS n_docs,
+         |  CAST(SUM(npii) AS BIGINT) AS pii_hits,
+         |  CAST(SUM(len(red) - len(txt)) AS BIGINT) AS len_delta
+         |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q83_normalize" ->
+      s"""WITH base AS (
+         |  SELECT c_mktsegment, $messyTextSql AS raw FROM customer),
+         |n AS (SELECT c_mktsegment, raw,
+         |  trim(regexp_replace(regexp_replace(lower(raw),
+         |    '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM base)
+         |SELECT c_mktsegment, COUNT(*) AS n,
+         |  COUNT(DISTINCT md5(raw)) AS distinct_raw,
+         |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
+         |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
+         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_bm25" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         |    len(string_split_regex(trim(text), '\\s+')) AS len
+         |  FROM documents),
+         |tf AS (SELECT doc_id, len,
+         |  ${bmTerms.map(t =>
+             s"len(list_filter(w, x -> x = '$t')) AS tf_$t").mkString(",\n         |  ")}
+         |  FROM w),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(SUM(CAST(len AS BIGINT)) AS DOUBLE) AS sumlen,
+         |  ${bmTerms.map(t =>
+             s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+             .mkString(",\n         |  ")}
+         |  FROM tf)
+         |SELECT doc_id, tf_spark, tf_table, tf_window,
+         |  CAST(CAST(
+         |  ${bmTerms.map(t =>
+             s"""(ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0) *
+         |    (CAST(tf_$t AS DOUBLE) * ${bmK1 + 1.0}) /
+         |    (CAST(tf_$t AS DOUBLE) + $bmK1 * (1.0 - $bmB + $bmB *
+         |      (CAST(len AS DOUBLE) / (sumlen / n)))))""").mkString(" +\n         |  ")}
+         |  AS DECIMAL(18,9)) AS DOUBLE) AS score
+         |FROM tf CROSS JOIN stats
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  )
+}

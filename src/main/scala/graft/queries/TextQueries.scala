@@ -21,7 +21,7 @@ object TextQueries extends QueryModule {
   /** DuckDB CTE: tokenized + 3-word-shingled documents (mirrors
     * TextFunctions.tokens / wordShingles).
     */
-  private val docShingles =
+  private[queries] val docShingles =
     """w AS (SELECT doc_id, lang, source, text, n_chars,
       |        string_split_regex(trim(text), '\s+') AS words FROM documents),
       |shl AS (SELECT *, list_distinct(list_transform(
