@@ -45,13 +45,17 @@ object ScaleSmoke {
           (x, i) => when(i === 0, x + col("r").cast("float") * lit(0.001f))
             .otherwise(x)).as("embedding"))
 
-  /** Executes df.count() and returns (seconds, rows, executed plan). */
-  private def timed(df: DataFrame)
+  /** Builds the frame AND executes df.count() inside the timing window
+    * (by-name `df`: eager operators — the CC loop's localCheckpoint
+    * rounds — bill their work here, not to the caller's line).
+    */
+  private def timed(df: => DataFrame)
       : (Double, Long, org.apache.spark.sql.execution.SparkPlan) = {
     val t0 = System.nanoTime()
-    val n = df.count()
+    val built = df
+    val n = built.count()
     val sec = (System.nanoTime() - t0) / 1e9
-    (sec, n, df.queryExecution.executedPlan)
+    (sec, n, built.queryExecution.executedPlan)
   }
 
   private def assertShapes(op: String,
@@ -87,7 +91,7 @@ object ScaleSmoke {
     val nDocs = docs.count(); val nVec = emb.count()
     println(s"SCALE corpus ${nDocs} docs, ${nVec} vectors (rep=$rep)")
 
-    def run(op: String, df: DataFrame, allowBroadcastNlj: Boolean = false): Unit = {
+    def run(op: String, df: => DataFrame, allowBroadcastNlj: Boolean = false): Unit = {
       val (sec, n, plan) = timed(df)
       assertShapes(op, plan, allowBroadcastNlj)
       println(f"SCALE $op%-24s $sec%8.2f sec  rows=$n")
@@ -100,6 +104,19 @@ object ScaleSmoke {
       docs, "doc_id", "text", 0.6, 3, 16, 8))
     run("simhash_neardups", graft.operators.Dedup.simhashNearDups(
       docs, "doc_id", "text", maxHamming = 3, prefixBits = 12))
+
+    // curation tier: CC over the exact-dup digest pairs the replication
+    // plants (replica 1 duplicates every text verbatim), and
+    // decontamination of the corpus against a small benchmark slice
+    run("dup_clusters", {
+      val pairs = graft.operators.Dedup.minhashCandidatesFast(
+        docs, "doc_id", "text", 3, 16, 8)
+      graft.operators.Clusters.connectedComponents(pairs)
+    })
+    run("decontaminate", graft.operators.Decontam.contaminationReport(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < Off),
+      "doc_id", "text", 3))
 
     val queries = emb.filter(col("vec_id") < 50)
     run("ann_brute_force", graft.operators.Similarity.bruteForceTopK(

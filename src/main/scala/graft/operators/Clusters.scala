@@ -76,6 +76,11 @@ object Clusters {
       round += 1
     }
     e.unpersist()
+    // a non-converged result is silently WRONG (labels mid-propagation);
+    // pointer jumping converges in O(log n) rounds, so hitting the cap
+    // means something is broken — fail loudly, never return bad clusters
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds")
     labels.withColumnRenamed("label", "cluster")
   }
 

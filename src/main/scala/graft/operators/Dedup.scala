@@ -275,6 +275,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Incremental dedup: which INCOMING rows duplicate the EXISTING
+    * corpus — 'exact' (identical text digest) or 'near' (exact n-gram
+    * Jaccard >= threshold, LSH-candidate-pruned)? Returns one row per
+    * dropped incoming doc: (idCol, reason), exact taking precedence.
+    * Ids must be globally unique across both frames.
+    *
+    * The production shape for a corpus that already exists: nothing
+    * re-deduplicates the 100 TB against itself — the incoming batch's
+    * band rows join the corpus band rows on (band, bkey), so corpus-side
+    * work is one banding pass + an equi-join keyed by uniform hashes;
+    * the digest probe is likewise an equi-join on md5. No corpus
+    * self-pairs are ever generated (the within-batch variant is
+    * [[minhashNearDupsFast]] on `incoming` alone).
+    */
+  def incrementalDedupReport(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    // exact tier: digest equi-join (uniform keys, one shuffle)
+    val corpD = corpus.select(md5(col(textCol)).as("__d")).distinct()
+    val exact = incoming.select(col(idCol).cast("long"), md5(col(textCol)).as("__d"))
+      .join(corpD, Seq("__d"), "left_semi")
+      .select(col(idCol)).distinct()
+    // near tier: cross-table LSH banding, then hash-free exact-Jaccard
+    // verification of only the colliding (incoming, corpus) pairs
+    def banded(df: DataFrame) = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.XxMinhashImpl.bandRows(text, shingleN, k, bands)
+          .map { case (b, bk) => (id, b, bk) }
+      }.toDF(idCol, "band", "bkey")
+    val cand = banded(incoming).select(col(idCol).as("id_a"), col("band"), col("bkey"))
+      .join(banded(corpus).select(col(idCol).as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("id_a", "id_b").distinct()
+    val all = incoming.select(col(idCol).cast("long"), col(textCol))
+      .union(corpus.select(col(idCol).cast("long"), col(textCol)))
+    val near = pairJaccard(cand, all, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    exact.withColumn("reason", lit("exact"))
+      .union(near.join(exact, Seq(idCol), "left_anti")
+        .withColumn("reason", lit("near")))
+  }
+
   /** 64-bit SimHash per document: explode tokens, hash each with xxhash64,
     * sum ±1 per bit position, sign -> bit. Distributed as one groupBy on
     * the id (no pair joins); near-dups then cluster by hamming distance

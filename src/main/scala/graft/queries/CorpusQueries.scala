@@ -132,6 +132,35 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Incremental dedup: the incoming batch (odd doc_ids) against the
+    // existing corpus (even doc_ids) — exact digest tier + cross-table
+    // LSH banding with exact-Jaccard verification. The oracle computes
+    // the exact cross-split duplicate set directly; engine-specific
+    // band hashes never reach the output (the q44 pattern).
+    "q86_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDedupReport(
+        docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", threshold = 0.6)
+    }),
+
+    // Semantic dedup (the SemDeDup shape): embedding near-dup pairs
+    // (cosine >= 0.2 within label blocks, the q27 generator at a looser
+    // threshold) closed into connected components; each clustered
+    // embedding maps to its canonical survivor. The cluster step reuses
+    // the same distributed CC as q80 — one operator, both modalities.
+    "q85_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Similarity.blockedNearDups(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          threshold = 0.2)
+        .select($"id_a", $"id_b")
+      Clusters.connectedComponents(pairs)
+        .select($"id".as("vec_id"), $"cluster",
+          ($"id" === $"cluster").as("is_canonical"))
+    }),
+
     // BM25 relevance of every document against a fixed 3-term query;
     // top 20 by score (doc_id tiebreak). Term frequencies are per-row
     // column expressions (no explode/shuffle); the corpus stats (N, df,
@@ -245,6 +274,54 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q86_incremental_dedup" ->
+      s"""WITH ${TextQueries.docShingles},
+         |szs AS (SELECT doc_id, COUNT(*) AS szx FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT i.doc_id AS ia, c.doc_id AS ib, COUNT(*) AS x
+         |  FROM sh i JOIN sh c ON i.shingle = c.shingle
+         |  WHERE i.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT DISTINCT ia AS doc_id
+         |  FROM inter JOIN szs a ON ia = a.doc_id JOIN szs b ON ib = b.doc_id
+         |  WHERE CAST(x AS DOUBLE) / CAST(a.szx + b.szx - x AS DOUBLE) >= 0.6),
+         |ex AS (
+         |  SELECT DISTINCT d1.doc_id
+         |  FROM documents d1 JOIN documents d2 ON md5(d1.text) = md5(d2.text)
+         |  WHERE d1.doc_id % 2 = 1 AND d2.doc_id % 2 = 0)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM ex)
+         |       THEN 'exact' ELSE 'near' END AS reason
+         |FROM (SELECT doc_id FROM ex UNION SELECT doc_id FROM near)""".stripMargin,
+
+    "q85_semantic_dedup" ->
+      """WITH RECURSIVE prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.embedding AS va, b.embedding AS vb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |z AS (
+        |  SELECT id_a, id_b, unnest(va) AS x, unnest(vb) AS y FROM prs),
+        |sim AS (
+        |  SELECT id_a, id_b,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+        |  FROM z GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM sim
+        |  WHERE ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) >= 0.2),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |wk AS (
+        |  SELECT s AS id, s AS lbl FROM e
+        |  UNION
+        |  SELECT e.d, wk.lbl FROM wk JOIN e ON e.s = wk.id)
+        |SELECT id AS vec_id, MIN(lbl) AS cluster,
+        |  id = MIN(lbl) AS is_canonical
+        |FROM wk GROUP BY id""".stripMargin,
 
     "q84_bm25" ->
       s"""WITH w AS (

@@ -356,4 +356,25 @@ class OperatorsSpec extends SparkSpec {
     val exp = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(math.abs(got - exp) < 1e-12)
   }
+
+  test("incrementalDedupReport flags exact and near incoming dups, exact taking precedence") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "some existing corpus content about engines")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog"), // exact
+      (23L, "the quick brown fox jumps over the lazy cat"), // near
+      (25L, "entirely fresh material nothing like the rest at all")) // clean
+      .toDF("doc_id", "text")
+    val rep = Dedup.incrementalDedupReport(incoming, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(rep == Map(21L -> "exact", 23L -> "near"))
+    // no within-batch pairs: two identical incoming docs with no corpus
+    // match are NOT flagged (incremental scope only)
+    val twin = Seq((31L, "twin text alpha beta gamma delta"),
+      (32L, "twin text alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedupReport(twin, corpus, "doc_id", "text",
+      threshold = 0.5).isEmpty)
+  }
 }
