@@ -132,6 +132,18 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Unigram-LM quality scoring (the perplexity-filter shape): per-doc
+    // log-probability under the corpus's own unigram distribution.
+    // Logprobs are integer micro-units at the vocab level, so per-doc
+    // integer sums are order-free exact in both engines (one ln per
+    // DISTINCT token is the only float op).
+    "q87_unigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Quality.unigramLogprob(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select($"doc_id", $"n_tokens", $"lp_micro", $"avg_lp")
+    }),
+
     // Incremental dedup: the incoming batch (odd doc_ids) against the
     // existing corpus (even doc_ids) — exact digest tier + cross-table
     // LSH banding with exact-Jaccard verification. The oracle computes
@@ -274,6 +286,23 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q87_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM freq),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(floor(ln(CAST(f AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lpu
+        |  FROM freq CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(lpu) AS BIGINT) AS lp_micro,
+        |  CAST(SUM(lpu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS avg_lp
+        |FROM tok JOIN vocab USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "q86_incremental_dedup" ->
       s"""WITH ${TextQueries.docShingles},
