@@ -132,6 +132,26 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Per-source data card — the corpus report a curation pipeline
+    // publishes per ingest source: volume, language mix, token budget,
+    // central length, and exact-dup rate. Pure composition of the gate's
+    // own primitives; one aggregation pass over the corpus.
+    "q88_data_card" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("nt", tokenCount($"text"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          sum($"nt").as("sum_tokens"),
+          round(expr("percentile(nt, 0.5)"), 4).as("median_tokens"),
+          countDistinct(md5($"text")).as("__nd"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("__nd").cast("double") / col("n_docs").cast("double"), 6))
+        .drop("__nd")
+        .orderBy($"source")
+    }),
+
     // Unigram-LM quality scoring (the perplexity-filter shape): per-doc
     // log-probability under the corpus's own unigram distribution.
     // Logprobs are integer micro-units at the vocab level, so per-doc
@@ -286,6 +306,19 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q88_data_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, text,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  round(quantile_cont(nt, 0.5), 4) AS median_tokens,
+        |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q87_unigram_logprob" ->
       """WITH tok AS (

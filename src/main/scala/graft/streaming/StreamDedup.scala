@@ -35,6 +35,24 @@ object StreamDedup {
     */
   case class Claim(firstId: Long, fireAtMs: Long)
 
+  /** Streaming incremental exact dedup against a STATIC corpus: incoming
+    * rows whose text digest already exists in the corpus are dropped — the
+    * streaming form of [[graft.operators.Dedup.incrementalDedupReport]]'s
+    * exact tier. A stream-static join, so every micro-batch probes the
+    * corpus digest set with the planner's choice of broadcast/shuffle
+    * join keyed by md5 (uniform); no streaming state at all. At 100 TB
+    * the corpus side should be a digest-only table (projected + distinct
+    * here), ideally bucketed by digest on disk.
+    */
+  def againstCorpusExact(stream: org.apache.spark.sql.DataFrame,
+      textCol: String, corpus: org.apache.spark.sql.DataFrame,
+      corpusTextCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val digests = corpus.select(md5(col(corpusTextCol)).as("__d")).distinct()
+    stream.withColumn("__d", md5(col(textCol)))
+      .join(digests, Seq("__d"), "left_anti").drop("__d")
+  }
+
   def nearDupCandidates[E](docs: Dataset[E])(idOf: E => Long,
       textOf: E => String, tsOf: E => Timestamp,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,

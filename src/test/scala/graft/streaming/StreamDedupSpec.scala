@@ -73,4 +73,25 @@ class StreamDedupSpec extends SparkSpec {
         s"stream $streamDups != batch $batchDups")
     } finally q.stop()
   }
+
+  test("againstCorpusExact drops streamed rows whose digest exists in the static corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((100L, base), (101L, "existing corpus item two"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[Doc]
+    val out = StreamDedup.againstCorpusExact(ms.toDS().toDF(), "text",
+      corpus, "text")
+    val q = out.writeStream.format("memory").queryName("sdd_corp")
+      .outputMode("append").start()
+    try {
+      ms.addData(Doc(1, base, t(1)), // dup of corpus 100 -> dropped
+        Doc(2, "fresh new content", t(2)),
+        Doc(3, "existing corpus item two", t(3))) // dup of 101 -> dropped
+      q.processAllAvailable()
+      ms.addData(Doc(4, base, t(4))) // corpus dup in a later batch too
+      q.processAllAvailable()
+      val ids = spark.table("sdd_corp").select("id").as[Long].collect().toSet
+      assert(ids == Set(2L))
+    } finally q.stop()
+  }
 }
