@@ -117,6 +117,22 @@ object ScaleSmoke {
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < Off),
       "doc_id", "text", 3))
+    // the CC loop's per-round shapes never reach the final (checkpointed)
+    // plan that `run` gates above — gate one representative round directly
+    locally {
+      val pairs = graft.operators.Dedup.minhashCandidatesFast(
+        docs, "doc_id", "text", 3, 16, 8)
+      val e0 = pairs.select(col("id_a").cast("long").as("s"),
+        col("id_b").cast("long").as("d"))
+      val e = e0.union(e0.select(col("d").as("s"), col("s").as("d"))).distinct()
+      val labels = e.select(col("s").as("id")).distinct()
+        .withColumn("label", col("id"))
+      val round = graft.operators.Clusters.ccRound(labels, e)
+      round.count()
+      assertShapes("cc_round", round.queryExecution.executedPlan,
+        allowBroadcastNlj = false)
+      println("SCALE cc_round plan shapes gated")
+    }
 
     val queries = emb.filter(col("vec_id") < 50)
     run("ann_brute_force", graft.operators.Similarity.bruteForceTopK(

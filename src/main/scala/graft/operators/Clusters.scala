@@ -57,21 +57,15 @@ object Clusters {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      // (a) min over self + neighbor labels (one shuffle on d/id)
-      val viaEdges = e.join(labels.withColumnRenamed("id", "s"), "s")
-        .groupBy(col("d").as("id")).agg(min(col("label")).as("nl"))
-      val stepped = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), least(col("label"), col("nl")).as("label"))
-      // (b) pointer jump: label := label(label). Every label value is a
-      // node id present in `labels`, so the lookup always hits.
-      val jumped = stepped.alias("x")
-        .join(labels.select(col("id").as("label"), col("label").as("ll"))
-          .alias("p"), Seq("label"))
-        .select(col("x.id").as("id"), col("ll").as("label"))
-        .localCheckpoint()
+      val jumped = ccRound(labels, e).localCheckpoint()
       val newSum = checksum(jumped)
       converged = newSum == sum
       sum = newSum
+      // the superseded round's checkpoint blocks are dead the moment
+      // `jumped` materializes — free them now instead of waiting for the
+      // ContextCleaner's GC-driven cleanup (25 stale |V|-row snapshots
+      // is real eviction pressure at corpus scale)
+      freeCheckpoint(labels)
       labels = jumped
       round += 1
     }
@@ -84,9 +78,38 @@ object Clusters {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** One propagation round — (a) every node takes the min label over
+    * itself + neighbors (one shuffle keyed by node id); (b) pointer jump:
+    * label := label(label) — every label value is a node id present in
+    * `labels`, so the lookup always hits. Factored out so ScaleSmoke can
+    * plan-gate the shapes that repeat every round (the loop's
+    * checkpoints hide them from the final plan).
+    */
+  private[graft] def ccRound(labels: DataFrame, e: DataFrame): DataFrame = {
+    val viaEdges = e.join(labels.withColumnRenamed("id", "s"), "s")
+      .groupBy(col("d").as("id")).agg(min(col("label")).as("nl"))
+    val stepped = labels.join(viaEdges, Seq("id"), "left")
+      .select(col("id"), least(col("label"), col("nl")).as("label"))
+    stepped.alias("x")
+      .join(labels.select(col("id").as("label"), col("label").as("ll"))
+        .alias("p"), Seq("label"))
+      .select(col("x.id").as("id"), col("ll").as("label"))
+  }
+
   private def checksum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
       .head.getDecimal(0)
+
+  /** Unpersist a localCheckpoint'd frame's backing RDD (best-effort:
+    * the checkpoint lives in a LogicalRDD leaf; df.unpersist() cannot
+    * reach it).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** Cluster-level dedup: resolve `pairs` into components and keep, per
     * component, only the row of `df` with the minimum id (rows in no pair

@@ -21,16 +21,24 @@ object Decontam {
   /** Per-document overlap report against `bench`: one row per training
     * doc sharing at least one distinct word n-gram with any benchmark
     * doc — (id, n_shared, n_shingles, share ratio).
+    *
+    * One pass over the training corpus: each train shingle is tagged
+    * hit/miss via a broadcast LEFT join against the bench set, then a
+    * single per-doc aggregate computes total and shared counts together
+    * — not a separate sizes aggregate joined back (which re-shingled
+    * the full train side a second time: the two consumers sat under
+    * different exchange subtrees, so ReuseExchange never matched).
     */
   def contaminationReport(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val trainSh = Dedup.shingleTable(train, idCol, textCol, n)
     val benchSh = Dedup.shingleTable(bench, idCol, textCol, n)
-      .select("shingle").distinct()
-    val sizes = trainSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    trainSh.join(broadcast(benchSh), Seq("shingle"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
-      .join(sizes, Seq(idCol))
+      .select("shingle").distinct().withColumn("__hit", lit(1))
+    trainSh.join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__hit")).as("n_shared"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shared") > 0)
       .withColumn("ratio",
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
   }

@@ -178,13 +178,23 @@ object Dedup {
     // interpreted-expression tax per (shingle × hash function), measured
     // 40x slower at sf0.1 with k=16. Docs with no shingles are skipped —
     // they cannot collide.
-    val banded = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    bucketPairs(bandedTable(df, idCol, textCol, shingleN, k, bands),
+      idCol, maxBucketSize)
+  }
+
+  /** (id, band, bkey) rows — the shared typed banding pass (see
+    * minhashCandidatesFast scaladoc for why typed beats Column HOFs).
+    */
+  private def bandedTable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         graft.functions.XxMinhashImpl.bandRows(text, shingleN, k, bands)
           .map { case (b, bk) => (id, b, bk) }
       }.toDF(idCol, "band", "bkey")
-    bucketPairs(banded, idCol, maxBucketSize)
   }
 
   /** Bucket -> candidate-pair expansion shared by both minhash paths.
@@ -291,27 +301,29 @@ object Dedup {
     */
   def incrementalDedupReport(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
-      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
-    val spark = incoming.sparkSession
-    import spark.implicits._
+      bands: Int = 8, threshold: Double = 0.6,
+      maxBucketSize: Int = 4096): DataFrame = {
+    graft.functions.XxMinhashImpl.requireBanding(k, bands)
     // exact tier: digest equi-join (uniform keys, one shuffle)
     val corpD = corpus.select(md5(col(textCol)).as("__d")).distinct()
     val exact = incoming.select(col(idCol).cast("long"), md5(col(textCol)).as("__d"))
       .join(corpD, Seq("__d"), "left_semi")
       .select(col(idCol)).distinct()
     // near tier: cross-table LSH banding, then hash-free exact-Jaccard
-    // verification of only the colliding (incoming, corpus) pairs
-    def banded(df: DataFrame) = df
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.XxMinhashImpl.bandRows(text, shingleN, k, bands)
-          .map { case (b, bk) => (id, b, bk) }
-      }.toDF(idCol, "band", "bkey")
-    val cand = banded(incoming).select(col(idCol).as("id_a"), col("band"), col("bkey"))
-      .join(banded(corpus).select(col(idCol).as("id_b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .select("id_a", "id_b").distinct()
+    // verification of only the colliding (incoming, corpus) pairs. Each
+    // side's bucket membership is CAPPED (smallest ids, BoundedIdSet)
+    // exactly like the within-batch bucketPairs path: a template cluster
+    // present in both splits would otherwise stream m_in x m_corp pairs
+    // out of one hot (band, bkey).
+    def cappedBuckets(df: DataFrame, as: String) =
+      bandedTable(df, idCol, textCol, shingleN, k, bands)
+        .groupBy(col("band"), col("bkey"))
+        .agg(graft.functions.BoundedIdSet(maxBucketSize)(col(idCol)).as(as))
+    val cand = cappedBuckets(incoming, "in_ids")
+      .join(cappedBuckets(corpus, "corp_ids"), Seq("band", "bkey"))
+      .select(explode(col("in_ids")).as("id_a"), col("corp_ids"))
+      .select(col("id_a"), explode(col("corp_ids")).as("id_b"))
+      .distinct()
     val all = incoming.select(col(idCol).cast("long"), col(textCol))
       .union(corpus.select(col(idCol).cast("long"), col(textCol)))
     val near = pairJaccard(cand, all, idCol, textCol, shingleN)

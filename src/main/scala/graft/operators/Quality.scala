@@ -25,16 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** (id, token) rows; whitespace tokenization, empty docs dropped. */
+  /** (id, token) rows via the exact Column-twin tokenization
+    * ([[graft.functions.MinhashImpl.tokens]] — SQL trim/split semantics,
+    * null-safe). Docs that are empty after the space-only trim are
+    * dropped entirely (the oracle's `len(trim(text)) > 0`); edge
+    * tab/newline docs keep their empty-field tokens like both engines.
+    */
   private def tokenTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val tt = if (t == null) "" else t.trim
-        if (tt.isEmpty) Iterator.empty
-        else tt.split("\\s+").iterator.map(w => (id, w))
+        val tk = graft.functions.MinhashImpl.tokens(t)
+        // tokens == [""] iff the space-trimmed text is empty
+        if (tk.length == 0 || (tk.length == 1 && tk(0).isEmpty)) Iterator.empty
+        else tk.iterator.map(w => (id, w))
       }
       .toDF(idCol, "tok")
   }
@@ -45,6 +51,12 @@ object Quality {
     * Empty docs are absent from the output (no tokens to score).
     */
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // The corpus is tokenized twice (LM-build pass + scoring pass) ON
+    // PURPOSE: persisting the exploded token table to avoid the second
+    // pass would materialize a larger-than-corpus intermediate, and at
+    // 100 TB a re-scan + split is cheaper than that storage round-trip.
+    // Pipelines scoring MANY corpora against one LM should build `vocab`
+    // once and call [[unigramLogprobWith]].
     val tok = tokenTable(df, idCol, textCol)
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     val total = freq.agg(sum(col("f")).as("t"))
@@ -53,12 +65,21 @@ object Quality {
         floor(log(col("f").cast("double") / col("t").cast("double")) * 1e6 + 0.5)
           .cast("long"))
       .select(col("tok"), col("lpu"))
-    tok.join(vocab, Seq("tok"))
+    unigramLogprobWith(df, idCol, textCol, vocab)
+  }
+
+  /** Score against an EXTERNAL unigram LM: `vocab` = (tok, lpu) with
+    * lpu = ln p(tok) in 1e-6 units. Tokens absent from the vocab are
+    * dropped (equivalently: supply an OOV floor row upstream). This is
+    * the CCNet form — one reference LM, many corpora.
+    */
+  def unigramLogprobWith(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    tokenTable(df, idCol, textCol).join(vocab, Seq("tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lpu")).as("lp_micro"))
       .withColumn("avg_lp",
         col("lp_micro").cast("double") / col("n_tokens").cast("double") / 1e6)
-  }
 
   /** Keep documents whose `avg_lp` lies inside [lo, hi] — the standard
     * both-tails trim (gibberish scores low; degenerate repetition /
