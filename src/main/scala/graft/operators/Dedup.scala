@@ -334,6 +334,53 @@ object Dedup {
         .withColumn("reason", lit("near")))
   }
 
+  /** Duplicate n-gram SPAN coverage — the "exact substring dup" metric
+    * (dedup-50-gram style, at word granularity): for each doc, the
+    * fraction of its tokens covered by at least one n-gram that also
+    * appears in ANOTHER doc. Overlapping duplicated spans are
+    * interval-UNIONED per doc (sort by position + running-max-end), so
+    * a token inside three overlapping dup 5-grams counts once.
+    *
+    * Scale: one typed positional-shingle pass (map-side), one shuffle
+    * keyed by the shingle for the cross-doc frequency, one shuffle keyed
+    * by doc id for the per-doc window — the window partitions by doc, so
+    * no global sort / single-task stage. Output: docs with >= 1
+    * duplicated span: (idCol, n_tokens, covered, covered_frac).
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // (id, pos, shingle) with 1-based positions; ALL n-grams, order kept
+    val sh = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.functions.MinhashImpl.tokens(t)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).zipWithIndex.map { case (w, i) =>
+          (id, i + 1, w.mkString(" ")) }
+      }.toDF(idCol, "pos", "sh")
+    val dup = sh.groupBy($"sh")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter($"nd" >= 2).select($"sh")
+    val spans = sh.join(dup, Seq("sh"))
+      .select(col(idCol), $"pos", ($"pos" + (n - 1)).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy($"pos")
+      .rowsBetween(Long.MinValue, -1)
+    val covered = spans
+      .withColumn("pm", max($"e").over(w))
+      .withColumn("contrib", greatest(lit(0),
+        $"e" - greatest($"pos", coalesce($"pm", lit(0)) + 1) + 1))
+      .groupBy(col(idCol)).agg(sum($"contrib").as("covered"))
+    val lens = df.select(col(idCol).cast("long"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    covered.join(lens, Seq(idCol))
+      .select(col(idCol), $"n_tokens", $"covered",
+        round($"covered".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("covered_frac"))
+  }
+
   /** 64-bit SimHash per document: explode tokens, hash each with xxhash64,
     * sum ±1 per bit position, sign -> bit. Distributed as one groupBy on
     * the id (no pair joins); near-dups then cluster by hamming distance

@@ -132,6 +132,15 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Duplicate 5-gram span coverage (the exact-substring-dup metric at
+    // word granularity): per doc, the token fraction covered by 5-grams
+    // appearing in other docs — overlapping spans interval-unioned.
+    "q89_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text", n = 5)
+        .select($"doc_id", $"n_tokens", $"covered", $"covered_frac")
+    }),
+
     // Per-source data card — the corpus report a curation pipeline
     // publishes per ingest source: volume, language mix, token budget,
     // central length, and exact-dup rate. Pure composition of the gate's
@@ -311,6 +320,34 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q89_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |shp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(words[i:i+4], ' ') AS sh
+        |  FROM w, unnest(range(1, greatest(len(words) - 3, 1))) AS t(i)),
+        |dup AS (
+        |  SELECT sh FROM shp GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |spans AS (
+        |  SELECT doc_id, pos, pos + 4 AS e FROM shp JOIN dup USING (sh)),
+        |cov AS (
+        |  SELECT doc_id, pos, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(GREATEST(0, e - GREATEST(pos, COALESCE(pm, 0) + 1) + 1))
+        |      AS BIGINT) AS covered
+        |  FROM cov GROUP BY doc_id),
+        |lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w)
+        |SELECT doc_id, n_tokens, covered,
+        |  round(CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS covered_frac
+        |FROM agg JOIN lens USING (doc_id)""".stripMargin,
 
     "q88_data_card" ->
       """WITH d AS (

@@ -357,6 +357,23 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got - exp) < 1e-12)
   }
 
+  test("dupSpanCoverage interval-unions overlapping duplicated spans per doc") {
+    // docs 1 and 2 share "a b c d" (pos 1 AND pos 2 in doc 1 -> spans
+    // [1,3] and [2,4] union to [1,4]); doc 3 is clean
+    val d = Seq(
+      (1L, "a b c d e f"), // 3-grams: abc bcd cde def
+      (2L, "a b c d x y"), // shares abc bcd with doc 1
+      (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(d, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_tokens", $"covered")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nt, c) => id -> ((nt, c)) }.toMap
+    // doc1: dup 3-grams at pos 1 ("a b c") and 2 ("b c d") -> covers
+    // tokens 1..4 = 4; doc2 identically
+    assert(got == Map(1L -> ((6L, 4L)), 2L -> ((6L, 4L))))
+  }
+
   test("incrementalDedupReport flags exact and near incoming dups, exact taking precedence") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),
