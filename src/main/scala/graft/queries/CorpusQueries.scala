@@ -132,6 +132,22 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Cluster-dedup survivor policy end-to-end: near-dup pairs -> CC ->
+    // keep the min-id doc per cluster; per language, survivors and the
+    // doc mass they represent (sum of cluster sizes + singletons).
+    "q90_cluster_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          blockCol = Some("lang"), maxShingleFreq = 50)
+        .filter($"jaccard" >= 0.3).select("id_a", "id_b")
+      Clusters.dedupByClusters(docs, "doc_id", pairs)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_survivors"),
+          sum($"dup_count").as("docs_represented"))
+        .orderBy($"lang")
+    }),
+
     // Duplicate 5-gram span coverage (the exact-substring-dup metric at
     // word granularity): per doc, the token fraction covered by 5-grams
     // appearing in other docs — overlapping spans interval-unioned.
@@ -320,6 +336,37 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q90_cluster_dedup" ->
+      s"""WITH RECURSIVE ${TextQueries.docShingles},
+         |keep AS (
+         |  SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING COUNT(DISTINCT doc_id) <= 50),
+         |shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         |szp AS (SELECT doc_id, COUNT(*) AS sz FROM shp GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM shp a JOIN shp b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang = b.lang
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM pr JOIN szp sa ON id_a = sa.doc_id JOIN szp sb ON id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.3),
+         |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |wk AS (
+         |  SELECT s AS id, s AS lbl FROM e
+         |  UNION
+         |  SELECT e.d, wk.lbl FROM wk JOIN e ON e.s = wk.id),
+         |ccm AS (SELECT id, MIN(lbl) AS cluster FROM wk GROUP BY id),
+         |cs AS (SELECT cluster, COUNT(*) AS dc FROM ccm GROUP BY cluster)
+         |SELECT d.lang, COUNT(*) AS n_survivors,
+         |  CAST(SUM(COALESCE(cs.dc, 1)) AS BIGINT) AS docs_represented
+         |FROM documents d
+         |LEFT JOIN cs ON cs.cluster = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id FROM ccm WHERE id <> cluster)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q89_dup_spans" ->
       """WITH w AS (

@@ -214,4 +214,31 @@ class PropertySpec extends SparkSpec {
         s"rangeJoin(bw=$bw) diverged: got=${got.size} naive=${naive.size}")
     }
   }
+
+  test("connectedComponents == brute-force union-find on random graphs") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 35)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L)
+      } yield (a, b))
+    } yield edges
+    def brute(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    samples(graphGen, 6).foreach { edges =>
+      val got = graft.operators.Clusters
+        .connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == brute(edges), s"CC diverged on $edges")
+    }
+  }
 }
