@@ -112,6 +112,36 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Deterministic fractional replication — source-level training
+    * EPOCHS ("wikipedia x2.5"): every row of stratum s gets
+    * floor(w_s) copies, plus one more iff its hash bucket falls under
+    * frac(w_s)·buckets, so the realized factor is exact in expectation
+    * and the SAME ids gain the extra epoch on every run and engine.
+    * Adds `epoch` (1-based copy index); strata absent from `weights`
+    * are dropped (unlisted sources must not leak into the mix). Pure
+    * map-side explode — no shuffle, no RNG.
+    */
+  def replicateByWeight(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"positive weights required: $weights")
+    val b = hashBucket(col(idCol), buckets)
+    val ordered = weights.toSeq.sortBy(_._1)
+    val copies = ordered.map { case (s, w) =>
+      val whole = math.floor(w).toLong
+      val thr = math.floor((w - whole) * buckets).toLong
+      (s, lit(whole) + when(b < thr, 1L).otherwise(0L))
+    }
+    val head = when(col(strataCol) === ordered.head._1, copies.head._2)
+    val copiesCol = copies.tail.foldLeft(head) { case (acc, (s, c)) =>
+      acc.when(col(strataCol) === s, c)
+    }.otherwise(lit(0L))
+    df.withColumn("__copies", copiesCol)
+      .filter(col("__copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Deterministic train/val/test split: each row lands in the split
     * whose cumulative weight range contains its hash bucket. Pure column
     * expression — no shuffle, no RNG; the same id always lands in the

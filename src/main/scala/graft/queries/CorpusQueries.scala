@@ -132,6 +132,22 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Deterministic fractional replication: source-level training epochs
+    // (en x1.5, zh x2, de x0.25, fr x1; es unlisted -> dropped). The
+    // fractional epoch goes to the same hash-selected ids on every run
+    // and engine.
+    "q91_epoch_replication" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.replicateByWeight(
+          Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 1.5, "zh" -> 2.0, "de" -> 0.25, "fr" -> 1.0))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"doc_id").as("n_docs"),
+          max($"epoch").as("max_epoch"))
+        .orderBy($"lang")
+    }),
+
     // Cluster-dedup survivor policy end-to-end: near-dup pairs -> CC ->
     // keep the min-id doc per cluster; per language, survivors and the
     // doc mass they represent (sum of cluster sizes + singletons).
@@ -338,6 +354,28 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q91_epoch_replication" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id,
+        |    CASE lang
+        |      WHEN 'en' THEN 1 + CASE WHEN b < 5000 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 2
+        |      WHEN 'de' THEN CASE WHEN b < 2500 THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN 1
+        |      ELSE 0 END AS copies
+        |  FROM s),
+        |r AS (
+        |  SELECT lang, doc_id, unnest(range(1, copies + 1)) AS epoch
+        |  FROM c WHERE copies >= 1)
+        |SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+        |  CAST(MAX(epoch) AS BIGINT) AS max_epoch
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q90_cluster_dedup" ->
       s"""WITH RECURSIVE ${TextQueries.docShingles},

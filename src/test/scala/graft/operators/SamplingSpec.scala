@@ -44,6 +44,35 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("replicateByWeight gives floor(w) epochs to all and the extra epoch to a stable hash slice") {
+    val w = Map("en" -> 2.5, "zh" -> 1.0, "de" -> 0.5)
+    val out = Sampling.replicateByWeight(docs, "lang", "doc_id", w)
+    val rows = out.select($"lang", $"doc_id", $"epoch")
+      .as[(String, Long, Long)].collect()
+    assert(!rows.exists(_._1 == "fr") && !rows.exists(_._1 == "es")) // unlisted dropped
+    val perDoc = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sorted.toList)
+    // epochs are 1..copies with no gaps
+    perDoc.foreach { case ((lang, id), eps) =>
+      assert(eps == (1L to eps.length).toList, s"epoch gap for $lang/$id: $eps")
+      lang match {
+        case "en" => assert(eps.length == 2 || eps.length == 3)
+        case "zh" => assert(eps.length == 1)
+        case "de" => assert(eps.length == 1) // only the kept slice appears
+      }
+    }
+    // en fractional share ~50%: some docs got 2 epochs, some 3
+    val enCounts = perDoc.collect { case ((l, _), eps) if l == "en" => eps.length }.toSeq
+    assert(enCounts.contains(2) && enCounts.contains(3))
+    // de x0.5 keeps roughly half the docs once
+    val deIn = docs.filter($"lang" === "de").count()
+    val deOut = perDoc.count { case ((l, _), _) => l == "de" }
+    assert(deOut > 0 && deOut < deIn)
+    // deterministic: identical output on re-run
+    val again = Sampling.replicateByWeight(docs, "lang", "doc_id", w)
+      .select($"lang", $"doc_id", $"epoch").as[(String, Long, Long)].collect()
+    assert(rows.toSet == again.toSet)
+  }
+
   test("stratifiedSampleByHash applies per-stratum thresholds and drops unlisted strata") {
     val fr = Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.0)
     val kept = Sampling.stratifiedSampleByHash(docs, "lang", "doc_id", fr)
