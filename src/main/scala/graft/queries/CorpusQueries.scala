@@ -132,6 +132,32 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Flagship curation pipeline — the new tier chained end-to-end the
+    // way a real corpus run executes it: (1) exact dedup on NORMALIZED
+    // text (cosmetic variants collapse), (2) strict decontamination of
+    // the training split against the eval split, (3) drop docs more
+    // than half covered by cross-doc duplicate 5-gram spans, (4) final
+    // per-language doc/token report. Every stage is engine-neutral, so
+    // the oracle replays the whole chain.
+    "q92_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val d1 = Dedup.exactDedup(
+          docs.withColumn("__norm", normalizeText($"text")),
+          "doc_id", "__norm")
+        .drop("__norm")
+      val d2 = Decontam.decontaminate(
+        d1.filter($"doc_id" % 20 =!= 0), docs.filter($"doc_id" % 20 === 0),
+        "doc_id", "text", n = 3, maxShared = 0)
+      val heavy = Dedup.dupSpanCoverage(d2, "doc_id", "text", n = 5)
+        .filter($"covered_frac" > 0.5).select($"doc_id")
+      d2.join(heavy, Seq("doc_id"), "left_anti")
+        .withColumn("nt", tokenCount($"text"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"))
+        .orderBy($"lang")
+    }),
+
     // Deterministic fractional replication: source-level training epochs
     // (en x1.5, zh x2, de x0.25, fr x1; es unlisted -> dropped). The
     // fractional epoch goes to the same hash-selected ids on every run
@@ -354,6 +380,59 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q92_curation_pipeline" ->
+      """WITH n1 AS (
+        |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS nd
+        |  FROM documents),
+        |k1 AS (SELECT nd, MIN(doc_id) AS doc_id FROM n1 GROUP BY nd),
+        |d1 AS (SELECT n1.* FROM n1 JOIN k1 USING (nd, doc_id)),
+        |w1 AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words
+        |  FROM d1 WHERE doc_id % 20 <> 0),
+        |t3 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 1, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s3
+        |  FROM w1),
+        |bw AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |b3 AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 1, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s3
+        |  FROM bw),
+        |bad AS (SELECT DISTINCT doc_id FROM t3 JOIN b3 USING (s3)),
+        |d2 AS (SELECT * FROM w1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |shp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(words[i:i+4], ' ') AS sh
+        |  FROM d2, unnest(range(1, greatest(len(words) - 3, 1))) AS t(i)),
+        |dup AS (
+        |  SELECT sh FROM shp GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |spans AS (
+        |  SELECT doc_id, pos, pos + 4 AS e FROM shp JOIN dup USING (sh)),
+        |cov AS (
+        |  SELECT doc_id, pos, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id,
+        |    SUM(GREATEST(0, e - GREATEST(pos, COALESCE(pm, 0) + 1) + 1)) AS covered
+        |  FROM cov GROUP BY doc_id),
+        |heavy AS (
+        |  SELECT a.doc_id FROM agg a JOIN d2 USING (doc_id)
+        |  WHERE round(CAST(covered AS DOUBLE) / CAST(len(words) AS DOUBLE), 6)
+        |    > 0.5),
+        |d3 AS (SELECT * FROM d2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM heavy))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(words)) AS BIGINT) AS sum_tokens
+        |FROM d3 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q91_epoch_replication" ->
       """WITH s AS (
