@@ -215,6 +215,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport == brute-force n-gram overlap on random corpora") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen: Gen[List[String]] = for {
+      n <- Gen.choose(0, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 10)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs
+    def grams(t: String, n: Int): Set[String] =
+      graft.functions.MinhashImpl.shingles(t, n).toSet
+    samples(docGen, 8).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (bench, train) = docs.partition(_._1 % 3 == 0)
+      if (train.nonEmpty) {
+        val benchGrams = bench.flatMap(d => grams(d._2, 2)).toSet
+        val want = train.flatMap { case (id, t) =>
+          val g = grams(t, 2)
+          val shared = g.intersect(benchGrams).size
+          if (shared > 0) Some(id -> ((shared.toLong, g.size.toLong))) else None
+        }.toMap
+        val got = graft.operators.Decontam.contaminationReport(
+            train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+            "doc_id", "text", n = 2)
+          .select($"doc_id", $"n_shared", $"n_shingles")
+          .as[(Long, Long, Long)].collect()
+          .map { case (id, sh, sz) => id -> ((sh, sz)) }.toMap
+        assert(got == want, s"decontam diverged on $texts")
+      }
+    }
+  }
+
   test("connectedComponents == brute-force union-find on random graphs") {
     val graphGen: Gen[List[(Long, Long)]] = for {
       n <- Gen.choose(1, 35)

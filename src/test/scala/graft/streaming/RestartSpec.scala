@@ -162,6 +162,55 @@ class RestartSpec extends SparkSpec {
         s"partial lost or duplicated across restart: $rows")
     } finally q2.stop()
   }
+
+  test("streaming near-dup claims survive stop/restart (copy after restart flagged against original claimant)") {
+    val work = Files.createTempDirectory("graft_restart_dedup")
+    val srcDir = work.resolve("src"); Files.createDirectory(srcDir)
+    val ckpt = work.resolve("ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    // wave 1: the claimant + an unrelated doc
+    Seq(Doc(1, base, t(10)),
+      Doc(5, "completely different other content entirely unrelated words now", t(11)))
+      .toDS().write.parquet(srcDir.resolve("w1").toString)
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[Doc]].schema
+    def startQuery() = StreamDedup.nearDupCandidates(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir.toString).as[Doc])(
+        _.id, _.text, _.ts, horizonMs = 3600 * 1000L)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamDedup.NearDupHit], _: Long) =>
+          val rows = batch.collect().map(h => (h.dupId, h.firstId))
+          RestartSpec.dedupResults.synchronized {
+            RestartSpec.dedupResults ++= rows
+          }
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(RestartSpec.dedupResults.isEmpty) // two distinct docs, no hits
+    q1.stop() // crash with the band claims in the state store
+
+    // wave 2: an exact copy of doc 1 arrives after the restart — the
+    // claim must come back from the checkpoint, so doc 2 is flagged
+    // against claimant 1 instead of silently re-claiming the bands
+    Seq(Doc(2, base, t(20))).toDS()
+      .write.parquet(srcDir.resolve("w2").toString)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val hits = RestartSpec.dedupResults.toSet
+      assert(hits.nonEmpty && hits.forall(_ == ((2L, 1L))),
+        s"claims lost or re-claimed across restart: $hits")
+    } finally q2.stop()
+  }
 }
 
 /** Cross-restart result collector (static: survives query restarts within
@@ -170,4 +219,5 @@ class RestartSpec extends SparkSpec {
 object RestartSpec {
   val cepResults = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
   val slideResults = scala.collection.mutable.LinkedHashSet[(String, Long, String)]()
+  val dedupResults = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
 }
