@@ -98,7 +98,7 @@ object Clusters {
 
   private def checksum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
 
   /** Unpersist a localCheckpoint'd frame's backing RDD (best-effort:
     * the checkpoint lives in a LogicalRDD leaf; df.unpersist() cannot
