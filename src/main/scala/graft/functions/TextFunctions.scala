@@ -129,6 +129,8 @@ object TextFunctions {
   // backreferences) so the DuckDB oracle (RE2) replays them identically.
   // NOTE for oracle SQL: DuckDB regexp_replace is first-match unless the
   // 'g' flag is passed; Spark replaces all occurrences by default.
+  // Known class edge: Java \s includes \x0B (vertical tab), RE2 \s does
+  // not — none of these patterns rely on \s around a \x0B boundary.
 
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
