@@ -132,6 +132,33 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Count-min heavy hitters, checked the q43/q56 sketch way: the
+    // oracle supplies the exact top-10 clickers + TRUE; the query
+    // asserts the CMS point estimates respect both sketch guarantees
+    // (overcount-only, and error <= (e/width)·N on this seed). The
+    // sketch itself is KB-sized planning metadata (one collect), built
+    // by a distributed mergeable Aggregator over the full stream.
+    "q93_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = Tables.events(s, dir)
+        .filter($"event_type" === "click")
+        .select($"user_id".cast("long")).as[Long]
+      val agg = new graft.functions.CountMinAgg(4, 1 << 12)
+      val sketch = clicks.select(agg.toColumn).head()
+      val n = clicks.count()
+      val bound = math.ceil(math.E / (1 << 12) * n).toLong
+      val exact = clicks.toDF("user_id")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy($"n_clicks".desc, $"user_id").limit(10)
+        .as[(Long, Long)].collect()
+      val rows = exact.map { case (uid, cnt) =>
+        val est = graft.functions.CountMin.estimate(sketch, uid, 4, 1 << 12)
+        (uid, cnt, est >= cnt && est <= cnt + bound)
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("user_id", "n_clicks", "cms_ok")
+    }),
+
     // Flagship curation pipeline — the new tier chained end-to-end the
     // way a real corpus run executes it: (1) exact dedup on NORMALIZED
     // text (cosmetic variants collapse), (2) strict decontamination of
@@ -380,6 +407,14 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q93_heavy_hitters" ->
+      s"""WITH ${Q.eventsUs},
+         |c AS (SELECT user_id FROM ev WHERE event_type = 'click')
+         |SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_clicks,
+         |  TRUE AS cms_ok
+         |FROM c GROUP BY user_id
+         |ORDER BY n_clicks DESC, user_id LIMIT 10""".stripMargin,
 
     "q92_curation_pipeline" ->
       """WITH n1 AS (
