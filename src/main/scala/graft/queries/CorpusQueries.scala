@@ -132,6 +132,19 @@ object CorpusQueries extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Both-tails quality band on the unigram-LM score (the filter step
+    // of the q87 scorer): keep docs with avg_lp in a fixed band, report
+    // survivors per language. avg_lp is an exact-integer ratio, so the
+    // band comparison is bit-deterministic in both engines.
+    "q94_quality_band" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Quality.filterByLogprobBand(
+          Tables.documents(s, dir), "doc_id", "text", lo = -3.41, hi = -3.39)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+        .orderBy($"lang")
+    }),
+
     // Count-min heavy hitters, checked the q43/q56 sketch way: the
     // oracle supplies the exact top-10 clickers + TRUE; the query
     // asserts the CMS point estimates respect both sketch guarantees
@@ -407,6 +420,27 @@ object CorpusQueries extends QueryModule {
          |  COUNT(DISTINCT md5(norm)) AS distinct_norm,
          |  CAST(SUM(len(raw) - len(norm)) AS BIGINT) AS len_delta
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q94_quality_band" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM freq),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(floor(ln(CAST(f AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lpu
+        |  FROM freq CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(lpu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS avg_lp
+        |  FROM tok JOIN vocab USING (tok)
+        |  GROUP BY doc_id)
+        |SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM documents JOIN d USING (doc_id)
+        |WHERE avg_lp >= -3.41 AND avg_lp <= -3.39
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q93_heavy_hitters" ->
       s"""WITH ${Q.eventsUs},
