@@ -117,6 +117,12 @@ object ScaleSmoke {
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < Off),
       "doc_id", "text", 3))
+    run("dup_span_coverage", graft.operators.Dedup.dupSpanCoverage(
+      docs, "doc_id", "text", n = 5))
+    // allowBroadcastNlj: the vocab builder cross-joins ONE broadcast
+    // stats row (total token count) — a 1-row BNLJ by construction
+    run("unigram_logprob", graft.operators.Quality.unigramLogprob(
+      docs, "doc_id", "text"), allowBroadcastNlj = true)
     // the CC loop's per-round shapes never reach the final (checkpointed)
     // plan that `run` gates above — gate one representative round directly
     locally {
