@@ -75,6 +75,16 @@ object CountMin {
     while (i < 8) { buf(off + i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
   }
 
+  /** Total stream length N from a sketch: each row's counters sum to
+    * exactly one increment per input row.
+    */
+  def rowTotal(sketch: Array[Byte], width: Int): Long = {
+    var n = 0L
+    var c = 0
+    while (c < width) { n += readAt(sketch, c * 8); c += 1 }
+    n
+  }
+
   /** Point estimate for `v` from a sketch produced by [[CountMinAgg]]
     * with the same (depth, width).
     */

@@ -125,11 +125,17 @@ object Sampling {
       weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"positive weights required: $weights")
+    require(!df.columns.contains("epoch") && !df.columns.contains("__copies"),
+      "input already has an 'epoch'/'__copies' column")
     val b = hashBucket(col(idCol), buckets)
     val ordered = weights.toSeq.sortBy(_._1)
     val copies = ordered.map { case (s, w) =>
       val whole = math.floor(w).toLong
-      val thr = math.floor((w - whole) * buckets).toLong
+      // floor(w*buckets) - whole*buckets, NOT floor((w-whole)*buckets):
+      // for w=1.2 the latter floors 1999.9999999999995 to 1999 while
+      // stratifiedSampleByHash(0.2) uses 2000 — one-bucket drift between
+      // the two operators for the same nominal fraction
+      val thr = math.floor(w * buckets).toLong - whole * buckets
       (s, lit(whole) + when(b < thr, 1L).otherwise(0L))
     }
     val head = when(col(strataCol) === ordered.head._1, copies.head._2)

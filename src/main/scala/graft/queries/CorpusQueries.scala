@@ -62,6 +62,30 @@ object CorpusQueries extends QueryModule {
         .otherwise(seg),
       lit(" Customer "), (k % 50).cast("string"))
 
+  /** Shared oracle CTE fragment: 5-gram positional shingles over `src`
+    * (must expose doc_id + words), cross-doc duplicated spans, and the
+    * per-doc interval-union coverage — mirrors Dedup.dupSpanCoverage.
+    * One copy, used by q89 and q92 (lockstep by construction).
+    */
+  private def dupSpanCtes(src: String): String =
+    s"""shp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(words[i:i+4], ' ') AS sh
+       |  FROM $src, unnest(range(1, greatest(len(words) - 3, 1))) AS t(i)),
+       |dup AS (
+       |  SELECT sh FROM shp GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |spans AS (
+       |  SELECT doc_id, pos, pos + 4 AS e FROM shp JOIN dup USING (sh)),
+       |cov AS (
+       |  SELECT doc_id, pos, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM spans),
+       |agg AS (
+       |  SELECT doc_id,
+       |    SUM(GREATEST(0, e - GREATEST(pos, COALESCE(pm, 0) + 1) + 1)) AS covered
+       |  FROM cov GROUP BY doc_id)""".stripMargin
+
   private val messyTextSql: String =
     """CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment) || '!!!'
       |     WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment) || '   '
@@ -158,14 +182,17 @@ object CorpusQueries extends QueryModule {
         .select($"user_id".cast("long")).as[Long]
       val agg = new graft.functions.CountMinAgg(4, 1 << 12)
       val sketch = clicks.select(agg.toColumn).head()
-      val n = clicks.count()
-      val bound = math.ceil(math.E / (1 << 12) * n).toLong
+      // N = total stream length, recovered from the sketch itself (each
+      // row's counters sum to N) — no extra pass over the events table
+      val n = graft.functions.CountMin.rowTotal(sketch, agg.width)
+      val bound = math.ceil(math.E / agg.width * n).toLong
       val exact = clicks.toDF("user_id")
         .groupBy($"user_id").agg(count(lit(1)).as("n_clicks"))
         .orderBy($"n_clicks".desc, $"user_id").limit(10)
         .as[(Long, Long)].collect()
       val rows = exact.map { case (uid, cnt) =>
-        val est = graft.functions.CountMin.estimate(sketch, uid, 4, 1 << 12)
+        val est = graft.functions.CountMin.estimate(sketch, uid,
+          agg.depth, agg.width)
         (uid, cnt, est >= cnt && est <= cnt + bound)
       }
       s.createDataFrame(rows.toSeq)
@@ -277,7 +304,7 @@ object CorpusQueries extends QueryModule {
     // the exact cross-split duplicate set directly; engine-specific
     // band hashes never reach the output (the q44 pattern). The GATE
     // runs 32 bands of 2 rows (k=64): candidate recall at j >= 0.6 is
-    // 1-(1-j²)^32 > 1-6e-7, so an organic mid-similarity pair cannot
+    // 1-(1-j²)^32 > 1-7e-7, so an organic mid-similarity pair cannot
     // slip a band gap and desync Spark from the exact oracle — the
     // default 8x2 banding leaves ~3% miss at exactly j=0.6 (fine for
     // production, not for a hash-equality gate), while rows=1 banding
@@ -451,49 +478,33 @@ object CorpusQueries extends QueryModule {
          |ORDER BY n_clicks DESC, user_id LIMIT 10""".stripMargin,
 
     "q92_curation_pipeline" ->
-      """WITH n1 AS (
-        |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS nd
-        |  FROM documents),
-        |k1 AS (SELECT nd, MIN(doc_id) AS doc_id FROM n1 GROUP BY nd),
-        |d1 AS (SELECT n1.* FROM n1 JOIN k1 USING (nd, doc_id)),
-        |w1 AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words
-        |  FROM d1 WHERE doc_id % 20 <> 0),
-        |t3 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(words) - 1, 1)),
-        |    i -> array_to_string(words[i:i+2], ' ')))) AS s3
-        |  FROM w1),
-        |bw AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS words
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |b3 AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(words) - 1, 1)),
-        |    i -> array_to_string(words[i:i+2], ' ')))) AS s3
-        |  FROM bw),
-        |bad AS (SELECT DISTINCT doc_id FROM t3 JOIN b3 USING (s3)),
-        |d2 AS (SELECT * FROM w1
-        |       WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-        |shp AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    array_to_string(words[i:i+4], ' ') AS sh
-        |  FROM d2, unnest(range(1, greatest(len(words) - 3, 1))) AS t(i)),
-        |dup AS (
-        |  SELECT sh FROM shp GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
-        |spans AS (
-        |  SELECT doc_id, pos, pos + 4 AS e FROM shp JOIN dup USING (sh)),
-        |cov AS (
-        |  SELECT doc_id, pos, e,
-        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |  FROM spans),
-        |agg AS (
-        |  SELECT doc_id,
-        |    SUM(GREATEST(0, e - GREATEST(pos, COALESCE(pm, 0) + 1) + 1)) AS covered
-        |  FROM cov GROUP BY doc_id),
-        |heavy AS (
+      s"""WITH n1 AS (
+         |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS nd
+         |  FROM documents),
+         |k1 AS (SELECT nd, MIN(doc_id) AS doc_id FROM n1 GROUP BY nd),
+         |d1 AS (SELECT n1.* FROM n1 JOIN k1 USING (nd, doc_id)),
+         |w1 AS (
+         |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words
+         |  FROM d1 WHERE doc_id % 20 <> 0),
+         |t3 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(words) - 1, 1)),
+         |    i -> array_to_string(words[i:i+2], ' ')))) AS s3
+         |  FROM w1),
+         |bw AS (
+         |  SELECT string_split_regex(trim(text), '\\s+') AS words
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |b3 AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(words) - 1, 1)),
+         |    i -> array_to_string(words[i:i+2], ' ')))) AS s3
+         |  FROM bw),
+         |bad AS (SELECT DISTINCT doc_id FROM t3 JOIN b3 USING (s3)),
+         |d2 AS (SELECT * FROM w1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |${dupSpanCtes("d2")},
+         |heavy AS (
         |  SELECT a.doc_id FROM agg a JOIN d2 USING (doc_id)
         |  WHERE round(CAST(covered AS DOUBLE) / CAST(len(words) AS DOUBLE), 6)
         |    > 0.5),
@@ -557,32 +568,15 @@ object CorpusQueries extends QueryModule {
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q89_dup_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-        |  FROM documents),
-        |shp AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    array_to_string(words[i:i+4], ' ') AS sh
-        |  FROM w, unnest(range(1, greatest(len(words) - 3, 1))) AS t(i)),
-        |dup AS (
-        |  SELECT sh FROM shp GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
-        |spans AS (
-        |  SELECT doc_id, pos, pos + 4 AS e FROM shp JOIN dup USING (sh)),
-        |cov AS (
-        |  SELECT doc_id, pos, e,
-        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |  FROM spans),
-        |agg AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(GREATEST(0, e - GREATEST(pos, COALESCE(pm, 0) + 1) + 1))
-        |      AS BIGINT) AS covered
-        |  FROM cov GROUP BY doc_id),
-        |lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w)
-        |SELECT doc_id, n_tokens, covered,
-        |  round(CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-        |    AS covered_frac
-        |FROM agg JOIN lens USING (doc_id)""".stripMargin,
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+         |  FROM documents),
+         |${dupSpanCtes("w")},
+         |lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w)
+         |SELECT doc_id, n_tokens, CAST(covered AS BIGINT) AS covered,
+         |  round(CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS covered_frac
+         |FROM agg JOIN lens USING (doc_id)""".stripMargin,
 
     "q88_data_card" ->
       """WITH d AS (
