@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based quality scoring: unigram language-model log-probability
@@ -80,6 +81,42 @@ object Quality {
       .agg(count(lit(1)).as("n_tokens"), sum(col("lpu")).as("lp_micro"))
       .withColumn("avg_lp",
         col("lp_micro").cast("double") / col("n_tokens").cast("double") / 1e6)
+
+  /** Top-`k` TF-IDF terms per document — the classic keyword-extraction /
+    * topic-fingerprint step (smoothed idf: ln((N+1)/(df+1)) + 1).
+    *
+    * Determinism: idf is quantized to integer micro-units at the
+    * VOCABULARY level (one ln per distinct term, same pattern as
+    * [[unigramLogprob]]), and the score is the exact BIGINT product
+    * tf·idf_micro — ranking ties break on the term string, so ranks are
+    * bit-identical in any engine. `score_u` stays in micro-units
+    * (divide by 1e6 for the conventional float score).
+    *
+    * Scale: two uniform-key shuffles build tf (doc, term) and df (term);
+    * N is a broadcast scalar; the idf table is vocabulary-sized and
+    * joins back onto tf by term (AQE broadcasts it when small); the
+    * final per-doc top-k is a row_number window PARTITIONED by doc —
+    * no global ordering stage anywhere.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = tokenTable(df, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val nd = tf.agg(countDistinct(col(idCol)).as("n"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idfu",
+        floor(log((col("n").cast("double") + 1.0) /
+          (col("dfc").cast("double") + 1.0)) * 1e6 + 0.5).cast("long")
+          + 1000000L)
+      .select(col("tok"), col("idfu"))
+    tf.join(idf, Seq("tok"))
+      .withColumn("score_u", col("tf") * col("idfu"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score_u").desc, col("tok"))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("tok").as("term"), col("tf"), col("score_u"))
+  }
 
   /** Keep documents whose `avg_lp` lies inside [lo, hi] — the standard
     * both-tails trim (gibberish scores low; degenerate repetition /

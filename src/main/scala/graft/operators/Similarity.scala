@@ -172,6 +172,57 @@ object Similarity {
       .select("qid", "vid", "cos_r")
   }
 
+  /** Rademacher sign matrix for [[randomProject]], keyed md5("rp:j:d") —
+    * salted apart from the LSH plane family so the two matrices are
+    * independent draws.
+    */
+  private[graft] def md5ProjSigns(outDim: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(outDim, dim) { (p, d) =>
+      val nib = Character.digit(
+        graft.functions.MinhashImpl.md5hex(s"rp:$p:$d").charAt(0), 16)
+      if (nib % 2 == 0) 1 else -1
+    }
+
+  /** Rademacher random projection (the database-friendly form of the
+    * Johnson-Lindenstrauss transform): y_j = Σ_d w(j,d)·x_d with
+    * w(j,d) ∈ {±1} derived from md5("rp:j:d") parity — engine-neutral,
+    * no stored model; ±1 entries carry the same JL distance-preservation
+    * guarantee as Gaussian ones (Achlioptas, PODS 2001). The sum runs in
+    * exact BIGINT micro-units (floor(x·1e6 + 0.5)), so every component is
+    * bit-identical in any engine before the final rounded-double scale.
+    *
+    * Scale: ONE map-only corpus pass — no shuffle, no join, no global
+    * state (the sign matrix is outDim×dim ints living in the task
+    * closure). At 100 TB this is the embedding-compression stage run
+    * before ANN indexing: output is outDim/dim the size of the input and
+    * the partitioning is untouched, so downstream bucketing (LSH / IVF
+    * over the compressed vectors) reuses the same layout. Emits
+    * long-format (id, j, proj_r); pack to arrays with a per-id groupBy
+    * only if a column-of-array layout is required downstream.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int, roundScale: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = md5ProjSigns(outDim, dim)
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        val len = math.min(dim, vec.length)
+        Iterator.tabulate(outDim) { p =>
+          var s = 0L
+          var d = 0
+          while (d < len) {
+            s += w(p)(d) * math.floor(vec(d).toDouble * 1e6 + 0.5).toLong
+            d += 1
+          }
+          (id, p.toLong, s)
+        }
+      }
+      .toDF(idCol, "j", "micro")
+      .select(col(idCol), col("j"),
+        round(col("micro").cast("double") / 1e6, roundScale).as("proj_r"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is bucketed into `nlist` cells
     * by nearest centroid; each query probes only its `nProbe` nearest
     * cells, so the scan cost drops from O(|corpus|) to

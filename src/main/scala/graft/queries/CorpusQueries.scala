@@ -298,6 +298,13 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"n_tokens", $"lp_micro", $"avg_lp")
     }),
 
+    // Top-3 TF-IDF terms per document (keyword extraction): idf in
+    // vocab-level integer micro-units, score = exact BIGINT tf·idf_u,
+    // ties on the term string — bit-identical ranks in both engines.
+    "q96_tfidf_terms" -> ((s, dir) =>
+      graft.operators.Quality.tfidfTopTerms(
+        Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
     // Incremental dedup: the incoming batch (odd doc_ids) against the
     // existing corpus (even doc_ids) — exact digest tier + cross-table
     // LSH banding with exact-Jaccard verification. The oracle computes
@@ -590,6 +597,28 @@ object CorpusQueries extends QueryModule {
         |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors Quality.tfidfTopTerms: micro-unit idf per distinct term,
+    // BIGINT tf·idf_u score, (score desc, term asc) per-doc top-3
+    "q96_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfv AS (SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY tok),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        |idf AS (
+        |  SELECT tok,
+        |    CAST(floor(ln((CAST(n AS DOUBLE) + 1) / (CAST(dfc AS DOUBLE) + 1))
+        |      * 1e6 + 0.5) AS BIGINT) + 1000000 AS idfu
+        |  FROM dfv CROSS JOIN nd)
+        |SELECT doc_id, term, tf, score_u FROM (
+        |  SELECT tf.doc_id, tf.tok AS term, CAST(tf.tf AS BIGINT) AS tf,
+        |    CAST(tf.tf * idf.idfu AS BIGINT) AS score_u,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * idf.idfu DESC, tf.tok) AS rk
+        |  FROM tf JOIN idf USING (tok))
+        |WHERE rk <= 3""".stripMargin,
 
     "q87_unigram_logprob" ->
       """WITH tok AS (

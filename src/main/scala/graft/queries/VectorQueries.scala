@@ -47,6 +47,15 @@ object VectorQueries extends QueryModule {
         "vec_id", "embedding", k = 5, planes = 6, dim = 64)
     }),
 
+    // Rademacher random projection (JL transform) of every embedding to
+    // 8 components: md5-parity sign matrix + exact BIGINT micro-unit
+    // sums, so each projected component is bit-identical cross-engine.
+    // One map-only corpus pass, zero shuffle (PlanSpec-gated).
+    "q95_random_projection" -> ((spark, dir) => {
+      Similarity.randomProject(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", outDim = 8, dim = 64)
+    }),
+
     // Product-quantization ANN: md5-picked codebook, integer micro-unit
     // L2 everywhere (codebook assignment, ADC tables, ranking), so the
     // compressed-index pipeline is exact BIGINT arithmetic in any
@@ -67,6 +76,19 @@ object VectorQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // mirrors Similarity.randomProject: md5("rp:j:d") parity signs,
+    // BIGINT micro-unit sums, rounded-double scale-back
+    "q95_random_projection" ->
+      """WITH pl AS (
+        |  SELECT p, d, CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(p AS VARCHAR)
+        |      || ':' || CAST(d AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+        |    THEN 1 ELSE -1 END AS w
+        |  FROM range(8) tp(p) CROSS JOIN range(64) td(d))
+        |SELECT e.vec_id, pl.p AS j,
+        |  ROUND(CAST(SUM(CAST(FLOOR(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) * pl.w) AS DOUBLE) / 1000000, 4) AS proj_r
+        |FROM embeddings e CROSS JOIN pl GROUP BY 1, 2""".stripMargin,
+
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |z AS (

@@ -165,6 +165,52 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head._2 > 0.99)
   }
 
+  test("randomProject: exact micro math, linearity, and a shuffle-free plan") {
+    val dim = 16
+    val signs = Similarity.md5ProjSigns(4, dim)
+    val v = Array.tabulate(dim)(d => (d + 1) * 0.125f)
+    val vecs = Seq(
+      (0L, v),
+      (1L, v.map(x => -x)), // negation => negated projections
+      (2L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(vecs, "vec_id", "embedding",
+      outDim = 4, dim = dim)
+    val rows = out.select($"vec_id", $"j", $"proj_r")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows.size == 12)
+    for (j <- 0 until 4) {
+      val want = (0 until dim).map(d =>
+        signs(j)(d) * math.floor(v(d).toDouble * 1e6 + 0.5).toLong).sum
+      assert(rows((0L, j.toLong)) ==
+        BigDecimal(want / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(rows((1L, j.toLong)) == -rows((0L, j.toLong)))
+      assert(rows((2L, j.toLong)) == 0.0)
+    }
+    // scale gate: map-only pass — the executed plan must contain no
+    // exchange of any kind
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"randomProject plan shuffles:\n$p")
+  }
+
+  test("randomProject preserves relative distances (JL sanity on a seeded corpus)") {
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // near = base + tiny noise; far = independent draw
+    val near = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val far = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val pr = Similarity.randomProject(df, "vec_id", "embedding",
+        outDim = 16, dim = dim)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(pr(0L), pr(1L)) < d2(pr(0L), pr(2L)),
+      "projection inverted the near/far ordering")
+  }
+
   test("LSH top-k is a subset of brute-force candidates with high-cos hit") {
     val vecs = (0 until 50).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.1f * i, 0.5f, 0.0f)

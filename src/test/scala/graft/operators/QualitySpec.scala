@@ -28,6 +28,25 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(s(1L)._2 - want) < 1e-9)
   }
 
+  test("tfidfTopTerms ranks rare terms above common ones, exact micro math") {
+    val out = Quality.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .select($"doc_id", $"term", $"tf", $"score_u")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._4, r._2)).toList).toMap
+    // N=4 scoring docs; idf_u = floor(ln(5/(df+1))*1e6+0.5) + 1e6
+    def idfu(dfc: Long): Long =
+      math.floor(math.log(5.0 / (dfc + 1.0)) * 1e6 + 0.5).toLong + 1000000L
+    // doc 2: 'common' tf=2·idfu(df=3) = 2446288 beats rare1 1·idfu(1) =
+    // 1916291 — tf dominates here; rare1 takes slot 2 on the term tie
+    val d2 = out(2L)
+    assert(d2.map(r => (r._2, r._4)) ==
+      List(("common", 2 * idfu(3)), ("rare1", idfu(1))), s"doc2: $d2")
+    // doc 1: only 'common' exists -> one row, score 4 * idf_u(df=3)
+    assert(out(1L) == List((1L, "common", 4L, 4 * idfu(3))))
+    // empty doc absent; every doc emits at most k rows
+    assert(!out.contains(4L) && out.values.forall(_.size <= 2))
+  }
+
   test("filterByLogprobBand trims both tails by the supplied cutoffs") {
     val scored = Quality.unigramLogprob(docs, "doc_id", "text")
       .select($"doc_id", $"avg_lp").as[(Long, Double)].collect().toMap

@@ -127,6 +127,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q95: random projection is map-only (no exchange anywhere)") {
+    val p = plan("q95_random_projection").split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"),
+      s"embedding compression must not shuffle:\n$p")
+  }
+
   test("q52: CEP shuffles once on the key (single grouping exchange)") {
     // AQE's string rendering appends an "Initial Plan" section that would
     // double-count operators — assert on the final plan only.
