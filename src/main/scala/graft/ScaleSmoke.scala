@@ -140,7 +140,14 @@ object ScaleSmoke {
       println("SCALE cc_round plan shapes gated")
     }
 
+    // vocab-level idf join + per-doc windowed top-k — both uniform keys
+    run("tfidf_terms", graft.operators.Quality.tfidfTopTerms(
+      docs, "doc_id", "text", k = 3), allowBroadcastNlj = true)
+
     val queries = emb.filter(col("vec_id") < 50)
+    // map-only JL compression: rows = |corpus|·outDim, zero shuffle
+    run("random_project", graft.operators.Similarity.randomProject(
+      emb, "vec_id", "embedding", outDim = 8, dim = 64))
     run("ann_brute_force", graft.operators.Similarity.bruteForceTopK(
       queries, emb, "vec_id", "embedding", k = 10), allowBroadcastNlj = true)
     run("ann_lsh", graft.operators.Similarity.lshTopK(

@@ -305,6 +305,14 @@ object CorpusQueries extends QueryModule {
       graft.operators.Quality.tfidfTopTerms(
         Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // Pairwise 3-gram Jaccard between sources (the corpus-overlap matrix
+    // that drives mixing weights): exact distinct-shingle tier, BIGINT
+    // inter/union + one deterministic double division. The mergeable
+    // minhash tier (Overlap.overlapMinhash) is spec-tested against this.
+    "q97_source_overlap" -> ((s, dir) =>
+      graft.operators.Overlap.overlapExact(
+        Tables.documents(s, dir), "source", "text", n = 3)),
+
     // Incremental dedup: the incoming batch (odd doc_ids) against the
     // existing corpus (even doc_ids) — exact digest tier + cross-table
     // LSH banding with exact-Jaccard verification. The oracle computes
@@ -619,6 +627,29 @@ object CorpusQueries extends QueryModule {
         |      ORDER BY tf.tf * idf.idfu DESC, tf.tok) AS rk
         |  FROM tf JOIN idf USING (tok))
         |WHERE rk <= 3""".stripMargin,
+
+    // mirrors Overlap.overlapExact: distinct 3-gram sets per source,
+    // pairwise intersections, jaccard on exact counts
+    "q97_source_overlap" ->
+      """WITH w AS (SELECT source, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |shl AS (SELECT source, list_distinct(list_transform(
+        |    range(1, greatest(len(words) - 1, 1)),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles FROM w),
+        |gs AS (SELECT DISTINCT source, unnest(shingles) AS shingle FROM shl),
+        |sz AS (SELECT source, COUNT(*) AS sz FROM gs GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |  FROM gs a JOIN gs b
+        |    ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter,
+        |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+        |  ROUND(CAST(inter AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard_r
+        |FROM pr
+        |JOIN sz sa ON src_a = sa.source
+        |JOIN sz sb ON src_b = sb.source""".stripMargin,
 
     "q87_unigram_logprob" ->
       """WITH tok AS (
