@@ -201,26 +201,93 @@ object Similarity {
     * only if a column-of-array layout is required downstream.
     */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
-      outDim: Int, dim: Int, roundScale: Int = 4): DataFrame = {
+      outDim: Int, dim: Int, roundScale: Int = 4): DataFrame =
+    projectMicro(df, idCol, vecCol, outDim, dim, idCol, "pv")
+      .select(col(idCol), posexplode(col("pv")).as(Seq("j", "micro")))
+      .select(col(idCol), col("j").cast("long").as("j"),
+        round(col("micro").cast("double") / 1e6, roundScale).as("proj_r"))
+
+  /** Packed projected vector in exact micro-units: (as, out Array[Long]
+    * of length outDim) — one typed map pass, zero shuffle (posexplode /
+    * the caller's join happens downstream of this map).
+    */
+  private[graft] def projectMicro(df: DataFrame, idCol: String,
+      vecCol: String, outDim: Int, dim: Int, as: String,
+      out: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val w = md5ProjSigns(outDim, dim)
     df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .flatMap { case (id, vec) =>
+      .map { case (id, vec) =>
         val len = math.min(dim, vec.length)
-        Iterator.tabulate(outDim) { p =>
+        val pv = new Array[Long](outDim)
+        var p = 0
+        while (p < outDim) {
           var s = 0L
           var d = 0
           while (d < len) {
             s += w(p)(d) * math.floor(vec(d).toDouble * 1e6 + 0.5).toLong
             d += 1
           }
-          (id, p.toLong, s)
+          pv(p) = s
+          p += 1
         }
+        (id, pv)
       }
-      .toDF(idCol, "j", "micro")
-      .select(col(idCol), col("j"),
-        round(col("micro").cast("double") / 1e6, roundScale).as("proj_r"))
+      .toDF(as, out)
+  }
+
+  /** Compress-then-search ANN: shortlist by L2 in the RP-compressed
+    * space (L2 is the metric JL preserves), then exact micro-L2 rerank
+    * of the shortlist — the random-projection twin of [[pqRerankTopK]].
+    *
+    * Scale: both sides compress in a map-only pass, so the broadcast
+    * query side and the scanned corpus side carry outDim/dim of the
+    * original bytes through the scoring scan (8/64 = 12.5% here); the
+    * full-width vectors are touched again only for |Q|·shortlist rows.
+    * Everything is exact BIGINT (projection micro-units, squared
+    * distances), ties on vid — bit-identical shortlists and ranks in
+    * any engine.
+    *
+    * Sizing: recall depends on outDim and the shortlist width. On
+    * near-uniform random vectors (the JL worst case — all pair
+    * distances concentrate) outDim=8 of 64 keeps only ~1/3 of exact-L2
+    * neighbors at shortlist=50; outDim=16 with shortlist≈2·outDim·k
+    * recovers most (OperatorsSpec measures this). Clustered real-world
+    * embeddings sit well above the uniform floor at the same settings.
+    */
+  def rpRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 50, outDim: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val qp = projectMicro(queries, idCol, vecCol, outDim, dim, "qid", "qpv")
+    val cp = projectMicro(corpus, idCol, vecCol, outDim, dim, "vid", "cpv")
+    // static outDim -> an unrolled codegen'd sum, not an interpreted HOF
+    val distP = (0 until outDim).map { j =>
+      val dif = element_at(col("qpv"), j + 1) - element_at(col("cpv"), j + 1)
+      dif * dif
+    }.reduce(_ + _)
+    val cand = cp.crossJoin(broadcast(qp))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("dist_p", distP)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist_p").asc, col("vid").asc)))
+      .filter(col("rk") <= shortlist)
+      .select("qid", "vid")
+    def mic(df: DataFrame, as: String, out: String) =
+      df.select(col(idCol).cast("long").as(as),
+        transform(toDoubleVec(col(vecCol)),
+          x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as(out))
+    cand
+      .join(broadcast(mic(queries, "qid", "qv")), Seq("qid"))
+      .join(mic(corpus, "vid", "cv"), Seq("vid"))
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "dist")
   }
 
   /** IVF (inverted-file) ANN: the corpus is bucketed into `nlist` cells

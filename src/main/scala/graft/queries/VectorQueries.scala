@@ -56,6 +56,15 @@ object VectorQueries extends QueryModule {
         "vec_id", "embedding", outDim = 8, dim = 64)
     }),
 
+    // Compress-then-search: RP shortlist (L2 in the 8-dim projected
+    // space, exact BIGINT) + exact micro-L2 rerank — the projection
+    // actually driving a search, not just a transform.
+    "q98_rp_rerank" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.rpRerankTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", k = 5, shortlist = 50, outDim = 8, dim = 64)
+    }),
+
     // Product-quantization ANN: md5-picked codebook, integer micro-unit
     // L2 everywhere (codebook assignment, ADC tables, ranking), so the
     // compressed-index pipeline is exact BIGINT arithmetic in any
@@ -88,6 +97,46 @@ object VectorQueries extends QueryModule {
         |  ROUND(CAST(SUM(CAST(FLOOR(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 1000000 + 0.5)
         |      AS BIGINT) * pl.w) AS DOUBLE) / 1000000, 4) AS proj_r
         |FROM embeddings e CROSS JOIN pl GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Similarity.rpRerankTopK: q95's projection CTE feeds an
+    // integer L2 shortlist, then the q79-style exact micro-L2 rerank
+    "q98_rp_rerank" ->
+      """WITH pl AS (
+        |  SELECT p, d, CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(p AS VARCHAR)
+        |      || ':' || CAST(d AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+        |    THEN 1 ELSE -1 END AS w
+        |  FROM range(8) tp(p) CROSS JOIN range(64) td(d)),
+        |mic AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |pm AS (
+        |  SELECT m.vec_id, pl.p AS j, SUM(m.v[pl.d + 1] * pl.w) AS s
+        |  FROM mic m CROSS JOIN pl GROUP BY 1, 2),
+        |dp AS (
+        |  SELECT qs.vec_id AS qid, cs.vec_id AS vid,
+        |    SUM((qs.s - cs.s) * (qs.s - cs.s)) AS dist_p
+        |  FROM pm qs JOIN pm cs
+        |    ON qs.j = cs.j AND qs.vec_id < 50 AND cs.vec_id <> qs.vec_id
+        |  GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT qid, vid FROM (
+        |    SELECT qid, vid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dist_p, vid) AS rk
+        |    FROM dp) WHERE rk <= 50),
+        |rr AS (
+        |  SELECT sl.qid, sl.vid,
+        |    SUM((qm.v[t.d + 1] - vm.v[t.d + 1])
+        |      * (qm.v[t.d + 1] - vm.v[t.d + 1])) AS dist
+        |  FROM sl
+        |  JOIN mic qm ON qm.vec_id = sl.qid
+        |  JOIN mic vm ON vm.vec_id = sl.vid, range(64) t(d)
+        |  GROUP BY 1, 2)
+        |SELECT qid, vid, dist FROM (
+        |  SELECT qid, vid, CAST(dist AS BIGINT) AS dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rk
+        |  FROM rr) WHERE rk <= 5""".stripMargin,
 
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

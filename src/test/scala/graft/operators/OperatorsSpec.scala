@@ -320,6 +320,36 @@ class OperatorsSpec extends SparkSpec {
       .foreach { case (qid, vid, d) => assert(d == l2(vecs(qid), vecs(vid))) }
   }
 
+  test("RP shortlist+rerank: exact distances, useful recall vs exact L2") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val k = 5
+    // near-uniform random vectors are the JL worst case: 8 dims keeps
+    // only ~1/3 of the exact neighbors here, 16 dims + a 100-wide
+    // shortlist recovers most — the sizing rule the scaladoc states
+    val rr = Similarity.rpRerankTopK(q, e, "vec_id", "embedding", k,
+      shortlist = 100, outDim = 16, dim = 64)
+    val got = rr.select("qid", "vid", "dist").as[(Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 != r._2 && r._3 >= 0L))
+    assert(got.groupBy(_._1).values.forall(_.length <= k))
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.iterator.map { i => val d = a(i) - b(i); d * d }.sum
+    // rerank distances are EXACT micro-L2 for every returned pair
+    got.foreach { case (qid, vid, d) => assert(d == l2(vecs(qid), vecs(vid))) }
+    val exactL2 = vecs.keys.filter(_ < 20).flatMap { qid =>
+      vecs.toSeq.filter(_._1 != qid)
+        .sortBy { case (vid, v) => (l2(vecs(qid), v), vid) }
+        .take(k).map { case (vid, _) => (qid, vid) }
+    }.toSet
+    val recall = (got.map(r => (r._1, r._2)).toSet intersect exactL2).size
+      .toDouble / exactL2.size
+    assert(recall >= 0.6, s"RP rerank recall@5 collapsed: $recall")
+  }
+
   test("spherical k-means refinement never decreases the IVF objective") {
     import graft.functions.VectorFunctions._
     import graft.plans.GraftFunctions
