@@ -118,6 +118,43 @@ object Quality {
       .select(col(idCol), col("tok").as("term"), col("tf"), col("score_u"))
   }
 
+  /** Select the highest-quality documents until a global TOKEN budget is
+    * spent — the "best N tokens" corpus-selection step (greedy by
+    * quality, the batch twin of quality-threshold filtering when the
+    * target is a token count, not a score cutoff).
+    *
+    * Docs are ranked by (quality band desc, id asc) where band =
+    * floor(avg_lp · bandScale): quality finer than one band does not
+    * reorder — band width IS the selection granularity (raise
+    * `bandScale` for finer cuts). A doc is kept iff the inclusive
+    * running token total at its rank is <= budget.
+    *
+    * Scale: the global cumulative sum never sees raw docs — per-band
+    * token totals (thousands of rows at bandScale=1000) take the only
+    * unpartitioned window, then each doc needs just its band's
+    * prior-bands offset (broadcast) plus a within-band running sum
+    * (window PARTITIONED by band; per-band skew is bounded by band
+    * width). Same two-level shape as Packing.prefixSum.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, bandScale: Int = 1000): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val scored = unigramLogprob(df, idCol, textCol)
+      .withColumn("band", floor(col("avg_lp") * bandScale).cast("long"))
+    val bands = scored.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+    val wB = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bands
+      .withColumn("__prev", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+      .select(col("band"), col("__prev"))
+    val wD = Window.partitionBy(col("band")).orderBy(col(idCol))
+    scored.join(broadcast(offsets), Seq("band"))
+      .withColumn("__cum", sum(col("n_tokens")).over(wD))
+      .filter(col("__prev") + col("__cum") <= budget)
+      .select(col(idCol), col("band"), col("n_tokens"))
+  }
+
   /** Keep documents whose `avg_lp` lies inside [lo, hi] — the standard
     * both-tails trim (gibberish scores low; degenerate repetition /
     * boilerplate scores suspiciously high). Cutoffs are caller-supplied

@@ -305,6 +305,13 @@ object CorpusQueries extends QueryModule {
       graft.operators.Quality.tfidfTopTerms(
         Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // Quality-greedy corpus selection under a 12k-token budget: rank by
+    // (unigram quality band desc, doc_id), keep while the inclusive
+    // running token total fits. Integer bands + counts end to end.
+    "q99_token_budget" -> ((s, dir) =>
+      graft.operators.Quality.selectByTokenBudget(
+        Tables.documents(s, dir), "doc_id", "text", budget = 12000L)),
+
     // Pairwise 3-gram Jaccard between sources (the corpus-overlap matrix
     // that drives mixing weights): exact distinct-shingle tier, BIGINT
     // inter/union + one deterministic double division. The mergeable
@@ -627,6 +634,35 @@ object CorpusQueries extends QueryModule {
         |      ORDER BY tf.tf * idf.idfu DESC, tf.tok) AS rk
         |  FROM tf JOIN idf USING (tok))
         |WHERE rk <= 3""".stripMargin,
+
+    // mirrors Quality.selectByTokenBudget: the q87 scoring CTEs, then a
+    // single ORDER BY (band DESC, doc_id) running sum — equal by
+    // construction to the two-level band-offset form the Spark side runs
+    "q99_token_budget" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM freq),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(floor(ln(CAST(f AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lpu
+        |  FROM freq CROSS JOIN tot),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lpu) AS BIGINT) AS lp_micro
+        |  FROM tok JOIN vocab USING (tok) GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(floor(CAST(lp_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      / 1e6 * 1000) AS BIGINT) AS band
+        |  FROM sc),
+        |sel AS (
+        |  SELECT doc_id, band, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY band DESC, doc_id) AS cum
+        |  FROM bd)
+        |SELECT doc_id, band, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM sel WHERE cum <= 12000""".stripMargin,
 
     // mirrors Overlap.overlapExact: distinct 3-gram sets per source,
     // pairwise intersections, jaccard on exact counts

@@ -47,6 +47,24 @@ class QualitySpec extends SparkSpec {
     assert(!out.contains(4L) && out.values.forall(_.size <= 2))
   }
 
+  test("selectByTokenBudget keeps best bands first, id order inside a band") {
+    // bands: {doc1(4 tok), doc5(1)} all-'common' (tied best avg_lp) >
+    // doc2(4) mixed > doc3(4) all-singletons; doc4 empty -> never selected
+    def sel(budget: Long): Set[Long] =
+      Quality.selectByTokenBudget(docs, "doc_id", "text", budget)
+        .select($"doc_id").as[Long].collect().toSet
+    assert(sel(13) == Set(1L, 2L, 3L, 5L)) // whole corpus fits
+    assert(sel(9) == Set(1L, 5L, 2L)) // best band + next
+    assert(sel(5) == Set(1L, 5L)) // exactly the best band
+    // budget 4: doc1 fills it; doc5 (same band, higher id) must drop
+    assert(sel(4) == Set(1L))
+    assert(sel(0) == Set.empty)
+    // kept token mass never exceeds the budget
+    val kept = Quality.selectByTokenBudget(docs, "doc_id", "text", 9)
+      .agg(sum($"n_tokens")).as[Long].collect().head
+    assert(kept <= 9)
+  }
+
   test("filterByLogprobBand trims both tails by the supplied cutoffs") {
     val scored = Quality.unigramLogprob(docs, "doc_id", "text")
       .select($"doc_id", $"avg_lp").as[(Long, Double)].collect().toMap
