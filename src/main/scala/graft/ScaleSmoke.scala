@@ -143,6 +143,11 @@ object ScaleSmoke {
     // vocab-level idf join + per-doc windowed top-k — both uniform keys
     run("tfidf_terms", graft.operators.Quality.tfidfTopTerms(
       docs, "doc_id", "text", k = 3), allowBroadcastNlj = true)
+    // replication is the quality-HOMOGENEOUS worst case (replica docs
+    // share bands): only the boundary band pays a running sum, through
+    // the two-level bucket-offset prefix sum — gated here on purpose
+    run("token_budget_select", graft.operators.Quality.selectByTokenBudget(
+      docs, "doc_id", "text", budget = 1000000L), allowBroadcastNlj = true)
 
     val queries = emb.filter(col("vec_id") < 50)
     // map-only JL compression: rows = |corpus|·outDim, zero shuffle

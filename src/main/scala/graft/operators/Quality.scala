@@ -129,15 +129,19 @@ object Quality {
     * `bandScale` for finer cuts). A doc is kept iff the inclusive
     * running token total at its rank is <= budget.
     *
-    * Scale: the global cumulative sum never sees raw docs — per-band
-    * token totals (thousands of rows at bandScale=1000) take the only
-    * unpartitioned window, then each doc needs just its band's
-    * prior-bands offset (broadcast) plus a within-band running sum
-    * (window PARTITIONED by band; per-band skew is bounded by band
-    * width). Same two-level shape as Packing.prefixSum.
+    * Scale: no window ever sees raw docs. Per-band token totals
+    * (thousands of rows at bandScale=1000) take the only unpartitioned
+    * window; bands wholly inside (outside) the budget keep (drop) their
+    * docs with a broadcast-joined filter and NO per-doc ordering at
+    * all; exactly ONE band can straddle the budget, and only its docs
+    * pay a running sum — executed as [[Packing.prefixSum]]'s two-level
+    * bucket-offset shape, so even the worst case (a quality-homogeneous
+    * corpus landing every doc in one band) stays distributed, under the
+    * same id-density assumption prefixSum documents.
     */
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, bandScale: Int = 1000): DataFrame = {
+      budget: Long, bandScale: Int = 1000,
+      bucketWidth: Long = 1L << 16): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val scored = unigramLogprob(df, idCol, textCol)
       .withColumn("band", floor(col("avg_lp") * bandScale).cast("long"))
@@ -147,12 +151,16 @@ object Quality {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bands
       .withColumn("__prev", coalesce(sum(col("__bt")).over(wB), lit(0L)))
-      .select(col("band"), col("__prev"))
-    val wD = Window.partitionBy(col("band")).orderBy(col(idCol))
-    scored.join(broadcast(offsets), Seq("band"))
-      .withColumn("__cum", sum(col("n_tokens")).over(wD))
+      .select(col("band"), col("__bt"), col("__prev"))
+    val joined = scored.join(broadcast(offsets), Seq("band"))
+    val out = Seq(col(idCol), col("band"), col("n_tokens"))
+    val full = joined.filter(col("__prev") + col("__bt") <= budget)
+    val boundary = joined.filter(col("__prev") < budget &&
+      col("__prev") + col("__bt") > budget)
+    val boundarySel = Packing
+      .prefixSum(boundary, idCol, "n_tokens", "__cum", bucketWidth)
       .filter(col("__prev") + col("__cum") <= budget)
-      .select(col(idCol), col("band"), col("n_tokens"))
+    full.select(out: _*).unionByName(boundarySel.select(out: _*))
   }
 
   /** Keep documents whose `avg_lp` lies inside [lo, hi] — the standard

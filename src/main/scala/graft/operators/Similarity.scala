@@ -274,6 +274,16 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("dist_p").asc, col("vid").asc)))
       .filter(col("rk") <= shortlist)
       .select("qid", "vid")
+    exactMicroRerank(cand, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Exact micro-L2 rerank of (qid, vid) candidate pairs: joins the
+    * full-width vectors back (query side broadcast), scores the exact
+    * BIGINT squared distance, keeps top-k per query (vid tie-break).
+    * Shared tail of [[pqRerankTopK]] and [[rpRerankTopK]].
+    */
+  private def exactMicroRerank(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     def mic(df: DataFrame, as: String, out: String) =
       df.select(col(idCol).cast("long").as(as),
         transform(toDoubleVec(col(vecCol)),
@@ -533,20 +543,7 @@ object Similarity {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val cand = pqTopK(queries, corpus, idCol, vecCol, shortlist, m, ksub, dim)
       .select("qid", "vid")
-    def mic(df: DataFrame, as: String, out: String) =
-      df.select(col(idCol).cast("long").as(as),
-        transform(toDoubleVec(col(vecCol)),
-          x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as(out))
-    cand
-      .join(broadcast(mic(queries, "qid", "qv")), Seq("qid"))
-      .join(mic(corpus, "vid", "cv"), Seq("vid"))
-      .withColumn("dist", aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)))
-      .filter(col("rk") <= k)
-      .select("qid", "vid", "dist")
+    exactMicroRerank(cand, queries, corpus, idCol, vecCol, k)
   }
 
   /** All pairs above a cosine threshold within blocks (embedding near-dup

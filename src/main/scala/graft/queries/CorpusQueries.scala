@@ -665,27 +665,25 @@ object CorpusQueries extends QueryModule {
         |FROM sel WHERE cum <= 12000""".stripMargin,
 
     // mirrors Overlap.overlapExact: distinct 3-gram sets per source,
-    // pairwise intersections, jaccard on exact counts
+    // pairwise intersections, jaccard on exact counts. Reuses the shared
+    // docShingles CTEs (shl carries `source`) so the 3-gram construction
+    // stays bit-identical to MinhashImpl.shingles in ONE place.
     "q97_source_overlap" ->
-      """WITH w AS (SELECT source, string_split_regex(trim(text), '\s+') AS words
-        |  FROM documents),
-        |shl AS (SELECT source, list_distinct(list_transform(
-        |    range(1, greatest(len(words) - 1, 1)),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles FROM w),
-        |gs AS (SELECT DISTINCT source, unnest(shingles) AS shingle FROM shl),
-        |sz AS (SELECT source, COUNT(*) AS sz FROM gs GROUP BY source),
-        |pr AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
-        |  FROM gs a JOIN gs b
-        |    ON a.shingle = b.shingle AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT src_a, src_b, inter,
-        |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
-        |  ROUND(CAST(inter AS DOUBLE)
-        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard_r
-        |FROM pr
-        |JOIN sz sa ON src_a = sa.source
-        |JOIN sz sb ON src_b = sb.source""".stripMargin,
+      s"""WITH ${TextQueries.docShingles},
+         |gs AS (SELECT DISTINCT source, unnest(shingles) AS shingle FROM shl),
+         |gsz AS (SELECT source, COUNT(*) AS sz FROM gs GROUP BY source),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+         |  FROM gs a JOIN gs b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, inter,
+         |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+         |  ROUND(CAST(inter AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard_r
+         |FROM pr
+         |JOIN gsz sa ON src_a = sa.source
+         |JOIN gsz sb ON src_b = sb.source""".stripMargin,
 
     "q87_unigram_logprob" ->
       """WITH tok AS (
