@@ -92,4 +92,30 @@ object Packing {
         min(col("start_off")).as("first_off"),
         max(col("end_off")).as("last_off"))
   }
+
+  /** Length-bucketed dynamic batching — the pad-to-longest alternative
+    * to concat-and-chunk packing: docs group into token-length buckets
+    * of width `bucketTokens`, each bucket emits batches of `batchSize`
+    * docs in deterministic id order, so batch peers differ by less than
+    * one bucket width and per-batch padding waste is bounded by
+    * batchSize·(bucketTokens-1) tokens. All-integer arithmetic.
+    *
+    * Scale: one shuffle keyed by the bucket; the rank window partitions
+    * by bucket. Length distributions concentrate, so a hot bucket can
+    * dominate — at extreme scale pre-split hot buckets with a hash
+    * sub-shard ([[Sampling.deterministicShuffle]]) and key the window by
+    * (bucket, shard); batches never need to cross shards.
+    */
+  def lengthBatches(df: DataFrame, idCol: String, tokenCol: String,
+      bucketTokens: Int, batchSize: Int): DataFrame = {
+    require(bucketTokens > 0 && batchSize > 0,
+      s"positive bucketTokens/batchSize required: $bucketTokens/$batchSize")
+    df.withColumn("bucket",
+        expr(s"CAST($tokenCol AS BIGINT) div $bucketTokens"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col(idCol))))
+      .withColumn("batch_id",
+        expr(s"CAST(__rn - 1 AS BIGINT) div $batchSize"))
+      .drop("__rn")
+  }
 }

@@ -148,6 +148,28 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Deterministic corpus shuffle for training order: every row gets a
+    * (shard, pos) from md5(seed:id) — pseudorandom but reproducible, so
+    * a multi-week run can restart mid-epoch and different tables keyed
+    * by the same ids interleave identically. Changing `seed` is a fresh
+    * permutation (per-epoch reshuffle).
+    *
+    * Scale: shard = uniform hash bucket -> one shuffle on the shard key;
+    * `pos` ranks WITHIN a shard (window partitioned by shard, ~n/shards
+    * rows each) — there is no global sort anywhere. Downstream training
+    * readers consume shards independently in pos order.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, shards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+      lit(shards.toLong))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(key, col(idCol))))
+  }
+
   /** Deterministic train/val/test split: each row lands in the split
     * whose cumulative weight range contains its hash bucket. Pure column
     * expression — no shuffle, no RNG; the same id always lands in the

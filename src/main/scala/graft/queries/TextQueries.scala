@@ -153,6 +153,26 @@ object TextQueries extends QueryModule {
           "pack_first", "pack_last", "n_packs")
     }),
 
+    // Deterministic corpus shuffle (training order): md5(seed:id) ->
+    // (shard, pos) — 8 shards, per-shard rank windows, no global sort.
+    "q100_det_shuffle" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sampling.deterministicShuffle(
+          Tables.documents(spark, dir).select($"doc_id"),
+          "doc_id", shards = 8, seed = 7L)
+        .select($"doc_id", $"shard", $"pos".cast("long").as("pos"))
+    }),
+
+    // Length-bucketed dynamic batching: token-length buckets of width 8,
+    // 4 docs per batch in id order — all-integer, window keyed by bucket.
+    "q101_length_batches" -> ((spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", tokenCount($"text").cast("long").as("n_tokens"))
+      graft.operators.Packing.lengthBatches(
+        toks, "doc_id", "n_tokens", bucketTokens = 8, batchSize = 4)
+    }),
+
     // Pack-level roll-up of q72: docs starting per pack + seam
     // (boundary-crossing) counts — the packing-quality dashboard numbers.
     "q73_pack_summary" -> ((spark, dir) => {
@@ -634,6 +654,34 @@ object TextQueries extends QueryModule {
         |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mirrors Sampling.deterministicShuffle: md5(seed:id) keys, unsigned
+    // 32-bit prefix mod shards, per-shard (key, id) rank
+    "q100_det_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, k,
+        |    CAST('0x' || substr(k, 1, 8) AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+
+    // mirrors Packing.lengthBatches: width-8 token buckets, 4 docs per
+    // batch in id order, all-integer floor division
+    "q101_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, n_tokens // 8 AS bucket FROM t)
+        |SELECT doc_id, n_tokens, bucket,
+        |  (CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+        |    AS BIGINT) - 1) // 4 AS batch_id
+        |FROM b""".stripMargin,
 
     "q72_seq_packing" ->
       """WITH t AS (

@@ -75,6 +75,33 @@ class PackingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("lengthBatches groups similar lengths, bounds batch size, fills in id order") {
+    val rows = samples(rowsGen, 6).find(_.size > 20).get
+    val df = rows.toDF("doc_id", "n_tokens")
+    val out = Packing.lengthBatches(df, "doc_id", "n_tokens",
+        bucketTokens = 8, batchSize = 4)
+      .select($"doc_id", $"n_tokens", $"bucket", $"batch_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == rows.size)
+    // bucket is the floor-division length class
+    out.foreach { case (_, n, b, _) => assert(b == n / 8) }
+    out.groupBy(r => (r._3, r._4)).foreach { case ((b, _), batch) =>
+      // a batch never exceeds batchSize and never mixes buckets
+      assert(batch.length <= 4 && batch.forall(_._3 == b))
+      // peers differ by less than one bucket width
+      val lens = batch.map(_._2)
+      assert(lens.max - lens.min < 8)
+    }
+    // within a bucket, batch_id is assigned in ascending id order and
+    // only the LAST batch may be partial
+    out.groupBy(_._3).foreach { case (_, rows0) =>
+      val byId = rows0.sortBy(_._1).map(_._4)
+      assert(byId.toSeq == byId.sorted.toSeq)
+      val sizes = rows0.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.init.forall(_ == 4))
+    }
+  }
+
   test("prefixSum windows are all partitioned (no corpus-wide single-partition stage)") {
     // runs with AQE ON — PlanWalk crosses query-stage boundaries, so the
     // bucket-totals aggregate behind the shuffle stage is still seen

@@ -127,6 +127,29 @@ class SamplingSpec extends SparkSpec {
     assert(out.getOrElse("heavy", 0L) < 20L, s"heavy not downsampled: $out")
   }
 
+  test("deterministicShuffle: dense per-shard positions, reproducible, seed-sensitive") {
+    val ids = (0L until 400L).toDF("doc_id")
+    def shuffle(seed: Long) =
+      Sampling.deterministicShuffle(ids, "doc_id", shards = 8, seed = seed)
+        .select($"doc_id", $"shard", $"pos".cast("long"))
+        .as[(Long, Long, Long)].collect()
+    val a = shuffle(7)
+    // every row lands somewhere; positions are dense 1..n per shard
+    assert(a.length == 400)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // no empty shard at 50 rows/shard expected occupancy
+    assert(a.map(_._2).distinct.length == 8)
+    // same seed -> identical assignment; different seed -> a different
+    // permutation (some id moved shard or position)
+    assert(shuffle(7).toSeq == a.toSeq)
+    assert(shuffle(8).toSet != a.toSet)
+    // order inside a shard is the md5 key order, not id order
+    val shard0 = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+  }
+
   test("splitByHash weights normalize (2:1:1 == 0.5:0.25:0.25)") {
     val a = Sampling.splitByHash(docs, "doc_id",
       Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0))
