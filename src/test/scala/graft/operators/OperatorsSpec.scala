@@ -5,6 +5,8 @@ import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
 
+case class VecRow(vec_id: Long, embedding: Array[Float])
+
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -209,6 +211,27 @@ class OperatorsSpec extends SparkSpec {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     assert(d2(pr(0L), pr(1L)) < d2(pr(0L), pr(2L)),
       "projection inverted the near/far ordering")
+  }
+
+  test("randomProject is stateless: identical output on a stream (append mode)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VecRow]
+    val out = Similarity.randomProject(ms.toDF(), "vec_id", "embedding",
+      outDim = 4, dim = 8)
+    val q = out.writeStream.format("memory").queryName("rp_stream")
+      .outputMode("append").start()
+    try {
+      val rows = (0 until 6).map(i =>
+        VecRow(i.toLong, Array.tabulate(8)(d => (i * 8 + d) * 0.03f)))
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rp_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = Similarity.randomProject(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", outDim = 4, dim = 8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.size == 24)
+    } finally q.stop()
   }
 
   test("LSH top-k is a subset of brute-force candidates with high-cos hit") {
