@@ -105,11 +105,17 @@ object Packing {
     * dominate — at extreme scale pre-split hot buckets with a hash
     * sub-shard ([[Sampling.deterministicShuffle]]) and key the window by
     * (bucket, shard); batches never need to cross shards.
+    *
+    * `idCol` must be unique and non-null (the [[prefixSum]] order-key
+    * rule): duplicate ids would make batch assignment scan-order
+    * dependent.
     */
   def lengthBatches(df: DataFrame, idCol: String, tokenCol: String,
       bucketTokens: Int, batchSize: Int): DataFrame = {
     require(bucketTokens > 0 && batchSize > 0,
       s"positive bucketTokens/batchSize required: $bucketTokens/$batchSize")
+    Seq("bucket", "batch_id", "__rn").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
     df.withColumn("bucket",
         expr(s"CAST($tokenCol AS BIGINT) div $bucketTokens"))
       .withColumn("__rn", row_number().over(

@@ -17,7 +17,14 @@ object Sampling {
     * an unsigned 32-bit value, mod buckets — engine-neutral.
     */
   def hashBucket(idCol: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
+    bucketOfKey(md5(idCol.cast("string")), buckets)
+
+  /** The unsigned-32-bit-prefix-mod bridge over a precomputed md5 hex
+    * key — the single home of the engine-parity-critical idiom
+    * (DuckDB: `CAST('0x' || substr(k, 1, 8) AS BIGINT) % buckets`).
+    */
+  private def bucketOfKey(key: Column, buckets: Int): Column =
+    pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
   /** Consistent per-group sample: the `n` rows with the smallest
@@ -158,16 +165,23 @@ object Sampling {
     * `pos` ranks WITHIN a shard (window partitioned by shard, ~n/shards
     * rows each) — there is no global sort anywhere. Downstream training
     * readers consume shards independently in pos order.
+    *
+    * `idCol` must be unique and non-null (like [[Packing.prefixSum]]'s
+    * order key): duplicate ids share an md5 key, so their relative `pos`
+    * would be partition-scan order — not reproducible.
     */
   def deterministicShuffle(df: DataFrame, idCol: String, shards: Int,
       seed: Long = 0L): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
-    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
-    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
-      lit(shards.toLong))
-    df.withColumn("shard", shard)
+    Seq("shard", "pos", "__k").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
+    // the per-row md5 is materialized once — the window sorts on the
+    // column, not a second evaluation of the hash
+    df.withColumn("__k", md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("shard", bucketOfKey(col("__k"), shards))
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(key, col(idCol))))
+        Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))))
+      .drop("__k")
   }
 
   /** Deterministic train/val/test split: each row lands in the split
