@@ -51,10 +51,16 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt's own trailer eats ~100 of those. With
+    // 100+ queries the full names at nanosecond precision overflow the
+    // buffer (rounds 1-4 all recorded parsed=null). Short keys (unique qNN
+    // prefix) + millisecond precision keep the line comfortably under it.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -163,6 +163,17 @@ object ScaleSmoke {
     run("ann_pq_rerank", graft.operators.Similarity.pqRerankTopK(
       queries, emb, "vec_id", "embedding", k = 10, shortlist = 50),
       allowBroadcastNlj = true)
+    // Lloyd's: centroids broadcast both in the argmin assignment and as
+    // the k-row seed top-k; the corpus-side scan never shuffles
+    run("kmeans_2iter", graft.operators.Clustering.kmeans(
+      emb, "vec_id", "embedding", k = 16, iters = 2), allowBroadcastNlj = true)
+    // FastSS deletion neighborhoods over the replicated doc FINGERPRINT
+    // strings (short keys, near-dup-rich): len+1 keys/row, one shuffle
+    run("edit_distance_1", graft.operators.Dedup.editDistance1Pairs(
+      docs.select(col("doc_id"),
+        concat(col("source"), lit(":"), col("lang"), lit(":"),
+          substring(col("text"), 1, 12)).as("sig")),
+      "doc_id", "sig"))
 
     println("SCALE plan_checks PASS")
     spark.stop()

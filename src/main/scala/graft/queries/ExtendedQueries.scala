@@ -337,6 +337,43 @@ object ExtendedQueries extends QueryModule {
         .withColumn("payload", col("text").cast("binary"))
       graft.multimodal.Multimodal.decodePartitioned(df, "doc_id", "payload",
         () => new graft.multimodal.Multimodal.Md5Codec)
+    }),
+
+    // FastSS deletion-neighborhood edit-distance join: EXACT dist<=1
+    // pairs with no blocking assumption (len+1 hash-uniform keys per
+    // string, one shuffle) — oracle is brute-force levenshtein, so the
+    // gate proves completeness, not just precision.
+    "q104_edit_distance_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.editDistance1Pairs(
+        Tables.customer(s, dir), "c_custkey", "c_name")),
+
+    // PassJoin segment-pigeonhole edit-distance join: EXACT dist<=2
+    // pairs with NO blocking column and no pair enumeration (candidates
+    // via equi-join on shifted segment substrings, linear keys/row);
+    // oracle is brute-force all-pairs levenshtein -> proves completeness.
+    // Input: 24-char document prefixes (title/fingerprint dedup shape —
+    // diverse content keeps segments selective; constant-prefix ID-like
+    // strings are the FastSS operator's territory, q104).
+    "q105_edjoin_dist2" -> ((s, dir) =>
+      graft.operators.Dedup.edJoinPairs(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix24")),
+        "doc_id", "prefix24", maxDist = 2)),
+
+    // Window FRAMES (lag/lead/ROWS BETWEEN): the per-key sequence
+    // features a feature pipeline derives from an event log. One shuffle
+    // on user_id; frames evaluated in a single windowed pass.
+    "q106_window_frames" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      Tables.events(s, dir).filter($"user_id" < 200)
+        .select($"user_id", $"event_id", $"value")
+        .withColumn("prev_v", round(lag($"value", 1).over(w), 4))
+        .withColumn("next_v", round(lead($"value", 1).over(w), 4))
+        .withColumn("mov3", round(sum($"value").over(w.rowsBetween(-2, 0)), 4))
+        .select($"user_id", $"event_id", round($"value", 4).as("v_r"),
+          $"prev_v", $"next_v", $"mov3")
     })
   )
 
@@ -545,6 +582,32 @@ object ExtendedQueries extends QueryModule {
         |  SELECT l_suppkey, ov,
         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY ov DESC) AS rn
         |  FROM t)
-        |SELECT l_suppkey, ov FROM r WHERE rn <= 3""".stripMargin
+        |SELECT l_suppkey, ov FROM r WHERE rn <= 3""".stripMargin,
+
+    // brute force — the oracle proving the deletion-neighborhood join
+    // is COMPLETE (finds every true pair), not merely precise
+    "q104_edit_distance_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "q105_edjoin_dist2" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.s, b.s) AS dist
+        |FROM p a, p b
+        |WHERE a.doc_id < b.doc_id
+        |  AND levenshtein(a.s, b.s) <= 2""".stripMargin,
+
+    "q106_window_frames" ->
+      """SELECT user_id, event_id, ROUND(value, 4) AS v_r,
+        |  ROUND(lag(value) OVER w, 4) AS prev_v,
+        |  ROUND(lead(value) OVER w, 4) AS next_v,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov3
+        |FROM events WHERE user_id < 200
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin
   )
 }

@@ -81,6 +81,25 @@ object VectorQueries extends QueryModule {
       val e = Tables.embeddings(spark, dir)
       Similarity.pqRerankTopK(e.filter(col("vec_id") < 50), e,
         "vec_id", "embedding", k = 5, shortlist = 50, m = 16, ksub = 16, dim = 64)
+    }),
+
+    // Distributed Lloyd's k-means (2 rounds, k=8, seeds = lowest ids):
+    // rounded distances + rounded centroid means make every iteration
+    // oracle-reproducible; the corpus never shuffles (broadcast
+    // centroids + map-side argmin + one (cluster,dim)-keyed aggregate).
+    "q102_kmeans" -> ((spark, dir) =>
+      graft.operators.Clustering.kmeans(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 8, iters = 2)),
+
+    // Cluster-balanced sampling off the k-means assignment: at most 10
+    // docs per cluster by the deterministic md5 order — the diversity
+    // step that stops a dominant cluster from flooding a training mix.
+    "q103_cluster_sample" -> ((spark, dir) => {
+      val a = graft.operators.Clustering.kmeans(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 8, iters = 2)
+      graft.operators.Clustering.clusterBalancedSample(a, "vec_id", n = 10)
+        .select(col("cluster"), col("vec_id"))
+        .orderBy(col("cluster"), col("vec_id"))
     })
   )
 
@@ -333,6 +352,70 @@ object VectorQueries extends QueryModule {
         |SELECT qid, vid, dist FROM (
         |  SELECT qid, vid, CAST(dist AS BIGINT) AS dist,
         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rk
-        |  FROM rr) WHERE rk <= 5""".stripMargin
+        |  FROM rr) WHERE rk <= 5""".stripMargin,
+
+    // mirrors Clustering.kmeans(k=8, iters=2): seeds = vec_id < 8 with
+    // coords rounded to 6dp, per-pair d2 rounded to 4dp before the
+    // argmin (ties -> lowest cid), recomputed centroid means rounded to
+    // 6dp — rounding at each step resyncs cross-engine floating point
+    "q102_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |c1 AS (SELECT vec_id AS cid, list_transform(e, x -> ROUND(x, 6)) AS ce
+        |       FROM v WHERE vec_id < 8),
+        |z1 AS (SELECT v.vec_id, c.cid, unnest(v.e) AS a, unnest(c.ce) AS b
+        |       FROM v CROSS JOIN c1 c),
+        |d1 AS (SELECT vec_id, cid, ROUND(SUM((a - b) * (a - b)), 4) AS d2
+        |       FROM z1 GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |         SELECT vec_id, cid, d2,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |         FROM d1) WHERE rk = 1),
+        |m AS (SELECT a1.cluster, t.pos, ROUND(AVG(v.e[t.pos + 1]), 6) AS mc
+        |      FROM a1 JOIN v USING (vec_id), range(64) t(pos)
+        |      GROUP BY 1, 2),
+        |c2 AS (SELECT cluster AS cid, list(mc ORDER BY pos) AS ce FROM m GROUP BY 1),
+        |z2 AS (SELECT v.vec_id, c.cid, unnest(v.e) AS a, unnest(c.ce) AS b
+        |       FROM v CROSS JOIN c2 c),
+        |dd AS (SELECT vec_id, cid, ROUND(SUM((a - b) * (a - b)), 4) AS d2
+        |       FROM z2 GROUP BY 1, 2)
+        |SELECT vec_id, cluster, d2_r FROM (
+        |  SELECT vec_id, cid AS cluster, d2 AS d2_r,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |  FROM dd) WHERE rk = 1""".stripMargin,
+
+    "q103_cluster_sample" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |c1 AS (SELECT vec_id AS cid, list_transform(e, x -> ROUND(x, 6)) AS ce
+        |       FROM v WHERE vec_id < 8),
+        |z1 AS (SELECT v.vec_id, c.cid, unnest(v.e) AS a, unnest(c.ce) AS b
+        |       FROM v CROSS JOIN c1 c),
+        |d1 AS (SELECT vec_id, cid, ROUND(SUM((a - b) * (a - b)), 4) AS d2
+        |       FROM z1 GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |         SELECT vec_id, cid, d2,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |         FROM d1) WHERE rk = 1),
+        |m AS (SELECT a1.cluster, t.pos, ROUND(AVG(v.e[t.pos + 1]), 6) AS mc
+        |      FROM a1 JOIN v USING (vec_id), range(64) t(pos)
+        |      GROUP BY 1, 2),
+        |c2 AS (SELECT cluster AS cid, list(mc ORDER BY pos) AS ce FROM m GROUP BY 1),
+        |z2 AS (SELECT v.vec_id, c.cid, unnest(v.e) AS a, unnest(c.ce) AS b
+        |       FROM v CROSS JOIN c2 c),
+        |dd AS (SELECT vec_id, cid, ROUND(SUM((a - b) * (a - b)), 4) AS d2
+        |       FROM z2 GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid AS cluster FROM (
+        |         SELECT vec_id, cid, d2,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |         FROM dd) WHERE rk = 1)
+        |SELECT cluster, vec_id FROM (
+        |  SELECT cluster, vec_id,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM a2) WHERE rk <= 10
+        |ORDER BY cluster, vec_id""".stripMargin
   )
 }
