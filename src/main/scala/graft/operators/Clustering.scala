@@ -35,7 +35,21 @@ object Clustering {
     * oracle). Input vectors must share one length.
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, distScale: Int = 4, centroidScale: Int = 6): DataFrame = {
+      iters: Int, distScale: Int = 4, centroidScale: Int = 6): DataFrame =
+    lloyd(df, idCol, vecCol, k, iters, distScale, centroidScale)._1
+      .select(col("__id").as(idCol), col("cluster"), col("d2_r"))
+
+  /** The fitted centroids themselves (cid = seed id), for
+    * [[assignToCentroids]] — k×dim doubles, driver-small by design.
+    */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, distScale: Int = 4, centroidScale: Int = 6)
+      : Array[(Long, Array[Double])] =
+    lloyd(df, idCol, vecCol, k, iters, distScale, centroidScale)._2
+
+  private def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, distScale: Int, centroidScale: Int)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
     require(k > 0 && iters > 0, s"k=$k, iters=$iters must be positive")
     val spark = df.sparkSession
     val corpus = df.select(col(idCol).cast("long").as("__id"),
@@ -89,7 +103,10 @@ object Clustering {
       centroids = materialize(updated)
       assigned = assign(centroids)
     }
-    assigned.select(col("__id").as(idCol), col("cluster"), col("d2_r"))
+    val centArray = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (assigned, centArray)
   }
 
   /** Cluster sizes + mean rounded distance — the diagnostic a curation run
@@ -107,4 +124,32 @@ object Clustering {
   def clusterBalancedSample(assignments: DataFrame, idCol: String,
       n: Int): DataFrame =
     Sampling.consistentSamplePerGroup(assignments, Seq("cluster"), idCol, n)
+
+  /** Assign rows (batch OR stream) to FIXED centroids — the online half
+    * of clustering: train centroids offline with [[fitCentroids]], then
+    * route arriving documents to their cluster in-flight (corpus-mix
+    * steering, per-cluster quotas). Pure map-side column work — centroids
+    * are inlined as literals (k×dim doubles, the broadcast-variable
+    * pattern as expressions) and the argmin is a struct-ordered
+    * `array_min`, so there is NO join, NO shuffle, and NO state: the
+    * same select runs identically under batch and any streaming output
+    * mode. Appends `cluster` and `d2_r` (same law as [[kmeans]]).
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Double])], distScale: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    // struct-ordered array_min: lexicographic (d2, cid) min without a
+    // groupBy, so the same expression runs in a streaming select
+    val cents = centroids.map { case (cid, cv) =>
+      struct(round(aggregate(
+          zip_with(toDoubleVec(col(vecCol)), typedLit(cv.toSeq),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), distScale).as("d2"),
+        lit(cid).as("cid"))
+    }
+    df.withColumn("__m", array_min(array(cents: _*)))
+      .withColumn("cluster", col("__m.cid"))
+      .withColumn("d2_r", col("__m.d2"))
+      .drop("__m")
+  }
 }

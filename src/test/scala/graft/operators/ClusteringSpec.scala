@@ -43,6 +43,34 @@ class ClusteringSpec extends SparkSpec {
     assert(prof.keySet == Set(0L, 1L))
   }
 
+  test("assignToCentroids matches kmeans assignments on the training data (batch)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaKmeans = Clustering.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
+      .select($"vec_id", $"cluster", $"d2_r").as[(Long, Long, Double)].collect().toSet
+    val cents = Clustering.fitCentroids(e, "vec_id", "embedding", k = 4, iters = 2)
+    val viaAssign = Clustering.assignToCentroids(e, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cluster", $"d2_r").as[(Long, Long, Double)].collect().toSet
+    assert(viaAssign == viaKmeans)
+  }
+
+  test("assignToCentroids runs in a streaming query (no join, no state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val cents = Array((0L, Array(0.0, 0.0)), (1L, Array(9.0, 9.0)))
+    val out = Clustering.assignToCentroids(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+    val q = out.writeStream.format("memory").queryName("assign_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, Array(0.5f, 0.5f)), (11L, Array(8.5f, 9.5f)))
+      q.processAllAvailable()
+      val got = spark.table("assign_stream")
+        .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+      assert(got == Map(10L -> 0L, 11L -> 1L))
+    } finally q.stop()
+  }
+
   test("clusterBalancedSample caps each cluster at n, deterministically") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Clustering.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
