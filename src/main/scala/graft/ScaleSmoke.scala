@@ -95,6 +95,12 @@ object ScaleSmoke {
       val (sec, n, plan) = timed(df)
       assertShapes(op, plan, allowBroadcastNlj)
       println(f"SCALE $op%-24s $sec%8.2f sec  rows=$n")
+      // isolate phases: drop cached plans + let the ContextCleaner free
+      // dead localCheckpoint/persist blocks NOW — leftover blocks from a
+      // heavy phase measurably tax the next one (148 s vs 28 s for the
+      // CC phase inside a full run before this)
+      spark.catalog.clearCache()
+      System.gc()
     }
 
     run("exact_dedup", graft.operators.Dedup.exactDedup(docs, "doc_id", "text"))
@@ -167,12 +173,16 @@ object ScaleSmoke {
     // the k-row seed top-k; the corpus-side scan never shuffles
     run("kmeans_2iter", graft.operators.Clustering.kmeans(
       emb, "vec_id", "embedding", k = 16, iters = 2), allowBroadcastNlj = true)
-    // FastSS deletion neighborhoods over the replicated doc FINGERPRINT
-    // strings (short keys, near-dup-rich): len+1 keys/row, one shuffle
+    // FastSS deletion neighborhoods over the doc FINGERPRINT strings
+    // (short keys): len+1 keys/row, one shuffle. Exact-dup sigs are
+    // dropped first — the operator's documented contract (m identical
+    // strings would stream m^2 candidate pairs; replication plants
+    // exactly that: rep copies share a sig)
     run("edit_distance_1", graft.operators.Dedup.editDistance1Pairs(
       docs.select(col("doc_id"),
         concat(col("source"), lit(":"), col("lang"), lit(":"),
-          substring(col("text"), 1, 12)).as("sig")),
+          substring(col("text"), 1, 12)).as("sig"))
+        .dropDuplicates("sig"),
       "doc_id", "sig"))
 
     println("SCALE plan_checks PASS")

@@ -157,4 +157,30 @@ object Relational {
     phase1.groupBy(keyCols.map(col): _*)
       .agg(aggs.head.phase2, aggs.tail.map(_.phase2): _*)
   }
+
+  /** Skew-salted equi-join (the join-side twin of [[saltedAgg]]): a hot
+    * key on the FACT side would funnel into one shuffle task; salting
+    * splits each fact row into one of `salts` sub-keys (deterministic:
+    * xxhash64 of the whole row's monotonic id is NOT usable — the salt
+    * must only spread rows, so `rand(seed)` per row is correct and
+    * result-invariant) while the DIM side is replicated across all
+    * `salts` sub-keys (explode of a literal range — dim rows * salts,
+    * bounded because the dim side is the small one). The join result is
+    * EXACTLY the plain equi-join's — salting redistributes work, never
+    * changes pairing — which is what the oracle gate asserts.
+    *
+    * AQE's skew-join handles sort-merge skew automatically when splits
+    * align with partition sizes; explicit salting remains the tool when
+    * the skew is one single key inside one partition (AQE cannot split a
+    * single key) — the 100 TB "null key / celebrity user" case.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      salts: Int, seed: Long = 42L): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(keyCols.nonEmpty, "at least one join key required")
+    val saltedFact = fact.withColumn("__salt", (rand(seed) * salts).cast("int"))
+    val explodedDim = dim.select(col("*"),
+      explode(sequence(lit(0), lit(salts - 1))).as("__salt"))
+    saltedFact.join(explodedDim, keyCols :+ "__salt").drop("__salt")
+  }
 }

@@ -360,6 +360,20 @@ object ExtendedQueries extends QueryModule {
           .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix24")),
         "doc_id", "prefix24", maxDist = 2)),
 
+    // Skew-salted equi-join: hot fact keys split across `salts` sub-keys,
+    // dim side replicated — the oracle's PLAIN join proves salting
+    // redistributes work without changing the result (the q54 invariance
+    // argument, join-shaped).
+    "q107_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_suppkey", $"l_quantity")
+      val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.operators.Relational.saltedJoin(li, sup, Seq("l_suppkey"), salts = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+    }),
+
     // Window FRAMES (lag/lead/ROWS BETWEEN): the per-key sequence
     // features a feature pipeline derives from an event log. One shuffle
     // on user_id; frames evaluated in a single windowed pass.
@@ -600,6 +614,11 @@ object ExtendedQueries extends QueryModule {
         |FROM p a, p b
         |WHERE a.doc_id < b.doc_id
         |  AND levenshtein(a.s, b.s) <= 2""".stripMargin,
+
+    "q107_salted_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n, ${oSum("l_quantity")} AS qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey""".stripMargin,
 
     "q106_window_frames" ->
       """SELECT user_id, event_id, ROUND(value, 4) AS v_r,

@@ -93,4 +93,29 @@ class RelationalSpec extends SparkSpec {
       Relational.Salted("avg", "v", "a")
     }
   }
+
+  test("saltedJoin equals the plain equi-join (multiset, incl. a hot key)") {
+    // 900 of 1000 fact rows share one hot key — the skew case salting is for
+    val fact = Seq.tabulate(1000)(i =>
+      (if (i < 900) 7L else i.toLong % 5, i.toLong)).toDF("k", "v")
+    val dim = Seq.tabulate(10)(i => (i.toLong, s"d$i")).toDF("k", "name")
+    def sorted(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"v", $"name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val salted = sorted(Relational.saltedJoin(fact, dim, Seq("k"), salts = 8))
+    val plain = sorted(fact.join(dim, Seq("k")))
+    assert(salted == plain)
+    assert(plain.size == 1000) // every fact row found its dim partner
+  }
+
+  test("saltedJoin result carries no salt column and respects multi-key joins") {
+    val fact = Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L))
+      .toDF("k1", "k2", "v")
+    val dim = Seq((1L, "x", "a"), (2L, "x", "b")).toDF("k1", "k2", "tag")
+    val out = Relational.saltedJoin(fact, dim, Seq("k1", "k2"), salts = 4)
+    assert(!out.columns.contains("__salt"))
+    val got = out.select($"k1", $"k2", $"v", $"tag")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(got == Set((1L, "x", 10L, "a"), (2L, "x", 30L, "b")))
+  }
 }
