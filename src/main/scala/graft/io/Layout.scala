@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical table layout for 100 TB fact tables — the two levers that
   * remove whole stages from hot queries:
@@ -42,4 +43,56 @@ object Layout {
   /** Persist `df` date-partitioned (one directory per `partCol` value). */
   def writeDatePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Morton (Z-order) value over pre-bucketed dimension columns: each
+    * input must already be an integer in [0, 2^bits); the result
+    * interleaves their bits (col 0 owns the least-significant position).
+    * Pure integer column arithmetic — identical on any engine, so it is
+    * oracle-checkable — and codegen-friendly (shifts + masks, no UDF).
+    *
+    * Why it matters at 100 TB: sorting a fact table by z(value) makes
+    * row groups cluster in ALL interleaved dimensions at once, so
+    * parquet min/max stats prune multi-dimensional predicates — a
+    * single-column sort only prunes its own column. `bits` x #cols must
+    * stay <= 63 (long).
+    */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zorderValue needs at least one column")
+    require(bits * cols.size <= 63, s"bits=$bits x ${cols.size} cols > 63")
+    val n = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Clamp an arbitrary numeric column into the [0, 2^bits) bucket space
+    * by linear min-max scaling (bounds supplied by the caller — at 100 TB
+    * they come from table stats, not a scan). Equal-width buckets keep
+    * the mapping order-preserving and engine-reproducible.
+    */
+  def zBucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val buckets = 1L << bits
+    least(lit(buckets - 1), greatest(lit(0L),
+      ((c.cast("double") - lo) / (hi - lo + 1) * buckets).cast("long")))
+  }
+
+  /** Rewrite `df` z-ordered on the given pre-bucketed dimension columns
+    * (repartitionByRange on the z-value, then in-partition sort): row
+    * groups become multi-dimensionally clustered so min/max stats prune
+    * every interleaved dimension.
+    */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+      bits: Int, partitions: Int): Unit = {
+    val z = zorderValue(dims.map(col), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -360,6 +360,20 @@ object ExtendedQueries extends QueryModule {
           .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix24")),
         "doc_id", "prefix24", maxDist = 2)),
 
+    // Morton/Z-order value over two bucketed dims — the layout key that
+    // makes parquet min/max stats prune BOTH dimensions after a rewrite
+    // (io.Layout.writeZOrdered; clustering effect spec'd in LayoutSpec).
+    // Pure integer bit arithmetic -> exact oracle parity.
+    "q108_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val z = graft.io.Layout.zorderValue(
+        Seq(pmod($"l_partkey", lit(256)), pmod($"l_suppkey", lit(256))), bits = 8)
+      Tables.lineitem(s, dir)
+        .withColumn("z", z)
+        .groupBy($"z").agg(count(lit(1)).as("n"))
+        .orderBy($"z").limit(50)
+    }),
+
     // Skew-salted equi-join: hot fact keys split across `salts` sub-keys,
     // dim side replicated — the oracle's PLAIN join proves salting
     // redistributes work without changing the result (the q54 invariance
@@ -619,6 +633,20 @@ object ExtendedQueries extends QueryModule {
       s"""SELECT s_nationkey, COUNT(*) AS n, ${oSum("l_quantity")} AS qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_nationkey""".stripMargin,
+
+    // the 16 interleave terms are generated, not hand-typed — both
+    // engines evaluate the identical integer expression
+    "q108_zorder" -> {
+      // DuckDB gives all bit operators ONE precedence level (postgres
+      // rule), so every term is fully parenthesized
+      val terms = (for {
+        (c, j) <- Seq("(l_partkey % 256)", "(l_suppkey % 256)").zipWithIndex
+        i <- 0 until 8
+      } yield s"((($c >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+      s"""SELECT z, COUNT(*) AS n FROM (
+         |  SELECT ($terms) AS z FROM lineitem)
+         |GROUP BY z ORDER BY z LIMIT 50""".stripMargin
+    },
 
     "q106_window_frames" ->
       """SELECT user_id, event_id, ROUND(value, 4) AS v_r,

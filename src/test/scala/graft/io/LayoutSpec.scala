@@ -63,4 +63,48 @@ class LayoutSpec extends SparkSpec {
     val expected = o.filter($"order_month" === "1996-03").count()
     assert(read.count() == expected && expected > 0)
   }
+
+  test("zorderValue interleaves bits exactly (known values)") {
+    val got = Seq((0L, 0L), (255L, 0L), (0L, 255L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+      .select(Layout.zorderValue(Seq($"x", $"y"), bits = 8).as("z"))
+      .as[Long].collect().toSeq
+    def interleave(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    assert(got == Seq(interleave(0, 0), interleave(255, 0),
+      interleave(0, 255), interleave(3, 5), interleave(255, 255)))
+    assert(interleave(255, 0) == 0x5555L && interleave(0, 255) == 0xAAAAL)
+  }
+
+  test("z-ordered rewrite clusters BOTH dims per file; linear sort only its own") {
+    val out = java.nio.file.Files.createTempDirectory("layout_z").toString
+    // l_suppkey is DERIVED from l_partkey in TPC-H-style data (sorting
+    // one clusters the other) — use the independent l_orderkey as dim 2
+    val li = Tables.lineitem(spark, dir)
+      .select(pmod($"l_partkey", lit(256)).as("px"),
+        pmod($"l_orderkey", lit(256)).as("sx"))
+    Layout.writeZOrdered(li, s"$out/z", Seq("px", "sx"), bits = 8,
+      partitions = 8)
+    li.withColumn("__s", $"px").repartitionByRange(8, $"__s")
+      .sortWithinPartitions("__s").drop("__s")
+      .write.mode("overwrite").parquet(s"$out/linear")
+
+    // per-file min/max width of each dim = what parquet stats can prune on
+    def spans(path: String): (Double, Double) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"px") - min($"px")).as("wp"), (max($"sx") - min($"sx")).as("ws"))
+        .agg(avg($"wp"), avg($"ws")).as[(Double, Double)].head()
+      byFile
+    }
+    val (zP, zS) = spans(s"$out/z")
+    val (lP, lS) = spans(s"$out/linear")
+    // linear layout: px tightly clustered, sx not at all (~full 0..255)
+    assert(lP < 64 && lS > 192,
+      s"linear baseline unexpected: px width $lP, sx width $lS")
+    // z-order: BOTH dims substantially narrower than the unclustered dim
+    assert(zP < 160 && zS < 160,
+      s"z-order failed to cluster both dims: px width $zP, sx width $zS")
+  }
 }
