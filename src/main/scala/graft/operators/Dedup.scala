@@ -573,13 +573,17 @@ object Dedup {
     val dels = transform(sequence(lit(0), length(col("__s")) - 1), i =>
       concat(col("__s").substr(lit(1), i),
         col("__s").substr(i + lit(2), length(col("__s")))))
+    // join on the variant's xxhash64, not the variant string: the
+    // shuffle carries 8-byte longs instead of len-char strings, and the
+    // final levenshtein verify kills any hash-collision false candidate
     val keyed = base
       .select(col("__id"), col("__s"),
         explode(array_distinct(array_union(array(col("__s")), dels))).as("__k"))
-    val l = keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
-    val r = keyed.select(col("__k").as("__k_r"), col("__id").as("id_b"),
+      .select(col("__id"), col("__s"), xxhash64(col("__k")).as("__kh"))
+    val l = keyed.select(col("__kh"), col("__id").as("id_a"), col("__s").as("__sa"))
+    val r = keyed.select(col("__kh").as("__kh_r"), col("__id").as("id_b"),
       col("__s").as("__sb"))
-    l.join(r, col("__k") === col("__k_r") && col("id_a") < col("id_b"))
+    l.join(r, col("__kh") === col("__kh_r") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
       // threshold form = banded O(len) verify; -1 means "over threshold"
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1))
@@ -637,8 +641,8 @@ object Dedup {
         explode(sequence(lit(0), lit(n - 1))).as("__i"))
       .select(col("__id").as("id_r"), col("__s").as("__sr"),
         col("__i"), col("__len").as("__rlen"),
-        col("__s").substr(segStart(col("__len"), col("__i")) + 1,
-          segWidth(col("__len"), col("__i"))).as("__seg"))
+        xxhash64(col("__s").substr(segStart(col("__len"), col("__i")) + 1,
+          segWidth(col("__len"), col("__i")))).as("__segh"))
 
     // right: every substring of s that could equal segment __i of an
     // rlen-char partner, rlen in [len(s)-k, len(s)] (r is the shorter
@@ -657,12 +661,14 @@ object Dedup {
           col("__len") - col("__w"))))
       .select(col("__id").as("id_s"), col("__s").as("__ss"),
         col("__i").as("__i_s"), col("__rlen").as("__rlen_s"),
-        col("__s").substr(col("__pos") + 1, col("__w")).as("__sub"))
+        xxhash64(col("__s").substr(col("__pos") + 1, col("__w"))).as("__subh"))
       .distinct()
 
+    // substring text joined by xxhash64 (8-byte shuffle keys; the banded
+    // levenshtein verify kills hash-collision false candidates)
     segs.join(probes,
         col("__i") === col("__i_s") && col("__rlen") === col("__rlen_s") &&
-        col("__seg") === col("__sub") && col("id_r") =!= col("id_s"))
+        col("__segh") === col("__subh") && col("id_r") =!= col("id_s"))
       .select(least(col("id_r"), col("id_s")).as("id_a"),
         greatest(col("id_r"), col("id_s")).as("id_b"),
         when(col("id_r") < col("id_s"), col("__sr")).otherwise(col("__ss")).as("__sa"),
