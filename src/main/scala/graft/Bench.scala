@@ -57,6 +57,10 @@ object Bench {
     // buffer (rounds 1-4 all recorded parsed=null). Short keys (unique qNN
     // prefix) + millisecond precision keep the line comfortably under it.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val shortKeys = results.map(_._1.split("_")(0))
+    require(shortKeys.distinct.size == shortKeys.size,
+      "duplicate qNN prefixes would silently drop a timing: " +
+        shortKeys.diff(shortKeys.distinct).mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

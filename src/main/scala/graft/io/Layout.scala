@@ -58,6 +58,7 @@ object Layout {
     */
   def zorderValue(cols: Seq[Column], bits: Int): Column = {
     require(cols.nonEmpty, "zorderValue needs at least one column")
+    require(bits >= 1, s"bits must be >= 1, got $bits")
     require(bits * cols.size <= 63, s"bits=$bits x ${cols.size} cols > 63")
     val n = cols.size
     val terms = for {

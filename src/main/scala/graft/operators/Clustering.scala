@@ -135,7 +135,7 @@ object Clustering {
     * same select runs identically under batch and any streaming output
     * mode. Appends `cluster` and `d2_r` (same law as [[kmeans]]).
     */
-  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+  def assignToCentroids(df: DataFrame, vecCol: String,
       centroids: Array[(Long, Array[Double])], distScale: Int = 4): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     // struct-ordered array_min: lexicographic (d2, cid) min without a

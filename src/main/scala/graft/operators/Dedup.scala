@@ -239,10 +239,15 @@ object Dedup {
     // cand feeds TWO consumers (the id-prune broadcast and the pair join
     // itself); without materialization the whole candidate DAG — banding,
     // bucket aggregation, pair explosion — executes twice (measured 63 s
-    // vs 40 s at the 20x scale smoke). The pair table is small (16 B/row),
-    // so MEMORY_AND_DISK is safe at any corpus size; blocks free via the
-    // ContextCleaner once the result plan is garbage-collected.
-    val candM = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // vs 40 s at the 20x scale smoke). localCheckpoint, NOT persist():
+    // persist registers the plan in the session CacheManager, which (a)
+    // holds the blocks strongly until someone calls clearCache — a leak
+    // in a long-lived session — and (b) canonically matches the SAME
+    // query built again later, silently serving warm-cache results to
+    // benchmark reruns. A lazy localCheckpoint materializes once on
+    // first use, is invisible to plan matching, and its blocks free via
+    // the ContextCleaner when the RDD is garbage-collected.
+    val candM = cand.localCheckpoint(eager = false)
     val candIds = candM.select(col("id_a").as(idCol))
       .union(candM.select(col("id_b").as(idCol))).distinct()
     // only candidate docs are ever shingled (semi-join pruning)
@@ -282,11 +287,8 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
-    // The candidate DAG feeds two consumers (the semi-join prune inside
-    // pairJaccard and the pair join itself); its shuffles canonicalize
-    // identically, so AQE's ReuseExchange materializes the signature
-    // stage once — an explicit persist() measured slower (cache-write
-    // overhead).
+    // Candidate materialization (one localCheckpoint, two consumers)
+    // happens inside pairJaccard — see the comment there.
     pairJaccard(minhashCandidates(df, idCol, textCol, shingleN, k, bands),
         df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
@@ -578,7 +580,7 @@ object Dedup {
     // final levenshtein verify kills any hash-collision false candidate
     val keyed = base
       .select(col("__id"), col("__s"),
-        explode(array_distinct(array_union(array(col("__s")), dels))).as("__k"))
+        explode(array_union(array(col("__s")), dels)).as("__k"))
       .select(col("__id"), col("__s"), xxhash64(col("__k")).as("__kh"))
     val l = keyed.select(col("__kh"), col("__id").as("id_a"), col("__s").as("__sa"))
     val r = keyed.select(col("__kh").as("__kh_r"), col("__id").as("id_b"),
@@ -654,7 +656,11 @@ object Dedup {
       .select(col("*"), explode(sequence(lit(0), lit(k))).as("__dl"))
       .select(col("*"), explode(sequence(lit(-k), lit(k))).as("__d"))
       .withColumn("__rlen", col("__len") - col("__dl"))
-      .filter(col("__rlen") >= 1)
+      // >= 0, not >= 1: an empty string is a legitimate partner (its
+      // zero-width segments match the empty probe substring; the verify
+      // computes the true distance) — filtering rlen 0 silently lost
+      // every pair involving ""
+      .filter(col("__rlen") >= 0)
       .withColumn("__w", segWidth(col("__rlen"), col("__i")))
       .withColumn("__pos",
         greatest(lit(0), least(segStart(col("__rlen"), col("__i")) + col("__d"),

@@ -48,7 +48,7 @@ class ClusteringSpec extends SparkSpec {
     val viaKmeans = Clustering.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
       .select($"vec_id", $"cluster", $"d2_r").as[(Long, Long, Double)].collect().toSet
     val cents = Clustering.fitCentroids(e, "vec_id", "embedding", k = 4, iters = 2)
-    val viaAssign = Clustering.assignToCentroids(e, "vec_id", "embedding", cents)
+    val viaAssign = Clustering.assignToCentroids(e, "embedding", cents)
       .select($"vec_id", $"cluster", $"d2_r").as[(Long, Long, Double)].collect().toSet
     assert(viaAssign == viaKmeans)
   }
@@ -59,7 +59,7 @@ class ClusteringSpec extends SparkSpec {
     val in = MemoryStream[(Long, Array[Float])]
     val cents = Array((0L, Array(0.0, 0.0)), (1L, Array(9.0, 9.0)))
     val out = Clustering.assignToCentroids(
-      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      in.toDF().toDF("vec_id", "embedding"), "embedding", cents)
     val q = out.writeStream.format("memory").queryName("assign_stream")
       .outputMode("append").start()
     try {

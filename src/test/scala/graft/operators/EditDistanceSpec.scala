@@ -52,7 +52,8 @@ class EditDistanceSpec extends SparkSpec {
       (4L, "abcdefgh"), (5L, "Xabcdefg"), // shift-by-insert-front (dist 2)
       (6L, "abcdefg"), // deletion of h (dist 1 to 4)
       (7L, "zzzzzzzz"),
-      (8L, "same"), (9L, "same"), (10L, "sam"), (11L, "ame")
+      (8L, "same"), (9L, "same"), (10L, "sam"), (11L, "ame"),
+      (12L, ""), (13L, "ab"), (14L, "x") // empty-string partners (dist 1, 2)
     ).toDF("id", "s")
     val got = Dedup.edJoinPairs(rows, "id", "s", maxDist = 2)
       .as[(Long, Long, Int)].collect().toSet
