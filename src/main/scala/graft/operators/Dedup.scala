@@ -239,15 +239,20 @@ object Dedup {
     // cand feeds TWO consumers (the id-prune broadcast and the pair join
     // itself); without materialization the whole candidate DAG — banding,
     // bucket aggregation, pair explosion — executes twice (measured 63 s
-    // vs 40 s at the 20x scale smoke). localCheckpoint, NOT persist():
-    // persist registers the plan in the session CacheManager, which (a)
-    // holds the blocks strongly until someone calls clearCache — a leak
-    // in a long-lived session — and (b) canonically matches the SAME
-    // query built again later, silently serving warm-cache results to
-    // benchmark reruns. A lazy localCheckpoint materializes once on
-    // first use, is invisible to plan matching, and its blocks free via
-    // the ContextCleaner when the RDD is garbage-collected.
-    val candM = cand.localCheckpoint(eager = false)
+    // vs 40 s at the 20x scale smoke). EAGER localCheckpoint, NOT
+    // persist() and NOT a lazy checkpoint:
+    //  - persist registers the plan in the session CacheManager, which
+    //    leaks blocks in a long-lived session and canonically matches
+    //    the same query built later — benchmark reruns silently read
+    //    warm-cache results;
+    //  - a LAZY checkpoint lets the broadcast-exchange thread and the
+    //    main join thread race to materialize it concurrently (two full
+    //    candidate-DAG executions fighting for cores — measured 189 s vs
+    //    68 s on the 20x smoke).
+    // Eager = one coordinated job here; blocks are invisible to plan
+    // matching and free via the ContextCleaner on GC. This makes
+    // pairJaccard eager at call time, like the CC loop.
+    val candM = cand.localCheckpoint()
     val candIds = candM.select(col("id_a").as(idCol))
       .union(candM.select(col("id_b").as(idCol))).distinct()
     // only candidate docs are ever shingled (semi-join pruning)
