@@ -45,6 +45,14 @@ object Bench {
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
+        // isolate queries: drop cached plans and let the ContextCleaner free
+        // dead localCheckpoint/persist blocks BEFORE the clock starts, so a
+        // block-leaving operator (pairJaccard, the CC loop) taxes neither its
+        // successors nor its own second run. Same fix as ScaleSmoke's phase
+        // isolation, which measured the effect at up to 6x (CC 148 s inside
+        // a polluted run vs 28 s cold).
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -60,20 +60,8 @@ object ScaleSmoke {
 
   private def assertShapes(op: String,
       root: org.apache.spark.sql.execution.SparkPlan,
-      allowBroadcastNlj: Boolean): Unit = {
-    val nodes = graft.plans.PlanWalk.walk(root)
-    val cartesian = nodes.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
-    require(!cartesian, s"$op: CartesianProduct in executed plan")
-    if (!allowBroadcastNlj) {
-      val nlj = nodes.exists(_.isInstanceOf[
-        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
-      require(!nlj, s"$op: BroadcastNestedLoopJoin in executed plan")
-    }
-    val bad = graft.plans.PlanWalk.badPartitionlessWindows(root)
-    require(bad.isEmpty,
-      s"$op: partitionless WindowExec over raw input:\n${bad.mkString("\n")}")
-  }
+      allowBroadcastNlj: Boolean): Unit =
+    graft.plans.PlanWalk.assertShapes(op, root, allowBroadcastNlj)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

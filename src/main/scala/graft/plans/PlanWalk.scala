@@ -36,4 +36,26 @@ object PlanWalk {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty && !hasAggBelow(w) => w
     }
+
+  /** The 100 TB shape gate, on an EXECUTED plan: no CartesianProduct
+    * ever; BroadcastNestedLoopJoin only where the operator broadcasts a
+    * designed small side (query batch / centroids / 1-row stats);
+    * no partitionless window over raw (unaggregated) rows. Shared by
+    * ScaleSmoke and PlanGateSpec so the checks can't drift.
+    */
+  def assertShapes(op: String, root: SparkPlan,
+      allowBroadcastNlj: Boolean): Unit = {
+    val nodes = walk(root)
+    val cartesian = nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    require(!cartesian, s"$op: CartesianProduct in executed plan")
+    if (!allowBroadcastNlj) {
+      val nlj = nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      require(!nlj, s"$op: BroadcastNestedLoopJoin in executed plan")
+    }
+    val bad = badPartitionlessWindows(root)
+    require(bad.isEmpty,
+      s"$op: partitionless WindowExec over raw input:\n${bad.mkString("\n")}")
+  }
 }
