@@ -67,19 +67,39 @@ object ScaleSmoke {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALE_REP", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions scale with the replication factor (the cluster
+    // sizing rule: hold per-task shuffle state roughly constant as data
+    // grows; a 100 TB run sizes partitions to the data, not the core
+    // count). AQE coalesces the excess on small stages, so over-
+    // partitioning costs nothing; under-partitioning at 80x put ~10 GB
+    // of pair-join state on each of 32 tasks and went spill-bound.
+    val parts = (cpus.toInt * math.max(1, rep / 8)).toString
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", parts))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Spread the replicated corpus across the cores BEFORE the typed
+    // CPU passes (tokenize/shingle/hash): the local fixture is ONE
+    // parquet split, so without this every pre-shuffle stage — exactly
+    // where the per-doc CPU lives — ran as a single task. A real corpus
+    // arrives in thousands of splits; the repartition recreates that
+    // scan parallelism, it is not an operator requirement.
     val docs = replicateDocs(Tables.documents(spark, sfDir), rep)
+      .repartition(cpus.toInt * 2)
     val emb = replicateEmbeddings(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), rep)
+      .repartition(cpus.toInt * 2)
     val nDocs = docs.count(); val nVec = emb.count()
     println(s"SCALE corpus ${nDocs} docs, ${nVec} vectors (rep=$rep)")
 
+    // SPARK_GRAFT_SCALE_ONLY=minhash_neardups,dup_clusters runs a phase
+    // subset while iterating; unset runs everything.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def run(op: String, df: => DataFrame, allowBroadcastNlj: Boolean = false): Unit = {
+      if (only.exists(!_(op))) return
       val (sec, n, plan) = timed(df)
       assertShapes(op, plan, allowBroadcastNlj)
       println(f"SCALE $op%-24s $sec%8.2f sec  rows=$n")
@@ -119,7 +139,7 @@ object ScaleSmoke {
       docs, "doc_id", "text"), allowBroadcastNlj = true)
     // the CC loop's per-round shapes never reach the final (checkpointed)
     // plan that `run` gates above — gate one representative round directly
-    locally {
+    if (only.forall(_("cc_round"))) {
       val pairs = graft.operators.Dedup.minhashCandidatesFast(
         docs, "doc_id", "text", 3, 16, 8)
       val e0 = pairs.select(col("id_a").cast("long").as("s"),

@@ -169,6 +169,29 @@ object XxMinhashImpl {
     out
   }
 
+  /** Distinct n-word shingles hashed to xxhash64 longs (seed 42 — the
+    * `xxhash64()` SQL function's seed, so an external engine can
+    * reproduce the set). Jaccard over the hashed sets equals Jaccard
+    * over the string sets unless two DISTINCT shingles of the same doc
+    * pair collide in 64 bits (P ~ s²/2⁶⁴ per doc pair, s ≈ hundreds —
+    * negligible); the win is the verify join shuffling 8-byte longs
+    * instead of ~25-byte strings and intersecting with long equality.
+    */
+  def hashedShingles(text: String, n: Int): Array[Long] = {
+    val sh = MinhashImpl.shingles(text, n)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      out(i) = XxHash64Function.hash(UTF8String.fromString(sh(i)),
+        org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    // distinct AFTER hashing: a cross-shingle collision inside one doc
+    // must collapse to one element so |A| stays consistent with what the
+    // intersection sees
+    out.distinct
+  }
+
   /** Band key b = xxhash64(b, sig(b*rows), ..) — same left fold. */
   def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] =
     Array.tabulate(bands) { b =>

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** Sink surface (reference §2.2): console, files (rolling), Kafka,
@@ -33,6 +34,25 @@ object Sinks {
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
+
+  /** Serialization half of the Kafka producer, factored like
+    * Sources.csvValues/jsonValues: project a frame into the (key, value)
+    * wire columns [[kafka]] expects — `keyCol` as the record key, every
+    * other column JSON-encoded into `value`. Spec-tested round-trip
+    * against Sources.jsonValues (no broker in this sandbox).
+    */
+  def kafkaJsonRecords(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.filter(_ != keyCol).map(col): _*)).as("value"))
+
+  /** CSV twin of [[kafkaJsonRecords]]: non-key columns joined with commas
+    * in declaration order (the reference's Kafka+Csv descriptor shape).
+    */
+  def kafkaCsvRecords(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      concat_ws(",",
+        df.columns.filter(_ != keyCol).map(c => col(c).cast("string")): _*)
+        .as("value"))
 
   /** A pluggable upsert client — the common contract behind the
     * reference's Redis HSET (RedisSinkDemo.java:52+), JDBC

@@ -50,23 +50,38 @@ object Sources {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** CSV projection over a Kafka-wire frame (BINARY `value` + metadata
+    * columns): the parsing half of [[kafkaCsv]], factored so it applies
+    * to ANY frame with Kafka's schema — unit-tested on fixture byte
+    * frames (KafkaWireSpec) since no broker exists in this sandbox.
+    * Malformed payloads parse to all-null rows (PERMISSIVE), not errors.
+    */
+  def csvValues(kafkaFrame: DataFrame, schema: StructType): DataFrame =
+    kafkaFrame
+      .select(from_csv(col("value").cast("string"),
+        schema, Map.empty[String, String]).as("row"))
+      .select("row.*")
+
+  /** JSON projection over a Kafka-wire frame — parsing half of
+    * [[kafkaJson]], same testability contract as [[csvValues]].
+    */
+  def jsonValues(kafkaFrame: DataFrame, schema: StructType): DataFrame =
+    kafkaFrame
+      .select(from_json(col("value").cast("string"), schema).as("row"))
+      .select("row.*")
+
   /** Kafka value payload parsed as CSV into `schema` (reference
     * Kafka+Csv descriptor, cn/ngt/day10/_04_Source_Kafka.java:28-44).
     */
   def kafkaCsv(spark: SparkSession, bootstrap: String, subscribe: String,
       schema: StructType): DataFrame =
-    kafka(spark, bootstrap, subscribe)
-      .select(from_csv(col("value").cast("string"),
-        schema, Map.empty[String, String]).as("row"))
-      .select("row.*")
+    csvValues(kafka(spark, bootstrap, subscribe), schema)
 
   /** Kafka value payload parsed as JSON (reference withFormat(Json),
     * cn/ngt/day10/_04:40). */
   def kafkaJson(spark: SparkSession, bootstrap: String, subscribe: String,
       schema: StructType): DataFrame =
-    kafka(spark, bootstrap, subscribe)
-      .select(from_json(col("value").cast("string"), schema).as("row"))
-      .select("row.*")
+    jsonValues(kafka(spark, bootstrap, subscribe), schema)
 
   /** Rate-based synthetic sensor feed (reference SensorSource.scala:14-36:
     * N sensors, gaussian-walk temperature). Deterministic pseudo-randoms

@@ -100,16 +100,8 @@ object Clusters {
     labels.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
       .head().getDecimal(0)
 
-  /** Unpersist a localCheckpoint'd frame's backing RDD (best-effort:
-    * the checkpoint lives in a LogicalRDD leaf; df.unpersist() cannot
-    * reach it).
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    } catch { case _: Throwable => () }
+  /** See [[Checkpoints.free]] — the shared deterministic-release hook. */
+  private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   /** Cluster-level dedup: resolve `pairs` into components and keep, per
     * component, only the row of `df` with the minimum id (rows in no pair

@@ -231,6 +231,15 @@ object Dedup {
     * docs (measured 47x the candidate count at sf0.1: 54,945 shingle
     * pairs to verify 1,168 LSH candidates). Two equi-joins keyed on the
     * id, candidate side ~O(n·P(collide)) — no pair explosion at scale.
+    *
+    * EAGER at construction: calling this (or the [[minhashNearDups]] /
+    * [[minhashNearDupsFast]] wrappers) runs a Spark job THERE AND THEN
+    * to materialize `cand` via `localCheckpoint` (rationale in the body
+    * comment) — callers that only want to inspect the plan should know
+    * the candidate DAG has already executed. The checkpoint's blocks are
+    * freed when the returned frame is GC'd and the ContextCleaner runs;
+    * long-lived sessions can release them deterministically with
+    * [[Checkpoints.free]] after consuming the result.
     */
   def pairJaccard(cand: DataFrame, df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
@@ -255,12 +264,17 @@ object Dedup {
     val candM = cand.localCheckpoint()
     val candIds = candM.select(col("id_a").as(idCol))
       .union(candM.select(col("id_b").as(idCol))).distinct()
-    // only candidate docs are ever shingled (semi-join pruning)
+    // only candidate docs are ever shingled (semi-join pruning); shingles
+    // are hashed to xxhash64 longs BEFORE the pair join — the arrays ride
+    // both sides of a pair-count-sized shuffle, and 8-byte longs cut that
+    // volume ~3x vs the n-word strings while Jaccard is unchanged modulo
+    // 64-bit collisions (see XxMinhashImpl.hashedShingles). This was the
+    // dominant spill at the 80x scale smoke (358 s verify).
     val sets = df.join(broadcast(candIds), Seq(idCol), "left_semi")
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        (id, graft.functions.MinhashImpl.shingles(t, n)) }
+        (id, graft.functions.XxMinhashImpl.hashedShingles(t, n)) }
       .toDF(idCol, "__sh")
     candM
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
@@ -365,7 +379,13 @@ object Dedup {
       n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // (id, pos, shingle) with 1-based positions; ALL n-grams, order kept
+    // (id, pos, shingle) with 1-based positions; ALL n-grams, order kept.
+    // The shingle STRING never leaves this block: every downstream use
+    // (the duplicated-shingle groupBy and the spans join) only tests
+    // equality, so the shuffles key on xxhash64(shingle) — 8-byte longs
+    // instead of ~25-byte n-word strings (the 80x scale smoke spilled
+    // 468 s on the string-keyed form). Collisions (P ~ rows²/2⁶⁴) could
+    // only over-mark a span as duplicated — negligible.
     val sh = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -374,6 +394,7 @@ object Dedup {
         else toks.sliding(n).zipWithIndex.map { case (w, i) =>
           (id, i + 1, w.mkString(" ")) }
       }.toDF(idCol, "pos", "sh")
+      .select(col(idCol), col("pos"), xxhash64(col("sh")).as("sh"))
     val dup = sh.groupBy($"sh")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter($"nd" >= 2).select($"sh")

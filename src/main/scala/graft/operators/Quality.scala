@@ -129,6 +129,11 @@ object Quality {
     * `bandScale` for finer cuts). A doc is kept iff the inclusive
     * running token total at its rank is <= budget.
     *
+    * EAGER at construction: the per-doc score table materializes via
+    * `localCheckpoint` when this is CALLED (it feeds three consumers —
+    * rationale at the definition); release its blocks with
+    * [[Checkpoints.free]] in long-lived sessions.
+    *
     * Scale: no window ever sees raw docs. Per-band token totals
     * (thousands of rows at bandScale=1000) take the only unpartitioned
     * window; bands wholly inside (outside) the budget keep (drop) their
@@ -143,8 +148,16 @@ object Quality {
       budget: Long, bandScale: Int = 1000,
       bucketWidth: Long = 1L << 16): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
+    // EAGER localCheckpoint: the scored table feeds THREE consumers
+    // (band totals, whole-band keep filter, boundary-band prefix sum),
+    // and each would otherwise re-run the two corpus tokenization passes
+    // inside unigramLogprob — measured 174 s vs ~60 s at the 80x scale
+    // smoke. One row per doc (id, tokens, score, band), far smaller than
+    // the corpus; same eager-not-persist rationale as Dedup.pairJaccard,
+    // released deterministically via [[Checkpoints.free]] if needed.
     val scored = unigramLogprob(df, idCol, textCol)
       .withColumn("band", floor(col("avg_lp") * bandScale).cast("long"))
+      .localCheckpoint()
     val bands = scored.groupBy(col("band"))
       .agg(sum(col("n_tokens")).as("__bt"))
     val wB = Window.orderBy(col("band").desc)

@@ -160,10 +160,14 @@ object Relational {
 
   /** Skew-salted equi-join (the join-side twin of [[saltedAgg]]): a hot
     * key on the FACT side would funnel into one shuffle task; salting
-    * splits each fact row into one of `salts` sub-keys (deterministic:
-    * xxhash64 of the whole row's monotonic id is NOT usable — the salt
-    * must only spread rows, so `rand(seed)` per row is correct and
-    * result-invariant) while the DIM side is replicated across all
+    * splits each fact row into one of `salts` sub-keys. The salt must
+    * vary ACROSS rows sharing the hot key — so hashing the join key is
+    * useless (every hot-key row would land on one salt), but a
+    * deterministic `pmod(xxhash64(<unique row col>), salts)` spreads
+    * fine when the fact side has a stable unique column; `rand(seed)` is
+    * the fallback when it doesn't (at the cost of per-task-retry
+    * nondeterminism in the ASSIGNMENT — the RESULT is salt-invariant
+    * either way). The DIM side is replicated across all
     * `salts` sub-keys (explode of a literal range — dim rows * salts,
     * bounded because the dim side is the small one). The join result is
     * EXACTLY the plain equi-join's — salting redistributes work, never

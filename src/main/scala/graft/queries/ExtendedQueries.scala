@@ -339,6 +339,35 @@ object ExtendedQueries extends QueryModule {
         () => new graft.multimodal.Multimodal.Md5Codec)
     }),
 
+    // REAL image decode through the partition-batched codec plumbing: the
+    // payloads are genuine PNG/JPEG/GIF files (encoded by javax.imageio)
+    // whose dimensions/colorspace derive arithmetically from doc_id, and
+    // HeaderCodec parses the actual IHDR / SOF / screen-descriptor bytes
+    // back out — so the oracle verifies a real parse, not an md5 law.
+    // 1-in-5 doc sample: encode cost stays bench-proportionate.
+    "q109_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      // repartition the tiny id list before the CPU-bound encode map —
+      // the fixture is one parquet split, which would otherwise put
+      // every encode in a single task
+      val ids = Tables.documents(s, dir)
+        .filter($"doc_id" % 5 === 0).select($"doc_id").as[Long]
+        .repartition(32)
+      val payloads = ids.map { id =>
+        val w = (id % 97 + 8).toInt
+        val h = (id % 53 + 8).toInt
+        val gray = (id / 3) % 2 == 1
+        val bytes = (id % 3) match {
+          case 0 => graft.multimodal.SyntheticImages.png(w, h, gray)
+          case 1 => graft.multimodal.SyntheticImages.jpeg(w, h, gray)
+          case _ => graft.multimodal.SyntheticImages.gif(w, h)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.decodePartitioned(payloads, "doc_id",
+        "payload", () => new graft.multimodal.HeaderCodec)
+    }),
+
     // FastSS deletion-neighborhood edit-distance join: EXACT dist<=1
     // pairs with no blocking assumption (len+1 hash-uniform keys per
     // string, one shuffle) — oracle is brute-force levenshtein, so the
@@ -601,6 +630,20 @@ object ExtendedQueries extends QueryModule {
         |  CAST(CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1080 + 32 AS INTEGER) AS height,
         |  3 AS channels
         |FROM documents""".stripMargin,
+
+    // The fixture dimensions are pure doc_id arithmetic (the PAYLOAD is a
+    // real encoded image of that size); the oracle recomputes them, so a
+    // hash match proves HeaderCodec parsed the real headers correctly.
+    // Channels: gif (doc_id%3=2) is palette RGB = 3; png/jpeg alternate
+    // RGB(3)/grayscale(1) on (doc_id/3)%2.
+    "q109_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 97 + 8 AS INTEGER) AS width,
+        |  CAST(doc_id % 53 + 8 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 3
+        |            WHEN (doc_id // 3) % 2 = 1 THEN 1
+        |            ELSE 3 END AS INTEGER) AS channels
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
 
     "q49_native_topk" ->
       """WITH t AS (

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * Both are built on foreachBatch diffing against the previous snapshot of
   * the aggregate — the snapshot is keyed state the engine already shuffles
   * by the group key, so the diff join is co-partitioned.
+  *
+  * ENTRY POINT: [[retractStreamPersisted]] is the retract-stream API —
+  * distributed diff, restart-safe snapshot, state off the driver heap.
+  * [[retractStream]] is test scaffolding only (driver-side map; OOMs at
+  * real key cardinality and forgets its snapshot on restart).
   */
 object Changelog {
 

@@ -8,14 +8,37 @@ import org.apache.spark.sql.functions._
 class ChangelogSpec extends SparkSpec {
   import spark.implicits._
 
-  test("retract stream emits (false,old)(true,new) pairs (reference _02 golden)") {
+  test("retract pairs (reference _02 golden) through the DEFAULT persisted form") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("retract_golden")
+      .toString + "/snap"
+    val ms = MemoryStream[KV]
+    val agg = ms.toDF().groupBy($"k").agg(sum($"v").as("total"))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Boolean, String, Long)]()
+    val q = retractStreamPersisted(agg, "k", "total", stateDir,
+      (changes, id) => got.synchronized {
+        got ++= changes.collect().map(r =>
+          (id, r.getBoolean(0), r.getString(1), r.getLong(2)))
+      }).start()
+    try {
+      // reference golden: sensor sums 45 then +45 -> retract 45, add 90
+      ms.addData(KV("ws_001", 45)); q.processAllAvailable()
+      ms.addData(KV("ws_001", 45)); q.processAllAvailable()
+      // per batch, a retraction (add=false) precedes its replacement
+      val seq = got.toList.sortBy(t => (t._1, t._2)).map(t => (t._2, t._3, t._4))
+      assert(seq == List(
+        (true, "ws_001", 45L),
+        (false, "ws_001", 45L), (true, "ws_001", 90L)))
+    } finally q.stop()
+  }
+
+  test("dev-only driver-map retractStream mirrors the golden (test scaffolding)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[KV]
     val agg = ms.toDF().groupBy($"k").agg(sum($"v").as("total"))
     val got = scala.collection.mutable.ArrayBuffer[Change]()
     val q = retractStream(agg, "k", "total", cs => got.synchronized { got ++= cs }).start()
     try {
-      // reference golden: sensor sums 45 then +45 -> retract 45, add 90
       ms.addData(KV("ws_001", 45)); q.processAllAvailable()
       ms.addData(KV("ws_001", 45)); q.processAllAvailable()
       val seq = got.toList.map(c => (c.add, c.key, c.value))
