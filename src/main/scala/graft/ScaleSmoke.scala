@@ -125,7 +125,8 @@ object ScaleSmoke {
     run("dup_clusters", {
       val pairs = graft.operators.Dedup.minhashCandidatesFast(
         docs, "doc_id", "text", 3, 16, 8)
-      graft.operators.Clusters.connectedComponents(pairs)
+      graft.operators.Clusters.connectedComponents(pairs,
+        edgesDeduped = true)
     })
     run("decontaminate", graft.operators.Decontam.contaminationReport(
       docs.filter(col("doc_id") % 20 =!= 0),
@@ -142,16 +143,28 @@ object ScaleSmoke {
     if (only.forall(_("cc_round"))) {
       val pairs = graft.operators.Dedup.minhashCandidatesFast(
         docs, "doc_id", "text", 3, 16, 8)
-      val e0 = pairs.select(col("id_a").cast("long").as("s"),
-        col("id_b").cast("long").as("d"))
-      val e = e0.union(e0.select(col("d").as("s"), col("s").as("d"))).distinct()
-      val labels = e.select(col("s").as("id")).distinct()
+      val e = pairs.select(col("id_a").cast("long").as("s"),
+        col("id_b").cast("long").as("d")).localCheckpoint()
+      val labels0 = e.select(col("s").as("id"))
+        .union(e.select(col("d").as("id"))).distinct()
         .withColumn("label", col("id"))
-      val round = graft.operators.Clusters.ccRound(labels, e)
-      round.count()
-      assertShapes("cc_round", round.queryExecution.executedPlan,
+      val r0 = graft.operators.Clusters.neighborMinRound(labels0, e)
+      r0.count()
+      assertShapes("cc_round0", r0.queryExecution.executedPlan,
         allowBroadcastNlj = false)
-      println("SCALE cc_round plan shapes gated")
+      val live = graft.operators.Clusters.relabelLive(e, r0)
+      live.count()
+      assertShapes("cc_relabel", live.queryExecution.executedPlan,
+        allowBroadcastNlj = false)
+      val r1 = graft.operators.Clusters.liveRound(r0, live)
+      r1.count()
+      assertShapes("cc_round1", r1.queryExecution.executedPlan,
+        allowBroadcastNlj = false)
+      val contracted = graft.operators.Clusters.contractLive(live)
+      contracted.count()
+      assertShapes("cc_contract", contracted.queryExecution.executedPlan,
+        allowBroadcastNlj = false)
+      println("SCALE cc round0/relabel/round1/contract plan shapes gated")
     }
 
     // vocab-level idf join + per-doc windowed top-k — both uniform keys

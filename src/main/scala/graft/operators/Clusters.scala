@@ -20,8 +20,26 @@ import org.apache.spark.storage.StorageLevel
   *    graphs where plain min-propagation needs O(diameter) — the
   *    Kiveris et al. "Connected Components in MapReduce and Beyond"
   *    (two-phase / hash-to-min) recipe.
-  *  - per round state is the (node, label) table — |V| rows, never edges
-  *    squared; edges are re-used unmodified every round (cached).
+  *  - the edge state is the CANONICAL HALF (src < dst) — never a
+  *    symmetrized copy: both propagation directions derive from the one
+  *    table, so the big materialization is |E| rows, not 2|E| (the
+  *    symmetric build + store was the single most expensive step
+  *    measured at the 80x smoke, 103 s of 389).
+  *  - round 0 exploits identity labels: the min label over neighbors IS
+  *    the min neighbor id, so the first — full-|E| — round needs NO
+  *    join at all, just one union + min aggregation.
+  *  - rounds 1+ run off ONE shared relabel pass (`relabelLive`): edges
+  *    joined to both endpoints' labels, settled (equal-label) edges
+  *    filtered out. The same cached `live` frame feeds (a) the round's
+  *    min-candidate aggregation and (b) the CONTRACTION that re-attaches
+  *    surviving edges to label roots — so the graph both propagates and
+  *    shrinks for the price of one double-join. Clique-heavy near-dup
+  *    graphs collapse almost entirely in round 1 (measured 47.5M edges
+  *    -> 3.3k survivors at the 80x smoke).
+  *  - the |V|-row label table is NEVER broadcast (shuffle_hash hints):
+  *    labels are corpus-sized, so a broadcast is categorically wrong at
+  *    cluster scale (and the label-broadcast plan Spark picks from
+  *    checkpoint statistics OOMed the local driver at 80x).
   *  - `localCheckpoint` after each round truncates lineage, so round k
   *    doesn't replay rounds 1..k-1 (iterative-DataFrame trap).
   *  - convergence test is `sum(label)` (labels only ever decrease, and a
@@ -39,28 +57,72 @@ object Clusters {
   /** Connected components over an undirected edge list.
     *
     * @param edges  DataFrame with two long-compatible id columns
+    * @param edgesDeduped  set true when `edges` is already a
+    *         deduplicated canonical pair list (src < dst, no repeats) —
+    *         the contract [[Dedup.minhashCandidatesFast]],
+    *         [[Dedup.jaccardPairs]] and `Similarity.blockedNearDups`
+    *         all honor — to skip a full-|E| canonicalization shuffle.
+    *         Purely an optimization: duplicate or reversed edges never
+    *         affect the RESULT (min over repeated neighbors is the
+    *         min), only the per-round row count, so a caller passing
+    *         true with messy edges still gets correct clusters.
     * @return (id, cluster) — `cluster` is the MINIMUM id reachable from
     *         `id`; one row per distinct node in `edges`. Deterministic.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
-      dstCol: String = "id_b", maxRounds: Int = 25): DataFrame = {
-    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+      dstCol: String = "id_b", maxRounds: Int = 25,
+      edgesDeduped: Boolean = false): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
-    // symmetrize once; dedup so multi-edges don't multiply round cost
-    val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select(col("s").as("id")).distinct()
+    // canonicalize (least, greatest) BEFORE distinct: the dedup shuffle
+    // moves |E| rows instead of the 2|E| a symmetrize-then-distinct
+    // pays. Materialize ONCE — the vertex set and every round derive
+    // from this table, and each derivation scans it twice (self-union):
+    // without the checkpoint the UPSTREAM candidate DAG (often a full
+    // minhash/LSH pass over the corpus) re-executes four times
+    // (measured +150 s at the 80x smoke).
+    val canon = if (edgesDeduped) raw
+      else raw.select(least(col("s"), col("d")).as("s"),
+        greatest(col("s"), col("d")).as("d")).distinct()
+    var e = canon.localCheckpoint()
+    var labels = e.select(col("s").as("id"))
+      .union(e.select(col("d").as("id"))).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
     var sum = checksum(labels)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val jumped = ccRound(labels, e).localCheckpoint()
+      // round 0: labels are identity — the neighbor-min needs no join.
+      // rounds 1+: one relabel pass feeds both the propagation and the
+      // contraction; serialized-columnar cache, freed end of round.
+      val live = if (round == 0) None
+        else Some(relabelLive(e, labels)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER))
+      val jumped = (live match {
+        case None => neighborMinRound(labels, e)
+        case Some(lv) => liveRound(labels, lv)
+      }).localCheckpoint()
       val newSum = checksum(jumped)
       converged = newSum == sum
       sum = newSum
+      live.foreach { lv =>
+        if (!converged) {
+          // CONTRACT: settled edges are already gone from `live`;
+          // survivors re-attach to label roots (load-bearing, not
+          // cosmetic — label updates propagate by nodes PULLING from
+          // their label node, so keeping original endpoints strands any
+          // component whose only bridge had both endpoints sharing a
+          // then-non-final label; regression-tested: "survives pruning
+          // a same-label bridge"). `distinct` collapses the parallel
+          // root-edges that inter-cluster noise creates (without it
+          // rounds 2+ re-scan every copy — measured +80 s at 80x).
+          val eNew = contractLive(lv).localCheckpoint()
+          freeCheckpoint(e)
+          e = eNew
+        }
+        lv.unpersist(blocking = false)
+      }
       // the superseded round's checkpoint blocks are dead the moment
       // `jumped` materializes — free them now instead of waiting for the
       // ContextCleaner's GC-driven cleanup (25 stale |V|-row snapshots
@@ -69,7 +131,7 @@ object Clusters {
       labels = jumped
       round += 1
     }
-    e.unpersist()
+    freeCheckpoint(e)
     // a non-converged result is silently WRONG (labels mid-propagation);
     // pointer jumping converges in O(log n) rounds, so hitting the cap
     // means something is broken — fail loudly, never return bad clusters
@@ -78,23 +140,64 @@ object Clusters {
     labels.withColumnRenamed("label", "cluster")
   }
 
-  /** One propagation round — (a) every node takes the min label over
-    * itself + neighbors (one shuffle keyed by node id); (b) pointer jump:
-    * label := label(label) — every label value is a node id present in
-    * `labels`, so the lookup always hits. Factored out so ScaleSmoke can
-    * plan-gate the shapes that repeat every round (the loop's
-    * checkpoints hide them from the final plan).
+  /** Round-0 specialization: with identity labels, the min label over a
+    * node's neighbors is just the min NEIGHBOR ID, and the pointer jump
+    * is the identity — so the one round that always sees the full edge
+    * set runs join-free: one self-union of the canonical half (each
+    * edge contributes a candidate in both directions) + one min
+    * aggregation keyed by node. ONLY valid while label(id) == id.
     */
-  private[graft] def ccRound(labels: DataFrame, e: DataFrame): DataFrame = {
-    val viaEdges = e.join(labels.withColumnRenamed("id", "s"), "s")
-      .groupBy(col("d").as("id")).agg(min(col("label")).as("nl"))
-    val stepped = labels.join(viaEdges, Seq("id"), "left")
+  private[graft] def neighborMinRound(labels: DataFrame, e: DataFrame): DataFrame = {
+    val via = e.select(col("d").as("id"), col("s").as("cand"))
+      .union(e.select(col("s").as("id"), col("d").as("cand")))
+      .groupBy("id").agg(min(col("cand")).as("nl"))
+    labels.join(via.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), least(col("label"), col("nl")).as("label"))
+  }
+
+  /** The shared per-round relabel pass: canonical-half edges joined to
+    * BOTH endpoints' current labels, with settled (equal-label) edges
+    * dropped — they can never change another node's label, and every
+    * round's other steps only need the survivors. The |V|-row label
+    * side is never broadcast (shuffle_hash; see class doc).
+    */
+  private[graft] def relabelLive(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels.select(col("id").as("s"), col("label").as("ls"))
+        .hint("shuffle_hash"), Seq("s"))
+      .join(labels.select(col("id").as("d"), col("label").as("ld"))
+        .hint("shuffle_hash"), Seq("d"))
+      .filter(col("ls") =!= col("ld"))
+
+  /** One propagation round over a [[relabelLive]] frame — (a) every
+    * node takes the min label over itself + its live neighbors' labels
+    * (one |V|-bounded shuffle after map-side combine); (b) pointer
+    * jump: label := label(label) — every label value is a node id
+    * present in `labels`, so the lookup always hits. Factored out so
+    * ScaleSmoke can plan-gate the shapes that repeat every round (the
+    * loop's checkpoints hide them from the final plan).
+    */
+  private[graft] def liveRound(labels: DataFrame, live: DataFrame): DataFrame = {
+    val via = live.select(col("d").as("id"), col("ls").as("cand"))
+      .union(live.select(col("s").as("id"), col("ld").as("cand")))
+      .groupBy("id").agg(min(col("cand")).as("nl"))
+    val stepped = labels.join(via.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), least(col("label"), col("nl")).as("label"))
     stepped.alias("x")
       .join(labels.select(col("id").as("label"), col("label").as("ll"))
-        .alias("p"), Seq("label"))
+        .alias("p").hint("shuffle_hash"), Seq("label"))
       .select(col("x.id").as("id"), col("ll").as("label"))
   }
+
+  /** Contraction output from a [[relabelLive]] frame: surviving edges
+    * rewritten onto their label roots, re-canonicalized (least/greatest
+    * — label order is arbitrary) and deduplicated. Runs only on the
+    * post-filter survivors, so it never pays a full-|E| shuffle once
+    * cliques collapse.
+    */
+  private[graft] def contractLive(live: DataFrame): DataFrame =
+    live.select(least(col("ls"), col("ld")).as("s"),
+        greatest(col("ls"), col("ld")).as("d"))
+      .distinct()
 
   private def checksum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
@@ -109,11 +212,16 @@ object Clusters {
     * and `dup_count` (component size, 1 for singletons).
     */
   def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
-      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(pairs, srcCol, dstCol)
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      pairsDeduped: Boolean = false): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol,
+      edgesDeduped = pairsDeduped)
     val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("dup_count"))
-    val m = cc.join(sizes, "cluster")
-    df.join(m.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    // cc/m are |V|-row (corpus-sized) tables — same no-broadcast rule as
+    // the loop joins above
+    val m = cc.join(sizes.hint("shuffle_hash"), "cluster")
+    df.join(m.withColumnRenamed("id", idCol).hint("shuffle_hash"),
+        Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("dup_count", coalesce(col("dup_count"), lit(1L)))
       .filter(col(idCol) === col("cluster"))

@@ -104,7 +104,7 @@ object CorpusQueries extends QueryModule {
           "text", n = 3, blockCol = Some("lang"), maxShingleFreq = 50)
         .filter($"jaccard" >= 0.3)
         .select("id_a", "id_b")
-      Clusters.connectedComponents(pairs)
+      Clusters.connectedComponents(pairs, edgesDeduped = true)
         .select($"id".as("doc_id"), $"cluster",
           ($"id" === $"cluster").as("is_canonical"))
     }),
@@ -250,7 +250,7 @@ object CorpusQueries extends QueryModule {
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
           blockCol = Some("lang"), maxShingleFreq = 50)
         .filter($"jaccard" >= 0.3).select("id_a", "id_b")
-      Clusters.dedupByClusters(docs, "doc_id", pairs)
+      Clusters.dedupByClusters(docs, "doc_id", pairs, pairsDeduped = true)
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_survivors"),
           sum($"dup_count").as("docs_represented"))
@@ -351,7 +351,7 @@ object CorpusQueries extends QueryModule {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           threshold = 0.2)
         .select($"id_a", $"id_b")
-      Clusters.connectedComponents(pairs)
+      Clusters.connectedComponents(pairs, edgesDeduped = true)
         .select($"id".as("vec_id"), $"cluster",
           ($"id" === $"cluster").as("is_canonical"))
     }),

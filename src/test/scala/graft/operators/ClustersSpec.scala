@@ -33,6 +33,21 @@ class ClustersSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 7L -> 7L))
   }
 
+  test("connectedComponents survives pruning a same-label bridge mid-run") {
+    // Regression for the edge-pruning optimization: edge (8,5) gets BOTH
+    // endpoints labeled 4 in round 1 (neither final — the true min 0 is
+    // still two hops away along 0-9-8), so a naive "drop settled edges"
+    // pass removes the only conduit into the {4,5,6} triangle and
+    // converges to label 4 there. Kept edges must be RELABELED onto the
+    // current labels (contraction), which rewrites (9,8) -> (0,4) and
+    // keeps the quotient graph connected.
+    val edges = Seq((0L, 9L), (9L, 8L), (8L, 5L),
+      (5L, 4L), (6L, 4L), (5L, 6L))
+    val got = cc(edges)
+    assert(got == Map(0L -> 0L, 9L -> 0L, 8L -> 0L,
+      5L -> 0L, 6L -> 0L, 4L -> 0L))
+  }
+
   test("dedupByClusters keeps the min-id row per component and all unpaired rows") {
     val df = (1L to 10L).map(i => (i, s"doc$i")).toDF("id", "payload")
     val pairs = Seq((2L, 4L), (4L, 6L), (8L, 9L)).toDF("id_a", "id_b")
