@@ -217,6 +217,15 @@ object Dedup {
       .groupBy(col("band"), col("bkey"))
       .agg(graft.functions.BoundedIdSet(maxBucketSize)(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
+      // Dedup the id ARRAYS before the pair explosion: a near-dup
+      // cluster agrees in every band, so all `bands` copies of its
+      // bucket hold the identical (BoundedIdSet-sorted) id list — and
+      // explosion is quadratic per copy. Collapsing array duplicates
+      // first shrinks the exploded volume ~bands-fold on exactly the
+      // corpora this operator exists for (measured 128M -> ~30M
+      // pre-distinct pair rows at the 80x scale smoke); candidates are
+      // a SET, so dropping duplicate buckets never changes the result.
+      .select("ids").distinct()
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
