@@ -128,6 +128,17 @@ object ScaleSmoke {
       graft.operators.Clusters.connectedComponents(pairs,
         edgesDeduped = true)
     })
+    // cross-table tier: the top ~10% of REPLICAS as the incoming batch,
+    // the rest as corpus — every near-dup cluster spans all replicas, so
+    // this split puts members of every cluster on BOTH sides: the worst
+    // case for the (band,bkey) bucket join (splitting by doc_id % k
+    // would keep whole clusters on one side — replica offsets are
+    // multiples of Off — and nothing would cross the boundary)
+    val cut = (rep.toLong * 9 / 10) * Off
+    run("incremental_dedup", graft.operators.Dedup.incrementalDedupReport(
+      docs.filter(col("doc_id") >= cut),
+      docs.filter(col("doc_id") < cut),
+      "doc_id", "text", 3))
     run("decontaminate", graft.operators.Decontam.contaminationReport(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < Off),

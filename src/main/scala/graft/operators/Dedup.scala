@@ -358,6 +358,12 @@ object Dedup {
         .agg(graft.functions.BoundedIdSet(maxBucketSize)(col(idCol)).as(as))
     val cand = cappedBuckets(incoming, "in_ids")
       .join(cappedBuckets(corpus, "corp_ids"), Seq("band", "bkey"))
+      // same bucket-array dedup as bucketPairs: a template cluster
+      // present in both splits agrees in every band, so all `bands`
+      // copies of the colliding bucket pair hold identical
+      // (BoundedIdSet-sorted) arrays — collapse them BEFORE the
+      // quadratic in x corp explode; candidates are a set either way
+      .select("in_ids", "corp_ids").distinct()
       .select(explode(col("in_ids")).as("id_a"), col("corp_ids"))
       .select(col("id_a"), explode(col("corp_ids")).as("id_b"))
       .distinct()
