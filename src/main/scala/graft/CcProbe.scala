@@ -67,10 +67,15 @@ object CcProbe {
           val eNew = t(s"r$round contract") {
             C.contractLive(lv).localCheckpoint() }
           println(s"PROBE r$round survivors=${eNew.count()}")
+          // mirror the production loop's per-round block release —
+          // without it later rounds are measured under eviction
+          // pressure connectedComponents doesn't actually have
+          graft.operators.Checkpoints.free(e)
           e = eNew
         }
         lv.unpersist(blocking = false)
       }
+      graft.operators.Checkpoints.free(labels)
       labels = jumped
       round += 1
     }

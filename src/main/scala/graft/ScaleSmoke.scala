@@ -176,6 +176,11 @@ object ScaleSmoke {
       assertShapes("cc_contract", contracted.queryExecution.executedPlan,
         allowBroadcastNlj = false)
       println("SCALE cc round0/relabel/round1/contract plan shapes gated")
+      // free the gate's full-candidate checkpoint before the next timed
+      // phase — same leftover-block discipline as run()'s isolation
+      graft.operators.Checkpoints.free(e)
+      spark.catalog.clearCache()
+      System.gc()
     }
 
     // vocab-level idf join + per-doc windowed top-k — both uniform keys
