@@ -33,6 +33,22 @@ class ClustersSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 7L -> 7L))
   }
 
+  test("edgesDeduped=true stays correct even when the promise is broken") {
+    // the flag only skips the canonicalization shuffle — duplicate,
+    // reversed, and self-loop edges must still yield the exact same
+    // clusters (they inflate per-round row counts, never the result)
+    val messy = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 3L),
+      (20L, 21L), (5L, 3L), (7L, 7L))
+    val strict = Clusters.connectedComponents(messy.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val trusting = Clusters.connectedComponents(messy.toDF("id_a", "id_b"),
+        edgesDeduped = true)
+      .as[(Long, Long)].collect().toMap
+    assert(strict == trusting)
+    assert(strict == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 7L -> 7L))
+  }
+
   test("connectedComponents survives pruning a same-label bridge mid-run") {
     // Regression for the edge-pruning optimization: edge (8,5) gets BOTH
     // endpoints labeled 4 in round 1 (neither final — the true min 0 is
