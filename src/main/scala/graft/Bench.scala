@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs every gate query against
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
@@ -43,22 +43,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
-        // isolate queries: drop cached plans and let the ContextCleaner free
-        // dead localCheckpoint/persist blocks BEFORE the clock starts, so a
-        // block-leaving operator (pairJaccard, the CC loop) taxes neither its
-        // successors nor its own second run. Same fix as ScaleSmoke's phase
-        // isolation, which measured the effect at up to 6x (CC 148 s inside
-        // a polluted run vs 28 s cold).
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
+    val results = measure(spark, sfDir, selected.toSeq.sortBy(_._1), runs)
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail; sbt's own trailer eats ~100 of those. With
     // 100+ queries the full names at nanosecond precision overflow the
@@ -69,10 +54,46 @@ object Bench {
     require(shortKeys.distinct.size == shortKeys.size,
       "duplicate qNN prefixes would silently drop a timing: " +
         shortKeys.diff(shortKeys.distinct).mkString(", "))
-    val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k.split("_")(0) + "\":" + (if (v < 0) "-1" else ms(v))
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k.split("_")(0) + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Best-of-`runs` seconds per query, in input order. A query that throws on
+    * ANY run reports -1.0: a failure must surface as a failure in the round
+    * artifact, not masquerade as a suspiciously fast success (the timing of a
+    * query that dies during planning is meaningless). The exception itself
+    * goes to stderr — the driver only parses the stdout JSON tail.
+    */
+  def measure(spark: SparkSession, sfDir: String,
+              queries: Seq[(String, (SparkSession, String) => DataFrame)],
+              runs: Int): Seq[(String, Double)] =
+    queries.map { case (name, fn) =>
+      val times = (0 until runs).map { _ =>
+        // isolate queries: drop cached plans and let the ContextCleaner free
+        // dead localCheckpoint/persist blocks BEFORE the clock starts, so a
+        // block-leaving operator (pairJaccard, the CC loop) taxes neither its
+        // successors nor its own second run. Same fix as ScaleSmoke's phase
+        // isolation, which measured the effect at up to 6x (CC 148 s inside
+        // a polluted run vs 28 s cold).
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
+      }
+      name -> (if (times.forall(_.isDefined)) times.flatten.min else -1.0)
+    }
 }
