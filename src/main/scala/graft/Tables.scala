@@ -2,30 +2,42 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the test star schema (TESTDATA.md).
   *
-  * `events.ts` is parquet INT64(NANOS); Spark timestamps are microsecond
-  * precision, so the column is read as Long (nanosAsLong) and floored to a
-  * microsecond timestamp here. All oracle SQL applies the same truncation
-  * (`CAST(ts AS TIMESTAMP)` over DuckDB's TIMESTAMP_NS) so both engines see
-  * identical event times.
+  * `events.ts` has shipped in two parquet encodings across testdata
+  * generations, both normalized here to a session-zone TimestampType so
+  * every downstream query sees one shape:
+  *   - INT64(NANOS): Spark has no ns timestamp, so with nanosAsLong the
+  *     column reads as Long and is floored to a µs timestamp.
+  *   - timestamp[us] (no zone): reads as TIMESTAMP_NTZ; cast to
+  *     TimestampType — value-preserving under the UTC session timezone
+  *     [[GraftSession]] pins.
+  * The oracle side (DuckDB) applies `CAST(ts AS TIMESTAMP)`, a no-op /
+  * equivalent truncation, so both engines see identical event times.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize a `ts` column (either stored encoding — see class doc) to
+    * TimestampType. Public so streaming readers over the same parquet
+    * (ParitySpec's file-stream replay, StreamBench) share one rule.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>
       // nanosAsLong leaves ns-precision columns as Long: convert to µs ts.
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+        acc.withColumn("ts", col("ts").cast("timestamp"))
       else acc
     }
-  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

@@ -42,10 +42,12 @@ import org.apache.spark.storage.StorageLevel
   *    checkpoint statistics OOMed the local driver at 80x).
   *  - `localCheckpoint` after each round truncates lineage, so round k
   *    doesn't replay rounds 1..k-1 (iterative-DataFrame trap).
-  *  - convergence test is `sum(label)` (labels only ever decrease, and a
-  *    round that changes nothing leaves the sum fixed) — one scalar agg
-  *    per round instead of an old-vs-new anti-join. Summed as
-  *    DECIMAL(38,0) so 100 TB of long ids can't overflow the check.
+  *  - convergence is detected EARLY from the live set: an empty
+  *    relabelLive means every edge already joins same-labeled nodes, so
+  *    the round (and its |V|-scale joins) is skipped entirely. The
+  *    `sum(label)` checksum (labels only ever decrease; an unchanged
+  *    round leaves the sum fixed; DECIMAL(38,0) so 100 TB of long ids
+  *    can't overflow) remains as a belt-and-braces secondary gate.
   *
   * Reference analog: the tutorial's iterate/closeWith feedback loop
   * (java/.../transformation/IterateDemo.java:22-50) is the same
@@ -96,39 +98,68 @@ object Clusters {
       // round 0: labels are identity — the neighbor-min needs no join.
       // rounds 1+: one relabel pass feeds both the propagation and the
       // contraction; serialized-columnar cache, freed end of round.
-      val live = if (round == 0) None
-        else Some(relabelLive(e, labels)
-          .persist(StorageLevel.MEMORY_AND_DISK_SER))
-      val jumped = (live match {
-        case None => neighborMinRound(labels, e)
-        case Some(lv) => liveRound(labels, lv)
-      }).localCheckpoint()
-      val newSum = checksum(jumped)
-      converged = newSum == sum
-      sum = newSum
-      live.foreach { lv =>
-        if (!converged) {
-          // CONTRACT: settled edges are already gone from `live`;
-          // survivors re-attach to label roots (load-bearing, not
-          // cosmetic — label updates propagate by nodes PULLING from
-          // their label node, so keeping original endpoints strands any
-          // component whose only bridge had both endpoints sharing a
-          // then-non-final label; regression-tested: "survives pruning
-          // a same-label bridge"). `distinct` collapses the parallel
-          // root-edges that inter-cluster noise creates (without it
-          // rounds 2+ re-scan every copy — measured +80 s at 80x).
-          val eNew = contractLive(lv).localCheckpoint()
-          freeCheckpoint(e)
-          e = eNew
+      if (round == 0) {
+        val jumped = neighborMinRound(labels, e).localCheckpoint()
+        val newSum = checksum(jumped)
+        converged = newSum == sum
+        sum = newSum
+        freeCheckpoint(labels)
+        labels = jumped
+      } else {
+        val lv = relabelLive(e, labels)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        if (lv.isEmpty) {
+          // CONVERGED-EARLY EXIT: zero live edges means the contracted
+          // graph is label-consistent — no further PROPAGATION can change
+          // anything, so the remaining full rounds (edge relabel double
+          // join + neighbor-min agg) are dead weight. What may remain is
+          // stale POINTER CHAINS on non-root nodes (x→4→0 where only the
+          // skipped rounds' label:=label(label) step would flatten x to
+          // 0), so finish with jump-only rounds: one |V| self-join each,
+          // O(log depth) of them (usually 1-2), no edge-side work at all.
+          // This caps the per-round fixed cost that dominated the
+          // CC-composed queries (q80/q85/q90/q92) on slow boxes.
+          lv.unpersist(blocking = false)
+          var flat = false
+          while (!flat) {
+            val jumped = pointerJump(labels).localCheckpoint()
+            val ns = checksum(jumped)
+            flat = ns == sum
+            sum = ns
+            freeCheckpoint(labels)
+            labels = jumped
+          }
+          converged = true
+        } else {
+          val jumped = liveRound(labels, lv).localCheckpoint()
+          val newSum = checksum(jumped)
+          // a non-empty live set strictly decreases some label, so the
+          // checksum is a belt-and-braces check here, not the main gate
+          converged = newSum == sum
+          sum = newSum
+          if (!converged) {
+            // CONTRACT: settled edges are already gone from `live`;
+            // survivors re-attach to label roots (load-bearing, not
+            // cosmetic — label updates propagate by nodes PULLING from
+            // their label node, so keeping original endpoints strands any
+            // component whose only bridge had both endpoints sharing a
+            // then-non-final label; regression-tested: "survives pruning
+            // a same-label bridge"). `distinct` collapses the parallel
+            // root-edges that inter-cluster noise creates (without it
+            // rounds 2+ re-scan every copy — measured +80 s at 80x).
+            val eNew = contractLive(lv).localCheckpoint()
+            freeCheckpoint(e)
+            e = eNew
+          }
+          lv.unpersist(blocking = false)
+          // the superseded round's checkpoint blocks are dead the moment
+          // `jumped` materializes — free them now instead of waiting for
+          // the ContextCleaner's GC-driven cleanup (25 stale |V|-row
+          // snapshots is real eviction pressure at corpus scale)
+          freeCheckpoint(labels)
+          labels = jumped
         }
-        lv.unpersist(blocking = false)
       }
-      // the superseded round's checkpoint blocks are dead the moment
-      // `jumped` materializes — free them now instead of waiting for the
-      // ContextCleaner's GC-driven cleanup (25 stale |V|-row snapshots
-      // is real eviction pressure at corpus scale)
-      freeCheckpoint(labels)
-      labels = jumped
       round += 1
     }
     freeCheckpoint(e)
@@ -187,6 +218,17 @@ object Clusters {
         .alias("p").hint("shuffle_hash"), Seq("label"))
       .select(col("x.id").as("id"), col("ll").as("label"))
   }
+
+  /** Pointer-jump-only step: label := label(label). Every label value is
+    * a node id present in `labels`, so the inner join always hits. Used
+    * by the converged-early exit to flatten residual pointer chains
+    * without touching the edge set.
+    */
+  private[graft] def pointerJump(labels: DataFrame): DataFrame =
+    labels.alias("x")
+      .join(labels.select(col("id").as("label"), col("label").as("ll"))
+        .alias("p").hint("shuffle_hash"), Seq("label"))
+      .select(col("x.id").as("id"), col("ll").as("label"))
 
   /** Contraction output from a [[relabelLive]] frame: surviving edges
     * rewritten onto their label roots, re-canonicalized (least/greatest

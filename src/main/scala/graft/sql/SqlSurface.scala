@@ -28,16 +28,23 @@ object SqlSurface {
   /** Pure-DDL registration (reference day10/_11_SQL_KafkaToKafka.java:18-33
     * CREATE TABLE ... WITH (...)): every table becomes a temp view via SQL
     * text only — no DataFrame code. The events view applies the same
-    * ns→µs timestamp normalization as [[graft.Tables]], in SQL.
+    * ts normalization as [[graft.Tables]], in SQL: the stored encoding is
+    * probed with a LIMIT 0 query (ns-longs under nanosAsLong vs
+    * timestamp[us] read as TIMESTAMP_NTZ) and the matching rewrite emitted.
     */
   def registerTablesDdl(spark: SparkSession, dir: String): Unit =
     Tables.names.foreach { n =>
-      if (n == "events")
+      if (n == "events") {
+        val raw = spark.sql(s"SELECT ts FROM parquet.`$dir/events.parquet` LIMIT 0")
+        val tsExpr = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+          case _ => "CAST(ts AS TIMESTAMP)"
+        }
         spark.sql(
           s"""CREATE OR REPLACE TEMPORARY VIEW events AS
-             |SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts
+             |SELECT * EXCEPT (ts), $tsExpr AS ts
              |FROM parquet.`$dir/events.parquet`""".stripMargin)
-      else
+      } else
         spark.sql(
           s"""CREATE OR REPLACE TEMPORARY VIEW $n
              |USING parquet OPTIONS (path '$dir/$n.parquet')""".stripMargin)

@@ -30,14 +30,11 @@ class ParitySpec extends SparkSpec {
   }
 
   private def streamEvents() = {
-    // replay the parquet through the file-stream source
-    val schema = Tables.events(spark, dir).schema
-    spark.readStream.schema(
-        org.apache.spark.sql.types.StructType(schema.fields.map {
-          f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
-        }))
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // replay the parquet through the file-stream source at the RAW stored
+    // schema, then apply the one shared ts-normalization rule — encoding
+    // drift (long-ns vs timestamp[us]) is handled in exactly one place
+    val raw = spark.read.parquet(streamDir).schema
+    Tables.normalizeTs(spark.readStream.schema(raw).parquet(streamDir))
   }
 
   test("tumbling window agg: streaming append == batch groupBy") {
@@ -118,13 +115,9 @@ class ParitySpec extends SparkSpec {
     rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import rocks.implicits._
-    val schema = Tables.events(rocks, dir).schema
-    val stream = rocks.readStream.schema(
-        org.apache.spark.sql.types.StructType(schema.fields.map {
-          f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
-        }))
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = rocks.read.parquet(streamDir).schema
+    val stream = Tables.normalizeTs(
+      rocks.readStream.schema(raw).parquet(streamDir))
     val agg = stream.groupBy($"user_id").agg(count(lit(1)).as("n"))
     val q = agg.writeStream.format("memory").queryName("parity_rocks")
       .outputMode("complete").start()
