@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot audit: print every gate query's executed-plan shuffle-exchange
+  * count at sf0.001 as a Scala map literal — the source of the budgets
+  * pinned in PlanGateSpec. Re-run after intentional plan changes and paste
+  * the diff; an unexplained increase is a regression, not a new budget.
+  */
+object ExchangeAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.local(8)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        df.count()
+        val n = plans.PlanWalk.shuffleExchangeCount(df.queryExecution.executedPlan)
+        println(s"""AUDIT    "$name" -> $n,""")
+      } catch { case e: Throwable =>
+        println(s"""AUDIT    // $name FAILED: ${e.getMessage.take(120)}""")
+      }
+    }
+    spark.stop()
+  }
+}

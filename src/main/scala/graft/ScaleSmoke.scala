@@ -175,7 +175,11 @@ object ScaleSmoke {
       contracted.count()
       assertShapes("cc_contract", contracted.queryExecution.executedPlan,
         allowBroadcastNlj = false)
-      println("SCALE cc round0/relabel/round1/contract plan shapes gated")
+      val jumped = graft.operators.Clusters.pointerJump(r1)
+      jumped.count()
+      assertShapes("cc_pointer_jump", jumped.queryExecution.executedPlan,
+        allowBroadcastNlj = false)
+      println("SCALE cc round0/relabel/round1/contract/jump plan shapes gated")
       // free the gate's full-candidate checkpoint before the next timed
       // phase — same leftover-block discipline as run()'s isolation
       graft.operators.Checkpoints.free(e)
@@ -223,6 +227,82 @@ object ScaleSmoke {
       "doc_id", "sig"))
 
     println("SCALE plan_checks PASS")
+    // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
+    // former CcProbe scratch main, folded in behind this flag)
+    if (sys.env.get("SPARK_GRAFT_SCALE_CC_PROBE").contains("1"))
+      ccProbe(spark, docs)
     spark.stop()
+  }
+
+  /** Per-round CC loop diagnostic: mirrors the production
+    * [[graft.operators.Clusters.connectedComponents]] loop (including
+    * the converged-early exit and pointer-jump flattening), printing
+    * edge/label counts and step wall times per round. Diagnostic only —
+    * not part of the driver contract.
+    */
+  private def ccProbe(spark: SparkSession, docs: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val C = graft.operators.Clusters
+    var e = t("candidates+e0") {
+      graft.operators.Dedup.minhashCandidatesFast(
+          docs, "doc_id", "text", 3, 16, 8)
+        .select(col("id_a").cast("long").as("s"),
+          col("id_b").cast("long").as("d"))
+        .localCheckpoint()
+    }
+    var labels = t("labels0") { e.select(col("s").as("id"))
+      .union(e.select(col("d").as("id"))).distinct()
+      .withColumn("label", col("id")).localCheckpoint() }
+    println(s"PROBE nodes=${labels.count()} edges=${e.count()}")
+    def checksum(df: DataFrame) = df.agg(
+      sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var round = 0
+    var converged = false
+    var sm: java.math.BigDecimal = checksum(labels)
+    while (round < 25 && !converged) {
+      if (round == 0) {
+        val jumped = t("r0 neighbor-min") {
+          C.neighborMinRound(labels, e).localCheckpoint() }
+        val ns = t("r0 checksum") { checksum(jumped) }
+        converged = ns == sm; sm = ns
+        graft.operators.Checkpoints.free(labels); labels = jumped
+      } else {
+        val lv = C.relabelLive(e, labels)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val empty = t(s"r$round live-empty?") { lv.isEmpty }
+        if (empty) {
+          lv.unpersist(blocking = false)
+          var flat = false
+          while (!flat) {
+            val jumped = t(s"r$round flatten-jump") {
+              C.pointerJump(labels).localCheckpoint() }
+            val ns = checksum(jumped)
+            flat = ns == sm; sm = ns
+            graft.operators.Checkpoints.free(labels); labels = jumped
+          }
+          converged = true
+        } else {
+          val jumped = t(s"r$round step") {
+            C.liveRound(labels, lv).localCheckpoint() }
+          val ns = t(s"r$round checksum") { checksum(jumped) }
+          converged = ns == sm; sm = ns
+          if (!converged) {
+            val eNew = t(s"r$round contract") {
+              C.contractLive(lv).localCheckpoint() }
+            println(s"PROBE r$round survivors=${eNew.count()}")
+            graft.operators.Checkpoints.free(e); e = eNew
+          }
+          lv.unpersist(blocking = false)
+          graft.operators.Checkpoints.free(labels); labels = jumped
+        }
+      }
+      round += 1
+    }
+    println(s"PROBE rounds=$round converged=$converged")
   }
 }

@@ -46,8 +46,14 @@ object CaseStudies {
     */
   def pageViewSalted(behaviors: Dataset[UserBehavior], salts: Int = 16,
       size: String = "1 hour"): DataFrame = {
+    // content-derived salt, not rand(): rand's row->salt assignment
+    // depends on partition layout and row order, so task retries or an
+    // AQE re-plan could re-salt rows mid-job; hashing row content is
+    // retry-stable and just as uniform for spreading the one hot "pv" key
     val salted = behaviors.filter(col("behavior") === "pv")
-      .withColumn("salt", (rand(seed = 42) * salts).cast("int"))
+      .withColumn("salt",
+        pmod(xxhash64(col("userId"), col("itemId"), col("ts")), lit(salts))
+          .cast("int"))
       .groupBy(window(col("ts"), size), col("salt"))
       .agg(count(lit(1)).as("partial"))
     salted.groupBy(col("window"))

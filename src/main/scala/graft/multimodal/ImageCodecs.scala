@@ -64,12 +64,31 @@ object ImageHeader {
     val channels = (b(25) & 0xff) match {
       case 0 => 1 // grayscale
       case 2 => 3 // truecolor
-      case 3 => 3 // palette (entries are RGB triples)
+      // palette entries are RGB triples, but a tRNS chunk adds per-entry
+      // alpha — decoders (javax.imageio included) then report 4 components
+      case 3 => if (pngHasTrns(b)) 4 else 3
       case 4 => 2 // gray + alpha
       case 6 => 4 // RGBA
       case _ => return None
     }
     Some((w.toInt, h.toInt, channels))
+  }
+
+  /** Does the PNG carry a tRNS (palette transparency) chunk? Chunk walk
+    * stops at IDAT — tRNS must precede it (RFC 2083 §4.2.1.1).
+    */
+  private def pngHasTrns(b: Array[Byte]): Boolean = {
+    var i = 8
+    while (i + 8 <= b.length) {
+      val len = u32be(b, i)
+      if (len > Int.MaxValue - 12) return false
+      if (b(i + 4) == 't' && b(i + 5) == 'R' && b(i + 6) == 'N' &&
+        b(i + 7) == 'S') return true
+      if (b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' &&
+        b(i + 7) == 'T') return false
+      i += 12 + len.toInt
+    }
+    false
   }
 
   /** JPEG: walk the marker segments after SOI until a start-of-frame
@@ -107,12 +126,41 @@ object ImageHeader {
   }
 
   /** GIF: logical screen descriptor right after the 6-byte signature —
-    * width/height are LITTLE-endian u16 at offsets 6/8.
+    * width/height are LITTLE-endian u16 at offsets 6/8. Channels: palette
+    * entries are RGB triples (3), plus alpha when the first frame's
+    * Graphic Control Extension sets the transparent-color flag — the same
+    * rule javax.imageio's IndexColorModel applies, so header and full
+    * decode agree on transparent GIFs.
     */
   private def decodeGif(b: Array[Byte]): Option[(Int, Int, Int)] = {
     val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
     val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
-    if (w > 0 && h > 0) Some((w, h, 3)) else None
+    if (w > 0 && h > 0) Some((w, h, if (gifHasTransparency(b)) 4 else 3))
+    else None
+  }
+
+  /** Walk GIF blocks up to the first image descriptor: a Graphic Control
+    * Extension (0x21 0xF9) whose packed field sets bit 0 declares a
+    * transparent palette index for the frame that follows.
+    */
+  private def gifHasTransparency(b: Array[Byte]): Boolean = {
+    if (b.length < 14) return false
+    var i = 13
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // GCT
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: introducer, label, data sub-blocks
+          if (i + 1 >= b.length) return false
+          val isGce = (b(i + 1) & 0xff) == 0xf9
+          if (isGce && i + 3 < b.length && (b(i + 3) & 0x01) != 0) return true
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1 // block terminator
+        case _ => return false // image descriptor / trailer / junk: stop
+      }
+    }
+    false
   }
 }
 
@@ -130,8 +178,10 @@ class HeaderCodec extends Multimodal.BatchCodec {
 
 /** Full pixel decode via `javax.imageio` (in-JVM, headless): channels =
   * the color model's component count (gray 1, gray+alpha 2, RGB 3,
-  * RGBA 4 — matches [[ImageHeader]] for PNG/JPEG; GIF reports its
-  * palette's component count). Unparseable payloads decode to
+  * RGBA 4). Agrees with [[ImageHeader]] on every format INCLUDING
+  * palette transparency: the header parser detects PNG tRNS / GIF
+  * transparent-color GCE and reports 4 exactly where the IndexColorModel
+  * here gains its alpha component. Unparseable payloads decode to
   * (-1, -1, -1), like [[HeaderCodec]].
   */
 class ImageIoCodec extends Multimodal.BatchCodec {
@@ -197,6 +247,27 @@ object SyntheticImages {
   /** Real GIF (palette-quantized RGB). */
   def gif(w: Int, h: Int): Array[Byte] =
     encode(canvas(w, h, BufferedImage.TYPE_INT_RGB), "gif")
+
+  /** Real transparent GIF: an ARGB canvas with fully-transparent pixels
+    * forces the writer to emit a Graphic Control Extension with the
+    * transparent-color flag — exercises the 4-channel GIF header path.
+    */
+  def gifTransparent(w: Int, h: Int): Array[Byte] = {
+    ensureHeadless()
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = if ((x + y) % 3 == 0) 0x00000000
+          else 0xff000000 | ((x * 31 + y * 17) & 0xffffff)
+        img.setRGB(x, y, argb)
+        x += 1
+      }
+      y += 1
+    }
+    encode(img, "gif")
+  }
 
   /** Real RGBA PNG (color type 6) — exercises the 4-channel header path. */
   def pngArgb(w: Int, h: Int): Array[Byte] =

@@ -17,6 +17,16 @@ object Checkpoints {
     * checkpoint lives in a LogicalRDD leaf; `df.unpersist()` cannot
     * reach it). Safe on frames with no checkpoint — a no-op. After the
     * call the frame must not be re-used (its backing blocks are gone).
+    *
+    * SHARED-LEAF HAZARD: the unpersist hits the LogicalRDD leaf, and
+    * DERIVED frames share it — `free(a)` also guts `a.filter(...)`,
+    * `a.join(b)`, or any other frame built FROM `a` before the call
+    * (localCheckpoint truncates lineage, so the dead blocks cannot be
+    * recomputed: downstream actions throw, they don't silently recompute).
+    * Only call it when every consumer of the checkpointed frame — not
+    * just `df` itself — is finished. The engine's internal call sites
+    * ([[Clusters]]' round loop) free a leaf only after the round that
+    * superseded it materialized.
     */
   def free(df: DataFrame): Unit =
     try df.queryExecution.analyzed.foreach {

@@ -295,32 +295,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("un"), col("jaccard"))
   }
 
+  /** MinHash banding derived from corpus size — the [[graft.operators
+    * .Similarity.planesFor]] analog for the signature/band family. Fixed
+    * (k, bands) at a growing corpus fails in BOTH directions: too few
+    * rows per band and the candidate set turns quadratic on background
+    * (unrelated-pair) Jaccard; too few bands and recall at `threshold`
+    * decays. Derivation:
+    *   - rows per band suppresses background collisions to ~O(1) noise
+    *     candidates per document: n·bands·bg^rows <= 1, i.e.
+    *     rows >= ln(n·bands)/ln(1/bgJaccard);
+    *   - bands restores recall: miss = (1 - t^rows)^bands <= missRate,
+    *     i.e. bands >= ln(missRate)/ln(1 - t^rows);
+    *   - the mutual dependence is only logarithmic in one direction, so
+    *     a 3-step fixed point settles for any practical n; k = rows·bands
+    *     is capped at `maxK` (signature cost per doc), sacrificing miss
+    *     rate — never selectivity — when the cap binds.
+    * @return (k, bands) with k divisible by bands (rows = k/bands).
+    */
+  def bandingFor(corpusSize: Long, threshold: Double,
+      missRate: Double = 1e-2, bgJaccard: Double = 0.1,
+      maxK: Int = 256): (Int, Int) = {
+    require(corpusSize > 0, s"positive corpus size required: $corpusSize")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(missRate > 0 && missRate < 1 && bgJaccard > 0 && bgJaccard < 1,
+      "missRate and bgJaccard must be in (0,1)")
+    var bands = 8
+    var rows = 2
+    (0 until 3).foreach { _ =>
+      rows = math.max(2, math.ceil(
+        math.log(corpusSize.toDouble * bands)
+          / math.log(1.0 / bgJaccard)).toInt)
+      bands = math.max(2, math.ceil(
+        math.log(missRate) / math.log(1.0 - math.pow(threshold, rows))).toInt)
+      if (rows * bands > maxK) bands = math.max(2, maxK / rows)
+    }
+    (rows * bands, bands)
+  }
+
   /** [[minhashNearDups]] on the production xxhash64 signature path:
     * fast candidates, then hash-free exact-Jaccard verification (which an
     * external oracle can reproduce — with bands=k the candidate recall on
     * verified pairs is effectively 1, so the output equals the exact
     * jaccard >= threshold pair set).
+    *
+    * `k <= 0` or `bands <= 0` (the default) derives the banding from the
+    * corpus size and `threshold` via [[bandingFor]] — one `df.count()`
+    * (parquet metadata at rest), then banding that tracks log(n) instead
+    * of silently degrading as the corpus grows.
     */
   def minhashNearDupsFast(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame =
-    pairJaccard(minhashCandidatesFast(df, idCol, textCol, shingleN, k, bands),
+      threshold: Double, shingleN: Int = 3, k: Int = 0, bands: Int = 0): DataFrame = {
+    val (k0, b0) = if (k > 0 && bands > 0) (k, bands)
+      else bandingFor(df.count(), threshold)
+    pairJaccard(minhashCandidatesFast(df, idCol, textCol, shingleN, k0, b0),
         df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
     * Verification runs only over candidate documents (semi-join pruning) —
     * the whole point of LSH is that the O(n²) exact compare never touches
-    * non-colliding docs.
+    * non-colliding docs. Banding auto-derives from the corpus size by
+    * default (see [[minhashNearDupsFast]]).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+      threshold: Double, shingleN: Int = 3, k: Int = 0, bands: Int = 0): DataFrame = {
+    val (k0, b0) = if (k > 0 && bands > 0) (k, bands)
+      else bandingFor(df.count(), threshold)
     // Candidate materialization (one localCheckpoint, two consumers)
     // happens inside pairJaccard — see the comment there.
-    pairJaccard(minhashCandidates(df, idCol, textCol, shingleN, k, bands),
+    pairJaccard(minhashCandidates(df, idCol, textCol, shingleN, k0, b0),
         df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** Incremental dedup: which INCOMING rows duplicate the EXISTING
     * corpus — 'exact' (identical text digest) or 'near' (exact n-gram

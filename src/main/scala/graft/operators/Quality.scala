@@ -144,6 +144,16 @@ object Quality {
     * corpus landing every doc in one band) stays distributed, under the
     * same id-density assumption prefixSum documents.
     */
+  /** The pre-checkpoint scoring plan of [[selectByTokenBudget]] —
+    * factored out so its shape can be plan-gated directly: the
+    * localCheckpoint in the caller collapses all of this to a LogicalRDD
+    * leaf, making it invisible to any gate over the FINAL plan.
+    */
+  private[graft] def scoredBands(df: DataFrame, idCol: String,
+      textCol: String, bandScale: Int): DataFrame =
+    unigramLogprob(df, idCol, textCol)
+      .withColumn("band", floor(col("avg_lp") * bandScale).cast("long"))
+
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
       budget: Long, bandScale: Int = 1000,
       bucketWidth: Long = 1L << 16): DataFrame = {
@@ -155,9 +165,7 @@ object Quality {
     // smoke. One row per doc (id, tokens, score, band), far smaller than
     // the corpus; same eager-not-persist rationale as Dedup.pairJaccard,
     // released deterministically via [[Checkpoints.free]] if needed.
-    val scored = unigramLogprob(df, idCol, textCol)
-      .withColumn("band", floor(col("avg_lp") * bandScale).cast("long"))
-      .localCheckpoint()
+    val scored = scoredBands(df, idCol, textCol, bandScale).localCheckpoint()
     val bands = scored.groupBy(col("band"))
       .agg(sum(col("n_tokens")).as("__bt"))
     val wB = Window.orderBy(col("band").desc)

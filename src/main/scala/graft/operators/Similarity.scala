@@ -46,10 +46,23 @@ object Similarity {
     * `prefixBits` bucket bits; queries only join their own bucket.
     * Recall < 1.0 by construction; raise `planes`/probe count for recall,
     * lower `prefixBits` for bigger buckets.
+    *
+    * `planes <= 0` (the default) derives the plane count from the corpus
+    * size via [[planesFor]] — fixed planes at a growing corpus is the
+    * superlinear-cost trap SCALE.md measures (per-bucket pair work grows
+    * ~n²/2^planes), so the default must track log2(n). Auto costs one
+    * `corpus.count()` (parquet metadata at rest — no data scan).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 12,
+      idCol: String, vecCol: String, k: Int, planes: Int = 0,
       roundScale: Int = 4): DataFrame = {
+    val planes0 = if (planes > 0) planes else planesFor(corpus.count())
+    lshTopKExplicit(queries, corpus, idCol, vecCol, k, planes0, roundScale)
+  }
+
+  private def lshTopKExplicit(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int,
+      roundScale: Int): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     // signature/norm computed once per row; the pair loop costs one
     // codegen dot product (the HOF cosine re-interprets the expression
@@ -82,9 +95,20 @@ object Similarity {
     * matches at most one probe — no dedup pass needed.
     */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 12,
+      idCol: String, vecCol: String, k: Int, planes: Int = 0,
       roundScale: Int = 4): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
+    // planes <= 0: derive from corpus size (see lshTopK), capped at the
+    // int bucket-packing limit
+    val planes0 = if (planes > 0) planes
+      else math.min(30, planesFor(corpus.count()))
+    lshTopKMultiProbeExplicit(queries, corpus, idCol, vecCol, k, planes0,
+      roundScale)
+  }
+
+  private def lshTopKMultiProbeExplicit(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int,
+      roundScale: Int): DataFrame = {
     require(planes <= 30, s"int bucket packing supports <= 30 planes, got $planes")
     def packed(sigArr: Column): Column =
       (0 until planes).map(p => element_at(sigArr, p + 1) * lit(1 << p))

@@ -37,6 +37,18 @@ object PlanWalk {
           if w.partitionSpec.isEmpty && !hasAggBelow(w) => w
     }
 
+  /** Distinct shuffle exchanges in an executed plan — the per-query
+    * shuffle budget (every Exchange is a full rewrite of the data over
+    * the network; at 100 TB an extra one is the difference between a
+    * 2-stage and 3-stage job). Distinct by node identity: AQE reuse
+    * (ReusedExchangeExec / shared query stages) re-surfaces the SAME
+    * exchange instance, which ran once and must count once.
+    */
+  def shuffleExchangeCount(root: SparkPlan): Int =
+    walk(root).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.map(System.identityHashCode).distinct.size
+
   /** The 100 TB shape gate, on an EXECUTED plan: no CartesianProduct
     * ever; BroadcastNestedLoopJoin only where the operator broadcasts a
     * designed small side (query batch / centroids / 1-row stats);

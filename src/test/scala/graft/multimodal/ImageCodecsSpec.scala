@@ -50,6 +50,18 @@ class ImageCodecsSpec extends SparkSpec {
     }
   }
 
+  test("transparent GIF: header alpha detection matches ImageIO") {
+    val iio = new ImageIoCodec; iio.open()
+    for ((w, h) <- sizes) {
+      val bytes = SyntheticImages.gifTransparent(w, h)
+      val header = ImageHeader.decode(bytes)
+      val truth = iio.decodeBatch(Seq(bytes)).head
+      assert(header.contains(truth),
+        s"transparent gif ${w}x$h: header $header != imageio $truth")
+      assert(truth._3 == 4, s"fixture not transparent: $truth")
+    }
+  }
+
   test("corrupt and non-image payloads decode to (-1,-1,-1), not errors") {
     val codec = new HeaderCodec
     val garbage = Seq(

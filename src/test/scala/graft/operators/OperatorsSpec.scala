@@ -301,6 +301,50 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.planesFor(1, 64) == 1)
   }
 
+  test("default path auto-derives banding/planes from corpus count") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val n = e.count()
+    // auto lshTopK == explicit lshTopK at planesFor(n): same code path,
+    // same buckets, same rows — the default is wired, not a fixed 12
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Any)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    val auto = hits(Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3))
+    val expl = hits(Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3,
+      planes = Similarity.planesFor(n)))
+    assert(auto == expl)
+    val autoM = hits(Similarity.lshTopKMultiProbe(q, e, "vec_id", "embedding", k = 3))
+    val explM = hits(Similarity.lshTopKMultiProbe(q, e, "vec_id", "embedding",
+      k = 3, planes = math.min(30, Similarity.planesFor(n))))
+    assert(autoM == explM)
+    // auto minhash == explicit minhash at bandingFor(n, t)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (bk, bb) = Dedup.bandingFor(docs.count(), 0.6)
+    val autoD = Dedup.minhashNearDupsFast(docs, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explD = Dedup.minhashNearDupsFast(docs, "doc_id", "text", 0.6,
+        k = bk, bands = bb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(autoD == explD)
+  }
+
+  test("bandingFor tracks corpus growth: selectivity first, capped k") {
+    var lastRows = 0
+    for (n <- Seq(1000L, 1000000L, 1000000000L, 1000000000000L)) {
+      val (k, bands) = Dedup.bandingFor(n, 0.8)
+      val rows = k / bands
+      assert(k % bands == 0 && rows >= 2 && k <= 256,
+        s"n=$n -> k=$k bands=$bands")
+      assert(rows >= lastRows,
+        s"rows must not shrink as n grows: n=$n rows=$rows last=$lastRows")
+      // selectivity: background (j=0.1) pair collides in some band with
+      // probability <= bands * 0.1^rows — keep expected noise per doc ~O(1)
+      assert(n * bands * math.pow(0.1, rows) <= 10.0,
+        s"n=$n rows=$rows bands=$bands noise unbounded")
+      lastRows = rows
+    }
+  }
+
   test("PQ top-k: 8-byte codes, deterministic, useful recall vs brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 20)

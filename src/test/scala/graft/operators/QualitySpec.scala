@@ -65,6 +65,18 @@ class QualitySpec extends SparkSpec {
     assert(kept <= 9)
   }
 
+  test("selectByTokenBudget's PRE-checkpoint scoring plan passes the scale gate") {
+    // the localCheckpoint inside selectByTokenBudget collapses the whole
+    // scoring pipeline (two tokenization passes + vocab join) into a
+    // LogicalRDD leaf — PlanGateSpec's q99 gate sees only the plan ABOVE
+    // it. Gate the hidden plan here via the factored scoredBands.
+    val scored = Quality.scoredBands(docs, "doc_id", "text", 1000)
+    scored.count()
+    // the vocab builder cross-joins ONE broadcast 1-row stats frame
+    graft.plans.PlanWalk.assertShapes("scoredBands",
+      scored.queryExecution.executedPlan, allowBroadcastNlj = true)
+  }
+
   test("filterByLogprobBand trims both tails by the supplied cutoffs") {
     val scored = Quality.unigramLogprob(docs, "doc_id", "text")
       .select($"doc_id", $"avg_lp").as[(Long, Double)].collect().toMap

@@ -42,9 +42,150 @@ class PlanGateSpec extends SparkSpec {
     "q103_cluster_sample"  // k centroids + per-cluster quotas broadcast
   )
 
+  /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
+    * nodes in the EXECUTED plan — AQE-reused exchanges count once).
+    * Every Exchange is a full network rewrite of the data, so at 100 TB
+    * an unbudgeted one is the regression that matters most. Recorded
+    * from `graft.ExchangeAudit` at sf0.001; an intentional plan change
+    * re-runs the audit and commits the diff, an accidental
+    * `repartition`/lost-broadcast fails here. Queries whose operators
+    * run their own jobs during CONSTRUCTION (the CC loop) are budgeted
+    * on the final returned plan only — the loop's internal shuffles are
+    * gated by ClustersSpec/ScaleSmoke instead.
+    */
+  private val exchangeBudget: Map[String, Int] = Map(
+    "q01_pricing_summary" -> 2,
+    "q02_filter_pushdown" -> 0,
+    "q03_join_agg" -> 2,
+    "q04_broadcast_dims" -> 1,
+    "q05_topn_per_group" -> 2,
+    "q06_argminmax" -> 2,
+    "q07_distinct_agg" -> 3,
+    "q08_semi_anti" -> 5,
+    "q09_setops" -> 9,
+    "q100_det_shuffle" -> 1,
+    "q101_length_batches" -> 1,
+    "q102_kmeans" -> 1,
+    "q103_cluster_sample" -> 3,
+    "q104_edit_distance_pairs" -> 1,
+    "q105_edjoin_dist2" -> 2,
+    "q106_window_frames" -> 1,
+    "q107_salted_join" -> 1,
+    "q108_zorder" -> 1,
+    "q109_image_decode" -> 1,
+    "q10_histogram" -> 2,
+    "q11_interval_join" -> 0,
+    "q12_window_tumble" -> 1,
+    "q13_window_slide" -> 1,
+    "q14_session_window" -> 1,
+    "q15_cep_3error" -> 1,
+    "q16_count_window" -> 1,
+    "q17_running_total" -> 1,
+    "q18_pivot_daily" -> 2,
+    "q19_props_extract" -> 2,
+    "q20_doc_stats" -> 3,
+    "q21_dedup_exact" -> 3,
+    "q22_quality_buckets" -> 2,
+    "q23_ngram_jaccard" -> 7,
+    "q24_minhash_lsh" -> 2,
+    "q25_fingerprint" -> 0,
+    "q26_ann_topk" -> 1,
+    "q27_embedding_neardup" -> 0,
+    "q28_rollup" -> 2,
+    "q29_cube" -> 1,
+    "q30_correlated" -> 3,
+    "q31_date_functions" -> 2,
+    "q32_string_functions" -> 0,
+    "q33_composite_key_having" -> 2,
+    "q34_global_agg" -> 2,
+    "q35_sql_text" -> 2,
+    "q36_sql_window" -> 1,
+    "q37_percentiles" -> 2,
+    "q38_array_agg" -> 2,
+    "q39_null_handling" -> 2,
+    "q40_simhash_neardup" -> 0,
+    "q41_lang_id" -> 1,
+    "q42_lsh_ann" -> 1,
+    "q43_bloom_distinct" -> 2,
+    "q44_minhash_fast" -> 2,
+    "q45_binary_meta" -> 3,
+    "q46_multimodal_pipeline" -> 0,
+    "q47_asof_join" -> 1,
+    "q48_dedup_keep_first" -> 1,
+    "q49_native_topk" -> 1,
+    "q50_simhash_md5" -> 0,
+    "q51_blacklist" -> 5,
+    "q52_order_timeout_cep" -> 1,
+    "q53_late_tag" -> 3,
+    "q54_salted_agg" -> 2,
+    "q55_wordcount" -> 1,
+    "q56_approx_distinct" -> 2,
+    "q57_session_dynamic_gap" -> 1,
+    "q58_deep_join" -> 2,
+    "q59_decode_partitioned" -> 0,
+    "q60_ivf_ann" -> 3,
+    "q61_sliding_count_window" -> 1,
+    "q62_grouping_sets" -> 1,
+    "q63_simhash_exact" -> 1,
+    "q64_token_count" -> 2,
+    "q65_corpus_select" -> 9,
+    "q66_range_join" -> 3,
+    "q67_approx_percentile" -> 2,
+    "q68_consistent_sample" -> 2,
+    "q69_split_by_hash" -> 2,
+    "q70_rep_quality" -> 4,
+    "q71_frame_sampling" -> 3,
+    "q72_seq_packing" -> 3,
+    "q73_pack_summary" -> 4,
+    "q74_stratified_sample" -> 2,
+    "q75_corpus_mix" -> 2,
+    "q76_token_chunks" -> 0,
+    "q77_token_mix" -> 2,
+    "q78_pq_ann" -> 1,
+    "q79_pq_rerank" -> 1,
+    "q80_dup_clusters" -> 0,
+    "q81_decontam" -> 2,
+    "q82_pii_redact" -> 2,
+    "q83_normalize" -> 3,
+    "q84_bm25" -> 1,
+    "q85_semantic_dedup" -> 0,
+    "q86_incremental_dedup" -> 9,
+    "q87_unigram_logprob" -> 4,
+    "q88_data_card" -> 3,
+    "q89_dup_spans" -> 3,
+    "q90_cluster_dedup" -> 6,
+    "q91_epoch_replication" -> 3,
+    "q92_curation_pipeline" -> 21,
+    "q93_heavy_hitters" -> 0,
+    "q94_quality_band" -> 7,
+    "q95_random_projection" -> 0,
+    "q96_tfidf_terms" -> 6,
+    "q97_source_overlap" -> 7,
+    "q98_rp_rerank" -> 1,
+    "q99_token_budget" -> 9)
+
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"allowlist names no such query: $unknown")
+  }
+
+  test("every gate query has an exchange budget") {
+    val missing = SparkEntry.queries.keySet -- exchangeBudget.keySet
+    assert(missing.isEmpty,
+      s"new queries need a budget (run graft.ExchangeAudit): $missing")
+    val stale = exchangeBudget.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"budget names no such query: $stale")
+  }
+
+  test("an injected repartition blows its query's exchange budget") {
+    // the gate's reason to exist: prove it would catch one
+    val (name, fn) = ("q01_pricing_summary",
+      SparkEntry.queries("q01_pricing_summary"))
+    val df = fn(spark, dir).repartition(7)
+    df.count()
+    val n = PlanWalk.shuffleExchangeCount(df.queryExecution.executedPlan)
+    assert(n > exchangeBudget(name),
+      s"injected repartition invisible: counted $n <= budget ${exchangeBudget(name)}")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -53,6 +194,13 @@ class PlanGateSpec extends SparkSpec {
       df.count() // materialize so AQE's final executed plan is inspected
       PlanWalk.assertShapes(name, df.queryExecution.executedPlan,
         allowBroadcastNlj = allowBnlj(name))
+      val n = PlanWalk.shuffleExchangeCount(df.queryExecution.executedPlan)
+      exchangeBudget.get(name).foreach { budget =>
+        assert(n <= budget,
+          s"$name: $n shuffle exchanges > budget $budget — an extra full " +
+            "network rewrite of the data; if intentional, re-run " +
+            "graft.ExchangeAudit and update the budget")
+      }
     }
   }
 }

@@ -24,8 +24,12 @@ class ChangelogSpec extends SparkSpec {
       // reference golden: sensor sums 45 then +45 -> retract 45, add 90
       ms.addData(KV("ws_001", 45)); q.processAllAvailable()
       ms.addData(KV("ws_001", 45)); q.processAllAvailable()
-      // per batch, a retraction (add=false) precedes its replacement
-      val seq = got.toList.sortBy(t => (t._1, t._2)).map(t => (t._2, t._3, t._4))
+      // ARRIVAL order, not re-sorted: the old sortBy(batch, add) imposed
+      // retract-before-add instead of observing it (sorting false < true
+      // made the assert vacuous). The changes frame is a narrow
+      // retracts-union-adds, so collect() preserves the contract order —
+      // if a future change reorders the union, this now fails.
+      val seq = got.toList.map(t => (t._2, t._3, t._4))
       assert(seq == List(
         (true, "ws_001", 45L),
         (false, "ws_001", 45L), (true, "ws_001", 90L)))
