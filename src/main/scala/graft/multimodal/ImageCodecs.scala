@@ -197,6 +197,93 @@ class ImageIoCodec extends Multimodal.BatchCodec {
   def close(): Unit = ()
 }
 
+/** REAL pixel transforms — the production counterparts of the md5
+  * resize/embed stubs, built on the same in-JVM `javax.imageio` stack as
+  * [[ImageIoCodec]]. Used per-partition inside mapPartitions (no native
+  * deps, no per-row init cost).
+  */
+object ImageOps {
+  import java.awt.image.BufferedImage
+
+  /** Downscale so max(width, height) == `maxSide` (identity when already
+    * within), bilinear onto an RGB canvas, re-encoded as PNG. Target
+    * dimensions are PURE INTEGER arithmetic — `max(1, w*maxSide div
+    * max(w,h))` — so a SQL oracle recomputes them without touching
+    * pixels. None for unparseable payloads (corrupt rows are data).
+    */
+  def resizeToMax(payload: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
+    require(maxSide > 0, s"maxSide must be positive: $maxSide")
+    SyntheticImages.ensureHeadless()
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val mx = math.max(w, h)
+      val (ow, oh) = if (mx <= maxSide) (w, h)
+        else (math.max(1, w * maxSide / mx), math.max(1, h * maxSide / mx))
+      val target = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+      val g = target.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, ow, oh, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(target, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** `grid`×`grid` average-pooled luminance in [0, 1] (row-major;
+    * 64-dim at the default grid=8) — a REAL perceptual embedding:
+    * approximately invariant under downscaling and re-encoding, which is
+    * exactly the property image near-dup detection needs (a thumbnail
+    * and its original embed within cosine ~0.99; distinct images don't).
+    * Luminance = ITU-R BT.601 integer weights (77R + 150G + 29B) >> 8.
+    * None for unparseable payloads.
+    */
+  def lumaEmbedding(payload: Array[Byte], grid: Int = 8): Option[Array[Float]] = {
+    require(grid > 0, s"grid must be positive: $grid")
+    SyntheticImages.ensureHeadless()
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Float](grid * grid)
+      var cy = 0
+      while (cy < grid) {
+        val y0 = cy * h / grid
+        val y1 = math.max(y0 + 1, (cy + 1) * h / grid)
+        var cx = 0
+        while (cx < grid) {
+          val x0 = cx * w / grid
+          val x1 = math.max(x0 + 1, (cx + 1) * w / grid)
+          var sum = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              sum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+                29 * (rgb & 0xff)) >> 8
+              x += 1
+            }
+            y += 1
+          }
+          val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+          out(cy * grid + cx) = if (n > 0) (sum.toFloat / n) / 255f else 0f
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(out)
+    }
+  }
+}
+
 /** Deterministically-sized REAL image fixtures, encoded by the JVM's own
   * `javax.imageio` writers: the bytes are genuine PNG/JPEG/GIF files
   * (signatures, chunk CRCs, entropy-coded scan data), so decoding them
@@ -272,4 +359,25 @@ object SyntheticImages {
   /** Real RGBA PNG (color type 6) — exercises the 4-channel header path. */
   def pngArgb(w: Int, h: Int): Array[Byte] =
     encode(canvas(w, h, BufferedImage.TYPE_INT_ARGB), "png")
+
+  /** Real grayscale-content PNG with a caller-chosen luminance function
+    * (x, y) => 0..255 — content-controllable fixture for the perceptual
+    * embedding/near-dup specs (two images are near-dups iff their `lum`
+    * fields are similar, by construction).
+    */
+  def pngWith(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
+    ensureHeadless()
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = math.max(0, math.min(255, lum(x, y)))
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    encode(img, "png")
+  }
 }

@@ -211,7 +211,8 @@ object Multimodal {
 
   /** End-to-end multimodal near-dup pipeline: payload → meta → stub
     * embedding → blocked cosine near-dups. Swap `embedStub` for a real
-    * encoder and nothing else changes.
+    * encoder and nothing else changes ([[imageNearDupsByLuma]] is exactly
+    * that swap).
     */
   def nearDupPipeline(df: DataFrame, idCol: String, binCol: String,
       dim: Int = 16, threshold: Double = 0.99): DataFrame = {
@@ -220,5 +221,79 @@ object Multimodal {
       .withColumn("block", pmod(col("content_hash"), lit(64)))
     graft.operators.Similarity.blockedNearDups(
       embedded, idCol, "embedding", "block", threshold)
+  }
+
+  /** REAL image resize, partition-batched: decode → downscale so
+    * max(w, h) == `maxSide` (identity if smaller) → re-encode PNG.
+    * Returns (id, payload, width, height) with the RESIZED payload and
+    * its dimensions parsed back out of the new bytes (not trusted from
+    * arithmetic) — unparseable rows surface as (null payload, -1, -1).
+    * Map-only: no shuffle at any corpus size; join back on the id for
+    * the full row, same contract as [[decodePartitioned]].
+    */
+  def resizePartitioned(df: DataFrame, idCol: String, binCol: String,
+      maxSide: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { chunk =>
+          chunk.iterator.map { case (id, payload) =>
+            ImageOps.resizeToMax(payload, maxSide) match {
+              case Some(resized) =>
+                val (w, h, _) = ImageHeader.decode(resized)
+                  .getOrElse((-1, -1, -1))
+                (id, resized, w, h)
+              case None => (id, null: Array[Byte], -1, -1)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "payload", "width", "height")
+  }
+
+  /** REAL image embedding, partition-batched: decode → `grid`×`grid`
+    * average-pooled luminance ([[ImageOps.lumaEmbedding]]). Returns
+    * (id, embedding); unparseable rows drop out (they cannot be
+    * near-dups). Map-only corpus pass — the 100 TB shape is identical
+    * to the stub pipeline it replaces.
+    */
+  def embedPartitioned(df: DataFrame, idCol: String, binCol: String,
+      grid: Int = 8, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { chunk =>
+          chunk.iterator.flatMap { case (id, payload) =>
+            ImageOps.lumaEmbedding(payload, grid).map(e => (id, e))
+          }
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
+  /** REAL image near-dup detection: luma embeddings blocked by a
+    * random-hyperplane LSH bucket, cosine-verified within blocks — the
+    * [[nearDupPipeline]] shape with the stub swapped for real pixels.
+    * A resized/re-encoded copy of an image lands in the same bucket
+    * with high probability (the luma embedding is scale-invariant) and
+    * verifies at cosine >= `threshold`; `planes <= 0` derives the
+    * bucket count from the corpus size ([[graft.operators.Similarity
+    * .planesFor]]), the same auto-sizing rule as the text LSH tier.
+    */
+  def imageNearDupsByLuma(df: DataFrame, idCol: String, binCol: String,
+      threshold: Double = 0.98, grid: Int = 8, planes: Int = 0): DataFrame = {
+    val embedded = embedPartitioned(df, idCol, binCol, grid)
+    val p = if (planes > 0) planes
+      else graft.operators.Similarity.planesFor(embedded.count())
+    val blocked = embedded.withColumn("block",
+      graft.functions.VectorFunctions.signatureBucket(
+        graft.functions.VectorFunctions.hyperplaneSignature(
+          col("embedding"), p)))
+    graft.operators.Similarity.blockedNearDups(
+      blocked, idCol, "embedding", "block", threshold)
   }
 }

@@ -368,6 +368,35 @@ object ExtendedQueries extends QueryModule {
         "payload", () => new graft.multimodal.HeaderCodec)
     }),
 
+    // REAL image resize end to end: the q109 fixtures (genuine encoded
+    // PNG/JPEG/GIF) are downscaled to maxSide=32 through the
+    // partition-batched resize (decode -> bilinear RGB -> re-encode
+    // PNG), and the output dims are parsed back OUT OF THE RESIZED
+    // BYTES — the oracle recomputes the target size with the same
+    // integer arithmetic (w*32 div max(w,h), min 1), so a hash match
+    // proves a real pixel pipeline resized to spec. Map-only: the one
+    // exchange is the fixture repartition before the CPU-bound encode.
+    "q110_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter($"doc_id" % 5 === 0).select($"doc_id").as[Long]
+        .repartition(32)
+      val payloads = ids.map { id =>
+        val w = (id % 97 + 8).toInt
+        val h = (id % 53 + 8).toInt
+        val gray = (id / 3) % 2 == 1
+        val bytes = (id % 3) match {
+          case 0 => graft.multimodal.SyntheticImages.png(w, h, gray)
+          case 1 => graft.multimodal.SyntheticImages.jpeg(w, h, gray)
+          case _ => graft.multimodal.SyntheticImages.gif(w, h)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .resizePartitioned(payloads, "doc_id", "payload", maxSide = 32)
+        .select(col("doc_id"), col("width"), col("height"))
+    }),
+
     // FastSS deletion-neighborhood edit-distance join: EXACT dist<=1
     // pairs with no blocking assumption (len+1 hash-uniform keys per
     // string, one shuffle) — oracle is brute-force levenshtein, so the
@@ -644,6 +673,25 @@ object ExtendedQueries extends QueryModule {
         |            WHEN (doc_id // 3) % 2 = 1 THEN 1
         |            ELSE 3 END AS INTEGER) AS channels
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    // Fixture dims are doc_id arithmetic; the resize target is the same
+    // integer law the Scala side applies (floor division, min 1), so the
+    // oracle verifies real decoded-and-re-encoded pixels hit the spec'd
+    // geometry. maxSide=32: images with max(w,h) <= 32 pass through.
+    "q110_image_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 97 + 8 AS BIGINT) AS w0,
+        |    CAST(doc_id % 53 + 8 AS BIGINT) AS h0
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN GREATEST(w0, h0) <= 32 THEN w0
+        |       ELSE GREATEST(1, w0 * 32 // GREATEST(w0, h0)) END AS INTEGER)
+        |    AS width,
+        |  CAST(CASE WHEN GREATEST(w0, h0) <= 32 THEN h0
+        |       ELSE GREATEST(1, h0 * 32 // GREATEST(w0, h0)) END AS INTEGER)
+        |    AS height
+        |FROM f""".stripMargin,
 
     "q49_native_topk" ->
       """WITH t AS (

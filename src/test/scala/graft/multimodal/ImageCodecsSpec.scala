@@ -100,4 +100,76 @@ class ImageCodecsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif"))
   }
+
+  test("resizeToMax: integer-law geometry, identity under maxSide, min 1") {
+    def dims(b: Array[Byte]): (Int, Int) = {
+      val (w, h, _) = ImageHeader.decode(b).get; (w, h)
+    }
+    // downscale: 100x50 -> 32x16 (w*32/100, h*32/100)
+    assert(dims(ImageOps.resizeToMax(SyntheticImages.png(100, 50), 32).get)
+      == (32, 16))
+    // identity when already within
+    assert(dims(ImageOps.resizeToMax(SyntheticImages.jpeg(20, 10), 32).get)
+      == (20, 10))
+    // extreme aspect: the short side clamps to 1, never 0
+    assert(dims(ImageOps.resizeToMax(SyntheticImages.png(200, 3), 32).get)
+      == (32, 1))
+    // landscape/portrait symmetry
+    assert(dims(ImageOps.resizeToMax(SyntheticImages.gif(50, 100), 32).get)
+      == (16, 32))
+    // corrupt payload: None, not an exception
+    assert(ImageOps.resizeToMax("junk".getBytes("UTF-8"), 32).isEmpty)
+  }
+
+  test("lumaEmbedding is a real pixel read and survives resizing") {
+    // content-controlled fixtures: horizontal vs vertical gradients
+    def hGrad(w: Int, h: Int) =
+      SyntheticImages.pngWith(w, h)((x, _) => x * 255 / math.max(1, w - 1))
+    def vGrad(w: Int, h: Int) =
+      SyntheticImages.pngWith(w, h)((_, y) => y * 255 / math.max(1, h - 1))
+    val a = ImageOps.lumaEmbedding(hGrad(120, 80)).get
+    // pixel-read sanity: left column dark, right column bright
+    assert(a(0) < 0.2 && a(7) > 0.8, s"gradient not read: ${a.toSeq}")
+    // scale invariance: the thumbnail's embedding stays close to the
+    // original's (L2 over 64 dims), while a different image is far
+    val aSmall = ImageOps.lumaEmbedding(
+      ImageOps.resizeToMax(hGrad(120, 80), 32).get).get
+    val b = ImageOps.lumaEmbedding(vGrad(120, 80)).get
+    def l2(u: Array[Float], v: Array[Float]): Double =
+      math.sqrt(u.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(l2(a, aSmall) < 0.1 * l2(a, b),
+      s"resize moved the embedding: same=${l2(a, aSmall)} diff=${l2(a, b)}")
+  }
+
+  test("imageNearDupsByLuma pairs an image with its thumbnail only") {
+    def hGrad(w: Int, h: Int) =
+      SyntheticImages.pngWith(w, h)((x, _) => x * 255 / math.max(1, w - 1))
+    def vGrad(w: Int, h: Int) =
+      SyntheticImages.pngWith(w, h)((_, y) => y * 255 / math.max(1, h - 1))
+    def diag(w: Int, h: Int) =
+      SyntheticImages.pngWith(w, h)((x, y) =>
+        (x + y) * 255 / math.max(1, w + h - 2))
+    val df = Seq(
+      (1L, hGrad(120, 80)),
+      (2L, ImageOps.resizeToMax(hGrad(120, 80), 48).get), // thumbnail of 1
+      (3L, vGrad(120, 80)),
+      (4L, diag(100, 100))).toDF("id", "payload")
+    val pairs = Multimodal.imageNearDupsByLuma(df, "id", "payload",
+        threshold = 0.995)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("resizePartitioned emits resized payloads + re-parsed dims") {
+    val df = Seq(
+      (1L, SyntheticImages.png(100, 50)),
+      (2L, SyntheticImages.jpeg(10, 10)),
+      (3L, "garbage".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.resizePartitioned(df, "id", "payload", maxSide = 32)
+      .select($"id", $"width", $"height").as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (32, 16))
+    assert(out(2L) == (10, 10)) // within bound: pass-through re-encode
+    assert(out(3L) == (-1, -1)) // corrupt row is data, not an exception
+  }
 }
