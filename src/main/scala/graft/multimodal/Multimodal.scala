@@ -275,6 +275,34 @@ object Multimodal {
       .toDF(idCol, "embedding")
   }
 
+  /** REAL audio metadata, partition-batched: RIFF/WAVE header parse →
+    * (id, sample_rate, channels, bits, n_frames, duration_ms). Same
+    * map-only 100 TB shape as [[decodePartitioned]]; unparseable rows
+    * surface as (-1, …) — corrupt rows are data, not exceptions.
+    * duration_ms is integer arithmetic (frames*1000 div rate), so a SQL
+    * oracle replays it exactly.
+    */
+  def audioMetaPartitioned(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { chunk =>
+          chunk.iterator.map { case (id, payload) =>
+            AudioHeader.decodeWav(payload) match {
+              case Some((rate, ch, bits, frames)) =>
+                (id, rate, ch, bits, frames, frames * 1000L / rate)
+              case None => (id, -1, -1, -1, -1L, -1L)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms")
+  }
+
   /** REAL image near-dup detection: luma embeddings blocked by a
     * random-hyperplane LSH bucket, cosine-verified within blocks — the
     * [[nearDupPipeline]] shape with the stub swapped for real pixels.

@@ -397,6 +397,29 @@ object ExtendedQueries extends QueryModule {
         .select(col("doc_id"), col("width"), col("height"))
     }),
 
+    // REAL audio metadata end to end: genuine PCM WAV fixtures (RIFF +
+    // fmt + word-aligned data chunk, real 16-bit samples) whose
+    // parameters derive from doc_id arithmetic; AudioHeader walks the
+    // actual chunk bytes back out. The oracle recomputes the planted
+    // params + integer-law duration, so a hash match proves a real
+    // RIFF parse. 1-in-7 doc sample keeps synth cost bench-proportionate.
+    "q111_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter($"doc_id" % 7 === 0).select($"doc_id").as[Long]
+        .repartition(32)
+      val payloads = ids.map { id =>
+        val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 997 + 100).toInt
+        (id, graft.multimodal.SyntheticAudio.wav(rate, ch, frames))
+      }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .audioMetaPartitioned(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"))
+    }),
+
     // FastSS deletion-neighborhood edit-distance join: EXACT dist<=1
     // pairs with no blocking assumption (len+1 hash-uniform keys per
     // string, one shuffle) — oracle is brute-force levenshtein, so the
@@ -692,6 +715,19 @@ object ExtendedQueries extends QueryModule {
         |       ELSE GREATEST(1, h0 * 32 // GREATEST(w0, h0)) END AS INTEGER)
         |    AS height
         |FROM f""".stripMargin,
+
+    // Fixture params are doc_id arithmetic; n_frames BIGINT (the header
+    // data-length division), duration integer-floored ms.
+    "q111_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(doc_id % 997 + 100 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 997 + 100) * 1000 //
+        |       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |        WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
 
     "q49_native_topk" ->
       """WITH t AS (

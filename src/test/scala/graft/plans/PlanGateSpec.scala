@@ -74,6 +74,7 @@ class PlanGateSpec extends SparkSpec {
     "q108_zorder" -> 1,
     "q109_image_decode" -> 1,
     "q110_image_resize" -> 1,
+    "q111_audio_meta" -> 1,
     "q10_histogram" -> 2,
     "q11_interval_join" -> 0,
     "q12_window_tumble" -> 1,
