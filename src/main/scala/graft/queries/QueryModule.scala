@@ -51,9 +51,11 @@ object Q {
   /** Timestamp column → epoch seconds (floor), identical in both engines. */
   def epochS(c: Column): Column = c.cast("long")
 
-  /** DuckDB: `ev` = events with a µs-truncated ts so both engines see the
-    * same event times (parquet stores ns; Spark reads µs — see Tables).
-    * Oracle SQL over events must read FROM ev.
+  /** DuckDB: `ev` = events with ts normalized to µs TIMESTAMP so both
+    * engines see the same event times, whatever the parquet stores
+    * (ns: DuckDB truncates here exactly as Tables floors Spark-side;
+    * timestamp[us]: a no-op — see Tables.normalizeTs for the Spark
+    * mirror). Oracle SQL over events must read FROM ev.
     */
   val eventsUs: String =
     "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
