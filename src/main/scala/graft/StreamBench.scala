@@ -138,16 +138,16 @@ object StreamBench {
         "INTERVAL 5 MINUTES", "INTERVAL 5 MINUTES", "10 seconds")
       val q = joined.select($"l_id", $"r_id").writeStream.format("memory")
         .queryName(s"sb_${tag}_ij").outputMode("append").start()
-      val lChunks = chunksOf(events, nBatches)
-      val rChunks = chunksOf(events, nBatches)
-      val t0 = System.nanoTime()
-      lChunks.zip(rChunks).foreach { case (lc, rc) =>
-        msL.addData(lc); msR.addData(rc)
-        q.processAllAvailable()
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      sec
+      try {
+        val lChunks = chunksOf(events, nBatches)
+        val rChunks = chunksOf(events, nBatches)
+        val t0 = System.nanoTime()
+        lChunks.zip(rChunks).foreach { case (lc, rc) =>
+          msL.addData(lc); msR.addData(rc)
+          q.processAllAvailable()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally q.stop()
     }
 
     // 5. streaming LSH near-dup candidates over the documents corpus

@@ -26,23 +26,35 @@ object AudioHeader {
     var i = 12
     var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
     var dataLen = -1L
-    while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+    var halt = false
+    while (!halt && i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
       val id = new String(b, i, 4, "US-ASCII")
       val len = u32le(b, i + 4)
-      id match {
-        case "fmt " =>
-          if (i + 8 + 16 > b.length) return None
-          val audioFormat = u16le(b, i + 8)
-          // 1 = PCM, 0xFFFE = extensible (PCM subtype assumed)
-          if (audioFormat != 1 && audioFormat != 0xfffe) return None
-          ch = u16le(b, i + 10)
-          rate = u32le(b, i + 12).toInt
-          blockAlign = u16le(b, i + 20)
-          bits = u16le(b, i + 22)
-        case "data" => dataLen = len
-        case _ => () // LIST, fact, cue …: skip
+      val avail = (b.length - (i + 8)).toLong
+      if (len > avail) {
+        // Declared length past the payload end: a corrupt ROW must never
+        // hang or crash the TASK (a ~4 GB length would wrap negative
+        // through toInt and spin the walk in place). Tolerate only the
+        // truncated-final-data-chunk convention; anything else is junk.
+        if (id == "data") dataLen = avail
+        else return None
+        halt = true // cannot advance past a lying length field
+      } else {
+        id match {
+          case "fmt " =>
+            if (avail < 16) return None
+            val audioFormat = u16le(b, i + 8)
+            // 1 = PCM, 0xFFFE = extensible (PCM subtype assumed)
+            if (audioFormat != 1 && audioFormat != 0xfffe) return None
+            ch = u16le(b, i + 10)
+            rate = u32le(b, i + 12).toInt
+            blockAlign = u16le(b, i + 20)
+            bits = u16le(b, i + 22)
+          case "data" => dataLen = len
+          case _ => () // LIST, fact, cue …: skip
+        }
+        i += 8 + len.toInt + (len.toInt & 1) // word-aligned advance
       }
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     if (rate <= 0 || ch <= 0 || bits <= 0 || blockAlign <= 0 || dataLen < 0)
       None

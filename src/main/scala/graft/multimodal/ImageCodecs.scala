@@ -192,7 +192,7 @@ class ImageIoCodec extends Multimodal.BatchCodec {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
         if (img == null) (-1, -1, -1)
         else (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
-      } catch { case _: java.io.IOException => (-1, -1, -1) }
+      } catch { case scala.util.control.NonFatal(_) => (-1, -1, -1) }
     }
   def close(): Unit = ()
 }
@@ -214,9 +214,12 @@ object ImageOps {
   def resizeToMax(payload: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
     require(maxSide > 0, s"maxSide must be positive: $maxSide")
     SyntheticImages.ensureHeadless()
+    // NonFatal, not just IOException: the JDK's image readers throw
+    // unchecked exceptions (AIOOBE, NegativeArraySize, IAE) on malformed
+    // payloads — a corrupt row is data, never a task failure
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight
@@ -246,9 +249,10 @@ object ImageOps {
   def lumaEmbedding(payload: Array[Byte], grid: Int = 8): Option[Array[Float]] = {
     require(grid > 0, s"grid must be positive: $grid")
     SyntheticImages.ensureHeadless()
+    // NonFatal (see resizeToMax): malformed payloads throw unchecked
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight

@@ -232,21 +232,21 @@ object Multimodal {
     * the full row, same contract as [[decodePartitioned]].
     */
   def resizePartitioned(df: DataFrame, idCol: String, binCol: String,
-      maxSide: Int, batchSize: Int = 64): DataFrame = {
+      maxSide: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { chunk =>
-          chunk.iterator.map { case (id, payload) =>
-            ImageOps.resizeToMax(payload, maxSide) match {
-              case Some(resized) =>
-                val (w, h, _) = ImageHeader.decode(resized)
-                  .getOrElse((-1, -1, -1))
-                (id, resized, w, h)
-              case None => (id, null: Array[Byte], -1, -1)
-            }
+        // per-row work, no codec lifecycle: plain map (decodePartitioned
+        // keeps the grouped/batched form because its codec is batch-wise)
+        it.map { case (id, payload) =>
+          ImageOps.resizeToMax(payload, maxSide) match {
+            case Some(resized) =>
+              val (w, h, _) = ImageHeader.decode(resized)
+                .getOrElse((-1, -1, -1))
+              (id, resized, w, h)
+            case None => (id, null: Array[Byte], -1, -1)
           }
         }
       }
@@ -260,16 +260,14 @@ object Multimodal {
     * to the stub pipeline it replaces.
     */
   def embedPartitioned(df: DataFrame, idCol: String, binCol: String,
-      grid: Int = 8, batchSize: Int = 64): DataFrame = {
+      grid: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { chunk =>
-          chunk.iterator.flatMap { case (id, payload) =>
-            ImageOps.lumaEmbedding(payload, grid).map(e => (id, e))
-          }
+        it.flatMap { case (id, payload) =>
+          ImageOps.lumaEmbedding(payload, grid).map(e => (id, e))
         }
       }
       .toDF(idCol, "embedding")
@@ -282,20 +280,18 @@ object Multimodal {
     * duration_ms is integer arithmetic (frames*1000 div rate), so a SQL
     * oracle replays it exactly.
     */
-  def audioMetaPartitioned(df: DataFrame, idCol: String, binCol: String,
-      batchSize: Int = 64): DataFrame = {
+  def audioMetaPartitioned(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { chunk =>
-          chunk.iterator.map { case (id, payload) =>
-            AudioHeader.decodeWav(payload) match {
-              case Some((rate, ch, bits, frames)) =>
-                (id, rate, ch, bits, frames, frames * 1000L / rate)
-              case None => (id, -1, -1, -1, -1L, -1L)
-            }
+        it.map { case (id, payload) =>
+          AudioHeader.decodeWav(payload) match {
+            case Some((rate, ch, bits, frames)) =>
+              (id, rate, ch, bits, frames, frames * 1000L / rate)
+            case None => (id, -1, -1, -1, -1L, -1L)
           }
         }
       }
@@ -314,9 +310,14 @@ object Multimodal {
     */
   def imageNearDupsByLuma(df: DataFrame, idCol: String, binCol: String,
       threshold: Double = 0.98, grid: Int = 8, planes: Int = 0): DataFrame = {
-    val embedded = embedPartitioned(df, idCol, binCol, grid)
+    // Materialize the decode+embed pass ONCE: blockedNearDups self-joins
+    // it (two consumers) and the auto-planes path sizes off it — without
+    // the checkpoint every image would be pixel-decoded three times.
+    // Plane sizing uses df.count() (input metadata, no decode);
+    // unparseable rows only shift log2(n) negligibly.
     val p = if (planes > 0) planes
-      else graft.operators.Similarity.planesFor(embedded.count())
+      else graft.operators.Similarity.planesFor(math.max(1L, df.count()))
+    val embedded = embedPartitioned(df, idCol, binCol, grid).localCheckpoint()
     val blocked = embedded.withColumn("block",
       graft.functions.VectorFunctions.signatureBucket(
         graft.functions.VectorFunctions.hyperplaneSignature(

@@ -319,15 +319,20 @@ object Dedup {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
     require(missRate > 0 && missRate < 1 && bgJaccard > 0 && bgJaccard < 1,
       "missRate and bgJaccard must be in (0,1)")
+    require(maxK >= 4, s"maxK must be >= 4: $maxK")
     var bands = 8
     var rows = 2
     (0 until 3).foreach { _ =>
-      rows = math.max(2, math.ceil(
+      // all sizing in Double, clamped BEFORE materializing to Int: for a
+      // low threshold at petabyte n the ideal band count overflows Int
+      // (ceil -> 2^31-1), and `rows * bands` would wrap negative and
+      // skip the cap entirely — the cap must bound the Double
+      rows = math.min(maxK / 2, math.max(2, math.ceil(
         math.log(corpusSize.toDouble * bands)
-          / math.log(1.0 / bgJaccard)).toInt)
-      bands = math.max(2, math.ceil(
-        math.log(missRate) / math.log(1.0 - math.pow(threshold, rows))).toInt)
-      if (rows * bands > maxK) bands = math.max(2, maxK / rows)
+          / math.log(1.0 / bgJaccard)).toInt))
+      val ideal = math.ceil(math.log(missRate) /
+        math.log(1.0 - math.pow(threshold, rows))) // may be huge or +Inf
+      bands = math.max(2, math.min(ideal, (maxK / rows).toDouble).toInt)
     }
     (rows * bands, bands)
   }

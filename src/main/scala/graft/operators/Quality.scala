@@ -118,6 +118,16 @@ object Quality {
       .select(col(idCol), col("tok").as("term"), col("tf"), col("score_u"))
   }
 
+  /** The pre-checkpoint scoring plan of [[selectByTokenBudget]] —
+    * factored out so its shape can be plan-gated directly: the
+    * localCheckpoint in the caller collapses all of this to a LogicalRDD
+    * leaf, making it invisible to any gate over the FINAL plan.
+    */
+  private[graft] def scoredBands(df: DataFrame, idCol: String,
+      textCol: String, bandScale: Int): DataFrame =
+    unigramLogprob(df, idCol, textCol)
+      .withColumn("band", floor(col("avg_lp") * bandScale).cast("long"))
+
   /** Select the highest-quality documents until a global TOKEN budget is
     * spent — the "best N tokens" corpus-selection step (greedy by
     * quality, the batch twin of quality-threshold filtering when the
@@ -144,16 +154,6 @@ object Quality {
     * corpus landing every doc in one band) stays distributed, under the
     * same id-density assumption prefixSum documents.
     */
-  /** The pre-checkpoint scoring plan of [[selectByTokenBudget]] —
-    * factored out so its shape can be plan-gated directly: the
-    * localCheckpoint in the caller collapses all of this to a LogicalRDD
-    * leaf, making it invisible to any gate over the FINAL plan.
-    */
-  private[graft] def scoredBands(df: DataFrame, idCol: String,
-      textCol: String, bandScale: Int): DataFrame =
-    unigramLogprob(df, idCol, textCol)
-      .withColumn("band", floor(col("avg_lp") * bandScale).cast("long"))
-
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
       budget: Long, bandScale: Int = 1000,
       bucketWidth: Long = 1L << 16): DataFrame = {

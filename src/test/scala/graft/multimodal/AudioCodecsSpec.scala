@@ -41,6 +41,18 @@ class AudioCodecsSpec extends SparkSpec {
     assert(AudioHeader.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
     assert(AudioHeader.decodeWav(base.take(30)).isEmpty)
     assert(AudioHeader.decodeWav(null).isEmpty)
+    // regression: a chunk declaring a ~4 GB length used to wrap negative
+    // through toInt and spin the walk in place (hung task) or drive the
+    // index negative (crash) — must return None, fast
+    val lying = base.take(12) ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      base.drop(20)
+    assert(AudioHeader.decodeWav(lying).isEmpty)
+    // truncated final data chunk (declared > present): tolerated, frames
+    // derived from the bytes actually present
+    val truncated = base.dropRight(40)
+    assert(AudioHeader.decodeWav(truncated)
+      .contains((16000, 1, 16, 30L))) // 50 frames - 40 bytes/2Bpf = 30
   }
 
   test("audioMetaPartitioned: real parse + integer duration, corrupt -> -1") {

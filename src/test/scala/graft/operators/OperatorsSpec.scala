@@ -343,6 +343,14 @@ class OperatorsSpec extends SparkSpec {
         s"n=$n rows=$rows bands=$bands noise unbounded")
       lastRows = rows
     }
+    // regression: a LOW threshold at petabyte n drove the ideal band
+    // count past Int range; rows*bands wrapped negative and skipped the
+    // maxK cap entirely (returned k=-22, bands=Int.MaxValue)
+    for (t <- Seq(0.2, 0.5, 0.8); n <- Seq(1000L, 1000000000000L)) {
+      val (k, bands) = Dedup.bandingFor(n, t)
+      assert(k > 0 && bands >= 2 && k <= 256 && k % bands == 0,
+        s"n=$n t=$t -> k=$k bands=$bands")
+    }
   }
 
   test("PQ top-k: 8-byte codes, deterministic, useful recall vs brute force") {
