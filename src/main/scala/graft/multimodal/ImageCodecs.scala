@@ -205,15 +205,34 @@ class ImageIoCodec extends Multimodal.BatchCodec {
 object ImageOps {
   import java.awt.image.BufferedImage
 
+  /** Pixel-decode budget: a crafted header declaring 50k×50k would make
+    * ImageIO allocate gigabytes of raster BEFORE any downstream size
+    * check could run (a decompression bomb — at corpus scale an
+    * adversarial document, not a hypothetical). The cheap header parse
+    * rejects oversized images without touching pixel data; images the
+    * header can't parse fall through to ImageIO, whose own read then
+    * bounds them only by the payload (acceptable: bombs need the huge
+    * DECLARED size, which the header sees).
+    */
+  private final val MaxPixels = 64L * 1024 * 1024
+
+  private def withinPixelBudget(payload: Array[Byte]): Boolean =
+    ImageHeader.decode(payload) match {
+      case Some((w, h, _)) => w.toLong * h <= MaxPixels
+      case None => true
+    }
+
   /** Downscale so max(width, height) == `maxSide` (identity when already
     * within), bilinear onto an RGB canvas, re-encoded as PNG. Target
     * dimensions are PURE INTEGER arithmetic — `max(1, w*maxSide div
     * max(w,h))` — so a SQL oracle recomputes them without touching
-    * pixels. None for unparseable payloads (corrupt rows are data).
+    * pixels. None for unparseable payloads (corrupt rows are data) and
+    * for images over the pixel budget (bombs are data too).
     */
   def resizeToMax(payload: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
     require(maxSide > 0, s"maxSide must be positive: $maxSide")
     SyntheticImages.ensureHeadless()
+    if (!withinPixelBudget(payload)) return None
     // NonFatal, not just IOException: the JDK's image readers throw
     // unchecked exceptions (AIOOBE, NegativeArraySize, IAE) on malformed
     // payloads — a corrupt row is data, never a task failure
@@ -249,6 +268,7 @@ object ImageOps {
   def lumaEmbedding(payload: Array[Byte], grid: Int = 8): Option[Array[Float]] = {
     require(grid > 0, s"grid must be positive: $grid")
     SyntheticImages.ensureHeadless()
+    if (!withinPixelBudget(payload)) return None
     // NonFatal (see resizeToMax): malformed payloads throw unchecked
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))

@@ -119,6 +119,22 @@ class ImageCodecsSpec extends SparkSpec {
       == (16, 32))
     // corrupt payload: None, not an exception
     assert(ImageOps.resizeToMax("junk".getBytes("UTF-8"), 32).isEmpty)
+    // decompression bomb: a valid PNG HEADER declaring 50000x50000 (no
+    // real pixel data needed — the bomb is the declared size) must be
+    // rejected by the header-parse budget BEFORE ImageIO allocates
+    val bomb = {
+      val real = SyntheticImages.png(8, 8)
+      // IHDR width at offset 16, height at 20 (big-endian u32)
+      def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+        b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+        b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+      }
+      val hacked = real.clone()
+      putU32(hacked, 16, 50000L); putU32(hacked, 20, 50000L)
+      hacked
+    }
+    assert(ImageOps.resizeToMax(bomb, 32).isEmpty)
+    assert(ImageOps.lumaEmbedding(bomb).isEmpty)
   }
 
   test("lumaEmbedding is a real pixel read and survives resizing") {
