@@ -175,6 +175,30 @@ object StreamBench {
       try drive(ms, chunksOf(events, nBatches), q) finally q.stop()
     }
 
+    // 7. streaming Top-N per closed window — the reference's flagship
+    // HotItems case study (windowed count + per-batch rank in
+    // foreachBatch); sink counts rows to keep the batch materialized
+    bench("topn_hotitems")(events.size.toLong) { () =>
+      val ms = MemoryStream[Ev]
+      val q = streaming.StreamOps.streamingTopN(ms.toDF(), "ts",
+        "10 seconds", "1 hour", "event_type", 3,
+        (b, _) => { b.count(); () }).start()
+      try drive(ms, chunksOf(events, nBatches), q) finally q.stop()
+    }
+
+    // 8. transformWithState running count — the Spark-4 native state
+    // API. Requires the RocksDB provider (transformWithState contract),
+    // so it only runs in that pass; the memory column stays "-".
+    if (tag == "rocksdb")
+      bench("running_count_tws")(events.size.toLong) { () =>
+        val ms = MemoryStream[Ev]
+        val out = streaming.StateV2.runningCountWithTtl(ms.toDS())(
+          _.user_id.toString)
+        val q = out.toDF("k", "cnt").writeStream.format("memory")
+          .queryName(s"sb_${tag}_tws").outputMode("update").start()
+        try drive(ms, chunksOf(events, nBatches), q) finally q.stop()
+      }
+
     results.toSeq
   }
 
@@ -231,7 +255,9 @@ object StreamBench {
       "count_window" -> "`CountWindows.tumblingStream` (size 10)",
       "interval_join" -> "`StreamJoins.intervalJoin` (±5 min)",
       "stream_dedup" -> "`StreamDedup.nearDupCandidates` (LSH bands)",
-      "windowed_agg" -> "`StreamOps.windowedAgg` (1h tumble, append)")
+      "windowed_agg" -> "`StreamOps.windowedAgg` (1h tumble, append)",
+      "topn_hotitems" -> "`StreamOps.streamingTopN` (HotItems, top-3/1h)",
+      "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")
     md.append("Streaming throughput (rows/s) for the stateful streaming surface,\n")
@@ -243,13 +269,15 @@ object StreamBench {
     md.append("state-backend tax at this (state-tiny) scale.\n\n")
     md.append("| workload | operator | input rows | memory s | memory rows/s | rocksdb s | rocksdb rows/s |\n")
     md.append("|---|---|---|---|---|---|---|\n")
-    val memRows = all.head._2
-    val rockRows = all.last._2.map(r => r._1 -> r).toMap
-    memRows.foreach { case (k, rows, mSec) =>
-      val (_, _, rSec) = rockRows.getOrElse(k, (k, rows, -1.0))
+    // the rocksdb pass is the superset (transformWithState is
+    // RocksDB-only), so it drives the table's row order
+    val memRowsMap = all.head._2.map(r => r._1 -> r).toMap
+    all.last._2.foreach { case (k, rows, rSec) =>
       def cell(sec: Double) =
         if (sec > 0) (f(sec), f(rows / sec)) else ("-", "FAILED")
-      val (ms, mr) = cell(mSec); val (rs, rr) = cell(rSec)
+      val (ms, mr) = memRowsMap.get(k).map(r => cell(r._3))
+        .getOrElse(("-", "n/a"))
+      val (rs, rr) = cell(rSec)
       md.append(s"| $k | ${opOf.getOrElse(k, "")} | $rows | $ms | $mr | $rs | $rr |\n")
     }
     md.append("\nReference analogs: SumDemo.java:37 (keyed streaming sum),\n")
