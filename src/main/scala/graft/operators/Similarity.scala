@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import graft.plans.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,11 +411,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
       roundScale: Int = 4, refineIters: Int = 0): DataFrame = {
-    GraftFunctions.register(queries.sparkSession)
-    // refineIters = 0 keeps the hash-picked sample (oracle-reproducible —
-    // the q60 gate path); > 0 runs spherical-k-means steps for tighter
-    // cells (recall per probe goes up; no longer engine-reproducible
-    // since float means depend on summation order)
+    val (cent, assigned) = ivfBuild(corpus, idCol, vecCol, nlist,
+      roundScale, refineIters)
+    ivfSearch(queries, cent, assigned, idCol, vecCol, k, nProbe, roundScale)
+  }
+
+  /** IVF index build — the production build-ONCE half of [[ivfTopK]]:
+    * centroids + the corpus assigned to its nearest cell. At scale this
+    * runs once per corpus version and is persisted ([[ivfWriteIndex]]);
+    * per-call rebuilds re-scan the corpus for every query batch.
+    * refineIters = 0 keeps the hash-picked sample (oracle-reproducible —
+    * the q60 gate path); > 0 runs spherical-k-means steps for tighter
+    * cells (recall per probe goes up; no longer engine-reproducible
+    * since float means depend on summation order).
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, roundScale: Int = 4, refineIters: Int = 0)
+      : (DataFrame, DataFrame) = {
+    GraftFunctions.register(corpus.sparkSession)
     val cent = refineCentroids(corpus, idCol, vecCol,
       hashCentroids(corpus, idCol, vecCol, nlist), refineIters)
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
@@ -428,9 +441,35 @@ object Similarity {
         Window.partitionBy(col("vid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("ark") === 1)
       .select("cid", "vid", "cv", "cn")
+    (cent, assigned)
+  }
+
+  /** IVF search over a pre-built index — the search-MANY half: queries
+    * probe their `nProbe` nearest cells and score only those cells'
+    * vectors. The query side broadcasts; the corpus-sized `assigned`
+    * table never reshuffles.
+    */
+  def ivfSearch(queries: DataFrame, cent: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val probes = ivfProbes(queries, cent, idCol, vecCol, nProbe, roundScale)
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("cos_r",
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "cos_r")
+  }
+
+  private def ivfProbes(queries: DataFrame, cent: DataFrame, idCol: String,
+      vecCol: String, nProbe: Int, roundScale: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", GraftFunctions.norm(col("qv")))
-    val probes = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .withColumn("sim", round(
         GraftFunctions.dot(col("qv"), col("centv")) / (col("qn") * col("centn")),
         roundScale))
@@ -438,7 +477,43 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("prk") <= nProbe)
       .select("cid", "qid", "qv", "qn")
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+  }
+
+  /** Persist an IVF index: centroids + the assigned corpus PARTITIONED
+    * BY CELL ID. The on-disk layout is the search-time pruning lever —
+    * [[ivfSearchStored]] reads only the probed cells' files.
+    */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16, roundScale: Int = 4,
+      refineIters: Int = 0): Unit = {
+    val (cent, assigned) = ivfBuild(corpus, idCol, vecCol, nlist,
+      roundScale, refineIters)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/cells")
+  }
+
+  /** Search a stored IVF index with PHYSICAL cell pruning: the probed
+    * cell ids (a driver-side set bounded by `nlist`, NOT by query count
+    * — there are only nlist distinct cells) become a literal partition
+    * filter, so the scan reads only those cells' parquet files. This is
+    * the 100 TB search shape: an nProbe/nlist fraction of the index is
+    * ever read, verifiable in the plan's PartitionFilters.
+    */
+  def ivfSearchStored(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val probes = ivfProbes(queries, cent, idCol, vecCol, nProbe, roundScale)
+      .localCheckpoint() // two consumers: cid collect + the score join
+    // type-agnostic: cid is Long from the in-memory build but partition-
+    // directory inference may read it back as Int
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(probedCids: _*))
+    val scored = cells.join(broadcast(probes), Seq("cid"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("cos_r",
         round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))

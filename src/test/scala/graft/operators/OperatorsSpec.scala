@@ -290,6 +290,43 @@ class OperatorsSpec extends SparkSpec {
     assert(part.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("stored IVF index: physical cell pruning, probe-all == brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.ivfWriteIndex(e, "vec_id", "embedding", path, nlist = 8)
+    // probe-all recovers brute force through the STORED index (build →
+    // write → read → search equals the in-memory pipeline end to end)
+    val stored = Similarity.ivfSearchStored(spark, path, q,
+        "vec_id", "embedding", k = 3, nProbe = 8)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(stored == brute)
+    // partial probing PHYSICALLY prunes: cid is a partition column, so
+    // the probed-cid filter must land in the scan's PartitionFilters and
+    // the file listing under those filters must shrink (inputFiles can't
+    // show this — it lists the whole relation, ignoring filters)
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.count()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    }
+    def filesUnderFilters(f: org.apache.spark.sql.execution.FileSourceScanExec) =
+      f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+        .map(_.files.size).sum
+    val fullScan = scanOf(spark.read.parquet(s"$path/cells"))
+    val prunedScan = scanOf(
+      spark.read.parquet(s"$path/cells").filter($"cid".isin(0, 1)))
+    assert(prunedScan.partitionFilters.exists(_.references.exists(_.name == "cid")),
+      s"cid filter not a partition filter: ${prunedScan.partitionFilters}")
+    val (allFiles, prunedFiles) =
+      (filesUnderFilters(fullScan), filesUnderFilters(prunedScan))
+    assert(prunedFiles < allFiles,
+      s"cid partition filter did not prune files: $prunedFiles vs $allFiles")
+  }
+
   test("planesFor holds bucket occupancy across corpus growth") {
     // expected occupancy n / 2^planes stays within [target/2, target]
     for (n <- Seq(100L, 1000L, 100000L, 10000000L, 10000000000L)) {
