@@ -116,6 +116,12 @@ object ScaleSmoke {
       docs, "doc_id", "text", 3, 16, 8))
     run("minhash_neardups", graft.operators.Dedup.minhashNearDupsFast(
       docs, "doc_id", "text", 0.6, 3, 16, 8))
+    // the round-8 AUTO default: banding derived from corpus count +
+    // threshold (bandingFor) — the path a caller gets with no tuning;
+    // gated here so the derived (k, bands) is smoke-proven at scale,
+    // not just unit-tested
+    run("minhash_neardups_auto", graft.operators.Dedup.minhashNearDupsFast(
+      docs, "doc_id", "text", 0.6))
     run("simhash_neardups", graft.operators.Dedup.simhashNearDups(
       docs, "doc_id", "text", maxHamming = 3, prefixBits = 12))
 
