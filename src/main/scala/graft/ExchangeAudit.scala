@@ -18,7 +18,8 @@ object ExchangeAudit {
         val n = plans.PlanWalk.shuffleExchangeCount(df.queryExecution.executedPlan)
         println(s"""AUDIT    "$name" -> $n,""")
       } catch { case e: Throwable =>
-        println(s"""AUDIT    // $name FAILED: ${e.getMessage.take(120)}""")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        println(s"""AUDIT    // $name FAILED: ${msg.take(120)}""")
       }
     }
     spark.stop()

@@ -42,7 +42,10 @@ object AudioHeader {
       } else {
         id match {
           case "fmt " =>
-            if (avail < 16) return None
+            // the DECLARED length gates the field reads, not just bytes
+            // to EOF: a lying len < 16 (PCM fmt minimum) would otherwise
+            // read the NEXT chunk's bytes as channels/rate/blockAlign
+            if (len < 16 || avail < 16) return None
             val audioFormat = u16le(b, i + 8)
             // 1 = PCM, 0xFFFE = extensible (PCM subtype assumed)
             if (audioFormat != 1 && audioFormat != 0xfffe) return None

@@ -62,11 +62,12 @@ object ImageHeader {
     val w = u32be(b, 16); val h = u32be(b, 20)
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
     val channels = (b(25) & 0xff) match {
-      case 0 => 1 // grayscale
-      case 2 => 3 // truecolor
-      // palette entries are RGB triples, but a tRNS chunk adds per-entry
-      // alpha — decoders (javax.imageio included) then report 4 components
-      case 3 => if (pngHasTrns(b)) 4 else 3
+      // a tRNS chunk adds transparency to the alpha-less color types —
+      // decoders (javax.imageio included) then report one extra component:
+      // grayscale -> gray+alpha, truecolor -> RGBA, palette -> RGBA
+      case 0 => if (pngHasTrns(b)) 2 else 1 // grayscale
+      case 2 => if (pngHasTrns(b)) 4 else 3 // truecolor
+      case 3 => if (pngHasTrns(b)) 4 else 3 // palette (RGB triples + tRNS)
       case 4 => 2 // gray + alpha
       case 6 => 4 // RGBA
       case _ => return None

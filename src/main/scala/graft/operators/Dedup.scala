@@ -337,6 +337,24 @@ object Dedup {
     (rows * bands, bands)
   }
 
+  /** Explicit (k, bands) when BOTH are supplied (validated: bands | k),
+    * auto-derived via [[bandingFor]] when NEITHER is. A partial override
+    * (only one of the two) is rejected rather than silently ignored —
+    * under the pre-auto-banding defaults `k = 32` alone was meaningful,
+    * and dropping it without a sound would change recall behind the
+    * caller's back.
+    */
+  private def resolveBanding(df: DataFrame, threshold: Double,
+      k: Int, bands: Int): (Int, Int) = {
+    require((k > 0) == (bands > 0),
+      s"supply BOTH k and bands (explicit banding) or NEITHER " +
+        s"(auto-derive from corpus size), got k=$k bands=$bands")
+    if (k > 0) {
+      graft.functions.XxMinhashImpl.requireBanding(k, bands)
+      (k, bands)
+    } else bandingFor(df.count(), threshold)
+  }
+
   /** [[minhashNearDups]] on the production xxhash64 signature path:
     * fast candidates, then hash-free exact-Jaccard verification (which an
     * external oracle can reproduce — with bands=k the candidate recall on
@@ -350,8 +368,7 @@ object Dedup {
     */
   def minhashNearDupsFast(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 0, bands: Int = 0): DataFrame = {
-    val (k0, b0) = if (k > 0 && bands > 0) (k, bands)
-      else bandingFor(df.count(), threshold)
+    val (k0, b0) = resolveBanding(df, threshold, k, bands)
     pairJaccard(minhashCandidatesFast(df, idCol, textCol, shingleN, k0, b0),
         df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
@@ -366,8 +383,7 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 0, bands: Int = 0): DataFrame = {
-    val (k0, b0) = if (k > 0 && bands > 0) (k, bands)
-      else bandingFor(df.count(), threshold)
+    val (k0, b0) = resolveBanding(df, threshold, k, bands)
     // Candidate materialization (one localCheckpoint, two consumers)
     // happens inside pairJaccard — see the comment there.
     pairJaccard(minhashCandidates(df, idCol, textCol, shingleN, k0, b0),

@@ -53,6 +53,13 @@ class AudioCodecsSpec extends SparkSpec {
     val truncated = base.dropRight(40)
     assert(AudioHeader.decodeWav(truncated)
       .contains((16000, 1, 16, 30L))) // 50 frames - 40 bytes/2Bpf = 30
+    // regression: a fmt chunk DECLARING len < 16 (the PCM minimum) used to
+    // read the next chunk's bytes as channels/rate/blockAlign (plenty of
+    // bytes remain to EOF, so the avail guard alone never fired) and
+    // return garbage metadata — must be None
+    val shortFmt = base.clone()
+    shortFmt(16) = 12 // fmt chunk length field: 16 -> 12
+    assert(AudioHeader.decodeWav(shortFmt).isEmpty)
   }
 
   test("audioMetaPartitioned: real parse + integer duration, corrupt -> -1") {

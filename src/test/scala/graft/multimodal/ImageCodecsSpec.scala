@@ -50,6 +50,34 @@ class ImageCodecsSpec extends SparkSpec {
     }
   }
 
+  /** Splice a well-formed tRNS chunk (correct CRC) right after IHDR —
+    * tRNS must precede IDAT, and real encoders place it there.
+    */
+  private def withTrns(png: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    val insertAt = 8 + 8 + 13 + 4 // signature + IHDR(len,type,data,crc)
+    val typ = "tRNS".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(typ); crc.update(payload)
+    val buf = java.nio.ByteBuffer.allocate(12 + payload.length)
+    buf.putInt(payload.length).put(typ).put(payload).putInt(crc.getValue.toInt)
+    png.take(insertAt) ++ buf.array() ++ png.drop(insertAt)
+  }
+
+  test("tRNS on grayscale/truecolor PNGs adds the alpha channel") {
+    // color type 0 + tRNS (2-byte gray sample) -> gray+alpha; color type
+    // 2 + tRNS (6-byte RGB sample) -> RGBA. ImageIO's PNG reader honors
+    // tRNS the same way — parity on the full decode, not just a claim.
+    val iio = new ImageIoCodec; iio.open()
+    val gray = withTrns(SyntheticImages.png(31, 17, gray = true),
+      Array[Byte](0, 42))
+    val rgb = withTrns(SyntheticImages.png(31, 17),
+      Array[Byte](0, 10, 0, 20, 0, 30))
+    assert(ImageHeader.decode(gray).contains((31, 17, 2)))
+    assert(ImageHeader.decode(rgb).contains((31, 17, 4)))
+    assert(iio.decodeBatch(Seq(gray)).head == ((31, 17, 2)))
+    assert(iio.decodeBatch(Seq(rgb)).head == ((31, 17, 4)))
+  }
+
   test("transparent GIF: header alpha detection matches ImageIO") {
     val iio = new ImageIoCodec; iio.open()
     for ((w, h) <- sizes) {

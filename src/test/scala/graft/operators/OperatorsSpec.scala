@@ -365,6 +365,22 @@ class OperatorsSpec extends SparkSpec {
     assert(autoD == explD)
   }
 
+  test("partial banding overrides are rejected, not silently ignored") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // pre-auto-banding callers passed only k (bands defaulted to 8); that
+    // must now fail loudly instead of auto-deriving both behind their back
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsFast(docs, "doc_id", "text", 0.6, k = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(docs, "doc_id", "text", 0.6, bands = 8)
+    }
+    // explicit path validates bands | k
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsFast(docs, "doc_id", "text", 0.6, k = 15, bands = 4)
+    }
+  }
+
   test("bandingFor tracks corpus growth: selectivity first, capped k") {
     var lastRows = 0
     for (n <- Seq(1000L, 1000000L, 1000000000L, 1000000000000L)) {
