@@ -28,6 +28,21 @@ case class OrderResult(orderId: Long, resultMsg: String)
 // reference scala/.../demo/orderpaydetect/TxMatch.scala:54
 case class ReceiptEvent(txId: String, payChannel: String, ts: Timestamp)
 
+/** Streaming TxMatch outcome — the reference's three outputs folded into
+  * one tagged stream (TxMatch.scala:46-49 main + two side outputs):
+  * kind = "matched" | "unmatched-pay" | "unmatched-receipt"; absent-side
+  * fields are -1 / "".
+  */
+case class TxMatchOutcome(txId: String, kind: String, orderId: Long,
+    payChannel: String, payTs: Long, receiptTs: Long)
+
+/** NetworkFlow streaming top-N row; `amended` = a late event re-ranked an
+  * already-emitted window (the reference's late re-fire,
+  * NetworkFlow.scala:112-116).
+  */
+case class UrlViewRank(windowEnd: Long, url: String, cnt: Long, rank: Int,
+    amended: Boolean)
+
 // reference scala/.../demo/market/AdClickAnalysis.scala:55-60
 case class AdClickLog(userId: Long, adId: Long, province: String,
     city: String, ts: Timestamp)

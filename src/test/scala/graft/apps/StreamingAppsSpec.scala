@@ -155,6 +155,152 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("txMatchStream: matched pairs, pay-only timeout, receipt-only timeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pays = MemoryStream[OrderEvent]
+    val receipts = MemoryStream[ReceiptEvent]
+    val out = StreamingApps.txMatchStream(pays.toDS(), receipts.toDS(),
+      payWaitMs = 5000L, receiptWaitMs = 3000L)
+    val q = out.writeStream.format("memory").queryName("tx_out")
+      .outputMode("append").start()
+    try {
+      // tx1 matches in-batch; tx2 pay never gets a receipt; tx3 receipt
+      // never gets a pay; "create" events must be ignored entirely
+      pays.addData(OrderEvent(1, "create", "tx1", t(8)),
+        OrderEvent(1, "pay", "tx1", t(10)), OrderEvent(2, "pay", "tx2", t(20)))
+      receipts.addData(ReceiptEvent("tx1", "wechat", t(12)),
+        ReceiptEvent("tx3", "alipay", t(30)))
+      q.processAllAvailable()
+      // advance the watermark far past both deadlines (tx2 @25s, tx3 @33s)
+      pays.addData(OrderEvent(9, "pay", "tx9", t(100)))
+      q.processAllAvailable()
+      pays.addData(OrderEvent(10, "pay", "tx10", t(200)))
+      q.processAllAvailable()
+      val rows = spark.table("tx_out").as[TxMatchOutcome].collect()
+        .map(r => r.txId -> r).toMap
+      assert(rows("tx1").kind == "matched" && rows("tx1").orderId == 1 &&
+        rows("tx1").payChannel == "wechat" && rows("tx1").payTs == 10000L &&
+        rows("tx1").receiptTs == 12000L)
+      assert(rows("tx2").kind == "unmatched-pay" && rows("tx2").orderId == 2)
+      assert(rows("tx3").kind == "unmatched-receipt" &&
+        rows("tx3").payChannel == "alipay")
+      assert(!rows.contains("tx9") || rows("tx9").kind == "unmatched-pay")
+      // matched state clears instantly; only in-flight tx rows remain
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum <= 2)
+    } finally q.stop()
+  }
+
+  test("txMatchStream: a receipt arriving after the pay timed out becomes unmatched-receipt") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pays = MemoryStream[OrderEvent]
+    val receipts = MemoryStream[ReceiptEvent]
+    val out = StreamingApps.txMatchStream(pays.toDS(), receipts.toDS())
+    val q = out.writeStream.format("memory").queryName("tx_late_out")
+      .outputMode("append").start()
+    try {
+      pays.addData(OrderEvent(5, "pay", "tx5", t(10)))
+      q.processAllAvailable()
+      pays.addData(OrderEvent(6, "pay", "tx6", t(100))) // wm -> 100s, tx5 expires
+      q.processAllAvailable()
+      // the counterpart shows up AFTER the unmatched-pay side output —
+      // the reference would likewise no longer hold tx5's pay state
+      receipts.addData(ReceiptEvent("tx5", "card", t(101)))
+      q.processAllAvailable()
+      pays.addData(OrderEvent(7, "pay", "tx7", t(300))) // expire tx5's receipt + tx6
+      q.processAllAvailable()
+      pays.addData(OrderEvent(8, "pay", "tx8", t(400)))
+      q.processAllAvailable()
+      val rows = spark.table("tx_late_out").as[TxMatchOutcome].collect()
+        .filter(_.txId == "tx5").map(r => r.kind).sorted.toList
+      assert(rows == List("unmatched-pay", "unmatched-receipt"),
+        s"expected both sides unmatched for tx5, got $rows")
+    } finally q.stop()
+  }
+
+  test("networkFlowStream: close once, amend on late data, drop past the lateness band") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[ApacheLogEvent]
+    def ev(sec: Long, url: String, method: String = "GET") =
+      ApacheLogEvent("ip", "u", t(sec), method, url)
+    val out = StreamingApps.networkFlowStream(ms.toDS(), topN = 2,
+      sizeMs = 10000L, slideMs = 10000L, latenessMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("nf_out")
+      .outputMode("append").start()
+    def w10 = spark.table("nf_out").as[UrlViewRank].collect()
+      .filter(_.windowEnd == 10000L).toList
+    try {
+      // window [0,10s): A x3, B x2, C x1; POST filtered out
+      ms.addData(ev(1, "/a"), ev(2, "/a"), ev(3, "/a"), ev(4, "/b"),
+        ev(5, "/b"), ev(6, "/c"), ev(7, "/a", method = "POST"))
+      q.processAllAvailable()
+      assert(w10.isEmpty) // true event time has not passed windowEnd
+      ms.addData(ev(65, "/head")) // wm -> 5s: true time passed 10s, close
+      q.processAllAvailable()
+      assert(w10.map(r => (r.url, r.cnt, r.rank, r.amended)).sorted ==
+        List(("/a", 3L, 1, false), ("/b", 2L, 2, false)))
+      // two late /b hits inside the lateness band: B overtakes A, amended
+      ms.addData(ev(6, "/b"), ev(6, "/b"))
+      q.processAllAvailable()
+      val amended = w10.filter(_.amended)
+      assert(amended.map(r => (r.url, r.cnt, r.rank)).sorted ==
+        List(("/a", 3L, 2), ("/b", 4L, 1)))
+      // past the lateness band: state GC'd, a stale event emits nothing
+      ms.addData(ev(80, "/head")) // wm -> 20s > windowEnd: GC
+      q.processAllAvailable()
+      val before = w10.size
+      ms.addData(ev(7, "/a")) // 7s < wm: dropped by the watermark
+      q.processAllAvailable()
+      assert(w10.size == before)
+    } finally q.stop()
+  }
+
+  test("pageViewStream: salted partials merge to one total per closed window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[UserBehavior]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StreamingApps.pageViewStream(ms.toDF(), salts = 4,
+        size = "10 seconds") { (batch, _) =>
+        got.synchronized {
+          got ++= batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+      }.start()
+    try {
+      ms.addData((1 to 9).map(i =>
+        UserBehavior(i, i, 0, if (i % 3 == 0) "buy" else "pv", t(i))): _*)
+      q.processAllAvailable()
+      assert(got.isEmpty) // window still open
+      ms.addData(UserBehavior(99, 99, 0, "pv", t(60)))
+      q.processAllAvailable()
+      // 9 events, 3 buys filtered -> 6 pv in [0,10s), one merged row
+      assert(got.filter(_._1 == 10L).toList == List((10L, 6L)))
+    } finally q.stop()
+  }
+
+  test("appMarketStream: uninstall filtered, (channel, behavior) counts per window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[MarketUserBehavior]
+    val out = StreamingApps.appMarketStream(ms.toDS(),
+      size = "10 seconds", slide = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("am_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        MarketUserBehavior("u1", "view", "appstore", t(1)),
+        MarketUserBehavior("u2", "view", "appstore", t(2)),
+        MarketUserBehavior("u3", "download", "appstore", t(3)),
+        MarketUserBehavior("u4", "view", "weibo", t(4)),
+        MarketUserBehavior("u5", "uninstall", "weibo", t(5)))
+      q.processAllAvailable()
+      ms.addData(MarketUserBehavior("u9", "view", "wechat", t(60)))
+      q.processAllAvailable()
+      val rows = spark.table("am_out")
+        .as[(Long, Long, String, String, Long)].collect()
+        .filter(_._1 == 0L).map(r => (r._3, r._4) -> r._5).toMap
+      assert(rows == Map(("appstore", "view") -> 2L,
+        ("appstore", "download") -> 1L, ("weibo", "view") -> 1L))
+    } finally q.stop()
+  }
+
   test("uniqueVisitorsStream approx matches exact on small data") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[UserBehavior]
