@@ -47,6 +47,36 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state plateaus once the watermark passes the horizon — bounded by horizon, not stream length") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val hits = StreamDedup.nearDupCandidates(ms.toDS())(_.id, _.text, _.ts,
+      horizonMs = 30000L)
+    val q = hits.writeStream.format("memory").queryName("sdd_plateau")
+      .outputMode("append").start()
+    try {
+      // 10 batches x 20 distinct docs, event time advancing 15s per batch:
+      // a batch's claims outlive ~3 later batches (wm lags one batch, then
+      // 15s x 3 > 30s horizon), so steady state holds ~3-4 batches' claims
+      val traj = scala.collection.mutable.ArrayBuffer[Long]()
+      for (b <- 0 until 10) {
+        ms.addData((0 until 20).map { i =>
+          Doc(b * 100L + i,
+            s"distinct document number ${b * 100 + i} with its own shingle words batch $b item $i",
+            t(b * 15L))
+        }: _*)
+        q.processAllAvailable()
+        traj += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      val claimsEver = 10L * 20 * 8 // every doc claims its 8 bands
+      assert(traj.last < claimsEver / 2,
+        s"state tracks stream length, not horizon: $traj")
+      // plateau: once GC kicks in, adds ≈ removes — the tail must not grow
+      assert(traj.last <= traj(6) + 80,
+        s"no plateau after the horizon: $traj")
+    } finally q.stop()
+  }
+
   test("streaming candidates agree with the batch fast path on the same corpus") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Seq(
