@@ -201,6 +201,15 @@ object ScaleSmoke {
     // the two-level bucket-offset prefix sum — gated here on purpose
     run("token_budget_select", graft.operators.Quality.selectByTokenBudget(
       docs, "doc_id", "text", budget = 1000000L), allowBroadcastNlj = true)
+    // the WORST case for token-budget select: every doc in ONE quality
+    // band (identical text -> identical score), so the entire corpus is
+    // the boundary band and flows through the two-level distributed
+    // prefix sum — the path whose partitionless window must stay above
+    // the 2^16-bucket totals, never the raw rows
+    run("token_budget_worst", graft.operators.Quality.selectByTokenBudget(
+      docs.withColumn("text",
+        lit("uniform quality band corpus row with identical scoring tokens")),
+      "doc_id", "text", budget = 100000L), allowBroadcastNlj = true)
 
     val queries = emb.filter(col("vec_id") < 50)
     // map-only JL compression: rows = |corpus|·outDim, zero shuffle
@@ -216,6 +225,39 @@ object ScaleSmoke {
     run("ann_pq_rerank", graft.operators.Similarity.pqRerankTopK(
       queries, emb, "vec_id", "embedding", k = 10, shortlist = 50),
       allowBroadcastNlj = true)
+    // stored IVF: build-once/search-many — the search must read only the
+    // probed cells' files off the persisted index (the 100 TB shape);
+    // gated here like the OperatorsSpec plan gate, at corpus scale
+    if (only.forall(_("ivf_search_stored"))) {
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("scale_ivf").toString
+      graft.operators.Similarity.ivfWriteIndex(
+        emb, "vec_id", "embedding", idxPath, nlist = 32)
+      val (sec, n, plan) = timed(graft.operators.Similarity.ivfSearchStored(
+        spark, idxPath, queries, "vec_id", "embedding", k = 10, nProbe = 4))
+      assertShapes("ivf_search_stored", plan, allowBroadcastNlj = true)
+      // pruning gate on a SINGLE query (50 diverse queries legitimately
+      // probe every cell — distinct probed cids is bounded by nlist, not
+      // by query count): one query must read <= nProbe of nlist cells
+      val one = graft.operators.Similarity.ivfSearchStored(spark, idxPath,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nProbe = 4)
+      one.count()
+      val cellScan = graft.plans.PlanWalk
+        .walk(one.queryExecution.executedPlan).collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("cells")) => f
+        }.getOrElse(sys.error("ivf_search_stored: no cells scan in plan"))
+      val partsRead = cellScan.relation.location
+        .listFiles(cellScan.partitionFilters, cellScan.dataFilters).size
+      val partsAll = cellScan.relation.location.listFiles(Nil, Nil).size
+      require(partsRead <= 4 && partsRead < partsAll,
+        s"ivf_search_stored: no physical pruning ($partsRead/$partsAll cells)")
+      println(f"SCALE ivf_search_stored     $sec%8.2f sec  rows=$n " +
+        s"(1-query probe reads $partsRead/$partsAll cells)")
+      spark.catalog.clearCache(); System.gc()
+    }
     // Lloyd's: centroids broadcast both in the argmin assignment and as
     // the k-row seed top-k; the corpus-side scan never shuffles
     run("kmeans_2iter", graft.operators.Clustering.kmeans(
@@ -231,6 +273,33 @@ object ScaleSmoke {
           substring(col("text"), 1, 12)).as("sig"))
         .dropDuplicates("sig"),
       "doc_id", "sig"))
+
+    // multimodal tier at corpus scale: REAL codecs (PNG decode + bilinear
+    // resize + re-encode; RIFF/WAVE chunk walk) over per-row synthetic
+    // payloads planted DISTRIBUTED (generated in the executors, sized by
+    // doc_id — never collected). localCheckpoint so the timed phase
+    // measures the operator, not payload synthesis.
+    if (only.forall(o => o("image_resize") || o("audio_meta"))) {
+      import spark.implicits._
+      val images = docs.select((col("doc_id") % 17 + 4).cast("int").as("w"),
+          (col("doc_id") % 11 + 4).cast("int").as("h"), col("doc_id"))
+        .as[(Int, Int, Long)]
+        .map { case (w, h, id) =>
+          (id, graft.multimodal.SyntheticImages.png(w, h)) }
+        .toDF("id", "payload").localCheckpoint()
+      run("image_resize", graft.multimodal.Multimodal.resizePartitioned(
+        images, "id", "payload", maxSide = 8))
+      graft.operators.Checkpoints.free(images)
+      val wavs = docs.select((col("doc_id") % 4 + 1).cast("int").as("rsel"),
+          (col("doc_id") % 2 + 1).cast("int").as("ch"), col("doc_id"))
+        .as[(Int, Int, Long)]
+        .map { case (rsel, ch, id) =>
+          (id, graft.multimodal.SyntheticAudio.wav(8000 * rsel, ch, 64)) }
+        .toDF("id", "payload").localCheckpoint()
+      run("audio_meta", graft.multimodal.Multimodal.audioMetaPartitioned(
+        wavs, "id", "payload"))
+      graft.operators.Checkpoints.free(wavs)
+    }
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

@@ -325,6 +325,30 @@ class OperatorsSpec extends SparkSpec {
       (filesUnderFilters(fullScan), filesUnderFilters(prunedScan))
     assert(prunedFiles < allFiles,
       s"cid partition filter did not prune files: $prunedFiles vs $allFiles")
+
+    // THE SEARCH PATH ITSELF is plan-gated (not just a hand-built
+    // filter): ivfSearchStored's executed plan must carry the probed-cid
+    // partition filter on its cells scan and list at most
+    // nProbe×|queries| cells' files — remove the isin filter inside
+    // ivfSearchStored and this fails with a full-index scan
+    val q2 = e.filter($"vec_id" < 2) // 2 queries × nProbe 2 ≤ 4 of 8 cells
+    val res = Similarity.ivfSearchStored(spark, path, q2,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    res.count()
+    val cellScans = graft.plans.PlanWalk.walk(res.queryExecution.executedPlan)
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+      }
+    assert(cellScans.nonEmpty, "no cells scan in ivfSearchStored plan")
+    val searchScan = cellScans.head
+    assert(searchScan.partitionFilters.exists(_.references.exists(_.name == "cid")),
+      s"probed-cid filter not a PartitionFilter: ${searchScan.partitionFilters}")
+    val partsRead = searchScan.relation.location
+      .listFiles(searchScan.partitionFilters, searchScan.dataFilters).size
+    val partsAll = searchScan.relation.location.listFiles(Nil, Nil).size
+    assert(partsRead <= 4 && partsRead < partsAll,
+      s"stored search did not physically prune: read $partsRead of $partsAll cells")
   }
 
   test("planesFor holds bucket occupancy across corpus growth") {
