@@ -118,9 +118,9 @@ object Changelog {
   /** Tag each emitted window row "first" or "update" (late re-fires) —
     * the reference's allowedLateness tagging. Works on any update-mode
     * aggregate whose key is `keyCols`. Same driver-form restriction as
-    * [[retractStream]]: the `seen` set resets on restart-from-checkpoint;
-    * use a persisted key table (cf. [[retractStreamPersisted]]) in
-    * production.
+    * [[retractStream]]: the `seen` set resets on restart-from-checkpoint
+    * and grows with key cardinality on the driver heap — test/dev form
+    * ONLY. Production queries use [[tagEmissionsPersisted]].
     */
   case class Tagged(key: String, value: Long, tag: String, batchId: Long)
 
@@ -138,6 +138,56 @@ object Changelog {
           Tagged(k, r.getLong(1), tag, id)
         }
         if (tagged.nonEmpty) sink(tagged.toSeq)
+        ()
+    }
+  }
+
+  /** At-scale emission tagging: the seen-keys set persists as a
+    * versioned keyed parquet table under `stateDir` (the
+    * [[retractStreamPersisted]] machinery with value-less state), so a
+    * query restarted from checkpoint keeps tagging previously-seen keys
+    * "update" instead of amnesiac "first", and a replayed micro-batch
+    * re-tags against the same prior snapshot (idempotent). The
+    * first/update classification is a distributed left-outer join on the
+    * key — nothing is collected to the driver.
+    *
+    * `sink` receives a DataFrame (key STRING, value BIGINT, tag STRING,
+    * batchId BIGINT) per micro-batch.
+    */
+  def tagEmissionsPersisted(updates: DataFrame, keyCols: Seq[String],
+      valueCol: String, stateDir: String, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    updates.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val base = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(base))
+            fs.listStatus(base).map(_.getPath.getName)
+              .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+              .filter(_ < id).sorted
+          else Array.empty[Long]
+        val cur = batch.select(
+          concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("k"),
+          col(valueCol).cast("long").as("v"))
+          .dropDuplicates("k").persist()
+        try {
+          val prev = versions.lastOption match {
+            case Some(vid) => spark.read.parquet(s"$stateDir/v$vid")
+            case None => cur.filter(lit(false)).select(col("k"))
+          }
+          val tagged = cur.join(prev.withColumn("__seen", lit(true)),
+              Seq("k"), "left_outer")
+            .select(col("k").as("key"), col("v").as("value"),
+              when(col("__seen").isNotNull, "update").otherwise("first").as("tag"),
+              lit(id).as("batchId"))
+          sink(tagged, id)
+          prev.select("k").unionByName(cur.select("k")).distinct()
+            .write.mode("overwrite").parquet(s"$stateDir/v$id")
+          versions.dropRight(1).foreach(vid =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$vid"), true))
+        } finally cur.unpersist()
         ()
     }
   }

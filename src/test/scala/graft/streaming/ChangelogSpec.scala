@@ -67,6 +67,41 @@ class ChangelogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("persisted emission tagging survives a REAL restart from checkpoint (no first-tag amnesia)") {
+    // genuine restart: a checkpointed file-source query, stopped and
+    // re-started as a fresh instance — batch ids continue from the
+    // checkpoint, the snapshot versioning's design contract
+    val root = java.nio.file.Files.createTempDirectory("tag_restart").toString
+    val (srcDir, ckDir, stateDir) = (s"$root/src", s"$root/ck", s"$root/snap")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long, String)]()
+    def runOnce(feed: Seq[KV]): Unit = {
+      feed.toDF("k", "v").write.mode("append").parquet(srcDir)
+      val src = spark.readStream.schema("k STRING, v BIGINT").parquet(srcDir)
+      val agg = src.groupBy($"k").agg(sum($"v").as("total"))
+      val q = tagEmissionsPersisted(agg, Seq("k"), "total", stateDir,
+        (tagged, id) => got.synchronized {
+          got ++= tagged.collect().map(r =>
+            (id, r.getString(0), r.getLong(1), r.getString(2)))
+        }).option("checkpointLocation", ckDir).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // instance 1, batch 0: both keys first
+    runOnce(Seq(KV("a", 1), KV("b", 5)))
+    assert(got.map(t => (t._2, t._4)).sorted.toList ==
+      List(("a", "first"), ("b", "first")))
+    got.clear()
+    // instance 2, SAME checkpoint + state dir, fresh closure — the
+    // driver-map form re-tags "first" here (restart amnesia); the
+    // persisted snapshot must keep tagging a "update", and the
+    // checkpointed agg keeps summing (a: 1+7=8)
+    runOnce(Seq(KV("a", 7), KV("c", 9)))
+    assert(got.map(t => (t._2, t._4)).sorted.toList ==
+      List(("a", "update"), ("c", "first")),
+      s"restart amnesia or lost snapshot: $got")
+    assert(got.find(_._2 == "a").exists(_._3 == 8L),
+      s"checkpointed aggregate lost its state: $got")
+  }
+
   test("persisted retract stream diffs against a parquet snapshot") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stateDir = java.nio.file.Files.createTempDirectory("retract_state")
