@@ -27,6 +27,43 @@ case class UEvent(userId: Long, eventId: Long, etype: String, tsMs: Long)
   *    result is salt-invariant, which is exactly what the oracle checks)
   *  - q55 word count (reference scala/.../wc/StreamWordCount.scala:13-22)
   */
+/** Spark-side SQL text for the streaming-adjacent gates' SQL twins
+  * (q112/q113). Mirrors the DuckDB oracles modulo dialect: the views
+  * registered by SqlSurface already carry the normalized `ts`, so no
+  * `ev` CTE; `CAST(ts AS LONG)` is Spark's epoch-seconds idiom.
+  */
+object SqlStreamText {
+  val lateTag: String =
+    """WITH m AS (SELECT MAX(ts) AS mx FROM events)
+      |SELECT event_type, ts < mx - INTERVAL 10 MINUTE AS is_late,
+      |  COUNT(*) AS n
+      |FROM events CROSS JOIN m
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val sessionGap: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    ts + CASE WHEN event_type = 'view' THEN INTERVAL 10 MINUTE
+      |              ELSE INTERVAL 30 MINUTE END AS e
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max_end
+      |  FROM x),
+      |z AS (
+      |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM y),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM z)
+      |SELECT user_id, CAST(MIN(ts) AS LONG) AS sess_start, COUNT(*) AS n
+      |FROM s GROUP BY user_id, sid""".stripMargin
+}
+
 object PipelineQueries extends QueryModule {
   import Q._
 
@@ -209,6 +246,24 @@ object PipelineQueries extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .select($"user_id",
           $"session_window.start".cast("long").as("sess_start"), $"n")
+    }),
+
+    // SQL-TEXT twin of q53 (Table/SQL parity, reference
+    // cn/ngt/day10/_09_SQL_Test.java:33, day11/_07:59-75): the same
+    // late-tagging semantics as spark.sql TEXT over the registered views
+    // instead of the DataFrame API — the day10/day11 story where every
+    // Table-API job also runs as SQL.
+    "q112_late_tag_sql" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql(SqlStreamText.lateTag)
+    }),
+
+    // SQL-TEXT twin of q57: dynamic-gap sessionization written as ANSI
+    // window SQL (the declarative reconstruction the oracle also runs) —
+    // the custom-WindowAssigner tier through the pure SQL surface.
+    "q113_session_gap_sql" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql(SqlStreamText.sessionGap)
     })
   )
 
@@ -324,6 +379,41 @@ object PipelineQueries extends QueryModule {
     // Dynamic-gap sessionization: an event extends the session iff it
     // starts before the running MAX of (ts + its gap) over prior events.
     "q57_session_dynamic_gap" ->
+      s"""WITH $eventsUs,
+         |x AS (
+         |  SELECT user_id, ts,
+         |    ts + CASE WHEN event_type = 'view' THEN INTERVAL 10 MINUTE
+         |              ELSE INTERVAL 30 MINUTE END AS e
+         |  FROM ev),
+         |y AS (
+         |  SELECT user_id, ts, e,
+         |    MAX(e) OVER (PARTITION BY user_id ORDER BY ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_max_end
+         |  FROM x),
+         |z AS (
+         |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM y),
+         |s AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM z)
+         |SELECT user_id, epoch_us(MIN(ts)) // 1000000 AS sess_start,
+         |  COUNT(*) AS n
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // SQL twins verify against the SAME oracles as their DataFrame
+    // originals — identical semantics, two front-end surfaces
+    "q112_late_tag_sql" ->
+      s"""WITH $eventsUs,
+         |m AS (SELECT MAX(ts) AS mx FROM ev)
+         |SELECT event_type, ts < mx - INTERVAL 10 MINUTE AS is_late,
+         |  COUNT(*) AS n
+         |FROM ev CROSS JOIN m
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q113_session_gap_sql" ->
       s"""WITH $eventsUs,
          |x AS (
          |  SELECT user_id, ts,

@@ -26,6 +26,7 @@ class PlanGateSpec extends SparkSpec {
     "q27_embedding_neardup", // bounded candidate batch broadcast
     "q42_lsh_ann",         // query batch broadcast into probed buckets
     "q53_late_tag",        // 1-row max-event-time frame broadcast (tagLate)
+    "q112_late_tag_sql",   // same 1-row max frame, via CROSS JOIN in SQL text
     "q60_ivf_ann",         // query batch + nlist centroids broadcast
     "q78_pq_ann",          // query batch + codebooks broadcast
     "q79_pq_rerank",       // shortlist rerank: query batch broadcast
@@ -164,7 +165,9 @@ class PlanGateSpec extends SparkSpec {
     "q96_tfidf_terms" -> 6,
     "q97_source_overlap" -> 7,
     "q98_rp_rerank" -> 1,
-    "q99_token_budget" -> 9)
+    "q99_token_budget" -> 9,
+    "q112_late_tag_sql" -> 3,
+    "q113_session_gap_sql" -> 1)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
