@@ -217,6 +217,57 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("txMatchStream: a repeated same-side event supersedes (ValueState last-write-wins)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pays = MemoryStream[OrderEvent]
+    val receipts = MemoryStream[ReceiptEvent]
+    val out = StreamingApps.txMatchStream(pays.toDS(), receipts.toDS())
+    val q = out.writeStream.format("memory").queryName("tx_dup_out")
+      .outputMode("append").start()
+    try {
+      // two pays for the same txId (retry): the SECOND is the live one —
+      // the reference's payEventState.update overwrites silently
+      pays.addData(OrderEvent(1, "pay", "txr", t(10)),
+        OrderEvent(2, "pay", "txr", t(11)))
+      q.processAllAvailable()
+      receipts.addData(ReceiptEvent("txr", "card", t(12)))
+      q.processAllAvailable()
+      pays.addData(OrderEvent(9, "pay", "tx9", t(100))) // flush timeouts
+      q.processAllAvailable()
+      val rows = spark.table("tx_dup_out").as[TxMatchOutcome].collect()
+        .filter(_.txId == "txr")
+      assert(rows.length == 1 && rows.head.kind == "matched" &&
+        rows.head.orderId == 2 && rows.head.payTs == 11000L,
+        s"superseded pay should not match: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("networkFlowStream: sliding windows expand an event into every covering window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[ApacheLogEvent]
+    def ev(sec: Long, url: String) = ApacheLogEvent("ip", "u", t(sec), "GET", url)
+    // 20s windows sliding by 10s, no lateness: an event at t=15 counts in
+    // windows ending 20s AND 30s (the Flink sliding-assigner replication)
+    val out = StreamingApps.networkFlowStream(ms.toDS(), topN = 3,
+      sizeMs = 20000L, slideMs = 10000L, latenessMs = 1L)
+    val q = out.writeStream.format("memory").queryName("nf_slide_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(15, "/x"), ev(15, "/x"), ev(25, "/y"))
+      q.processAllAvailable()
+      ms.addData(ev(120, "/head"))
+      q.processAllAvailable()
+      ms.addData(ev(130, "/head2")) // second advance fires armed timers
+      q.processAllAvailable()
+      val rows = spark.table("nf_slide_out").as[UrlViewRank].collect()
+        .filter(r => r.url == "/x" || r.url == "/y")
+        .map(r => (r.windowEnd, r.url, r.cnt)).toSet
+      // /x@15 covers [0,20) and [10,30); /y@25 covers [10,30) and [20,40)
+      assert(rows == Set((20000L, "/x", 2L), (30000L, "/x", 2L),
+        (30000L, "/y", 1L), (40000L, "/y", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("networkFlowStream: close once, amend on late data, drop past the lateness band") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[ApacheLogEvent]
