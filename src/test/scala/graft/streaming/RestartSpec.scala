@@ -211,6 +211,67 @@ class RestartSpec extends SparkSpec {
         s"claims lost or re-claimed across restart: $hits")
     } finally q2.stop()
   }
+
+  test("txMatchStream pending sides survive stop/restart: match and timeout complete across the crash") {
+    import graft.apps.{OrderEvent, ReceiptEvent, StreamingApps, TxMatchOutcome}
+    val work = Files.createTempDirectory("graft_restart_tx")
+    val payDir = work.resolve("pays"); Files.createDirectory(payDir)
+    val rcptDir = work.resolve("receipts"); Files.createDirectory(rcptDir)
+    val ckpt = work.resolve("ckpt").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    // wave 1: two pays, no receipts — BOTH pending at the stop
+    Seq(OrderEvent(5, "pay", "tx5", t(10)), OrderEvent(6, "pay", "tx6", t(11)))
+      .toDS().write.parquet(payDir.resolve("w1").toString)
+    Seq.empty[ReceiptEvent]
+      .toDS().write.parquet(rcptDir.resolve("w1").toString)
+
+    val paySchema = implicitly[org.apache.spark.sql.Encoder[OrderEvent]].schema
+    val rcptSchema = implicitly[org.apache.spark.sql.Encoder[ReceiptEvent]].schema
+    def startQuery() = StreamingApps.txMatchStream(
+        spark.readStream.schema(paySchema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(payDir.toString).as[OrderEvent],
+        spark.readStream.schema(rcptSchema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(rcptDir.toString).as[ReceiptEvent],
+        payWaitMs = 5000L, receiptWaitMs = 3000L)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[TxMatchOutcome], _: Long) =>
+          val rows = batch.collect().map(o => (o.txId, o.kind, o.orderId))
+          RestartSpec.txResults.synchronized { RestartSpec.txResults ++= rows }
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    RestartSpec.txResults.clear()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(RestartSpec.txResults.isEmpty) // both sides pending, no output
+    q1.stop() // crash with two pending pays in the state store
+
+    // wave 2 after restart: tx5's receipt arrives (must MATCH against the
+    // recovered pending pay, inside its own 3s wait of the watermark);
+    // tx6 never completes and must time out as unmatched-pay once the
+    // watermark passes its recovered deadline
+    Seq(ReceiptEvent("tx5", "wechat", t(12)))
+      .toDS().write.parquet(rcptDir.resolve("w2").toString)
+    Seq(OrderEvent(9, "pay", "tx9", t(100)))
+      .toDS().write.parquet(payDir.resolve("w2").toString)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val rows = RestartSpec.txResults.toSet
+      assert(rows.contains(("tx5", "matched", 5L)),
+        s"pending pay lost across restart (no match): $rows")
+      assert(rows.contains(("tx6", "unmatched-pay", 6L)),
+        s"recovered deadline did not fire: $rows")
+      assert(rows.size == 2, s"unexpected extra outputs: $rows")
+    } finally q2.stop()
+  }
 }
 
 /** Cross-restart result collector (static: survives query restarts within
@@ -220,4 +281,5 @@ object RestartSpec {
   val cepResults = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
   val slideResults = scala.collection.mutable.LinkedHashSet[(String, Long, String)]()
   val dedupResults = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+  val txResults = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
 }
