@@ -36,6 +36,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - `tx_match`     — dual-stream reconciliation with per-side
   *     timeouts ([[apps.StreamingApps.txMatchStream]]; reference
   *     scala/.../demo/orderpaydetect/TxMatch.scala:43-113)
+  *   - `network_flow` — late-update top-N URLs with close-once/amend
+  *     state ([[apps.StreamingApps.networkFlowStream]]; reference
+  *     scala/.../demo/networkflow/NetworkFlow.scala:50-146)
   *
   * Methodology (BASELINE.md solo contract): events replay time-ordered
   * through a MemoryStream in `SPARK_GRAFT_STREAM_BATCHES` micro-batches
@@ -267,7 +270,26 @@ object StreamBench {
       } finally q.stop()
     }
 
-    // 9. transformWithState running count — the Spark-4 native state
+    // 9. NetworkFlow late-update top-N: per-window URL-count state with
+    // close-once/amend semantics and lateness GC — the replication-heavy
+    // custom state operator (each event expands to size/slide windows).
+    // 60s tumbling windows (size == slide: 1 covering window per event,
+    // the state cost is the URL map + timers, not the expansion).
+    bench("network_flow")(events.size.toLong) { () =>
+      val ms = MemoryStream[apps.ApacheLogEvent]
+      val logs = events.map(e => apps.ApacheLogEvent(
+        s"ip${e.user_id}", e.user_id.toString, e.ts, "GET",
+        s"/page/${e.event_type}"))
+      val out = apps.StreamingApps.networkFlowStream(ms.toDS(), topN = 3,
+        sizeMs = 60000L, slideMs = 60000L, latenessMs = 5000L)
+      val q = out.writeStream.format("memory").queryName(s"sb_${tag}_nf")
+        .outputMode("append").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(logs, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
+    // 10. transformWithState running count — the Spark-4 native state
     // API. Requires the RocksDB provider (transformWithState contract),
     // so it only runs in that pass; the memory column stays "-".
     if (tag == "rocksdb")
@@ -356,6 +378,7 @@ object StreamBench {
       "windowed_agg" -> "`StreamOps.windowedAgg` (1h tumble, append)",
       "topn_hotitems" -> "`StreamOps.streamingTopN` (HotItems, top-3/1h)",
       "tx_match" -> "`StreamingApps.txMatchStream` (pay↔receipt, 20% unmatched)",
+      "network_flow" -> "`StreamingApps.networkFlowStream` (top-3/60s, 5s lateness)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")
