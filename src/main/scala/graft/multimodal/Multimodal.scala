@@ -280,6 +280,33 @@ object Multimodal {
     * duration_ms is integer arithmetic (frames*1000 div rate), so a SQL
     * oracle replays it exactly.
     */
+  /** REAL video metadata, partition-batched: RIFF/AVI main-header parse
+    * → (id, width, height, us_per_frame, n_frames, duration_ms). Same
+    * map-only 100 TB shape as [[audioMetaPartitioned]]; unparseable rows
+    * surface as (-1, …) — corrupt rows are data, not exceptions.
+    * duration_ms is integer arithmetic (usPerFrame*frames div 1000), so
+    * a SQL oracle replays it exactly. Compose with [[sampleFrames]] for
+    * the frame-sampling stage (duration_ms/1000 is its duration input).
+    */
+  def videoMetaPartitioned(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          VideoHeader.decodeAvi(payload) match {
+            case Some((w, h, usPerFrame, frames)) =>
+              (id, w, h, usPerFrame, frames, usPerFrame * frames / 1000L)
+            case None => (id, -1, -1, -1L, -1L, -1L)
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "us_per_frame", "n_frames",
+        "duration_ms")
+  }
+
   def audioMetaPartitioned(df: DataFrame, idCol: String, binCol: String)
       : DataFrame = {
     val spark = df.sparkSession

@@ -420,6 +420,31 @@ object ExtendedQueries extends QueryModule {
           col("n_frames"), col("duration_ms"))
     }),
 
+    // REAL video metadata end to end: genuine AVI fixtures (RIFF
+    // container, hdrl LIST, 56-byte avih main header, vids stream list,
+    // movi frames) whose parameters derive from doc_id arithmetic;
+    // VideoHeader walks the actual chunk bytes back out. The oracle
+    // recomputes the planted params + integer-law duration, so a hash
+    // match proves a real RIFF/AVI parse. 1-in-5 doc sample (offset 3,
+    // disjoint sampling knob from the audio gate's %7).
+    "q114_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter($"doc_id" % 5 === 3).select($"doc_id").as[Long]
+        .repartition(32)
+      val payloads = ids.map { id =>
+        val w = ((id % 8).toInt + 1) * 16
+        val h = ((id % 6).toInt + 1) * 16
+        val usPerFrame = Seq(16667L, 33333L, 40000L)((id % 3).toInt)
+        val frames = id % 509 + 24
+        (id, graft.multimodal.SyntheticVideo.avi(w, h, usPerFrame, frames))
+      }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .videoMetaPartitioned(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("us_per_frame"), col("n_frames"), col("duration_ms"))
+    }),
+
     // FastSS deletion-neighborhood edit-distance join: EXACT dist<=1
     // pairs with no blocking assumption (len+1 hash-uniform keys per
     // string, one shuffle) — oracle is brute-force levenshtein, so the
@@ -728,6 +753,21 @@ object ExtendedQueries extends QueryModule {
         |       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |        WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+
+    // Fixture params are doc_id arithmetic; duration integer-floored ms
+    // from us_per_frame * n_frames.
+    "q114_video_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 8 + 1) * 16 AS INTEGER) AS width,
+        |    CAST((doc_id % 6 + 1) * 16 AS INTEGER) AS height,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 16667 WHEN 1 THEN 33333
+        |         ELSE 40000 END AS BIGINT) AS us_per_frame,
+        |    CAST(doc_id % 509 + 24 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 5 = 3)
+        |SELECT doc_id, width, height, us_per_frame, n_frames,
+        |  us_per_frame * n_frames // 1000 AS duration_ms
+        |FROM p""".stripMargin,
 
     "q49_native_topk" ->
       """WITH t AS (

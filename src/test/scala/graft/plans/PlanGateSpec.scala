@@ -167,7 +167,8 @@ class PlanGateSpec extends SparkSpec {
     "q98_rp_rerank" -> 1,
     "q99_token_budget" -> 9,
     "q112_late_tag_sql" -> 3,
-    "q113_session_gap_sql" -> 1)
+    "q113_session_gap_sql" -> 1,
+    "q114_video_meta" -> 1)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
