@@ -279,7 +279,8 @@ object ScaleSmoke {
     // payloads planted DISTRIBUTED (generated in the executors, sized by
     // doc_id — never collected). localCheckpoint so the timed phase
     // measures the operator, not payload synthesis.
-    if (only.forall(o => o("image_resize") || o("audio_meta"))) {
+    if (only.forall(o =>
+        o("image_resize") || o("audio_meta") || o("video_meta"))) {
       import spark.implicits._
       val images = docs.select((col("doc_id") % 17 + 4).cast("int").as("w"),
           (col("doc_id") % 11 + 4).cast("int").as("h"), col("doc_id"))
@@ -299,6 +300,16 @@ object ScaleSmoke {
       run("audio_meta", graft.multimodal.Multimodal.audioMetaPartitioned(
         wavs, "id", "payload"))
       graft.operators.Checkpoints.free(wavs)
+      val avis = docs.select((col("doc_id") % 8 + 1).cast("int").as("wsel"),
+          (col("doc_id") % 6 + 1).cast("int").as("hsel"), col("doc_id"))
+        .as[(Int, Int, Long)]
+        .map { case (wsel, hsel, id) =>
+          (id, graft.multimodal.SyntheticVideo.avi(wsel * 16, hsel * 16,
+            33333L, id % 509 + 24)) }
+        .toDF("id", "payload").localCheckpoint()
+      run("video_meta", graft.multimodal.Multimodal.videoMetaPartitioned(
+        avis, "id", "payload"))
+      graft.operators.Checkpoints.free(avis)
     }
 
     println("SCALE plan_checks PASS")
