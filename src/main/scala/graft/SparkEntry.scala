@@ -17,7 +17,8 @@ object SparkEntry {
     VectorQueries,
     ExtendedQueries,
     PipelineQueries,
-    CorpusQueries
+    CorpusQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index retrieval over a document corpus — build once, search
+  * many: the full-text twin of the IVF vector tier
+  * (`Similarity.ivfWriteIndex/ivfSearchStored`). The reference computes
+  * relevance only as a per-document score scan; a 100 TB corpus needs the
+  * index shape, where a query touches the postings of ITS terms, never
+  * the corpus.
+  *
+  * Index layout: `postings` carries (term, doc_id, tf, len) — document
+  * length is DENORMALIZED into the posting (the classic posting-norm
+  * trick) so search never joins a doc-side table; `terms` carries
+  * (term, df); `stats` is one row (n, sumlen). BM25 parameters enter at
+  * search time, so one index serves any (k1, b).
+  *
+  * Scale shape: the build is ONE shuffle keyed by (term, doc). A search
+  * broadcasts the query-term set into the postings join (only matched
+  * postings flow), aggregates per (query, doc) — that aggregation is the
+  * only search shuffle — and ranks inside a per-query window partition.
+  * The stored form partitions postings by a term hash-bucket column so a
+  * search reads only its terms' buckets (partition pruning, same
+  * mechanism `ivfSearchStored` gates).
+  *
+  * Determinism: per-term contributions are quantized to DECIMAL(18,9)
+  * BEFORE the per-document sum (exact, order-free — the q84_bm25
+  * convention extended to aggregate sums), and ranking orders on the
+  * exact decimal, so sub-ulp `ln` differences between engines can flip
+  * neither scores nor ranks.
+  */
+object Retrieval {
+
+  /** An inverted index over (idCol, textCol). */
+  final case class TextIndex(postings: DataFrame, terms: DataFrame,
+      stats: DataFrame)
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Build the index: postings (term, doc_id, tf, len), terms (term, df),
+    * stats (n, sumlen). One shuffle over the corpus.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    val t = toks(col(textCol))
+    val exploded = docs.select(col(idCol).as("doc_id"), size(t).as("len"),
+      explode(t).as("term"))
+    val postings = exploded.groupBy(col("term"), col("doc_id"), col("len"))
+      .agg(count(lit(1)).as("tf"))
+    val terms = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus stats straight off the docs scan — map-side aggregate, no
+    // shuffle (postings would need a second doc_id-keyed aggregation)
+    val stats = docs.select(size(t).as("len"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("len").cast("long")).cast("double").as("sumlen"))
+    TextIndex(postings, terms, stats)
+  }
+
+  /** BM25 contribution of one matched posting, written in the exact
+    * operation order the DuckDB oracle mirrors (q84 conventions).
+    */
+  private def contrib(k1: Double, b: Double): Column = {
+    val tfc = col("tf").cast("double")
+    val idf = log((col("n") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    (idf * (tfc * (k1 + 1.0)) /
+      (tfc + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("len").cast("double") / (col("sumlen") / col("n"))))))
+      .cast("decimal(18,9)")
+  }
+
+  /** Top-k BM25 retrieval for a batch of queries (`query_id`, `qtext`):
+    * (query_id, doc_id, rk, score). Distinct query terms each contribute
+    * once (short-query convention); documents matching no term don't
+    * appear. The query side is broadcast; the only shuffle aggregates
+    * matched postings per (query, doc).
+    */
+  def searchBm25(index: TextIndex, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(toks(col("qtext")))).as("term"))
+    val matched = index.postings
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(index.terms.join(broadcast(qt.select(col("term")).distinct()),
+        Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(index.stats))
+    val scored = matched
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib(k1, b)).as("sdec"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sdec").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk"),
+        col("sdec").cast("double").as("score"))
+  }
+
+  /** Persist the index partitioned by a term hash bucket (`tb`), the
+    * build-once production layout: `searchBm25Stored` prunes to the
+    * buckets of the query's terms. `nBuckets` sizes partitions — at
+    * 100 TB a few thousand buckets keeps each a scannable slice.
+    */
+  def writeIndex(index: TextIndex, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    index.postings
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    index.terms.write.mode("overwrite").parquet(s"$path/terms")
+    index.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Search a stored index: reads ONLY the postings buckets containing
+    * the query's terms (an `isin` partition filter on `tb` — verifiable
+    * in the scan's PartitionFilters, plan-gated like `ivfSearchStored`).
+    */
+  def searchBm25Stored(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nBuckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // bucket ids of the query's terms, computed with Spark's own xxhash64
+    // so they bit-match writeIndex's `tb` (bounded: distinct query terms)
+    val buckets = queries
+      .select(explode(array_distinct(toks(col("qtext")))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*))
+    val terms = spark.read.parquet(s"$path/terms")
+    val stats = spark.read.parquet(s"$path/stats")
+    searchBm25(TextIndex(postings, terms, stats), queries, k, k1, b)
+  }
+}

@@ -184,6 +184,67 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws u ~ U(0,1) and gets key u^(1/w); the k largest keys are an
+    * exact weighted sample without replacement. Here u is md5-derived
+    * ((bucket + 0.5) / 2^24 from the hash's first 6 hex digits — an
+    * exactly-representable dyadic rational), so the sample is
+    * deterministic and engine-reproducible; rows are ordered by
+    * ln(u)/w DESC (the monotone log of the key — one ln and one divide),
+    * quantized to DECIMAL(20,15) before ordering so a sub-ulp ln()
+    * difference between engines can flip neither values nor ranks (the
+    * q84_bm25 convention).
+    *
+    * Use for quality-weighted data selection: w = a quality score or
+    * token count biases WHICH docs survive while every doc keeps a
+    * nonzero chance — unlike a hard top-k by score, the selection is not
+    * a cliff. Rows with w <= 0 are dropped (zero-weight rows can never
+    * be sampled; negative weights are undefined).
+    *
+    * Scale: the key is a pure column expression (no shuffle); global
+    * top-k plans as TakeOrderedAndProject (per-partition heaps + driver
+    * merge of k·partitions rows — no global sort). Output adds `wkey`
+    * (the ordering key as double).
+    */
+  def weightedSampleByHash(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey", samplingKey(col(idCol), col(weightCol), seed))
+      .orderBy(col("wkey").desc, col(idCol))
+      .limit(k)
+      .withColumn("wkey", col("wkey").cast("double"))
+  }
+
+  /** Per-group [[weightedSampleByHash]]: the k largest keys per group —
+    * one shuffle on the group key, rank window partitioned (no global
+    * stage).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("wkey").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey", samplingKey(col(idCol), col(weightCol), seed))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+      .withColumn("wkey", col("wkey").cast("double"))
+  }
+
+  /** ln(u)/w quantized to an exact decimal; u = (bucket+0.5)/2^24 off
+    * md5(seed:id). DuckDB mirror:
+    * `CAST(ln((CAST('0x'||substr(md5(seed||':'||id),1,6) AS BIGINT) + 0.5)
+    *  / 16777216.0) / w AS DECIMAL(20,15))`.
+    */
+  private def samplingKey(id: Column, weight: Column, seed: Long): Column = {
+    val u = (conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))),
+      1, 6), 16, 10).cast("double") + 0.5) / 16777216.0
+    (log(u) / weight.cast("double")).cast("decimal(20,15)")
+  }
+
   /** Deterministic train/val/test split: each row lands in the split
     * whose cumulative weight range contains its hash bucket. Pure column
     * expression — no shuffle, no RNG; the same id always lands in the

@@ -159,4 +159,44 @@ class SamplingSpec extends SparkSpec {
       .select($"doc_id", $"split").as[(Long, String)].collect().toSet
     assert(a == b)
   }
+
+  test("weightedSampleByHash: deterministic, size-exact, weight-biased") {
+    // 100 heavy rows (w=1000) among 400 light (w=1): an unweighted
+    // uniform 50-sample would pick ~10 heavy; A-ES must pick nearly all
+    // heavy (inclusion odds scale with w)
+    val rows = (1L to 500L).map(i => (i, if (i <= 100) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSampleByHash(rows, "id", "w", k = 50)
+      .select($"id").as[Long].collect().toSet
+    assert(s1.size == 50)
+    assert(s1.count(_ <= 100L) >= 45,
+      s"heavy rows under-sampled: ${s1.count(_ <= 100L)}/50")
+    // deterministic: same seed -> same set; new seed -> different set
+    val s2 = Sampling.weightedSampleByHash(rows, "id", "w", k = 50)
+      .select($"id").as[Long].collect().toSet
+    assert(s2 == s1)
+    val s3 = Sampling.weightedSampleByHash(rows, "id", "w", k = 50, seed = 9L)
+      .select($"id").as[Long].collect().toSet
+    assert(s3 != s1)
+    // zero/negative weights can never be sampled
+    val withZero = (1L to 10L).map(i => (i, if (i <= 5) 0.0 else 1.0))
+      .toDF("id", "w")
+    val s4 = Sampling.weightedSampleByHash(withZero, "id", "w", k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(s4 == (6L to 10L).toSet)
+  }
+
+  test("weightedSamplePerGroup: k per group, same key function as global") {
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd", 1.0 + i))
+      .toDF("id", "g", "w")
+    val out = Sampling.weightedSamplePerGroup(rows, Seq("g"), "id", "w", k = 5)
+      .select($"g", $"id").as[(String, Long)].collect()
+    assert(out.groupBy(_._1).map { case (g, xs) => g -> xs.length } ==
+      Map("even" -> 5, "odd" -> 5))
+    // the per-group winners are the global ordering restricted to the group
+    val global = Sampling.weightedSampleByHash(rows, "id", "w", k = 200)
+      .select($"id").as[Long].collect()
+    val evenTop5 = global.filter(_ % 2 == 0).take(5).toSet
+    assert(out.filter(_._1 == "even").map(_._2).toSet == evenTop5)
+  }
 }

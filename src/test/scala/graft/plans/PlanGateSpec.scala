@@ -40,7 +40,8 @@ class PlanGateSpec extends SparkSpec {
     "q98_rp_rerank",       // query batch broadcast (RP shortlist + rerank)
     "q99_token_budget",    // bounded band-totals broadcast
     "q102_kmeans",         // k centroids broadcast in argmin assignment
-    "q103_cluster_sample"  // k centroids + per-cluster quotas broadcast
+    "q103_cluster_sample", // k centroids + per-cluster quotas broadcast
+    "q116_bm25_retrieval"  // 1-row corpus-stats frame broadcast (q84 shape)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -76,6 +77,10 @@ class PlanGateSpec extends SparkSpec {
     "q109_image_decode" -> 1,
     "q110_image_resize" -> 1,
     "q111_audio_meta" -> 1,
+    "q115_boilerplate" -> 5,
+    "q116_bm25_retrieval" -> 8,
+    "q117_weighted_sample" -> 0,
+    "q118_bpe_pairs" -> 2,
     "q10_histogram" -> 2,
     "q11_interval_join" -> 0,
     "q12_window_tumble" -> 1,
