@@ -41,17 +41,29 @@ object Retrieval {
 
   /** Build the index: postings (term, doc_id, tf, len), terms (term, df),
     * stats (n, sumlen). One shuffle over the corpus.
+    *
+    * Two build-time disciplines (both SCALE.md rules): if the corpus
+    * arrives in fewer splits than the cluster has cores (the local
+    * single-file fixture; a no-op on a real corpus that lands in
+    * thousands of splits), it is respread first so the tokenize/explode
+    * CPU parallelizes; and postings — which feed THREE consumers (the
+    * search join, the df aggregate, the stored write) — are eagerly
+    * localCheckpoint'ed so the corpus tokenize pass runs exactly once,
+    * not once per consumer.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < p) docs.repartition(2 * p) else docs
     val t = toks(col(textCol))
-    val exploded = docs.select(col(idCol).as("doc_id"), size(t).as("len"),
+    val exploded = src.select(col(idCol).as("doc_id"), size(t).as("len"),
       explode(t).as("term"))
     val postings = exploded.groupBy(col("term"), col("doc_id"), col("len"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val terms = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus stats straight off the docs scan — map-side aggregate, no
     // shuffle (postings would need a second doc_id-keyed aggregation)
-    val stats = docs.select(size(t).as("len"))
+    val stats = src.select(size(t).as("len"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("len").cast("long")).cast("double").as("sumlen"))
     TextIndex(postings, terms, stats)

@@ -78,7 +78,7 @@ class PlanGateSpec extends SparkSpec {
     "q110_image_resize" -> 1,
     "q111_audio_meta" -> 1,
     "q115_boilerplate" -> 5,
-    "q116_bm25_retrieval" -> 8,
+    "q116_bm25_retrieval" -> 7,
     "q117_weighted_sample" -> 0,
     "q118_bpe_pairs" -> 2,
     "q10_histogram" -> 2,
