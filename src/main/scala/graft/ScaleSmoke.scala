@@ -312,6 +312,31 @@ object ScaleSmoke {
       graft.operators.Checkpoints.free(avis)
     }
 
+    // round-9 curation additions. Replication is the boilerplate WORST
+    // case: replicas 0/1 share every window verbatim, so the frequent
+    // set is large and most of the corpus flows through the removal
+    // anti-join + reassembly shuffle.
+    run("boilerplate_strip", graft.operators.Boilerplate.stripFrequentWindows(
+      docs, "doc_id", "text", winTokens = 8, minDocs = 2))
+    locally {
+      import spark.implicits._
+      val qs = Seq((1L, "table scan fast"), (2L, "join merge batch"),
+        (3L, "window agg stream")).toDF("query_id", "qtext")
+      run("bm25_search", {
+        val idx = graft.operators.Retrieval.buildIndex(docs, "doc_id", "text")
+        graft.operators.Retrieval.searchBm25(idx, qs, k = 10)
+      }, allowBroadcastNlj = true)
+    }
+    // key is a pure column expr; top-k plans as TakeOrdered (no sort)
+    run("weighted_sample", graft.operators.Sampling.weightedSampleByHash(
+      docs.withColumn("w", length(col("text"))), "doc_id", "w", k = 1000))
+    // BPE round-0 feed: the one corpus-scale pass (word frequencies) +
+    // the pair aggregate the merge loop's argmax reads. The loop itself
+    // runs over the vocab-sized word table — corpus size doesn't touch it
+    run("bpe_pair_counts", graft.operators.Bpe.pairCounts(
+      graft.operators.Bpe.wordFrequencies(docs, "text")
+        .withColumn("syms", graft.operators.Bpe.charSymbols(col("word")))))
+
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
     // former CcProbe scratch main, folded in behind this flag)

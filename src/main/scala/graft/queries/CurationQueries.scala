@@ -69,6 +69,23 @@ object CurationQueries extends QueryModule {
       Bpe.pairCounts(wf)
         .orderBy($"cnt".desc, $"a", $"b")
         .limit(30)
+    }),
+
+    // PageRank over the customer↔supplier trade graph (2 iterations,
+    // exact-integer micro-unit ranks — the host-graph importance signal
+    // of a web-corpus pipeline, on the star schema's natural bipartite
+    // graph). Node ids: customer c -> 2c, supplier s -> 2s+1; edges run
+    // both directions so mass actually propagates.
+    "q119_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val ol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sup"))
+        .distinct()
+      val edges = ol.select($"c".as("src"), $"sup".as("dst"))
+        .union(ol.select($"sup".as("src"), $"c".as("dst")))
+      graft.operators.Graphs.pageRank(edges, iters = 2)
+        .orderBy($"id")
     })
   )
 
@@ -166,6 +183,38 @@ object CurationQueries extends QueryModule {
         |  FROM (SELECT word, freq, unnest(range(1, len(word))) AS i
         |        FROM wf WHERE len(word) >= 2))
         |SELECT a, b, SUM(freq) AS cnt FROM pc
-        |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 30""".stripMargin
+        |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 30""".stripMargin,
+
+    // Integer PageRank, 2 unrolled iterations: r0 = scale // n;
+    // r_{k+1} = base + (85 * sum(r_k // outdeg over in-edges)) // 100.
+    // All floor divisions on non-negative integers — identical in both
+    // engines; summation order can't matter on exact integers.
+    "q119_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM e
+        |          UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |params AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT id, 1000000000000 // n AS rank
+        |       FROM nodes CROSS JOIN params),
+        |c1 AS (SELECT e.dst AS id, SUM(r0.rank // deg.outdeg) AS s
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.id
+        |       GROUP BY 1),
+        |r1 AS (SELECT nodes.id,
+        |         (1000000000000 * 15 // 100) // n
+        |           + (85 * COALESCE(c1.s, 0)) // 100 AS rank
+        |       FROM nodes CROSS JOIN params LEFT JOIN c1 USING (id)),
+        |c2 AS (SELECT e.dst AS id, SUM(r1.rank // deg.outdeg) AS s
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.id
+        |       GROUP BY 1),
+        |r2 AS (SELECT nodes.id,
+        |         (1000000000000 * 15 // 100) // n
+        |           + (85 * COALESCE(c2.s, 0)) // 100 AS rank
+        |       FROM nodes CROSS JOIN params LEFT JOIN c2 USING (id))
+        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r2 ORDER BY id""".stripMargin
   )
 }

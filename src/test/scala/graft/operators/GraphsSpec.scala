@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Single-node integer PageRank (plain collections) — the semantics
+    * oracle for Graphs.pageRank.
+    */
+  private def referenceRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L, dampPct: Int = 85): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val n = nodes.size.toLong
+    val base = (scale * (100 - dampPct) / 100) / n
+    var rank = nodes.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val sums = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(v => v -> (base + dampPct * sums.getOrElse(v, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the single-node reference on a hand graph") {
+    // a hub (1) pointed at by everyone, a chain, a dangling node (5)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L), (3L, 5L))
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val want = referenceRank(edges, iters = 3)
+    assert(got == want)
+    // the hub outranks the chain tail
+    assert(got(1L) > got(4L))
+  }
+
+  test("pageRank on the sf0.001 trade graph matches the reference; ranks ordered by in-mass") {
+    val ol = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(graft.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val pairs = ol.as[(Long, Long)].collect().toSeq
+    val edges = pairs ++ pairs.map(_.swap)
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val want = referenceRank(edges, iters = 2)
+    assert(got == want)
+  }
+
+  test("duplicate edges count once; ranks are scale-deterministic") {
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 1L))
+    val once = Seq((1L, 2L), (2L, 1L))
+    val a = Graphs.pageRank(dup.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Graphs.pageRank(once.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("iteration round plan shape: hash joins + keyed agg, no cartesian/BNLJ") {
+    val edges = (1L to 200L).map(i => (i, (i * 7) % 200 + 1)).toDF("src", "dst")
+    val out = Graphs.pageRank(edges, iters = 2)
+    out.count()
+    graft.plans.PlanWalk.assertShapes("pagerank_final",
+      out.queryExecution.executedPlan, allowBroadcastNlj = false)
+  }
+}

@@ -81,6 +81,9 @@ class PlanGateSpec extends SparkSpec {
     "q116_bm25_retrieval" -> 7,
     "q117_weighted_sample" -> 0,
     "q118_bpe_pairs" -> 2,
+    // budgeted on the final returned plan; the loop's per-round shapes
+    // are gated by GraphsSpec (the Clusters-loop convention)
+    "q119_pagerank" -> 1,
     "q10_histogram" -> 2,
     "q11_interval_join" -> 0,
     "q12_window_tumble" -> 1,
