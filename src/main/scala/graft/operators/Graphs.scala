@@ -28,37 +28,51 @@ object Graphs {
   /** PageRank over a directed edge list (`src`, `dst`), `iters` fixed
     * iterations: returns (id, rank) for every node, rank on the
     * `scale` integer scale. Duplicate edges count once (deduped here).
+    *
+    * The rank and node tables are |V|-sized and are NEVER broadcast
+    * (shuffle_hash hints — the [[Clusters]] rule: checkpoint statistics
+    * make small-SF Spark pick a broadcast plan that is a category error
+    * at graph scale). Out-degree is denormalized onto the edge artifact
+    * once, so each iteration is exactly one rank-edge join plus one
+    * destination-keyed aggregate; lineage is cut every
+    * `checkpointEvery` rounds (bounded chains don't pay a
+    * materialization per round, long loops can't grow unbounded DAGs).
     */
   def pageRank(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+      scale: Long = 1000000000000L, dampPct: Int = 85,
+      checkpointEvery: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampPct > 0 && dampPct < 100, s"dampPct in (0,100): $dampPct")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .distinct()
+    // one edge artifact with out-degree attached (the posting-norm trick)
+    val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .hint("shuffle_hash"), Seq("src"))
       .localCheckpoint(true)
-    val outdeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg"))
+    val nodes = ew.select(col("src").as("id"))
+      .union(ew.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count() // the one driver scalar (planning metadata)
     require(n > 0, "empty graph")
     val baseTerm = (scale * (100 - dampPct) / 100) / n
     var rank = nodes.withColumn("rank", lit(scale / n))
+    var lastCp: DataFrame = null
     var i = 0
     while (i < iters) {
-      val contribs = rank
-        .join(outdeg, Seq("id"))
-        .join(e, rank("id") === e("src"))
+      val contribs = rank.withColumnRenamed("id", "src")
+        .join(ew.hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("id"), expr("rank div outdeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      val old = rank
-      rank = nodes.join(contribs, Seq("id"), "left")
+      rank = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .withColumn("rank",
           lit(baseTerm) + expr(s"($dampPct * coalesce(s, 0L)) div 100"))
         .select(col("id"), col("rank"))
-        .localCheckpoint(true)
-      old.unpersist()
+      if (i % checkpointEvery == checkpointEvery - 1 && i != iters - 1) {
+        rank = rank.localCheckpoint(true)
+        if (lastCp != null) lastCp.unpersist()
+        lastCp = rank
+      }
       i += 1
     }
     rank

@@ -81,9 +81,9 @@ class PlanGateSpec extends SparkSpec {
     "q116_bm25_retrieval" -> 7,
     "q117_weighted_sample" -> 0,
     "q118_bpe_pairs" -> 2,
-    // budgeted on the final returned plan; the loop's per-round shapes
-    // are gated by GraphsSpec (the Clusters-loop convention)
-    "q119_pagerank" -> 1,
+    // 2 unrolled iterations live in the final plan (lineage is only cut
+    // every checkpointEvery rounds); per-round shapes gated by GraphsSpec
+    "q119_pagerank" -> 8,
     "q10_histogram" -> 2,
     "q11_interval_join" -> 0,
     "q12_window_tumble" -> 1,
