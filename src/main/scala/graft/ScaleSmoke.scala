@@ -337,6 +337,28 @@ object ScaleSmoke {
       graft.operators.Bpe.wordFrequencies(docs, "text")
         .withColumn("syms", graft.operators.Bpe.charSymbols(col("word")))))
 
+    // URL canonicalization front door: codegen'd regex chain + two
+    // key-partitioned window shuffles (canonical URL, then host). Hosts
+    // are fanned out per doc (source x doc_id%64) so the per-host cap
+    // window has real key cardinality — a 5-host corpus would be the
+    // documented mega-domain skew case, not the normal shape.
+    run("url_canonical", {
+      val u = docs.select(col("doc_id"), length(col("text")).as("w"),
+        concat(lit("https://WWW."), col("source"),
+          (col("doc_id") % 64).cast("string"), lit(".Example.COM:443/Docs/Item-"),
+          (col("doc_id") % 1000).cast("string"),
+          lit("?utm_source=s&id="), (col("doc_id") % 1000).cast("string")).as("url"))
+      graft.operators.Urls.dedupAndCapPerDomain(u, "url", "doc_id", "w", cap = 100)
+    })
+    // integer HITS over a doc-scale synthetic graph (|V| = |E| = corpus
+    // rows): each half-step is one shuffle_hash rank-edge join + one
+    // keyed aggregate; the only broadcast is the 1-row max-normalizer
+    run("hits_2iter", {
+      val e = docs.select(col("doc_id").as("src"),
+        pmod(xxhash64(col("doc_id")), lit(nDocs)).as("dst"))
+      graft.operators.Graphs.hits(e, iters = 2)
+    }, allowBroadcastNlj = true)
+
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
     // former CcProbe scratch main, folded in behind this flag)

@@ -77,4 +77,71 @@ object Graphs {
     }
     rank
   }
+
+  /** HITS hubs/authorities over a directed edge list (`src`, `dst`),
+    * `iters` fixed iterations: authority(v) sums the hub scores of v's
+    * in-neighbors, then hub(u) sums the NEW authority scores of u's
+    * out-neighbors (the classic half-step order). After each half-step,
+    * scores renormalize to `scale` by floor-dividing by that step's max
+    * — integer max-normalization replaces the float L2 norm, keeping
+    * every operation exact (sum, max, floor div on non-negative longs),
+    * so any engine replays bit-identically. Returns (id, hub, auth)
+    * for every node; no-in-edge nodes have auth 0, no-out-edge nodes
+    * hub 0.
+    *
+    * Same scale discipline as [[pageRank]]: |V|-sized tables are never
+    * broadcast (the only broadcast is the one-row max), each half-step
+    * is one rank-edge hash join plus one keyed aggregate, lineage is
+    * cut on a fixed cadence. Overflow bound: `max_degree * scale^2`
+    * must fit a long — the default scale 10^6 allows degrees to ~9·10^6.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(scale > 0, s"scale must be positive: $scale")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    // one half-step: join scores onto the edge end `joinSide`, aggregate
+    // by the opposite end, max-normalize to `scale`, left-join back onto
+    // the node table (missing -> 0)
+    def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
+        aggSide: String, outCol: String): DataFrame = {
+      // raw feeds BOTH the max-normalizer and the rescale join, and each
+      // half-step's output is exchanged on `id` by both consumers — AQE
+      // exchange reuse dedupes those identical subplans (measured: an
+      // eager per-half-step materialization is cost-neutral at sf0.1 and
+      // just adds jobs — the q119 per-round-overhead lesson)
+      val raw = scores.withColumnRenamed("id", joinSide)
+        .join(e.hint("shuffle_hash"), Seq(joinSide))
+        .groupBy(col(aggSide).as("id"))
+        .agg(sum(col(scoreCol)).as("raw"))
+      val m = raw.agg(max(col("raw")).as("m"))
+      nodes.join(raw.hint("shuffle_hash"), Seq("id"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn(outCol,
+          coalesce(expr(s"(raw * ${scale}L) div m"), lit(0L)))
+        .select(col("id"), col(outCol))
+    }
+    var hub = nodes.withColumn("h", lit(scale))
+    var auth: DataFrame = null
+    var lastCp: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      auth = halfStep(hub, "h", "src", "dst", "a")
+      hub = halfStep(auth, "a", "dst", "src", "h")
+      if (i % checkpointEvery == checkpointEvery - 1 && i != iters - 1) {
+        auth = auth.localCheckpoint(true)
+        hub = hub.localCheckpoint(true)
+        if (lastCp != null) lastCp.unpersist()
+        lastCp = hub
+      }
+      i += 1
+    }
+    hub.join(auth.hint("shuffle_hash"), Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+  }
 }

@@ -110,6 +110,44 @@ object Retrieval {
         col("sdec").cast("double").as("score"))
   }
 
+  /** Reciprocal-rank fusion of retrieval arms (the standard
+    * hybrid-search combiner, Cormack/Clarke/Buettcher SIGIR'09): each
+    * arm is a rank list (query_id, doc_id, rk); a document's fused
+    * score is the sum over arms of `scale div (kRrf + rk)`. Exact
+    * integer micro-units (the [[Graphs]] discipline) — floor division
+    * on non-negative integers is bit-identical in any engine and the
+    * sum is order-free, so fused ranks can never flip across engines.
+    *
+    * Scale shape: arms arrive already top-k-bounded (|Q|·k rows each —
+    * e.g. [[searchBm25]] and a `Similarity` ANN arm), so fusion never
+    * touches the corpus; one union plus one (query, doc)-keyed
+    * aggregate is the only shuffle, and the final ranking windows
+    * within a query's ≤ arms·k fused candidates.
+    *
+    * Returns (query_id, doc_id, rk, score_u) — the fused top `k` per
+    * query, ties broken by doc_id.
+    */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, kRrf: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one arm")
+    require(k > 0, s"k must be positive: $k")
+    require(kRrf >= 0, s"kRrf must be non-negative: $kRrf")
+    require(scale > 0, s"scale must be positive: $scale")
+    val union = arms
+      .map(_.select(col("query_id"), col("doc_id"),
+        col("rk").cast("long").as("rk")))
+      .reduce(_ unionByName _)
+    union
+      .withColumn("c", expr(s"${scale}L div (${kRrf}L + rk)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_u"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_u").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk"), col("score_u"))
+  }
+
   /** Persist the index partitioned by a term hash bucket (`tb`), the
     * build-once production layout: `searchBm25Stored` prunes to the
     * buckets of the query's terms. `nBuckets` sizes partitions — at

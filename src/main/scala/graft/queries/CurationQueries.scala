@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Boilerplate, Bpe, Retrieval, Sampling}
+import graft.operators.{Boilerplate, Bpe, Retrieval, Sampling, Similarity, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-9 curation/assembly additions: boilerplate segment removal,
@@ -85,6 +86,70 @@ object CurationQueries extends QueryModule {
       val edges = ol.select($"c".as("src"), $"sup".as("dst"))
         .union(ol.select($"sup".as("src"), $"c".as("dst")))
       graft.operators.Graphs.pageRank(edges, iters = 2)
+        .orderBy($"id")
+    }),
+
+    // Hybrid retrieval: BM25 lexical arm over documents + brute-force
+    // cosine dense arm over the aligned embeddings table, fused with
+    // reciprocal-rank fusion in exact integer micro-units. Both arms are
+    // top-20-bounded before fusion — the fusion stage never sees the
+    // corpus, only rank lists.
+    "q120_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val idx = Retrieval.buildIndex(Tables.documents(s, dir), "doc_id", "text")
+      val qs = bmQueries.toDF("query_id", "qtext")
+      val lex = Retrieval.searchBm25(idx, qs, k = 20)
+        .select($"query_id", $"doc_id", $"rk")
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(
+          emb.filter($"vec_id".isin(1L, 2L, 3L)), emb,
+          "vec_id", "embedding", k = 20)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos_r".desc, $"vid")))
+        .select($"qid".as("query_id"), $"vid".as("doc_id"), $"rk")
+      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // URL canonicalization front door: documents get deterministic messy
+    // URLs (case-shifted scheme/host, www, default port, utm params,
+    // fragment, trailing slash), canonicalize collapses the spellings,
+    // keep-first dedups per canonical URL, and a per-host cap of 5 keeps
+    // any one domain from flooding the output. Every canonicalization
+    // step is a codegen'd builtin mirrored 1:1 in the oracle.
+    "q121_url_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val k = ($"doc_id" % 40).cast("string")
+      val url = concat(
+        when($"doc_id" % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+        when($"doc_id" % 3 === 0, "WWW.").otherwise(""),
+        $"source", lit(".Example.COM"),
+        when($"doc_id" % 5 === 0, ":443").otherwise(""),
+        lit("/Docs/Item-"), k,
+        when($"doc_id" % 11 === 0, "/").otherwise(""),
+        when($"doc_id" % 2 === 0,
+          concat(lit("?utm_source=feed&utm_campaign=c"),
+            ($"doc_id" % 3).cast("string"), lit("&id="), k))
+          .otherwise(concat(lit("?id="), k)),
+        when($"doc_id" % 7 === 0, "#frag").otherwise(""))
+      val u = Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", url.as("url"))
+      Urls.dedupAndCapPerDomain(u, "url", "doc_id", "n_chars", cap = 5)
+        .select($"host", $"doc_id", $"canon", $"n_chars", $"rk")
+        .orderBy($"host", $"rk")
+    }),
+
+    // HITS hubs/authorities on the DIRECTED customer->supplier trade
+    // graph (customers are hubs, suppliers authorities), 2 iterations,
+    // exact-integer max-normalization — the second link-graph importance
+    // signal next to q119's PageRank.
+    "q122_hits" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graphs.hits(edges, iters = 2)
         .orderBy($"id")
     })
   )
@@ -215,6 +280,173 @@ object CurationQueries extends QueryModule {
         |         (1000000000000 * 15 // 100) // n
         |           + (85 * COALESCE(c2.s, 0)) // 100 AS rank
         |       FROM nodes CROSS JOIN params LEFT JOIN c2 USING (id))
-        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r2 ORDER BY id""".stripMargin
+        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r2 ORDER BY id""".stripMargin,
+
+    // RRF in integer micro-units: 10^12 // (60 + rk) summed over the two
+    // arms — floor division on non-negative integers, exact in both
+    // engines. The lexical arm replays the q116 BM25 CTEs at k=20; the
+    // dense arm replays the q26 rounded-cosine ranking at k=20.
+    "q120_hybrid_rrf" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  ${bmQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         |    len(string_split_regex(trim(text), '\\s+')) AS len
+         |  FROM documents),
+         |p AS (SELECT doc_id, len, unnest(w) AS term FROM w),
+         |post AS (SELECT term, doc_id, len, COUNT(*) AS tf
+         |         FROM p GROUP BY 1, 2, 3),
+         |terms AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(SUM(CAST(len AS BIGINT)) AS DOUBLE) AS sumlen FROM w),
+         |qt AS (
+         |  SELECT query_id,
+         |    unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term
+         |  FROM q),
+         |contrib AS (
+         |  SELECT qt.query_id, post.doc_id,
+         |    CAST((ln((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+         |      (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |      (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} + 0.75 *
+         |        (CAST(post.len AS DOUBLE) / (sumlen / n))))) AS DECIMAL(18,9)) AS c
+         |  FROM qt JOIN terms USING (term) JOIN post USING (term)
+         |  CROSS JOIN stats),
+         |sc AS (SELECT query_id, doc_id, SUM(c) AS sdec
+         |       FROM contrib GROUP BY 1, 2),
+         |lexrk AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sdec DESC, doc_id) AS rk
+         |  FROM sc),
+         |dq AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         |z AS (
+         |  SELECT dq.query_id, e.vec_id AS doc_id,
+         |    unnest(dq.qe) AS a, unnest(e.embedding) AS b
+         |  FROM dq CROSS JOIN embeddings e WHERE e.vec_id <> dq.query_id),
+         |ds AS (
+         |  SELECT query_id, doc_id,
+         |    SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dt,
+         |    SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS qq,
+         |    SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS cc
+         |  FROM z GROUP BY 1, 2),
+         |drk AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ROUND(dt / (SQRT(qq) * SQRT(cc)), 4) DESC, doc_id) AS rk
+         |  FROM ds),
+         |armc AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |    1000000000000 // (60 + rk) AS c
+         |  FROM lexrk WHERE rk <= 20
+         |  UNION ALL
+         |  SELECT CAST(query_id AS BIGINT), doc_id, 1000000000000 // (60 + rk)
+         |  FROM drk WHERE rk <= 20),
+         |f AS (SELECT query_id, doc_id, SUM(c) AS score_u
+         |      FROM armc GROUP BY 1, 2),
+         |frk AS (
+         |  SELECT query_id, doc_id, score_u,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_u DESC, doc_id) AS rk
+         |  FROM f)
+         |SELECT query_id, doc_id, rk, CAST(score_u AS BIGINT) AS score_u
+         |FROM frk WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // Mirrors Urls.canonicalize step by step: lowercase scheme/host,
+    // www/default-port strip, fragment drop, tracking-param filter with
+    // order preserved, trailing-slash collapse; then keep-first per
+    // canonical URL and a per-host cap of 5 by (n_chars desc, doc_id).
+    "q121_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/Docs/Item-' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+        |             || '&id=' || CAST(doc_id % 40 AS VARCHAR)
+        |      ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c0 AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS hostport,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        |  FROM u),
+        |c1 AS (
+        |  SELECT doc_id, n_chars, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS h,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS p0,
+        |    regexp_extract(rest, '\?(.*)$', 1) AS rawq
+        |  FROM c0),
+        |c2 AS (
+        |  SELECT doc_id, n_chars, scheme, h,
+        |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+        |    array_to_string(list_filter(string_split(rawq, '&'),
+        |      x -> NOT regexp_matches(x,
+        |        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$')
+        |        AND x <> ''), '&') AS kept
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT doc_id, n_chars, h AS host,
+        |    scheme || '://' || h || p ||
+        |      (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+        |  FROM c2),
+        |fst AS (
+        |  SELECT doc_id, n_chars, host, canon FROM (
+        |    SELECT doc_id, n_chars, host, canon,
+        |      ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+        |    FROM c3) WHERE rn = 1),
+        |capped AS (
+        |  SELECT host, doc_id, canon, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM fst)
+        |SELECT host, doc_id, canon, n_chars, rk FROM capped WHERE rk <= 5
+        |ORDER BY host, rk""".stripMargin,
+
+    // Integer HITS, 2 unrolled iterations: each half-step is an
+    // edge-keyed sum followed by max-normalization to the 10^6 scale —
+    // sum, max, and floor division on non-negative integers are exact
+    // in both engines, so scores replay bit-identically.
+    "q122_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT DISTINCT src AS id FROM e
+        |          UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst AS id, SUM(CAST(1000000 AS BIGINT)) AS raw
+        |        FROM e GROUP BY 1),
+        |a1m AS (SELECT MAX(raw) AS m FROM a1r),
+        |a1 AS (SELECT nodes.id, COALESCE((raw * 1000000) // m, 0) AS a
+        |       FROM nodes LEFT JOIN a1r USING (id) CROSS JOIN a1m),
+        |h1r AS (SELECT e.src AS id, SUM(a1.a) AS raw
+        |        FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+        |h1m AS (SELECT MAX(raw) AS m FROM h1r),
+        |h1 AS (SELECT nodes.id, COALESCE((raw * 1000000) // m, 0) AS h
+        |       FROM nodes LEFT JOIN h1r USING (id) CROSS JOIN h1m),
+        |a2r AS (SELECT e.dst AS id, SUM(h1.h) AS raw
+        |        FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+        |a2m AS (SELECT MAX(raw) AS m FROM a2r),
+        |a2 AS (SELECT nodes.id, COALESCE((raw * 1000000) // m, 0) AS a
+        |       FROM nodes LEFT JOIN a2r USING (id) CROSS JOIN a2m),
+        |h2r AS (SELECT e.src AS id, SUM(a2.a) AS raw
+        |        FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+        |h2m AS (SELECT MAX(raw) AS m FROM h2r),
+        |h2 AS (SELECT nodes.id, COALESCE((raw * 1000000) // m, 0) AS h
+        |       FROM nodes LEFT JOIN h2r USING (id) CROSS JOIN h2m)
+        |SELECT nodes.id, CAST(h2.h AS BIGINT) AS hub,
+        |  CAST(a2.a AS BIGINT) AS auth
+        |FROM nodes JOIN h2 USING (id) JOIN a2 USING (id)
+        |ORDER BY nodes.id""".stripMargin
   )
 }

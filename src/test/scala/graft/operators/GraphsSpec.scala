@@ -68,4 +68,63 @@ class GraphsSpec extends SparkSpec {
     graft.plans.PlanWalk.assertShapes("pagerank_final",
       out.queryExecution.executedPlan, allowBroadcastNlj = false)
   }
+
+  /** Single-node integer HITS with max-normalization — the semantics
+    * oracle for Graphs.hits.
+    */
+  private def referenceHits(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    (1 to iters).foreach { _ =>
+      val araw = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => hub(s) }.sum
+      }
+      val am = araw.values.max
+      auth = nodes.map(v =>
+        v -> araw.get(v).map(r => r * scale / am).getOrElse(0L)).toMap
+      val hraw = e.groupBy(_._1).map { case (s, out) =>
+        s -> out.map { case (_, d) => auth(d) }.sum
+      }
+      val hm = hraw.values.max
+      hub = nodes.map(v =>
+        v -> hraw.get(v).map(r => r * scale / hm).getOrElse(0L)).toMap
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits matches the single-node reference; hub/auth split a directed graph") {
+    // 1,2 point at 3,4; 3 additionally points at 4 -> 4 is top authority,
+    // and only sources have hub mass
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graphs.hits(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == referenceHits(edges, iters = 3))
+    assert(got(4L)._2 == 1000000L, "top authority normalizes to scale")
+    assert(got(4L)._1 == 0L, "sink node has no hub mass")
+    assert(got(1L)._2 == 0L, "pure source has no authority")
+  }
+
+  test("hits on the sf0.001 directed trade graph matches the reference") {
+    val ol = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(graft.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = ol.as[(Long, Long)].collect().toSeq
+    val got = Graphs.hits(ol.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == referenceHits(edges, iters = 2))
+  }
+
+  test("hits plan shape: hash joins + keyed aggs, no cartesian/BNLJ") {
+    val edges = (1L to 200L).map(i => (i, (i * 7) % 200 + 1)).toDF("src", "dst")
+    val out = Graphs.hits(edges, iters = 2)
+    out.count()
+    // the only BNLJ is the designed 1-row max-normalizer broadcast
+    graft.plans.PlanWalk.assertShapes("hits_final",
+      out.queryExecution.executedPlan, allowBroadcastNlj = true)
+  }
 }

@@ -75,6 +75,31 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.contains((1L, 5L)) && !out.contains((1L, 3L)))
   }
 
+  test("rrfFuse: exact micro-unit scores, overlap wins, ties by doc_id") {
+    // arm A ranks docs 10,11,12; arm B ranks 11,13 — doc 11 is the only
+    // overlap and must fuse to the top despite rank 2 in both arms
+    val armA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rk")
+    val armB = Seq((1L, 11L, 2), (1L, 13L, 1)).toDF("query_id", "doc_id", "rk")
+    val out = Retrieval.rrfFuse(Seq(armA, armB), k = 10)
+      .orderBy($"rk").as[(Long, Long, Int, Long)].collect().toSeq
+    def u(rk: Long) = 1000000000000L / (60L + rk)
+    assert(out == Seq(
+      (1L, 11L, 1, 2 * u(2)),         // both arms
+      (1L, 10L, 2, u(1)),             // tie at u(1) with 13 -> doc_id order
+      (1L, 13L, 3, u(1)),
+      (1L, 12L, 4, u(3))))
+  }
+
+  test("rrfFuse: k truncates per query; single arm degenerates to the arm") {
+    val arm = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1)).toDF("query_id", "doc_id", "rk")
+    val out = Retrieval.rrfFuse(Seq(arm), k = 2)
+      .select($"query_id", $"doc_id", $"rk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(out == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)))
+  }
+
   test("stored index: search equals in-memory and physically prunes term buckets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val idx = Retrieval.buildIndex(docs, "doc_id", "text")
