@@ -350,6 +350,14 @@ object ScaleSmoke {
           lit("?utm_source=s&id="), (col("doc_id") % 1000).cast("string")).as("url"))
       graft.operators.Urls.dedupAndCapPerDomain(u, "url", "doc_id", "w", cap = 100)
     })
+    // PCA fit+project: fit reduces the corpus to one d*(d+3)/2-double
+    // buffer via treeAggregate (timed inside the thunk); the projection
+    // plan must stay map-only — zero exchanges at any corpus size
+    run("pca_fit_project", {
+      val model = graft.operators.Pca.fit(emb, "embedding", dim = 64, k = 4)
+      graft.operators.Pca.transform(emb, "embedding", model)
+        .select(col("vec_id"), col("pc1"), col("pc4"))
+    })
     // integer HITS over a doc-scale synthetic graph (|V| = |E| = corpus
     // rows): each half-step is one shuffle_hash rank-edge join + one
     // keyed aggregate; the only broadcast is the 1-row max-normalizer

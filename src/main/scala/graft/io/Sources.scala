@@ -39,6 +39,17 @@ object Sources {
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Batch ORC read — the second columnar lake format Spark ships
+    * natively; same pushdown/pruning machinery as parquet (the scan is
+    * a FileSourceScan with PushedFilters either way).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Streaming ORC directory (schema required, as for any file stream). */
+  def orcStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).orc(path)
+
   /** Kafka source (reference KafkaSourceDemo.java:30-36). Group ids are
     * not used — offsets live in the query checkpoint.
     */

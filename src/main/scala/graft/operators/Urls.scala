@@ -64,6 +64,22 @@ object Urls {
     * the cap through the native TopKPerGroup operator if one host's
     * row count dwarfs a partition.
     */
+  /** Streaming keep-first dedup per canonical URL — the unbounded form
+    * of the [[dedupAndCapPerDomain]] keep-first stage: canonicalize,
+    * then `dropDuplicatesWithinWatermark` on the canonical form. State
+    * holds one entry per distinct canonical URL inside the watermark
+    * horizon (bounded by arrival rate × `wmDelay`, not stream length);
+    * a spelling that re-arrives after its canonical entry expires is
+    * admitted again — the standard horizon-bounded trade
+    * ([[graft.streaming.StreamDedup]] discipline). The watermark is
+    * applied inside (a caller-side one would sit below the projection).
+    */
+  def dedupStream(docs: DataFrame, urlCol: String, tsCol: String,
+      wmDelay: String): DataFrame =
+    docs.withColumn("canon", canonicalize(col(urlCol)))
+      .withWatermark(tsCol, wmDelay)
+      .dropDuplicatesWithinWatermark("canon")
+
   def dedupAndCapPerDomain(docs: DataFrame, urlCol: String, idCol: String,
       weightCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")

@@ -100,6 +100,20 @@ object VectorQueries extends QueryModule {
       graft.operators.Clustering.clusterBalancedSample(a, "vec_id", n = 10)
         .select(col("cluster"), col("vec_id"))
         .orderBy(col("cluster"), col("vec_id"))
+    }),
+
+    // PCA projection onto the top-4 variance axes — the learned
+    // counterpart of q95's JL random projection. Float eigensolve =
+    // not SQL-oracle material (no oracleSql entry; driver records the
+    // rows-only check); PcaSpec gates the semantics against a
+    // single-node reference and the variance-equals-eigenvalue
+    // invariant.
+    "q123_pca_project" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      val model = graft.operators.Pca.fit(e, "embedding", dim = 64, k = 4)
+      graft.operators.Pca.transform(e, "embedding", model)
+        .select(col("vec_id"), col("pc1"), col("pc2"), col("pc3"), col("pc4"))
+        .orderBy(col("vec_id"))
     })
   )
 

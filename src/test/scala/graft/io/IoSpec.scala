@@ -49,6 +49,44 @@ class IoSpec extends SparkSpec {
     assert(readBack.inputFiles.length >= 3)
   }
 
+  test("orc round-trip: batch write -> orc/orcStream read; filters push to the scan") {
+    val out = java.nio.file.Files.createTempDirectory("io_orc").toString
+    val batch = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    batch.write.mode("overwrite").orc(out)
+
+    val back = Sources.orc(spark, out)
+    assert(back.count() == batch.count())
+    // pushdown parity with parquet: the predicate reaches the ORC scan
+    val filtered = back.filter($"o_orderkey" < 100)
+    val scanStr = filtered.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)"),
+      s"filter not pushed to ORC scan:\n$scanStr")
+
+    val streamed = Sources.orcStream(spark, out, batch.schema)
+      .groupBy().agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+    val q = streamed.writeStream.format("memory").queryName("io_orc_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("io_orc_out").as[(Long, Long)].head()
+      assert(got._1 == batch.count())
+      assert(got._2 == batch.agg(sum($"o_orderkey")).as[Long].head())
+    } finally q.stop()
+  }
+
+  test("rolling file sink also writes orc (format is a parameter, not a fork)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("io_roll_orc").toString
+    ms.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    val q = Sinks.rollingFiles(ms.toDF().toDF("id", "payload"), "orc",
+        s"$out/data", s"$out/ckpt", maxRecordsPerFile = 2)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Sources.orc(spark, s"$out/data").count() == 3)
+  }
+
   test("rate-derived synthetic sources expose the documented schemas") {
     val s = Sources.sensorSource(spark)
     assert(s.isStreaming)

@@ -31,6 +31,19 @@ class UrlsSpec extends SparkSpec {
       Seq("https://e.com/p?xutm_source=1"))
   }
 
+  test("canonicalize is idempotent: the canonical form is its own fixed point") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/A/B/#frag",
+      "http://www.Example.com:80/",
+      "https://Example.com:8443/Path?utm_source=x&id=1",
+      "https://example.com",
+      "https://e.com/p?gclid=a&b=2&fbclid=c",
+      "https://sub.domain.e.com/Deep/Path/?q=1&utm_campaign=z#x")
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(twice == once)
+  }
+
   test("dedupAndCapPerDomain: keep-first per canonical URL, cap per host") {
     val docs = Seq(
       // three spellings of the same page on a.com -> doc 1 survives
@@ -48,6 +61,35 @@ class UrlsSpec extends SparkSpec {
     // a.com canonical /x kept doc 1 (first), weight 100 -> beaten by y(300)
     // and z(200) under cap=2; b.com keeps its only doc
     assert(out == Set(("a.com", 4L, 1), ("a.com", 5L, 2), ("b.com", 6L, 1)))
+  }
+
+  test("dedupStream: keep-first per canonical URL; expired entries re-admit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val out = Urls.dedupStream(
+      ms.toDF().toDF("id", "ts", "url"), "url", "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("url_dedup_out")
+      .outputMode("append").start()
+    try {
+      // three spellings of one page in one horizon -> only the first lands
+      ms.addData((1L, t(10), "https://WWW.A.com/x?utm_source=s"),
+        (2L, t(11), "https://a.com/x"), (3L, t(12), "https://a.com:443/x/"))
+      q.processAllAvailable()
+      val ids1 = spark.table("url_dedup_out").select($"id").as[Long]
+        .collect().toSet
+      assert(ids1 == Set(1L))
+      // push the watermark far past the horizon: the canonical entry is
+      // GC'd and the same page is admitted again (horizon-bounded trade)
+      ms.addData((9L, t(200), "https://other.com/fresh"))
+      q.processAllAvailable()
+      ms.addData((4L, t(210), "https://www.a.com/x"))
+      q.processAllAvailable()
+      val ids2 = spark.table("url_dedup_out").select($"id").as[Long]
+        .collect().toSet
+      assert(ids2 == Set(1L, 9L, 4L))
+    } finally q.stop()
   }
 
   test("dedupAndCapPerDomain keeps the first row even when later dups weigh more") {
