@@ -225,6 +225,11 @@ object ScaleSmoke {
     run("ann_pq_rerank", graft.operators.Similarity.pqRerankTopK(
       queries, emb, "vec_id", "embedding", k = 10, shortlist = 50),
       allowBroadcastNlj = true)
+    // combined IVF-PQ: probed cells' codes only — the corpus-sized pass
+    // is the codes table; probes × ADC tables broadcast
+    run("ann_ivfpq_rerank", graft.operators.Similarity.ivfPqRerankTopK(
+      queries, emb, "vec_id", "embedding", k = 10, shortlist = 50),
+      allowBroadcastNlj = true)
     // stored IVF: build-once/search-many — the search must read only the
     // probed cells' files off the persisted index (the 100 TB shape);
     // gated here like the OperatorsSpec plan gate, at corpus scale

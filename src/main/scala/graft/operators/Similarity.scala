@@ -561,69 +561,151 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
       dim: Int = 64): DataFrame = {
+    val cb = pqCodebook(corpus, idCol, vecCol, m, ksub, dim)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // encode: m codebook indices per corpus vector (argmin L2, j tie-break)
+    val enc = corpus.select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, pqCodes(cb, pqMicro(v)).toSeq) }
+      .toDF("vid", "codes")
+    val qt = adcTables(queries, idCol, vecCol, cb)
+    enc.crossJoin(broadcast(qt))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("dist", adcDist(cb))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)))
+      .filter(col("rk") <= k)
+      .select("qid", "vid", "dist")
+  }
+
+  /** PQ codebook: `m` sub-spaces × `ksub` centroids in integer
+    * micro-units — ~1 KB of planner metadata, hash-picked from the
+    * corpus (`ORDER BY md5(id), id LIMIT ksub`, the q60 pattern).
+    */
+  private[operators] final case class PqCodebook(m: Int, ksub: Int,
+      dsub: Int, cents: Array[Array[Array[Long]]])
+
+  private[operators] def pqMicro(v: Seq[Double]): Array[Long] =
+    v.iterator.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+
+  private def pqL2(a: Array[Long], off: Int, c: Array[Long]): Long = {
+    var d = 0L; var t = 0
+    while (t < c.length) { val x = a(off + t) - c(t); d += x * x; t += 1 }
+    d
+  }
+
+  private[operators] def pqCodebook(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int, dim: Int): PqCodebook = {
     require(m > 0 && dim % m == 0, s"m must divide dim, got m=$m dim=$dim")
     require(ksub > 1, s"ksub must be > 1: $ksub")
     val dsub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    def micro(v: Seq[Double]): Array[Long] =
-      v.iterator.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
-    // codebook: ksub hash-picked vectors, j = rank in (md5(id), id) order
     val picked: Array[Array[Long]] = corpus
       .select(col(idCol).cast("long").as("pid"), toDoubleVec(col(vecCol)).as("pv"))
       .orderBy(md5(col("pid").cast("string")), col("pid"))
       .limit(ksub)
-      .as[(Long, Seq[Double])].collect().map(p => micro(p._2))
-    val cents: Array[Array[Array[Long]]] =
-      Array.tabulate(m)(mi => picked.map(_.slice(mi * dsub, (mi + 1) * dsub)))
-    def l2(a: Array[Long], off: Int, c: Array[Long]): Long = {
-      var d = 0L; var t = 0
-      while (t < c.length) { val x = a(off + t) - c(t); d += x * x; t += 1 }
-      d
+      .as[(Long, Seq[Double])].collect().map(p => pqMicro(p._2))
+    PqCodebook(m, ksub, dsub,
+      Array.tabulate(m)(mi => picked.map(_.slice(mi * dsub, (mi + 1) * dsub))))
+  }
+
+  /** Argmin-L2 codebook index per sub-space (j tie-break). */
+  private[operators] def pqCodes(cb: PqCodebook, mv: Array[Long]): Array[Int] =
+    Array.tabulate(cb.m) { mi =>
+      var best = 0; var bestD = Long.MaxValue; var j = 0
+      while (j < cb.cents(mi).length) {
+        val d = pqL2(mv, mi * cb.dsub, cb.cents(mi)(j))
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
     }
-    // encode: m codebook indices per corpus vector (argmin L2, j tie-break)
-    val enc = corpus.select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
+
+  /** Per-query ADC tables: tbl[mi*ksub + j] = L2(query sub mi, centroid j). */
+  private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
       .as[(Long, Seq[Double])]
       .map { case (id, v) =>
-        val mv = micro(v)
-        val codes = Array.tabulate(m) { mi =>
-          var best = 0; var bestD = Long.MaxValue; var j = 0
-          while (j < cents(mi).length) {
-            val d = l2(mv, mi * dsub, cents(mi)(j))
-            if (d < bestD) { bestD = d; best = j }
-            j += 1
-          }
-          best
-        }
-        (id, codes.toSeq)
-      }.toDF("vid", "codes")
-    // per-query ADC tables: tbl[mi*ksub + j] = L2(query sub mi, centroid j)
-    val qt = queries.select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) =>
-        val mv = micro(v)
-        val tbl = new Array[Long](m * ksub)
+        val mv = pqMicro(v)
+        val tbl = new Array[Long](cb.m * cb.ksub)
         var mi = 0
-        while (mi < m) {
+        while (mi < cb.m) {
           var j = 0
-          while (j < cents(mi).length) {
-            tbl(mi * ksub + j) = l2(mv, mi * dsub, cents(mi)(j))
+          while (j < cb.cents(mi).length) {
+            tbl(mi * cb.ksub + j) = pqL2(mv, mi * cb.dsub, cb.cents(mi)(j))
             j += 1
           }
           mi += 1
         }
         (id, tbl.toSeq)
       }.toDF("qid", "tbl")
-    val dist = (0 until m).map { mi =>
-      element_at(col("tbl"), lit(mi * ksub + 1) + element_at(col("codes"), mi + 1))
+  }
+
+  /** ADC distance expression over (`codes`, `tbl`) columns. */
+  private def adcDist(cb: PqCodebook): Column =
+    (0 until cb.m).map { mi =>
+      element_at(col("tbl"), lit(mi * cb.ksub + 1) + element_at(col("codes"), mi + 1))
     }.reduce(_ + _)
-    enc.crossJoin(broadcast(qt))
+
+  /** IVF-PQ: the combined production ANN shape (coarse quantizer +
+    * residual-free product codes, the in-memory form of a FAISS-style
+    * IVFPQ index): the corpus is bucketed into `nlist` cells
+    * ([[ivfBuild]]) and each cell's vectors are PQ-encoded; a query
+    * probes its `nProbe` nearest cells and ADC-scores ONLY those
+    * cells' codes. Cost per query ~ |corpus|·(nProbe/nlist) table
+    * lookups over 8-byte codes — the cell pruning of IVF times the
+    * memory compression of PQ.
+    *
+    * Determinism: cell assignment/probes use the rounded-cosine q60
+    * discipline; codes and ADC distances are exact integer micro-unit
+    * arithmetic (q78) — the whole composition is oracle-reproducible
+    * (q124). Scale: the codes+cid table is the only corpus-sized
+    * artifact; the query side (probes × ADC tables) broadcasts.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
+      m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      roundScale: Int = 4): DataFrame = {
+    val cb = pqCodebook(corpus, idCol, vecCol, m, ksub, dim)
+    val (cent, assigned) = ivfBuild(corpus, idCol, vecCol, nlist, roundScale)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // encode the assigned corpus, carrying the cell id with the codes
+    val enc = assigned
+      .select(col("cid").cast("long"), col("vid").cast("long"), col("cv"))
+      .as[(Long, Long, Seq[Double])]
+      .map { case (cid, vid, v) => (cid, vid, pqCodes(cb, pqMicro(v)).toSeq) }
+      .toDF("cid", "vid", "codes")
+    val probes = ivfProbes(queries, cent, idCol, vecCol, nProbe, roundScale)
+      .select("cid", "qid")
+    val qside = probes.join(adcTables(queries, idCol, vecCol, cb), Seq("qid"))
+    enc.join(broadcast(qside), Seq("cid"))
       .filter(col("vid") =!= col("qid"))
-      .withColumn("dist", dist)
+      .withColumn("dist", adcDist(cb))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)))
       .filter(col("rk") <= k)
       .select("qid", "vid", "dist")
+  }
+
+  /** IVF-PQ shortlist + exact micro-unit rerank — [[ivfPqTopK]]
+    * proposes `shortlist` candidates from the probed cells' codes, then
+    * true vectors are fetched for just those pairs (the [[pqRerankTopK]]
+    * two-tier discipline with cell pruning on the proposal pass).
+    */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 50, nlist: Int = 16,
+      nProbe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      roundScale: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cand = ivfPqTopK(queries, corpus, idCol, vecCol, shortlist,
+      nlist, nProbe, m, ksub, dim, roundScale).select("qid", "vid")
+    exactMicroRerank(cand, queries, corpus, idCol, vecCol, k)
   }
 
   /** PQ shortlist + exact rerank — the production ANN shape: [[pqTopK]]

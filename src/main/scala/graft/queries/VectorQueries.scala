@@ -102,6 +102,16 @@ object VectorQueries extends QueryModule {
         .orderBy(col("cluster"), col("vec_id"))
     }),
 
+    // IVF-PQ combined ANN: q60's cell probing over q78's integer ADC
+    // codes — a query scores only its probed cells' 8-byte codes. The
+    // full composition stays oracle-reproducible (rounded-cosine
+    // probes, exact-integer ADC).
+    "q124_ivfpq_ann" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", k = 5, nlist = 16, nProbe = 4)
+    }),
+
     // PCA projection onto the top-4 variance axes — the learned
     // counterpart of q95's JL random projection. Float eigensolve =
     // not SQL-oracle material (no oracleSql entry; driver records the
@@ -317,6 +327,64 @@ object VectorQueries extends QueryModule {
         |  SELECT dq.vec_id AS qid, e.vec_id AS vid, CAST(SUM(dq.dd) AS BIGINT) AS dist
         |  FROM enc e JOIN dst dq ON dq.m = e.m AND dq.j = e.code
         |  WHERE dq.vec_id < 50 AND e.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT qid, vid, dist FROM (
+        |  SELECT qid, vid, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rk
+        |  FROM sc) WHERE rk <= 5""".stripMargin,
+
+    // q60's IVF probe CTEs composed with q78's PQ code CTEs: ADC scores
+    // restricted to (query, cell) probe pairs.
+    "q124_ivfpq_ann" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS centv FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |az AS (SELECT e.vec_id AS vid, c.cid, unnest(e.embedding) AS x,
+        |         unnest(c.centv) AS y
+        |       FROM embeddings e CROSS JOIN cent c),
+        |ac AS (
+        |  SELECT vid, cid,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+        |  FROM az GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vid, cid FROM (
+        |    SELECT vid, cid, row_number() OVER (PARTITION BY vid
+        |      ORDER BY ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) DESC, cid) AS rn
+        |    FROM ac) WHERE rn = 1),
+        |prb AS (
+        |  SELECT vid AS qid, cid FROM (
+        |    SELECT vid, cid, row_number() OVER (PARTITION BY vid
+        |      ORDER BY ROUND(dt / (SQRT(aa) * SQRT(bb)), 4) DESC, cid) AS rn
+        |    FROM ac WHERE vid < 50) WHERE rn <= 4),
+        |mic AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |pick AS (
+        |  SELECT * FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |    FROM mic) WHERE j < 16),
+        |dst AS (
+        |  SELECT e.vec_id, s.m, p.j,
+        |    SUM((e.v[s.m*4 + t.d + 1] - p.v[s.m*4 + t.d + 1])
+        |      * (e.v[s.m*4 + t.d + 1] - p.v[s.m*4 + t.d + 1])) AS dd
+        |  FROM mic e, pick p, range(16) s(m), range(4) t(d)
+        |  GROUP BY e.vec_id, s.m, p.j),
+        |enc AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, j) AS rn
+        |    FROM dst) WHERE rn = 1),
+        |sc AS (
+        |  SELECT pr.qid, a.vid, CAST(SUM(dq.dd) AS BIGINT) AS dist
+        |  FROM prb pr
+        |  JOIN asg a ON a.cid = pr.cid AND a.vid <> pr.qid
+        |  JOIN enc e ON e.vec_id = a.vid
+        |  JOIN dst dq ON dq.vec_id = pr.qid AND dq.m = e.m AND dq.j = e.code
         |  GROUP BY 1, 2)
         |SELECT qid, vid, dist FROM (
         |  SELECT qid, vid, dist,

@@ -472,6 +472,68 @@ class OperatorsSpec extends SparkSpec {
       .foreach { case (qid, vid, d) => assert(d == l2(vecs(qid), vecs(vid))) }
   }
 
+  test("IVF-PQ: hits come only from probed cells; rerank distances exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val k = 5
+    val got = Similarity.ivfPqTopK(q, e, "vec_id", "embedding", k)
+      .select("qid", "vid", "dist").as[(Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 != r._2 && r._3 >= 0L))
+    assert(got.groupBy(_._1).values.forall(_.length <= k))
+    // determinism: bit-identical on recomputation
+    assert(Similarity.ivfPqTopK(q, e, "vec_id", "embedding", k)
+      .select("qid", "vid", "dist").as[(Long, Long, Long)].collect()
+      .toSet == got.toSet)
+    // every returned vid must live in one of its query's probed cells —
+    // the cell-pruning contract (recompute assignment independently)
+    val (cent, assigned) = Similarity.ivfBuild(e, "vec_id", "embedding", 16)
+    val cellOf = assigned.select($"vid", $"cid").as[(Long, Long)]
+      .collect().toMap
+    val probeSet = {
+      // derive probes the same way the operator does: nearest-4 cells
+      val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+      val cents = cent.select($"cid", $"centv").as[(Long, Seq[Double])]
+        .collect().map { case (id, v) => id -> v.toArray }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dt = a.indices.iterator.map(i => a(i) * b(i)).sum
+        val na = math.sqrt(a.iterator.map(x => x * x).sum)
+        val nb = math.sqrt(b.iterator.map(x => x * x).sum)
+        // HALF_UP to match Spark's round() tie behavior
+        BigDecimal(dt / (na * nb))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      vecs.keys.filter(_ < 20).flatMap { qid =>
+        cents.sortBy { case (cid, cv) => (-cos(vecs(qid), cv), cid) }
+          .take(4).map { case (cid, _) => (qid, cid) }
+      }.toSet
+    }
+    got.foreach { case (qid, vid, _) =>
+      assert(probeSet((qid, cellOf(vid))),
+        s"hit ($qid, $vid) came from unprobed cell ${cellOf(vid)}")
+    }
+    // rerank tier: exact integer distances for returned pairs, recall
+    // never below the pure-ADC proposal it reranks
+    val micro = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.iterator.map { i => val d = a(i) - b(i); d * d }.sum
+    val rr = Similarity.ivfPqRerankTopK(q, e, "vec_id", "embedding", k)
+      .select("qid", "vid", "dist").as[(Long, Long, Long)].collect()
+    rr.foreach { case (qid, vid, d) => assert(d == l2(micro(qid), micro(vid))) }
+    val exactL2 = micro.keys.filter(_ < 20).flatMap { qid =>
+      micro.toSeq.filter(_._1 != qid)
+        .sortBy { case (vid, v) => (l2(micro(qid), v), vid) }
+        .take(k).map { case (vid, _) => (qid, vid) }
+    }.toSet
+    val adcR = (got.map(r => (r._1, r._2)).toSet intersect exactL2).size.toDouble / exactL2.size
+    val rrR = (rr.map(r => (r._1, r._2)).toSet intersect exactL2).size.toDouble / exactL2.size
+    assert(rrR >= adcR, s"rerank recall $rrR below pure ADC $adcR")
+    assert(rrR >= 0.3, s"ivfpq rerank recall@5 collapsed: $rrR")
+  }
+
   test("RP shortlist+rerank: exact distances, useful recall vs exact L2") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 20)
