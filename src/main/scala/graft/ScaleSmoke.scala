@@ -342,6 +342,14 @@ object ScaleSmoke {
       graft.operators.Bpe.wordFrequencies(docs, "text")
         .withColumn("syms", graft.operators.Bpe.charSymbols(col("word")))))
 
+    // mergeable HLL vocab sketches: one map-side-combining aggregate;
+    // output is G KB-sized sketch rows at any corpus size
+    run("distinct_sketch", graft.operators.Sketches.estimate(
+      graft.operators.Sketches.distinctSketch(
+        docs.select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w")),
+        "source", "w")))
+
     // URL canonicalization front door: codegen'd regex chain + two
     // key-partitioned window shuffles (canonical URL, then host). Hosts
     // are fanned out per doc (source x doc_id%64) so the per-host cap

@@ -393,6 +393,22 @@ object CorpusQueries extends QueryModule {
         .limit(20)
         .select($"doc_id" +: bmTerms.map(t =>
           col(s"tf_$t").cast("long").as(s"tf_$t")) :+ $"score": _*)
+    }),
+
+    // Mergeable per-source vocabulary sketches (DataSketches HLL): the
+    // incremental corpus-stats shape — per-group KB sketches persist and
+    // union instead of rescanning history. At gate cardinalities the
+    // sketch sits in its exact coupon mode, so the estimates equal the
+    // oracle's exact COUNT(DISTINCT) (merge/incremental laws spec'd in
+    // SketchesSpec).
+    "q125_distinct_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir).select($"source",
+        explode(split(trim($"text"), "\\s+")).as("w"))
+      graft.operators.Sketches.estimate(
+          graft.operators.Sketches.distinctSketch(words, "source", "w"))
+        .select($"source", $"n_rows", $"distinct_est")
+        .orderBy($"source")
     })
   )
 
@@ -774,6 +790,14 @@ object CorpusQueries extends QueryModule {
          |      (CAST(len AS DOUBLE) / (sumlen / n)))))""").mkString(" +\n         |  ")}
          |  AS DECIMAL(18,9)) AS DOUBLE) AS score
          |FROM tf CROSS JOIN stats
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q125_distinct_sketch" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT w) AS distinct_est
+        |FROM w GROUP BY source ORDER BY source""".stripMargin
   )
 }
