@@ -273,4 +273,51 @@ class PropertySpec extends SparkSpec {
       assert(got == brute(edges), s"CC diverged on $edges")
     }
   }
+
+  test("rrfFuse is invariant under arm order and matches brute-force fusion") {
+    val armGen: Gen[List[(Long, Long, Int)]] = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        q <- Gen.choose(1L, 3L); d <- Gen.choose(10L, 20L)
+        r <- Gen.choose(1, 8)
+      } yield (q, d, r))
+    } yield rows.distinctBy(t => (t._1, t._2)) // one rank per (q, doc)
+    def brute(arms: Seq[Seq[(Long, Long, Int)]], k: Int): Set[(Long, Long, Long)] =
+      arms.flatten.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.map(t => 1000000000000L / (60L + t._3)).sum).toSeq
+        .groupBy(_._1._1).flatMap { case (_, rows) =>
+          rows.sortBy { case ((_, d), s) => (-s, d) }.take(k)
+            .map { case ((q, d), s) => (q, d, s) }
+        }.toSet
+    samples(Gen.listOfN(3, armGen), 5).foreach { arms =>
+      val dfs = arms.map(_.toDF("query_id", "doc_id", "rk"))
+      val a = graft.operators.Retrieval.rrfFuse(dfs, k = 4)
+        .select($"query_id", $"doc_id", $"score_u")
+        .as[(Long, Long, Long)].collect().toSet
+      val b = graft.operators.Retrieval.rrfFuse(dfs.reverse, k = 4)
+        .select($"query_id", $"doc_id", $"score_u")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(a == b, s"arm order changed the fusion on $arms")
+      assert(a == brute(arms, 4), s"fusion diverged from brute force on $arms")
+    }
+  }
+
+  test("hits scores are scale-covariant: doubling the scale ~doubles scores") {
+    // scores are ratios normalized to the integer scale, so scale 2S
+    // must give ~2x the scale-S score, off only by accumulated floor-div
+    // units (a handful over 2 iterations at these degrees)
+    val edges = (1L to 60L).map(i => (i, (i * 13) % 60 + 1)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val a = graft.operators.Graphs.hits(edges.toDF("src", "dst"), iters = 2,
+      scale = 1000000L).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val b = graft.operators.Graphs.hits(edges.toDF("src", "dst"), iters = 2,
+      scale = 2000000L).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, (h, au)) =>
+      assert(math.abs(b(id)._1 - 2 * h) <= 64, s"hub($id): ${b(id)._1} vs 2*$h")
+      assert(math.abs(b(id)._2 - 2 * au) <= 64, s"auth($id): ${b(id)._2} vs 2*$au")
+    }
+  }
 }
