@@ -44,6 +44,42 @@ object Layout {
   def writeDatePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Compact `df` into parquet files of ~`targetBytes` each — the lake
+    * maintenance pass that fixes the small-files problem (a 100 TB table
+    * accreted from streaming micro-batches or fine-grained partitions
+    * ends up with millions of KB-sized files, and scan planning +
+    * footer reads dominate cost; the standard cure is periodic
+    * compaction to ~128 MB-1 GB files).
+    *
+    * Bytes-per-row is measured, not guessed: a bounded sample is
+    * written as parquet once and its on-disk size read back — the only
+    * estimator that sees the actual encoder + compression. The corpus
+    * then makes exactly one round-robin repartition to
+    * ceil(totalBytes / targetBytes) writers. Returns the file count.
+    */
+  def compactToFileSize(df: DataFrame, path: String, targetBytes: Long,
+      sampleRows: Int = 10000): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(sampleRows > 0, s"sampleRows must be positive: $sampleRows")
+    val spark = df.sparkSession
+    val n = df.count()
+    require(n > 0, "nothing to compact")
+    val probe = java.nio.file.Files.createTempDirectory("compact_probe").toFile
+    val sampleN = math.min(n, sampleRows.toLong)
+    df.limit(sampleN.toInt).coalesce(1)
+      .write.mode("overwrite").parquet(probe.toString)
+    val sampleBytes = Option(probe.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    require(sampleBytes > 0, "sample probe wrote no parquet bytes")
+    // ceil-divide twice: bytes/row rounds UP so tiny rows can't estimate
+    // to zero, and files rounds UP so the last file is never oversized
+    val bytesPerRow = math.max(1L, (sampleBytes + sampleN - 1) / sampleN)
+    val files = math.max(1L,
+      (n * bytesPerRow + targetBytes - 1) / targetBytes).toInt
+    df.repartition(files).write.mode("overwrite").parquet(path)
+    files
+  }
+
   /** Morton (Z-order) value over pre-bucketed dimension columns: each
     * input must already be an integer in [0, 2^bits); the result
     * interleaves their bits (col 0 owns the least-significant position).

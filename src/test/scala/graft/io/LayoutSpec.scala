@@ -107,4 +107,29 @@ class LayoutSpec extends SparkSpec {
     assert(zP < 160 && zS < 160,
       s"z-order failed to cluster both dims: px width $zP, sx width $zS")
   }
+
+  test("compactToFileSize hits the target within measurement slack") {
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val target = 64 * 1024L // small target so sf0.001 yields several files
+    val files = graft.io.Layout.compactToFileSize(li, s"$out/t", target)
+    assert(files > 1, "target this small must split into multiple files")
+    val written = new java.io.File(s"$out/t").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(written.length == files)
+    // every file within ~3x of target either way (footer overhead +
+    // encoder variance dominate at KB-scale files; the point is order
+    // of magnitude, not byte equality)
+    written.foreach { f =>
+      assert(f.length() < 3 * target, s"${f.getName} ${f.length()} too big")
+      assert(f.length() > target / 3, s"${f.getName} ${f.length()} too small")
+    }
+    // all rows survive
+    assert(spark.read.parquet(s"$out/t").count() == li.count())
+    // a target bigger than the table -> exactly one file
+    val one = graft.io.Layout.compactToFileSize(li, s"$out/one", 1L << 30)
+    assert(one == 1 &&
+      new java.io.File(s"$out/one").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+  }
 }
