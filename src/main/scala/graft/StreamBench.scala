@@ -39,6 +39,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - `network_flow` — late-update top-N URLs with close-once/amend
   *     state ([[apps.StreamingApps.networkFlowStream]]; reference
   *     scala/.../demo/networkflow/NetworkFlow.scala:50-146)
+  *   - `url_dedup`    — canonical-URL streaming keep-first dedup
+  *     ([[operators.Urls.dedupStream]]; three spellings per page,
+  *     dropDuplicatesWithinWatermark state bounded by the 1h horizon)
   *
   * Methodology (BASELINE.md solo contract): events replay time-ordered
   * through a MemoryStream in `SPARK_GRAFT_STREAM_BATCHES` micro-batches
@@ -289,7 +292,31 @@ object StreamBench {
       finally q.stop()
     }
 
-    // 10. transformWithState running count — the Spark-4 native state
+    // 10. canonical-URL streaming dedup: three spellings of each page
+    // arrive in the same micro-batch; dropDuplicatesWithinWatermark on
+    // the canonical form keeps the first. Event time advances 1s per
+    // doc against a 1h horizon, so canonical entries expire mid-run and
+    // the state plateau (~3600 entries) is visible in the trace.
+    bench("url_dedup")(3L * docs.size) { () =>
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val rows = docs.zipWithIndex.flatMap { case ((id, _), i) =>
+        val ts = new Timestamp(i * 1000L)
+        val host = s"src${id % 8}.example.com"
+        val path = s"/Docs/Item-$id"
+        Seq((id * 3, ts, s"https://WWW.$host$path?utm_source=s&id=$id"),
+          (id * 3 + 1, ts, s"https://$host$path?id=$id"),
+          (id * 3 + 2, ts, s"HTTPS://$host:443$path/?id=$id"))
+      }
+      val out = operators.Urls.dedupStream(
+        ms.toDF().toDF("id", "ts", "url"), "url", "ts", "1 hour")
+      val q = out.select($"id", $"canon").writeStream.format("memory")
+        .queryName(s"sb_${tag}_url").outputMode("append").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(rows, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
+    // 11. transformWithState running count — the Spark-4 native state
     // API. Requires the RocksDB provider (transformWithState contract),
     // so it only runs in that pass; the memory column stays "-".
     if (tag == "rocksdb")
@@ -379,6 +406,7 @@ object StreamBench {
       "topn_hotitems" -> "`StreamOps.streamingTopN` (HotItems, top-3/1h)",
       "tx_match" -> "`StreamingApps.txMatchStream` (pay↔receipt, 20% unmatched)",
       "network_flow" -> "`StreamingApps.networkFlowStream` (top-3/60s, 5s lateness)",
+      "url_dedup" -> "`Urls.dedupStream` (3 spellings/page, canonical keep-first, 1h horizon)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")

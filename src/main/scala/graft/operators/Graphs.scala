@@ -90,10 +90,15 @@ object Graphs {
     * hub 0.
     *
     * Same scale discipline as [[pageRank]]: |V|-sized tables are never
-    * broadcast (the only broadcast is the one-row max), each half-step
-    * is one rank-edge hash join plus one keyed aggregate, lineage is
-    * cut on a fixed cadence. Overflow bound: `max_degree * scale^2`
-    * must fit a long — the default scale 10^6 allows degrees to ~9·10^6.
+    * broadcast (the only broadcast is the one-row max), and each
+    * half-step is one rank-edge hash join plus one keyed aggregate.
+    * Lineage is cut at EVERY half-step's raw aggregate — the max
+    * subquery and the rescale join both consume it, so an uncut chain
+    * doubles the plan per half-step (ExchangeAudit measured 157
+    * exchange nodes for 2 iterations vs ~7 with the cut); the
+    * `checkpointEvery` cadence additionally bounds the scores chain on
+    * long runs. Overflow bound: `max_degree * scale^2` must fit a
+    * long — the default scale 10^6 allows degrees to ~9·10^6.
     */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L,
       checkpointEvery: Int = 3): DataFrame = {
@@ -110,15 +115,17 @@ object Graphs {
     // the node table (missing -> 0)
     def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
         aggSide: String, outCol: String): DataFrame = {
-      // raw feeds BOTH the max-normalizer and the rescale join, and each
-      // half-step's output is exchanged on `id` by both consumers — AQE
-      // exchange reuse dedupes those identical subplans (measured: an
-      // eager per-half-step materialization is cost-neutral at sf0.1 and
-      // just adds jobs — the q119 per-round-overhead lesson)
+      // raw feeds BOTH the max-normalizer and the rescale join; without
+      // a lineage cut here every half-step DOUBLES the plan (the
+      // ExchangeAudit measured 157 exchange nodes in the 2-iteration
+      // final plan vs ~10 with the cut), so the |V|-row materialization
+      // is mandatory plan hygiene, not an optimization (wall-clock
+      // neutral at sf0.1)
       val raw = scores.withColumnRenamed("id", joinSide)
         .join(e.hint("shuffle_hash"), Seq(joinSide))
         .groupBy(col(aggSide).as("id"))
         .agg(sum(col(scoreCol)).as("raw"))
+        .localCheckpoint(true)
       val m = raw.agg(max(col("raw")).as("m"))
       nodes.join(raw.hint("shuffle_hash"), Seq("id"), "left")
         .crossJoin(broadcast(m))

@@ -41,7 +41,10 @@ class PlanGateSpec extends SparkSpec {
     "q99_token_budget",    // bounded band-totals broadcast
     "q102_kmeans",         // k centroids broadcast in argmin assignment
     "q103_cluster_sample", // k centroids + per-cluster quotas broadcast
-    "q116_bm25_retrieval"  // 1-row corpus-stats frame broadcast (q84 shape)
+    "q116_bm25_retrieval", // 1-row corpus-stats frame broadcast (q84 shape)
+    "q120_hybrid_rrf",     // dense arm: query batch broadcast (q26 shape)
+    "q122_hits",           // 1-row max-normalizer broadcast per half-step
+    "q124_ivfpq_ann"       // probe batch + ADC tables broadcast (q60/q78)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -84,6 +87,15 @@ class PlanGateSpec extends SparkSpec {
     // 2 unrolled iterations live in the final plan (lineage is only cut
     // every checkpointEvery rounds); per-round shapes gated by GraphsSpec
     "q119_pagerank" -> 8,
+    "q120_hybrid_rrf" -> 8,
+    "q121_url_canonical" -> 3,
+    // hits cuts lineage at every half-step's raw aggregate (the audit
+    // measured 157 exchange nodes without that cut — plan doubling per
+    // half-step)
+    "q122_hits" -> 7,
+    "q123_pca_project" -> 1,
+    "q124_ivfpq_ann" -> 3,
+    "q125_distinct_sketch" -> 2,
     "q10_histogram" -> 2,
     "q11_interval_join" -> 0,
     "q12_window_tumble" -> 1,
