@@ -148,6 +148,54 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rk"), col("score_u"))
   }
 
+  /** IR quality metrics for a rank list against a relevance set —
+    * the evaluation harness a retrieval/dedup pipeline runs after every
+    * index or model change: per-query recall@k, reciprocal rank, and
+    * nDCG@k. `results`: (query_id, doc_id, rk); `qrels`: (query_id,
+    * doc_id).
+    *
+    * Determinism: the reciprocal rank is exact integer micro-units
+    * (`scale div first_rk`); DCG terms use the `ln(2)/ln(rk+1)` form
+    * quantized to DECIMAL(18,9) BEFORE summing (the q84 BM25
+    * discipline — ulp-level libm differences can't flip a quantized
+    * term), and ideal DCG folds the same quantized terms over
+    * `sequence(1, min(tot_rel, k))`; the final nDCG divides the two
+    * exact decimals as doubles (one IEEE division).
+    *
+    * Scale: rank lists arrive |Q|·k-bounded; qrels aggregate per query
+    * before the metrics join — per-query rows only.
+    */
+  def evalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def dcgTerm(c: Column): Column =
+      (lit(math.log(2.0)) / log(c + lit(1.0))).cast("decimal(18,9)")
+    val tot = qrels.groupBy(col("query_id")).agg(count(lit(1)).as("tot_rel"))
+    val hits = results.filter(col("rk") <= k)
+      .join(qrels, Seq("query_id", "doc_id"))
+    val per = hits.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("rel_found"),
+        min(col("rk")).as("first_rk"),
+        sum(dcgTerm(col("rk").cast("double"))).as("dcg"))
+    tot.join(per, Seq("query_id"), "left")
+      .withColumn("rel_found", coalesce(col("rel_found"), lit(0L)))
+      .withColumn("recall",
+        col("rel_found").cast("double") / col("tot_rel").cast("double"))
+      .withColumn("rr_u", coalesce(expr(s"${scale}L div first_rk"), lit(0L)))
+      // acc at DECIMAL(28,9): (28,9)+(18,9) widens to (29,9) with NO
+      // scale loss (a (38,9) acc would — Spark trims to scale 8), and
+      // the cast back is lossless for sums of <= k unit-sized terms
+      .withColumn("idcg", aggregate(
+        sequence(lit(1L), least(col("tot_rel"), lit(k.toLong))),
+        lit(BigDecimal(0)).cast("decimal(28,9)"),
+        (acc, i) => (acc + dcgTerm(i.cast("double"))).cast("decimal(28,9)")))
+      .withColumn("ndcg",
+        coalesce(col("dcg").cast("double"), lit(0.0)) /
+          col("idcg").cast("double"))
+      .select(col("query_id"), col("tot_rel"), col("rel_found"),
+        col("recall"), col("rr_u"), col("ndcg"))
+  }
+
   /** Persist the index partitioned by a term hash bucket (`tb`), the
     * build-once production layout: `searchBm25Stored` prunes to the
     * buckets of the query's terms. `nBuckets` sizes partitions — at

@@ -61,4 +61,71 @@ object Sketches {
   def globalEstimate(sketches: DataFrame): DataFrame =
     estimate(sketches.agg(hll_union_agg(col("sketch")).as("sketch"),
       sum(col("n_rows")).as("n_rows")))
+
+  /** Mergeable equi-width histogram sketch of `valueCol` over
+    * [lo, hi): (groupCol, n, counts Array(nBuckets)). The quantile
+    * counterpart of the HLL tier — bucket counts are exact integers, so
+    * sketches merge by element-wise ADDITION ([[mergeHistograms]]) and
+    * every estimate is engine-reproducible (unlike KLL/t-digest, whose
+    * compaction is implementation-defined). Out-of-range values clamp
+    * into the edge buckets. Two keyed aggregates, nothing row-shaped
+    * survives the first.
+    */
+  def histogramSketch(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(hi > lo, s"need hi > lo: [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    val b = least(lit(nBuckets - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lo) / width).cast("int")))
+    df.groupBy(col(groupCol), b.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("n"),
+        map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+          .as("m"))
+      .withColumn("counts", transform(sequence(lit(0), lit(nBuckets - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))))
+      .drop("m")
+  }
+
+  /** Merge two histogram-sketch tables: counts add element-wise
+    * (explode → per-bucket sum → rebuild; sketch-sized rows only).
+    */
+  def mergeHistograms(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.select(col(groupCol), col("counts"))
+      .unionByName(b.select(col(groupCol), col("counts")))
+      .select(col(groupCol), posexplode(col("counts")).as(Seq("bucket", "cnt")))
+      .groupBy(col(groupCol), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("n"),
+        transform(array_sort(collect_list(struct(col("bucket"), col("cnt")))),
+          s => s.getField("cnt")).as("counts"))
+
+  /** Interpolated quantile estimates from a histogram sketch: one row
+    * per (group, q) with the textbook law
+    * `est = lo + width * (bucket + (t - cumBefore) / cnt)` at rank
+    * `t = ceil(q * n)` — integer ranks and counts, one IEEE division,
+    * so both engines land on the same double bit pattern. Window runs
+    * per (group, q) over nBuckets rows — sketch-sized, never data-sized.
+    */
+  def quantilesFromHistogram(sk: DataFrame, groupCol: String,
+      lo: Double, hi: Double, nBuckets: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    val width = (hi - lo) / nBuckets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("q")).orderBy(col("bucket"))
+    sk.select(col(groupCol), col("n"),
+        posexplode(col("counts")).as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("t", ceil(col("q") * col("n")))
+      .filter(col("cum") >= col("t") && (col("cum") - col("cnt")) < col("t"))
+      .withColumn("est", lit(lo) + lit(width) * (col("bucket") +
+        (col("t") - (col("cum") - col("cnt"))).cast("double") /
+          col("cnt").cast("double")))
+      .select(col(groupCol), col("q"), col("n"), col("est"))
+  }
 }

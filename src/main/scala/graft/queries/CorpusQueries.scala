@@ -409,6 +409,22 @@ object CorpusQueries extends QueryModule {
           graft.operators.Sketches.distinctSketch(words, "source", "w"))
         .select($"source", $"n_rows", $"distinct_est")
         .orderBy($"source")
+    }),
+
+    // Mergeable equi-width histogram quantiles: per-source p50/p90 of
+    // document length off exact integer bucket counts — the quantile
+    // sketch whose merge law is plain addition (unlike KLL/t-digest).
+    // Interpolation uses integer ranks + one IEEE division, identical
+    // in both engines (the oracle casts q to DOUBLE so ceil(q*n) shares
+    // Spark's float law).
+    "q126_hist_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val sk = graft.operators.Sketches.histogramSketch(
+        Tables.documents(s, dir), "source", "n_chars",
+        lo = 0.0, hi = 1024.0, nBuckets = 16)
+      graft.operators.Sketches.quantilesFromHistogram(sk, "source",
+        0.0, 1024.0, 16, Seq(0.5, 0.9))
+        .orderBy($"source", $"q")
     })
   )
 
@@ -798,6 +814,26 @@ object CorpusQueries extends QueryModule {
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT w) AS distinct_est
-        |FROM w GROUP BY source ORDER BY source""".stripMargin
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    "q126_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    LEAST(15, GREATEST(0, CAST(floor(
+        |      (CAST(n_chars AS DOUBLE) - 0.0) / 64.0) AS INTEGER))) AS bucket
+        |  FROM documents),
+        |c AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY 1),
+        |qq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+        |e AS (
+        |  SELECT c.source, q, tot.n, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY c.source, q ORDER BY bucket) AS cum,
+        |    CEIL(q * CAST(tot.n AS DOUBLE)) AS t
+        |  FROM c JOIN tot USING (source) CROSS JOIN qq)
+        |SELECT source, q, CAST(n AS BIGINT) AS n,
+        |  0.0 + 64.0 * (bucket +
+        |    CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) AS est
+        |FROM e WHERE cum >= t AND (cum - cnt) < t
+        |ORDER BY source, q""".stripMargin
   )
 }

@@ -151,6 +151,29 @@ object CurationQueries extends QueryModule {
         .distinct()
       graft.operators.Graphs.hits(edges, iters = 2)
         .orderBy($"id")
+    }),
+
+    // Retrieval evaluation harness: BM25 top-20 scored against
+    // conjunctive qrels (docs containing EVERY query term) — per-query
+    // recall@10, integer reciprocal rank, and decimal-quantized nDCG@10.
+    "q127_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+      val qs = bmQueries.toDF("query_id", "qtext")
+      val results = Retrieval.searchBm25(idx, qs, k = 20)
+        .select($"query_id", $"doc_id", $"rk")
+      val qterms = qs.select($"query_id",
+        explode(array_distinct(split(trim($"qtext"), "\\s+"))).as("term"))
+      val nq = qterms.groupBy($"query_id").agg(count(lit(1)).as("nqt"))
+      val dTerms = docs.select($"doc_id",
+        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+      val qrels = dTerms.join(broadcast(qterms), Seq("term"))
+        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("nm"))
+        .join(broadcast(nq), Seq("query_id")).filter($"nm" === $"nqt")
+        .select($"query_id", $"doc_id")
+      Retrieval.evalMetrics(results, qrels, k = 10)
+        .orderBy($"query_id")
     })
   )
 
@@ -447,6 +470,73 @@ object CurationQueries extends QueryModule {
         |SELECT nodes.id, CAST(h2.h AS BIGINT) AS hub,
         |  CAST(a2.a AS BIGINT) AS auth
         |FROM nodes JOIN h2 USING (id) JOIN a2 USING (id)
-        |ORDER BY nodes.id""".stripMargin
+        |ORDER BY nodes.id""".stripMargin,
+
+    // q116's BM25 CTEs ranked at k=20, scored against conjunctive qrels;
+    // DCG terms quantized to DECIMAL(18,9) pre-sum (the q84 discipline),
+    // reciprocal rank in integer micro-units, nDCG as one double divide.
+    "q127_retrieval_eval" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  ${bmQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         |    len(string_split_regex(trim(text), '\\s+')) AS len
+         |  FROM documents),
+         |p AS (SELECT doc_id, len, unnest(w) AS term FROM w),
+         |post AS (SELECT term, doc_id, len, COUNT(*) AS tf
+         |         FROM p GROUP BY 1, 2, 3),
+         |terms AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(SUM(CAST(len AS BIGINT)) AS DOUBLE) AS sumlen FROM w),
+         |qt AS (
+         |  SELECT query_id,
+         |    unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term
+         |  FROM q),
+         |contrib AS (
+         |  SELECT qt.query_id, post.doc_id,
+         |    CAST((ln((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+         |      (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |      (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} + 0.75 *
+         |        (CAST(post.len AS DOUBLE) / (sumlen / n))))) AS DECIMAL(18,9)) AS c
+         |  FROM qt JOIN terms USING (term) JOIN post USING (term)
+         |  CROSS JOIN stats),
+         |sc AS (SELECT query_id, doc_id, SUM(c) AS sdec
+         |       FROM contrib GROUP BY 1, 2),
+         |lexrk AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sdec DESC, doc_id) AS rk
+         |  FROM sc),
+         |nqt AS (SELECT query_id, COUNT(*) AS nqt FROM qt GROUP BY 1),
+         |dt AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS term
+         |  FROM documents),
+         |m AS (SELECT qt.query_id, dt.doc_id, COUNT(*) AS nm
+         |      FROM qt JOIN dt USING (term) GROUP BY 1, 2),
+         |relq AS (SELECT query_id, doc_id FROM m JOIN nqt USING (query_id)
+         |         WHERE nm = nqt),
+         |tot AS (SELECT query_id, COUNT(*) AS tot_rel FROM relq GROUP BY 1),
+         |hits AS (
+         |  SELECT r.query_id, r.rk FROM lexrk r
+         |  JOIN relq USING (query_id, doc_id) WHERE r.rk <= 10),
+         |per AS (
+         |  SELECT query_id, COUNT(*) AS rel_found, MIN(rk) AS first_rk,
+         |    SUM(CAST(ln(2) / ln(rk + 1.0) AS DECIMAL(18,9))) AS dcg
+         |  FROM hits GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id,
+         |    SUM(CAST(ln(2) / ln(i + 1.0) AS DECIMAL(18,9))) AS idcg
+         |  FROM (SELECT query_id,
+         |          unnest(range(1, LEAST(tot_rel, 10) + 1)) AS i
+         |        FROM tot)
+         |  GROUP BY 1)
+         |SELECT CAST(tot.query_id AS BIGINT) AS query_id, tot_rel,
+         |  COALESCE(rel_found, 0) AS rel_found,
+         |  CAST(COALESCE(rel_found, 0) AS DOUBLE) / CAST(tot_rel AS DOUBLE) AS recall,
+         |  COALESCE(1000000000000 // first_rk, 0) AS rr_u,
+         |  COALESCE(CAST(dcg AS DOUBLE), 0.0) / CAST(idcg AS DOUBLE) AS ndcg
+         |FROM tot LEFT JOIN per USING (query_id) JOIN ideal USING (query_id)
+         |ORDER BY tot.query_id""".stripMargin
   )
 }

@@ -100,6 +100,25 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)))
   }
 
+  test("evalMetrics: recall/MRR/nDCG match hand computation; zero-hit query") {
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 99L, 1)).toDF("query_id", "doc_id", "rk")
+    val qrels = Seq((1L, 10L), (1L, 12L), (1L, 13L), (2L, 20L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.evalMetrics(results, qrels, k = 3)
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, tot1, found1, rec1, rr1, ndcg1) = got(1L)
+    assert(tot1 == 3 && found1 == 2)
+    assert(math.abs(rec1 - 2.0 / 3.0) < 1e-12)
+    assert(rr1 == 1000000000000L) // first relevant at rank 1
+    // dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3) + 0.5
+    val idcg = 1.0 + math.log(2) / math.log(3) + 0.5
+    assert(math.abs(ndcg1 - 1.5 / idcg) < 1e-6, s"ndcg $ndcg1")
+    val (_, tot2, found2, rec2, rr2, ndcg2) = got(2L)
+    assert(tot2 == 1 && found2 == 0 && rec2 == 0.0 && rr2 == 0L && ndcg2 == 0.0)
+  }
+
   test("stored index: search equals in-memory and physically prunes term buckets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val idx = Retrieval.buildIndex(docs, "doc_id", "text")

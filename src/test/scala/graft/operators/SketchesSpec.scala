@@ -60,6 +60,60 @@ class SketchesSpec extends SparkSpec {
     assert(g._2 < summed, "global union should dedup across groups")
   }
 
+  test("histogram sketch: exact bucket counts, clamped edges") {
+    val df = Seq(("a", -5.0), ("a", 0.0), ("a", 63.9), ("a", 64.0),
+      ("a", 500.0), ("a", 2000.0), ("b", 100.0))
+      .toDF("g", "v")
+    val sk = Sketches.histogramSketch(df, "g", "v", 0.0, 1024.0, 16)
+      .select($"g", $"n", $"counts").as[(String, Long, Seq[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // a: -5 and 0 and 63.9 clamp/fall into bucket 0; 64 -> b1; 500 -> b7;
+    // 2000 clamps into b15
+    assert(sk("a")._1 == 6)
+    assert(sk("a")._2 == Seq(3L, 1L, 0L, 0L, 0L, 0L, 0L, 1L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(sk("b")._2(1) == 1L && sk("b")._1 == 1)
+  }
+
+  test("histogram merge of split halves equals the sketch of the whole") {
+    val docs0 = docs.select($"source", $"n_chars")
+    val a = Sketches.histogramSketch(
+      docs0.filter(xxhash64($"n_chars") % 2 === 0),
+      "source", "n_chars", 0.0, 1024.0, 16)
+    val b = Sketches.histogramSketch(docs0.filter(xxhash64($"n_chars") % 2 =!= 0),
+      "source", "n_chars", 0.0, 1024.0, 16)
+    val merged = Sketches.mergeHistograms(a, b, "source")
+      .select($"source", $"n", $"counts").as[(String, Long, Seq[Long])]
+      .collect().toSet
+    val whole = Sketches.histogramSketch(docs0, "source", "n_chars",
+      0.0, 1024.0, 16)
+      .select($"source", $"n", $"counts").as[(String, Long, Seq[Long])]
+      .collect().toSet
+    assert(merged == whole)
+  }
+
+  test("histogram quantiles: within a bucket width of exact, monotone in q") {
+    val sk = Sketches.histogramSketch(docs, "source", "n_chars",
+      0.0, 1024.0, 16)
+    val est = Sketches.quantilesFromHistogram(sk, "source",
+      0.0, 1024.0, 16, Seq(0.5, 0.9))
+      .select($"source", $"q", $"est").as[(String, Double, Double)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val exact = docs.groupBy($"source")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    est.foreach { case (src, qs) =>
+      assert(qs(0.5) <= qs(0.9), s"$src: p50 ${qs(0.5)} > p90 ${qs(0.9)}")
+      assert(math.abs(qs(0.5) - exact(src)._1) <= 64.0,
+        s"$src p50 ${qs(0.5)} vs exact ${exact(src)._1}")
+      assert(math.abs(qs(0.9) - exact(src)._2) <= 64.0,
+        s"$src p90 ${qs(0.9)} vs exact ${exact(src)._2}")
+    }
+  }
+
   test("sketches survive a parquet round-trip and keep merging") {
     val path = java.nio.file.Files.createTempDirectory("hll_store").toString
     Sketches.distinctSketch(words, "source", "w")

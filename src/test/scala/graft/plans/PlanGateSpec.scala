@@ -44,7 +44,8 @@ class PlanGateSpec extends SparkSpec {
     "q116_bm25_retrieval", // 1-row corpus-stats frame broadcast (q84 shape)
     "q120_hybrid_rrf",     // dense arm: query batch broadcast (q26 shape)
     "q122_hits",           // 1-row max-normalizer broadcast per half-step
-    "q124_ivfpq_ann"       // probe batch + ADC tables broadcast (q60/q78)
+    "q124_ivfpq_ann",      // probe batch + ADC tables broadcast (q60/q78)
+    "q127_retrieval_eval"  // searchBm25's 1-row corpus-stats broadcast (q116)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -96,6 +97,8 @@ class PlanGateSpec extends SparkSpec {
     "q123_pca_project" -> 1,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
+    "q126_hist_quantiles" -> 3,
+    "q127_retrieval_eval" -> 12,
     "q10_histogram" -> 2,
     "q11_interval_join" -> 0,
     "q12_window_tumble" -> 1,
