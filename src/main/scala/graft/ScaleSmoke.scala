@@ -349,6 +349,15 @@ object ScaleSmoke {
         docs.select(col("source"),
           explode(split(trim(col("text")), "\\s+")).as("w")),
         "source", "w")))
+    // histogram quantile sketch: two keyed aggregates to G·nBuckets
+    // rows; the quantile window runs over sketch rows, never data rows
+    run("hist_quantiles", {
+      val sk = graft.operators.Sketches.histogramSketch(
+        docs.withColumn("len", length(col("text"))),
+        "source", "len", lo = 0.0, hi = 4096.0, nBuckets = 32)
+      graft.operators.Sketches.quantilesFromHistogram(sk, "source",
+        0.0, 4096.0, 32, Seq(0.5, 0.9, 0.99))
+    })
 
     // URL canonicalization front door: codegen'd regex chain + two
     // key-partitioned window shuffles (canonical URL, then host). Hosts
