@@ -170,9 +170,12 @@ object Retrieval {
     require(k > 0, s"k must be positive: $k")
     def dcgTerm(c: Column): Column =
       (lit(math.log(2.0)) / log(c + lit(1.0))).cast("decimal(18,9)")
-    val tot = qrels.groupBy(col("query_id")).agg(count(lit(1)).as("tot_rel"))
+    // duplicate qrels lines (common in hand-assembled judgment files)
+    // would inflate tot_rel AND fan out the hits join — dedup first
+    val rels = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val tot = rels.groupBy(col("query_id")).agg(count(lit(1)).as("tot_rel"))
     val hits = results.filter(col("rk") <= k)
-      .join(qrels, Seq("query_id", "doc_id"))
+      .join(rels, Seq("query_id", "doc_id"))
     val per = hits.groupBy(col("query_id"))
       .agg(count(lit(1)).as("rel_found"),
         min(col("rk")).as("first_rk"),

@@ -76,9 +76,13 @@ object Sketches {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     require(hi > lo, s"need hi > lo: [$lo, $hi)")
     val width = (hi - lo) / nBuckets
+    val v = col(valueCol).cast("double")
     val b = least(lit(nBuckets - 1), greatest(lit(0),
-      floor((col(valueCol).cast("double") - lo) / width).cast("int")))
-    df.groupBy(col(groupCol), b.as("bucket"))
+      floor((v - lo) / width).cast("int")))
+    // null/NaN values carry no position — dropped, not clamped (a null
+    // bucket key would also break the dense-array rebuild)
+    df.filter(v.isNotNull && !isnan(v))
+      .groupBy(col(groupCol), b.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(groupCol))
       .agg(sum(col("cnt")).as("n"),
@@ -91,6 +95,9 @@ object Sketches {
 
   /** Merge two histogram-sketch tables: counts add element-wise
     * (explode → per-bucket sum → rebuild; sketch-sized rows only).
+    * Both sides MUST share the same (lo, hi, nBuckets) bucketization —
+    * bucket indices are positional, so mixed grids merge silently
+    * wrong, exactly as raw bucket arrays would anywhere else.
     */
   def mergeHistograms(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
     a.select(col(groupCol), col("counts"))

@@ -117,6 +117,12 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(ndcg1 - 1.5 / idcg) < 1e-6, s"ndcg $ndcg1")
     val (_, tot2, found2, rec2, rr2, ndcg2) = got(2L)
     assert(tot2 == 1 && found2 == 0 && rec2 == 0.0 && rr2 == 0L && ndcg2 == 0.0)
+    // duplicated qrels lines must not inflate tot_rel or fan out hits
+    val dupped = qrels.unionAll(qrels)
+    val again = Retrieval.evalMetrics(results, dupped, k = 3)
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
   }
 
   test("stored index: search equals in-memory and physically prunes term buckets") {

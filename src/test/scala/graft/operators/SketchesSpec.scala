@@ -75,6 +75,14 @@ class SketchesSpec extends SparkSpec {
     assert(sk("b")._2(1) == 1L && sk("b")._1 == 1)
   }
 
+  test("histogram sketch drops null/NaN values instead of clamping them") {
+    val df = Seq(("a", Some(10.0)), ("a", None),
+      ("a", Some(Double.NaN))).toDF("g", "v")
+    val sk = Sketches.histogramSketch(df, "g", "v", 0.0, 1024.0, 16)
+      .select($"n", $"counts").as[(Long, Seq[Long])].head()
+    assert(sk._1 == 1 && sk._2.sum == 1)
+  }
+
   test("histogram merge of split halves equals the sketch of the whole") {
     val docs0 = docs.select($"source", $"n_chars")
     val a = Sketches.histogramSketch(
