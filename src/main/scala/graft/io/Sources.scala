@@ -39,6 +39,16 @@ object Sources {
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Batch JSON-lines read with explicit schema (schema inference costs
+    * a full extra pass — never at 100 TB).
+    */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Streaming JSON-lines directory. */
+  def jsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
   /** Batch ORC read — the second columnar lake format Spark ships
     * natively; same pushdown/pruning machinery as parquet (the scan is
     * a FileSourceScan with PushedFilters either way).

@@ -75,6 +75,24 @@ class IoSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("json round-trip: batch write -> json/jsonStream read equals batch") {
+    val out = java.nio.file.Files.createTempDirectory("io_json").toString
+    val batch = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    batch.write.mode("overwrite").json(out)
+    assert(Sources.json(spark, out, batch.schema).count() == batch.count())
+    val streamed = Sources.jsonStream(spark, out, batch.schema)
+      .groupBy().agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+    val q = streamed.writeStream.format("memory").queryName("io_json_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("io_json_out").as[(Long, Long)].head()
+      assert(got._1 == batch.count())
+      assert(got._2 == batch.agg(sum($"o_orderkey")).as[Long].head())
+    } finally q.stop()
+  }
+
   test("rolling file sink also writes orc (format is a parameter, not a fork)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
