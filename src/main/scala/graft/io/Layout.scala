@@ -64,20 +64,31 @@ object Layout {
     val spark = df.sparkSession
     val n = df.count()
     require(n > 0, "nothing to compact")
-    val probe = java.nio.file.Files.createTempDirectory("compact_probe").toFile
+    // the probe writes through the TARGET's filesystem (a driver-local
+    // temp dir would be unreadable from the driver on a real cluster,
+    // where the sample task writes an executor's local disk)
+    val probeDir = s"${path.stripSuffix("/")}_compact_probe"
+    val probePath = new org.apache.hadoop.fs.Path(probeDir)
+    val fs = probePath.getFileSystem(spark.sessionState.newHadoopConf())
     val sampleN = math.min(n, sampleRows.toLong)
-    df.limit(sampleN.toInt).coalesce(1)
-      .write.mode("overwrite").parquet(probe.toString)
-    val sampleBytes = Option(probe.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    require(sampleBytes > 0, "sample probe wrote no parquet bytes")
-    // ceil-divide twice: bytes/row rounds UP so tiny rows can't estimate
-    // to zero, and files rounds UP so the last file is never oversized
-    val bytesPerRow = math.max(1L, (sampleBytes + sampleN - 1) / sampleN)
-    val files = math.max(1L,
-      (n * bytesPerRow + targetBytes - 1) / targetBytes).toInt
-    df.repartition(files).write.mode("overwrite").parquet(path)
-    files
+    try {
+      df.limit(sampleN.toInt).coalesce(1)
+        .write.mode("overwrite").parquet(probeDir)
+      val sampleBytes = fs.listStatus(probePath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      require(sampleBytes > 0, "sample probe wrote no parquet bytes")
+      // ceil-divide twice: bytes/row rounds UP so tiny rows can't
+      // estimate to zero, and files rounds UP so the last file is never
+      // oversized
+      val bytesPerRow = math.max(1L, (sampleBytes + sampleN - 1) / sampleN)
+      val files = math.max(1L,
+        (n * bytesPerRow + targetBytes - 1) / targetBytes).toInt
+      df.repartition(files).write.mode("overwrite").parquet(path)
+      files
+    } finally {
+      fs.delete(probePath, true)
+      ()
+    }
   }
 
   /** Morton (Z-order) value over pre-bucketed dimension columns: each

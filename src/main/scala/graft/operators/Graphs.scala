@@ -110,45 +110,71 @@ object Graphs {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
-    // one half-step: join scores onto the edge end `joinSide`, aggregate
-    // by the opposite end, max-normalize to `scale`, left-join back onto
-    // the node table (missing -> 0)
+    // Pin discipline: each half-step EAGERLY materializes one |V|-row
+    // frame; the loop is strictly sequential, so any pin older than the
+    // newest TWO has been fully consumed by later materializations and
+    // is released on the spot — without this, cached frames accumulate
+    // ~2 per iteration. The final two pins back the returned frame (as
+    // do `e`/`nodes`) and stay live until the caller is done —
+    // [[Checkpoints.free]] applies afterwards, the pageRank contract.
+    val pinned = scala.collection.mutable.Queue.empty[DataFrame]
+    def pin(df: DataFrame): Unit = {
+      pinned += df
+      while (pinned.size > 2) Checkpoints.free(pinned.dequeue())
+    }
     def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
         aggSide: String, outCol: String): DataFrame = {
-      // raw feeds BOTH the max-normalizer and the rescale join; without
-      // a lineage cut here every half-step DOUBLES the plan (the
-      // ExchangeAudit measured 157 exchange nodes in the 2-iteration
-      // final plan vs ~10 with the cut), so the |V|-row materialization
-      // is mandatory plan hygiene, not an optimization (wall-clock
-      // neutral at sf0.1)
-      val raw = scores.withColumnRenamed("id", joinSide)
-        .join(e.hint("shuffle_hash"), Seq(joinSide))
-        .groupBy(col(aggSide).as("id"))
-        .agg(sum(col(scoreCol)).as("raw"))
-        .localCheckpoint(true)
-      val m = raw.agg(max(col("raw")).as("m"))
-      nodes.join(raw.hint("shuffle_hash"), Seq("id"), "left")
-        .crossJoin(broadcast(m))
-        .withColumn(outCol,
-          coalesce(expr(s"(raw * ${scale}L) div m"), lit(0L)))
-        .select(col("id"), col(outCol))
+      val (raw, out) = hitsHalfStep(e, nodes, scores, scoreCol, joinSide,
+        aggSide, outCol, scale)
+      pin(raw)
+      out
     }
     var hub = nodes.withColumn("h", lit(scale))
     var auth: DataFrame = null
-    var lastCp: DataFrame = null
     var i = 0
     while (i < iters) {
       auth = halfStep(hub, "h", "src", "dst", "a")
       hub = halfStep(auth, "a", "dst", "src", "h")
       if (i % checkpointEvery == checkpointEvery - 1 && i != iters - 1) {
         auth = auth.localCheckpoint(true)
+        pin(auth)
         hub = hub.localCheckpoint(true)
-        if (lastCp != null) lastCp.unpersist()
-        lastCp = hub
+        pin(hub)
       }
       i += 1
     }
     hub.join(auth.hint("shuffle_hash"), Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** One HITS half-step (exposed for the GraphsSpec plan gate — the
+    * production path's final plan is post-checkpoint, so the interior
+    * join/agg shapes must be gated here directly, the [[Clusters]]
+    * cc-round pattern): join `scores` onto edge end `joinSide`,
+    * aggregate by `aggSide`, max-normalize to `scale`, left-join back
+    * onto `nodes`. Returns (raw-checkpoint to free, output frame);
+    * `raw` is eagerly materialized — see the plan-doubling note inside.
+    */
+  private[operators] def hitsHalfStep(e: DataFrame, nodes: DataFrame,
+      scores: DataFrame, scoreCol: String, joinSide: String,
+      aggSide: String, outCol: String, scale: Long): (DataFrame, DataFrame) = {
+    // raw feeds BOTH the max-normalizer and the rescale join; without
+    // a lineage cut here every half-step DOUBLES the plan (the
+    // ExchangeAudit measured 157 exchange nodes in the 2-iteration
+    // final plan vs ~10 with the cut), so the |V|-row materialization
+    // is mandatory plan hygiene, not an optimization (wall-clock
+    // neutral at sf0.1)
+    val raw = scores.withColumnRenamed("id", joinSide)
+      .join(e.hint("shuffle_hash"), Seq(joinSide))
+      .groupBy(col(aggSide).as("id"))
+      .agg(sum(col(scoreCol)).as("raw"))
+      .localCheckpoint(true)
+    val m = raw.agg(max(col("raw")).as("m"))
+    val out = nodes.join(raw.hint("shuffle_hash"), Seq("id"), "left")
+      .crossJoin(broadcast(m))
+      .withColumn(outCol,
+        coalesce(expr(s"(raw * ${scale}L) div m"), lit(0L)))
+      .select(col("id"), col(outCol))
+    (raw, out)
   }
 }

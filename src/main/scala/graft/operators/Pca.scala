@@ -43,8 +43,11 @@ object Pca {
     require(k > 0 && k <= dim, s"k must be in [1, $dim]: $k")
     val nTri = dim * (dim + 1) / 2
     // acc layout: [0] count, [1..dim] sums, [dim+1 ..] upper-tri co-moments
+    // drop null vectors AND vectors carrying null elements — a boxed
+    // null would otherwise surface as an opaque NPE inside the seqOp
     val acc = df.select(col(vecCol).cast("array<double>").as("v"))
       .na.drop(Seq("v"))
+      .filter(forall(col("v"), x => x.isNotNull))
       .rdd.map(_.getSeq[Double](0))
       .treeAggregate(new Array[Double](1 + dim + nTri))(
         seqOp = (a, v) => {

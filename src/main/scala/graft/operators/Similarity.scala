@@ -21,9 +21,13 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (idCol, vecCol Array[Float|Double]).
     * Query side is broadcast — corpus-side scan stays fully parallel.
+    * `keepRank = true` keeps the `rk` column (1-based, ties by vid) —
+    * rank-list consumers ([[Retrieval.rrfFuse]] arms) would otherwise
+    * rebuild the identical window and pay an extra exchange+sort.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, roundScale: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, roundScale: Int = 4,
+      keepRank: Boolean = false): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     // norms precomputed per row (not per pair): the pair loop then costs
     // one dot product instead of three
@@ -35,11 +39,12 @@ object Similarity {
       .filter(col("vid") =!= col("qid"))
       .withColumn("cos_r",
         round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundScale))
-    scored
+    val ranked = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vid"))))
       .filter(col("rk") <= k)
-      .select("qid", "vid", "cos_r")
+    if (keepRank) ranked.select("qid", "vid", "cos_r", "rk")
+    else ranked.select("qid", "vid", "cos_r")
   }
 
   /** LSH-bucketed approximate top-k: random-hyperplane signatures with

@@ -29,7 +29,12 @@ object Urls {
   private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val restRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
-  /** Canonical form of an absolute http(s) URL column. */
+  /** Canonical form of an absolute URL column. A value that does not
+    * parse as an absolute URL (no `scheme://` prefix — relative links,
+    * garbage rows) passes through UNCHANGED: collapsing every
+    * unparseable value onto one canonical string would make the
+    * downstream keep-first dedup silently delete all but one of them.
+    */
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, schemeRe, 1))
     val hostport = regexp_replace(lower(regexp_extract(url, hostRe, 1)),
@@ -43,8 +48,10 @@ object Urls {
     val rawQ = regexp_extract(rest, "\\?(.*)$", 1)
     val kept = array_join(filter(split(rawQ, "&"),
       p => !p.rlike(trackingParamRe) && p =!= lit("")), "&")
-    concat(scheme, lit("://"), hostc, pathc,
-      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    when(url.rlike(schemeRe),
+      concat(scheme, lit("://"), hostc, pathc,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+      .otherwise(url)
   }
 
   /** Host (registrable domain incl. subdomains) of a canonical URL. */
@@ -64,22 +71,6 @@ object Urls {
     * the cap through the native TopKPerGroup operator if one host's
     * row count dwarfs a partition.
     */
-  /** Streaming keep-first dedup per canonical URL — the unbounded form
-    * of the [[dedupAndCapPerDomain]] keep-first stage: canonicalize,
-    * then `dropDuplicatesWithinWatermark` on the canonical form. State
-    * holds one entry per distinct canonical URL inside the watermark
-    * horizon (bounded by arrival rate × `wmDelay`, not stream length);
-    * a spelling that re-arrives after its canonical entry expires is
-    * admitted again — the standard horizon-bounded trade
-    * ([[graft.streaming.StreamDedup]] discipline). The watermark is
-    * applied inside (a caller-side one would sit below the projection).
-    */
-  def dedupStream(docs: DataFrame, urlCol: String, tsCol: String,
-      wmDelay: String): DataFrame =
-    docs.withColumn("canon", canonicalize(col(urlCol)))
-      .withWatermark(tsCol, wmDelay)
-      .dropDuplicatesWithinWatermark("canon")
-
   def dedupAndCapPerDomain(docs: DataFrame, urlCol: String, idCol: String,
       weightCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
@@ -96,4 +87,20 @@ object Urls {
           .orderBy(col(weightCol).desc, col(idCol))))
       .filter(col("rk") <= cap)
   }
+
+  /** Streaming keep-first dedup per canonical URL — the unbounded form
+    * of the [[dedupAndCapPerDomain]] keep-first stage: canonicalize,
+    * then `dropDuplicatesWithinWatermark` on the canonical form. State
+    * holds one entry per distinct canonical URL inside the watermark
+    * horizon (bounded by arrival rate × `wmDelay`, not stream length);
+    * a spelling that re-arrives after its canonical entry expires is
+    * admitted again — the standard horizon-bounded trade
+    * ([[graft.streaming.StreamDedup]] discipline). The watermark is
+    * applied inside (a caller-side one would sit below the projection).
+    */
+  def dedupStream(docs: DataFrame, urlCol: String, tsCol: String,
+      wmDelay: String): DataFrame =
+    docs.withColumn("canon", canonicalize(col(urlCol)))
+      .withWatermark(tsCol, wmDelay)
+      .dropDuplicatesWithinWatermark("canon")
 }

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Boilerplate, Bpe, Retrieval, Sampling, Similarity, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-9 curation/assembly additions: boilerplate segment removal,
@@ -103,9 +102,7 @@ object CurationQueries extends QueryModule {
       val emb = Tables.embeddings(s, dir)
       val dense = Similarity.bruteForceTopK(
           emb.filter($"vec_id".isin(1L, 2L, 3L)), emb,
-          "vec_id", "embedding", k = 20)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"qid").orderBy($"cos_r".desc, $"vid")))
+          "vec_id", "embedding", k = 20, keepRank = true)
         .select($"qid".as("query_id"), $"vid".as("doc_id"), $"rk")
       Retrieval.rrfFuse(Seq(lex, dense), k = 10)
         .orderBy($"query_id", $"rk")

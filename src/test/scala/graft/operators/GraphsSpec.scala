@@ -119,12 +119,25 @@ class GraphsSpec extends SparkSpec {
     assert(got == referenceHits(edges, iters = 2))
   }
 
-  test("hits plan shape: hash joins + keyed aggs, no cartesian/BNLJ") {
-    val edges = (1L to 200L).map(i => (i, (i * 7) % 200 + 1)).toDF("src", "dst")
-    val out = Graphs.hits(edges, iters = 2)
+  test("hits half-step plan shape: hash joins + keyed aggs, no cartesian") {
+    // the production path checkpoints its output (so intermediates can
+    // be freed), which makes the FINAL plan a checkpoint scan — the
+    // interior shapes must be gated on a half-step directly (the
+    // Clusters cc-round pattern)
+    val edges = (1L to 200L).map(i => (i, (i * 7) % 200 + 1))
+      .toDF("src", "dst").localCheckpoint()
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct().localCheckpoint()
+    val scores = nodes.withColumn("h", lit(1000000L))
+    val (_, out) = Graphs.hitsHalfStep(edges, nodes, scores, "h",
+      "src", "dst", "a", 1000000L)
     out.count()
     // the only BNLJ is the designed 1-row max-normalizer broadcast
-    graft.plans.PlanWalk.assertShapes("hits_final",
+    graft.plans.PlanWalk.assertShapes("hits_half_step",
       out.queryExecution.executedPlan, allowBroadcastNlj = true)
+    val nlj = graft.plans.PlanWalk.walk(out.queryExecution.executedPlan)
+      .count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nlj <= 1, s"more than the 1-row max broadcast: $nlj BNLJs")
   }
 }

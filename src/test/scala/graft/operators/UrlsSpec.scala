@@ -31,6 +31,18 @@ class UrlsSpec extends SparkSpec {
       Seq("https://e.com/p?xutm_source=1"))
   }
 
+  test("unparseable URLs pass through unchanged — no canonical collapse") {
+    // relative links / garbage must each stay their own dedup key: a
+    // shared sentinel canonical would make keep-first delete all but one
+    assert(canon("foo.html", "bar/baz.html", "not a url") ==
+      Seq("foo.html", "bar/baz.html", "not a url"))
+    val docs = Seq((1L, 10L, "relative/a.html"), (2L, 20L, "relative/b.html"))
+      .toDF("doc_id", "n_chars", "url")
+    val out = Urls.dedupAndCapPerDomain(docs, "url", "doc_id", "n_chars",
+      cap = 5).select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L), "distinct malformed URLs must both survive")
+  }
+
   test("canonicalize is idempotent: the canonical form is its own fixed point") {
     val urls = Seq(
       "HTTPS://WWW.Example.COM:443/A/B/#frag",

@@ -92,7 +92,8 @@ class PlanGateSpec extends SparkSpec {
     "q121_url_canonical" -> 3,
     // hits cuts lineage at every half-step's raw aggregate (the audit
     // measured 157 exchange nodes without that cut — plan doubling per
-    // half-step)
+    // half-step); superseded pins are freed keep-newest-2 as the loop
+    // advances, so the final plan is the last two half-steps' joins
     "q122_hits" -> 7,
     "q123_pca_project" -> 1,
     "q124_ivfpq_ann" -> 3,
