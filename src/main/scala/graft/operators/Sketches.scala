@@ -62,6 +62,47 @@ object Sketches {
     estimate(sketches.agg(hll_union_agg(col("sketch")).as("sketch"),
       sum(col("n_rows")).as("n_rows")))
 
+  /** One micro-batch of streaming sketch maintenance: build the batch's
+    * own per-group sketches and merge them into the parquet store at
+    * `storePath` (read-merge-overwrite; the store is G KB-sized rows,
+    * so the rewrite is metadata-cheap at any corpus size). The merged
+    * frame is eagerly materialized BEFORE the overwrite — Spark cannot
+    * lazily read a path it is replacing. Exposed separately from
+    * [[maintainDistinctSketches]] so restart/replay semantics are
+    * directly testable.
+    */
+  def mergeBatchIntoStore(batch: DataFrame, groupCol: String,
+      keyCol: String, storePath: String, lgK: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    val newSk = distinctSketch(batch, groupCol, keyCol, lgK)
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+        mergeSketches(spark.read.parquet(storePath), newSk, groupCol)
+      else newSk
+    val pinned = merged.localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(storePath)
+    Checkpoints.free(pinned)
+  }
+
+  /** Streaming sketch maintenance — the incremental-monitoring
+    * production loop: every micro-batch merges ITS OWN sketches into
+    * the store ([[mergeBatchIntoStore]]) under the exactly-once batch
+    * ledger ([[graft.io.Sinks.runIdempotent]]), so a checkpoint-replayed
+    * batch can't double-count `n_rows` (distinct estimates are
+    * naturally idempotent — HLL re-insertion is a register-max no-op —
+    * but row counts are not). Start the returned writer with a
+    * checkpointLocation; query the store with [[estimate]] at any time.
+    */
+  def maintainDistinctSketches(stream: DataFrame, groupCol: String,
+      keyCol: String, storePath: String, ledgerDir: String,
+      lgK: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
+      mergeBatchIntoStore(b, groupCol, keyCol, storePath, lgK)
+    }
+
   /** Mergeable equi-width histogram sketch of `valueCol` over
     * [lo, hi): (groupCol, n, counts Array(nBuckets)). The quantile
     * counterpart of the HLL tier — bucket counts are exact integers, so

@@ -18,6 +18,85 @@ object CurationQueries extends QueryModule {
     (2L, "join merge batch"),
     (3L, "window agg stream"))
 
+  /** Deterministic messy URL derived from doc_id/source — shared by
+    * q121 and q128 so the two gates can't drift apart; the matching
+    * SQL derivation lives in [[urlDerivationSql]].
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val k = (col("doc_id") % 40).cast("string")
+    concat(
+      when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+      when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+      lit("/Docs/Item-"), k,
+      when(col("doc_id") % 11 === 0, "/").otherwise(""),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&utm_campaign=c"),
+          (col("doc_id") % 3).cast("string"), lit("&id="), k))
+        .otherwise(concat(lit("?id="), k)),
+      when(col("doc_id") % 7 === 0, "#frag").otherwise(""))
+  }
+
+  /** The q121 oracle's URL-front-door CTE chain (derivation +
+    * canonicalization + keep-first + per-host cap), shared with q128.
+    * Ends with `capped` (host, doc_id, canon, n_chars, rk).
+    */
+  private val urlFrontDoorSql: String =
+    """u AS (
+      |  SELECT doc_id, n_chars,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/Docs/Item-' || CAST(doc_id % 40 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |      THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+      |             || '&id=' || CAST(doc_id % 40 AS VARCHAR)
+      |      ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |c0 AS (
+      |  SELECT doc_id, n_chars,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS hostport,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+      |  FROM u),
+      |c1 AS (
+      |  SELECT doc_id, n_chars, scheme,
+      |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         ELSE hostport END AS h,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS p0,
+      |    regexp_extract(rest, '\?(.*)$', 1) AS rawq
+      |  FROM c0),
+      |c2 AS (
+      |  SELECT doc_id, n_chars, scheme, h,
+      |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+      |    array_to_string(list_filter(string_split(rawq, '&'),
+      |      x -> NOT regexp_matches(x,
+      |        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$')
+      |        AND x <> ''), '&') AS kept
+      |  FROM c1),
+      |c3 AS (
+      |  SELECT doc_id, n_chars, h AS host,
+      |    scheme || '://' || h || p ||
+      |      (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+      |  FROM c2),
+      |fst AS (
+      |  SELECT doc_id, n_chars, host, canon FROM (
+      |    SELECT doc_id, n_chars, host, canon,
+      |      ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      |    FROM c3) WHERE rn = 1),
+      |capped AS (
+      |  SELECT host, doc_id, canon, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY host
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM fst)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // RefinedWeb/C4-style boilerplate removal: 8-token windows recurring
@@ -116,21 +195,8 @@ object CurationQueries extends QueryModule {
     // step is a codegen'd builtin mirrored 1:1 in the oracle.
     "q121_url_canonical" -> ((s, dir) => {
       import s.implicits._
-      val k = ($"doc_id" % 40).cast("string")
-      val url = concat(
-        when($"doc_id" % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
-        when($"doc_id" % 3 === 0, "WWW.").otherwise(""),
-        $"source", lit(".Example.COM"),
-        when($"doc_id" % 5 === 0, ":443").otherwise(""),
-        lit("/Docs/Item-"), k,
-        when($"doc_id" % 11 === 0, "/").otherwise(""),
-        when($"doc_id" % 2 === 0,
-          concat(lit("?utm_source=feed&utm_campaign=c"),
-            ($"doc_id" % 3).cast("string"), lit("&id="), k))
-          .otherwise(concat(lit("?id="), k)),
-        when($"doc_id" % 7 === 0, "#frag").otherwise(""))
       val u = Tables.documents(s, dir)
-        .select($"doc_id", $"n_chars", url.as("url"))
+        .select($"doc_id", $"n_chars", syntheticUrl.as("url"))
       Urls.dedupAndCapPerDomain(u, "url", "doc_id", "n_chars", cap = 5)
         .select($"host", $"doc_id", $"canon", $"n_chars", $"rk")
         .orderBy($"host", $"rk")
@@ -171,6 +237,31 @@ object CurationQueries extends QueryModule {
         .select($"query_id", $"doc_id")
       Retrieval.evalMetrics(results, qrels, k = 10)
         .orderBy($"query_id")
+    }),
+
+    // Chained web-curation pipeline over the round-9b tier: URL front
+    // door (canonicalize -> keep-first -> per-host cap) -> boilerplate
+    // strip over the SURVIVORS (document frequency re-computed on the
+    // capped subset, not the full corpus) -> per-host summary. The
+    // oracle replays the whole chain (the q92 discipline).
+    "q128_web_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val u = Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", syntheticUrl.as("url"))
+      val kept = Urls.dedupAndCapPerDomain(u, "url", "doc_id", "n_chars",
+        cap = 5).select($"doc_id", $"host")
+      val survivors = Tables.documents(s, dir).select($"doc_id", $"text")
+        .join(broadcast(kept), Seq("doc_id"))
+      val stripped = Boilerplate.stripFrequentWindows(survivors,
+        "doc_id", "text", winTokens = winTokens, minDocs = 2)
+      stripped.groupBy($"host").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_segments").as("segs_total"),
+          sum($"n_dropped").as("segs_dropped"),
+          sum(when(trim($"text") === "", lit(0))
+            .otherwise(size(split(trim($"text"), "\\s+"))))
+            .cast("bigint").as("tokens_kept"))
+        .orderBy($"host")
     })
   )
 
@@ -377,62 +468,13 @@ object CurationQueries extends QueryModule {
     // www/default-port strip, fragment drop, tracking-param filter with
     // order preserved, trailing-slash collapse; then keep-first per
     // canonical URL and a per-host cap of 5 by (n_chars desc, doc_id).
+    // NOTE: the shared CTE block is concatenated, NOT re-stripMargin'd —
+    // an outer stripMargin would eat one pipe of any '||' that starts a
+    // line inside the already-stripped block.
     "q121_url_canonical" ->
-      """WITH u AS (
-        |  SELECT doc_id, n_chars,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
-        |    source || '.Example.COM' ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
-        |    '/Docs/Item-' || CAST(doc_id % 40 AS VARCHAR) ||
-        |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 2 = 0
-        |      THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
-        |             || '&id=' || CAST(doc_id % 40 AS VARCHAR)
-        |      ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR) END) ||
-        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
-        |  FROM documents),
-        |c0 AS (
-        |  SELECT doc_id, n_chars,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_replace(lower(regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS hostport,
-        |    regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
-        |  FROM u),
-        |c1 AS (
-        |  SELECT doc_id, n_chars, scheme,
-        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-        |         ELSE hostport END AS h,
-        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS p0,
-        |    regexp_extract(rest, '\?(.*)$', 1) AS rawq
-        |  FROM c0),
-        |c2 AS (
-        |  SELECT doc_id, n_chars, scheme, h,
-        |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
-        |    array_to_string(list_filter(string_split(rawq, '&'),
-        |      x -> NOT regexp_matches(x,
-        |        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$')
-        |        AND x <> ''), '&') AS kept
-        |  FROM c1),
-        |c3 AS (
-        |  SELECT doc_id, n_chars, h AS host,
-        |    scheme || '://' || h || p ||
-        |      (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
-        |  FROM c2),
-        |fst AS (
-        |  SELECT doc_id, n_chars, host, canon FROM (
-        |    SELECT doc_id, n_chars, host, canon,
-        |      ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
-        |    FROM c3) WHERE rn = 1),
-        |capped AS (
-        |  SELECT host, doc_id, canon, n_chars,
-        |    ROW_NUMBER() OVER (PARTITION BY host
-        |      ORDER BY n_chars DESC, doc_id) AS rk
-        |  FROM fst)
-        |SELECT host, doc_id, canon, n_chars, rk FROM capped WHERE rk <= 5
-        |ORDER BY host, rk""".stripMargin,
+      (s"WITH $urlFrontDoorSql\n" +
+        "SELECT host, doc_id, canon, n_chars, rk FROM capped WHERE rk <= 5\n" +
+        "ORDER BY host, rk"),
 
     // Integer HITS, 2 unrolled iterations: each half-step is an
     // edge-keyed sum followed by max-normalization to the 10^6 scale —
@@ -534,6 +576,48 @@ object CurationQueries extends QueryModule {
          |  COALESCE(1000000000000 // first_rk, 0) AS rr_u,
          |  COALESCE(CAST(dcg AS DOUBLE), 0.0) / CAST(idcg AS DOUBLE) AS ndcg
          |FROM tot LEFT JOIN per USING (query_id) JOIN ideal USING (query_id)
-         |ORDER BY tot.query_id""".stripMargin
+         |ORDER BY tot.query_id""".stripMargin,
+
+    // Full-chain replay: the q121 front-door CTEs, then the q115
+    // boilerplate CTEs computed over the capped survivors, then the
+    // per-host rollup. Same concatenation rule as q121's oracle.
+    "q128_web_pipeline" ->
+      (s"WITH $urlFrontDoorSql,\n" +
+      s"""keep AS (SELECT doc_id, host FROM capped WHERE rk <= 5),
+         |w AS (
+         |  SELECT d.doc_id, k.host,
+         |    string_split_regex(trim(d.text), '\\s+') AS words
+         |  FROM documents d JOIN keep k USING (doc_id)),
+         |pos AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(words), 1) + 1, $winTokens)) AS pos
+         |  FROM w),
+         |seg2 AS (
+         |  SELECT p.doc_id, pos,
+         |    array_to_string(w.words[pos:pos+${winTokens - 1}], ' ') AS seg
+         |  FROM pos p JOIN w USING (doc_id)),
+         |freq AS (
+         |  SELECT seg FROM seg2 WHERE trim(seg) <> ''
+         |  GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+         |keptseg AS (
+         |  SELECT doc_id, pos, seg FROM seg2
+         |  WHERE seg NOT IN (SELECT seg FROM freq)),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg2 GROUP BY doc_id),
+         |reb AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY pos) AS stripped
+         |  FROM keptseg GROUP BY doc_id),
+         |docrow AS (
+         |  SELECT w.host, tot.n_segments,
+         |    tot.n_segments - COALESCE(reb.n_kept, 0) AS n_dropped,
+         |    COALESCE(reb.stripped, '') AS stripped
+         |  FROM w JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id))
+         |SELECT host, COUNT(*) AS n_docs,
+         |  SUM(n_segments) AS segs_total,
+         |  SUM(n_dropped) AS segs_dropped,
+         |  CAST(SUM(CASE WHEN stripped = '' THEN 0
+         |    ELSE len(string_split_regex(trim(stripped), '\\s+')) END)
+         |    AS BIGINT) AS tokens_kept
+         |FROM docrow GROUP BY host ORDER BY host""".stripMargin)
   )
 }

@@ -60,6 +60,41 @@ class SketchesSpec extends SparkSpec {
     assert(g._2 < summed, "global union should dedup across groups")
   }
 
+  test("streaming maintenance: store converges to full-corpus estimates; replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sk_stream").toString
+    val store = s"$base/store"; val ledger = s"$base/ledger"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = Sketches.maintainDistinctSketches(
+        ms.toDF().toDF("source", "w"), "source", "w", store, ledger)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      val rows = words.select($"source", $"w").as[(String, String)]
+        .collect().toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      val got = Sketches.estimate(spark.read.parquet(store))
+        .select($"source", $"n_rows", $"distinct_est")
+        .as[(String, Long, Long)].collect().toSet
+      val want = words.groupBy($"source")
+        .agg(count(lit(1)).as("n"), countDistinct($"w").as("d"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, "store must equal a full-corpus build after 2 batches")
+      // ledger: re-running an already-committed batchId changes nothing
+      // (n_rows would otherwise double; estimates are HLL-idempotent)
+      val replay = h1.toDF("source", "w")
+      graft.io.Sinks.runIdempotent(replay, 0L, ledger) { (b, _) =>
+        Sketches.mergeBatchIntoStore(b, "source", "w", store)
+      }
+      val after = Sketches.estimate(spark.read.parquet(store))
+        .select($"source", $"n_rows", $"distinct_est")
+        .as[(String, Long, Long)].collect().toSet
+      assert(after == got, "replayed batch must be a no-op")
+    } finally q.stop()
+  }
+
   test("histogram sketch: exact bucket counts, clamped edges") {
     val df = Seq(("a", -5.0), ("a", 0.0), ("a", 63.9), ("a", 64.0),
       ("a", 500.0), ("a", 2000.0), ("b", 100.0))

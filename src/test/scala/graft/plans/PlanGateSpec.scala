@@ -100,6 +100,9 @@ class PlanGateSpec extends SparkSpec {
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
     "q127_retrieval_eval" -> 12,
+    // chained pipeline: front-door windows + boilerplate shuffles +
+    // rollup, composed (the q92 chain-budget precedent)
+    "q128_web_pipeline" -> 15,
     "q10_histogram" -> 2,
     "q11_interval_join" -> 0,
     "q12_window_tumble" -> 1,
