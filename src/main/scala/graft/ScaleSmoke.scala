@@ -263,6 +263,38 @@ object ScaleSmoke {
         s"(1-query probe reads $partsRead/$partsAll cells)")
       spark.catalog.clearCache(); System.gc()
     }
+    // stored IVF-PQ: the compressed build-once/search-many shape — the
+    // search must read only the probed cells' CODE files (same gate as
+    // ivf_search_stored, on the ~1%-sized artifact)
+    if (only.forall(_("ivfpq_search_stored"))) {
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("scale_ivfpq").toString
+      graft.operators.Similarity.ivfPqWriteIndex(
+        emb, "vec_id", "embedding", idxPath, nlist = 32)
+      val (sec, n, plan) = timed(graft.operators.Similarity.ivfPqSearchStored(
+        spark, idxPath, queries, "vec_id", "embedding", k = 10, nProbe = 4))
+      assertShapes("ivfpq_search_stored", plan, allowBroadcastNlj = true)
+      val one = graft.operators.Similarity.ivfPqSearchStored(spark, idxPath,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nProbe = 4)
+      one.count()
+      val codeScan = graft.plans.PlanWalk
+        .walk(one.queryExecution.executedPlan).collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("codes")) => f
+        }.getOrElse(sys.error("ivfpq_search_stored: no codes scan in plan"))
+      val static = codeScan.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      val partsRead = codeScan.relation.location
+        .listFiles(static, codeScan.dataFilters).size
+      val partsAll = codeScan.relation.location.listFiles(Nil, Nil).size
+      require(partsRead <= 4 && partsRead < partsAll,
+        s"ivfpq_search_stored: no physical pruning ($partsRead/$partsAll cells)")
+      println(f"SCALE ivfpq_search_stored   $sec%8.2f sec  rows=$n " +
+        s"(1-query probe reads $partsRead/$partsAll cells)")
+      spark.catalog.clearCache(); System.gc()
+    }
     // Lloyd's: centroids broadcast both in the argmin assignment and as
     // the k-row seed top-k; the corpus-side scan never shuffles
     run("kmeans_2iter", graft.operators.Clustering.kmeans(

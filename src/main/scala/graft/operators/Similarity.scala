@@ -689,6 +689,15 @@ object Similarity {
     val probes = ivfProbes(queries, cent, idCol, vecCol, nProbe, roundScale)
       .select("cid", "qid")
     val qside = probes.join(adcTables(queries, idCol, vecCol, cb), Seq("qid"))
+    ivfPqScore(enc, qside, cb, k)
+  }
+
+  /** ADC scoring of (cid, vid, codes) against a broadcast (cid, qid,
+    * tbl) probe side — shared by the in-memory and stored IVF-PQ
+    * searches so the two paths cannot drift.
+    */
+  private def ivfPqScore(enc: DataFrame, qside: DataFrame, cb: PqCodebook,
+      k: Int): DataFrame =
     enc.join(broadcast(qside), Seq("cid"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("dist", adcDist(cb))
@@ -696,6 +705,62 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)))
       .filter(col("rk") <= k)
       .select("qid", "vid", "dist")
+
+  /** Persist an IVF-PQ index: centroids, the PQ codebook, and the
+    * 8-byte codes table PARTITIONED BY CELL ID — the build-once
+    * production layout ([[ivfWriteIndex]]'s discipline applied to the
+    * compressed form: the stored artifact is ~1% of the raw vectors,
+    * and [[ivfPqSearchStored]] reads only the probed cells' code
+    * files).
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64, roundScale: Int = 4): Unit = {
+    val cb = pqCodebook(corpus, idCol, vecCol, m, ksub, dim)
+    val (cent, assigned) = ivfBuild(corpus, idCol, vecCol, nlist, roundScale)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    assigned.select(col("cid").cast("long"), col("vid").cast("long"), col("cv"))
+      .as[(Long, Long, Seq[Double])]
+      .map { case (cid, vid, v) => (cid, vid, pqCodes(cb, pqMicro(v)).toSeq) }
+      .toDF("cid", "vid", "codes")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    cb.cents.zipWithIndex.flatMap { case (subs, mi) =>
+      subs.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
+    }.toSeq.toDF("m", "j", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Search a stored IVF-PQ index with PHYSICAL cell pruning: the
+    * probed cell ids (bounded by nlist) become a partition filter on
+    * the codes table, so a query batch reads ~nProbe/nlist of the
+    * already-compressed index — the [[ivfSearchStored]] contract on
+    * the PQ artifact. The codebook (~1 KB) is collected to the driver
+    * like any planner metadata.
+    */
+  def ivfPqSearchStored(spark: SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .select($"m", $"j", $"sub").as[(Int, Int, Seq[Long])].collect()
+    val m = cbRows.map(_._1).max + 1
+    val ksub = cbRows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Long]](m, ksub)
+    cbRows.foreach { case (mi, j, sub) => cents(mi)(j) = sub.toArray }
+    val cb = PqCodebook(m, ksub, cents(0)(0).length, cents)
+    val probes = ivfProbes(queries, cent, idCol, vecCol, nProbe, roundScale)
+      .select(col("cid"), col("qid"))
+      .localCheckpoint() // two consumers: cid collect + the score join
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.get(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(probedCids: _*))
+    val qside = probes.join(adcTables(queries, idCol, vecCol, cb), Seq("qid"))
+    ivfPqScore(codes, qside, cb, k)
   }
 
   /** IVF-PQ shortlist + exact micro-unit rerank — [[ivfPqTopK]]

@@ -534,6 +534,43 @@ class OperatorsSpec extends SparkSpec {
     assert(rrR >= 0.3, s"ivfpq rerank recall@5 collapsed: $rrR")
   }
 
+  test("stored IVF-PQ: search equals in-memory and physically prunes cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.ivfPqWriteIndex(e, "vec_id", "embedding", path, nlist = 16)
+    val mem = Similarity.ivfPqTopK(q, e, "vec_id", "embedding", k = 5)
+      .select("qid", "vid", "dist").as[(Long, Long, Long)].collect().toSet
+    val stored = Similarity.ivfPqSearchStored(spark, path, q,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val storedSet = stored.select("qid", "vid", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(storedSet == mem, "stored search must equal in-memory IVF-PQ")
+
+    // pruning gate on a SINGLE query: its codes scan must carry a cid
+    // partition filter and read <= nProbe of nlist cells' files
+    val one = Similarity.ivfPqSearchStored(spark, path,
+      e.filter($"vec_id" === 0), "vec_id", "embedding", k = 5, nProbe = 4)
+    one.count()
+    val scan = graft.plans.PlanWalk.walk(one.queryExecution.executedPlan)
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+      }.getOrElse(fail("no codes scan in stored-search plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cid")),
+      s"cid filter not a partition filter: ${scan.partitionFilters}")
+    // the broadcast cid join ALSO plants a DynamicPruning subquery in
+    // partitionFilters; it cannot be evaluated offline — the static
+    // isin filter alone must already prune
+    val staticFilters = scan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    val read = scan.relation.location
+      .listFiles(staticFilters, scan.dataFilters).size
+    val all = scan.relation.location.listFiles(Nil, Nil).size
+    assert(read <= 4 && read < all,
+      s"no physical pruning: read $read of $all cells")
+  }
+
   test("RP shortlist+rerank: exact distances, useful recall vs exact L2") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 20)
