@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   * Determinism: double accumulation order varies with partitioning, so
   * fitted axes are stable only to float tolerance (specs compare to a
   * single-node reference at 1e-8); eigenvector sign is pinned by
-  * making each axis's largest-|component| positive. Not SQL-oracle
-  * material by nature — PcaSpec is the semantics gate.
+  * making each axis's largest-|component| positive. The float
+  * eigensolve is not SQL-oracle material by nature — PcaSpec is its
+  * semantics gate — but the corpus-scale half IS: [[gramianMicro]]
+  * emits the quantized moment sums as exact integers for the DuckDB
+  * driver gate (q123), and PcaSpec ties the two together by deriving
+  * the model from the gate's output.
   */
 object Pca {
 
@@ -43,11 +47,14 @@ object Pca {
     require(k > 0 && k <= dim, s"k must be in [1, $dim]: $k")
     val nTri = dim * (dim + 1) / 2
     // acc layout: [0] count, [1..dim] sums, [dim+1 ..] upper-tri co-moments
-    // drop null vectors AND vectors carrying null elements — a boxed
-    // null would otherwise surface as an opaque NPE inside the seqOp
+    // drop null vectors, vectors carrying null elements (a boxed null
+    // would surface as an opaque NPE inside the seqOp), and vectors
+    // carrying non-finite elements — a single NaN/Inf would otherwise
+    // propagate through the co-moment sums into an all-NaN model
     val acc = df.select(col(vecCol).cast("array<double>").as("v"))
       .na.drop(Seq("v"))
-      .filter(forall(col("v"), x => x.isNotNull))
+      .filter(forall(col("v"),
+        x => x.isNotNull && !isnan(x) && abs(x) < lit(Double.PositiveInfinity)))
       .rdd.map(_.getSeq[Double](0))
       .treeAggregate(new Array[Double](1 + dim + nTri))(
         seqOp = (a, v) => {
@@ -105,6 +112,43 @@ object Pca {
         else proj
       d.withColumn(s"pc${i + 1}", scaled)
     }
+  }
+
+  /** Oracle-replayable gate for [[fit]]'s corpus-scale half: the
+    * micro-unit-quantized moment sums. Each element is quantized to
+    * `floor(x·1e6 + 0.5)` (exact BIGINT — the q95 micro-unit
+    * discipline), so every sum is order-free integer arithmetic that a
+    * SQL engine replays bit-identically; the float eigensolve stays
+    * spec-gated ([[fit]] / PcaSpec). Output rows, one per moment:
+    * `(i, j, s)` with `j >= i >= 0` the upper-tri co-moment sums
+    * Σ mᵢ·mⱼ, `(i, -1)` the first-moment sums Σ mᵢ, and `(-1, -1)`
+    * the row count.
+    *
+    * Scale shape: the corpus is touched once; the explode feeds
+    * partial hash aggregation inside the same codegen stage, so the
+    * single shuffle moves at most d·(d+3)/2+1 groups per map
+    * partition — model-sized, never corpus-sized (same reduction
+    * shape as [[fit]]'s treeAggregate, expressed relationally).
+    */
+  def gramianMicro(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    import org.apache.spark.sql.{functions => F}
+    val m = F.transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1000000.0d) + lit(0.5d)).cast("long"))
+    val idx = sequence(lit(0), lit(dim - 1))
+    val comoments = flatten(F.transform(idx, i =>
+      F.transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("m"), i + 1) * element_at(col("m"), j + 1)).as("p")))))
+    val firstMoments = F.transform(idx, i =>
+      struct(i.as("i"), lit(-1).as("j"), element_at(col("m"), i + 1).as("p")))
+    val countRow = array(
+      struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p")))
+    df.select(m.as("m"))
+      .select(explode(concat(comoments, firstMoments, countRow)).as("e"))
+      .select(col("e.i").cast("long").as("i"),
+        col("e.j").cast("long").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("s"))
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns

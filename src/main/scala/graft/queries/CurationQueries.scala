@@ -358,7 +358,7 @@ object CurationQueries extends QueryModule {
         |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
         |  FROM (SELECT word, freq, unnest(range(1, len(word))) AS i
         |        FROM wf WHERE len(word) >= 2))
-        |SELECT a, b, SUM(freq) AS cnt FROM pc
+        |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pc
         |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 30""".stripMargin,
 
     // Integer PageRank, 2 unrolled iterations: r0 = scale // n;
@@ -613,8 +613,8 @@ object CurationQueries extends QueryModule {
          |    COALESCE(reb.stripped, '') AS stripped
          |  FROM w JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id))
          |SELECT host, COUNT(*) AS n_docs,
-         |  SUM(n_segments) AS segs_total,
-         |  SUM(n_dropped) AS segs_dropped,
+         |  CAST(SUM(n_segments) AS BIGINT) AS segs_total,
+         |  CAST(SUM(n_dropped) AS BIGINT) AS segs_dropped,
          |  CAST(SUM(CASE WHEN stripped = '' THEN 0
          |    ELSE len(string_split_regex(trim(stripped), '\\s+')) END)
          |    AS BIGINT) AS tokens_kept

@@ -112,22 +112,39 @@ object VectorQueries extends QueryModule {
         "vec_id", "embedding", k = 5, nlist = 16, nProbe = 4)
     }),
 
-    // PCA projection onto the top-4 variance axes — the learned
-    // counterpart of q95's JL random projection. Float eigensolve =
-    // not SQL-oracle material (no oracleSql entry; driver records the
-    // rows-only check); PcaSpec gates the semantics against a
-    // single-node reference and the variance-equals-eigenvalue
-    // invariant.
-    "q123_pca_project" -> ((spark, dir) => {
-      val e = Tables.embeddings(spark, dir)
-      val model = graft.operators.Pca.fit(e, "embedding", dim = 64, k = 4)
-      graft.operators.Pca.transform(e, "embedding", model)
-        .select(col("vec_id"), col("pc1"), col("pc2"), col("pc3"), col("pc4"))
-        .orderBy(col("vec_id"))
+    // PCA's corpus-scale half, oracle-gated: the micro-unit-quantized
+    // moment sums (count, per-dim sums, upper-tri co-moments) that
+    // Pca.fit reduces the corpus to. Exact BIGINT arithmetic = order-
+    // free = DuckDB replays it bit-identically; the d×d eigensolve
+    // and projection stay spec-gated (PcaSpec, 1e-8 vs a single-node
+    // reference, variance-equals-eigenvalue invariant).
+    "q123_pca_gramian" -> ((spark, dir) => {
+      graft.operators.Pca.gramianMicro(
+        Tables.embeddings(spark, dir), "embedding", dim = 64)
+        .orderBy(col("i"), col("j"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    // mirrors Pca.gramianMicro: micro-unit quantization, then exact
+    // BIGINT moment sums (co-moments j>=i>=0, first moments j=-1,
+    // count at (-1,-1))
+    "q123_pca_gramian" ->
+      """WITH mic AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i))
+        |SELECT a.i, b.i AS j, CAST(SUM(m[a.i + 1] * m[b.i + 1]) AS BIGINT) AS s
+        |FROM mic CROSS JOIN idx a JOIN idx b ON b.i >= a.i
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT idx.i, CAST(-1 AS BIGINT) AS j, CAST(SUM(m[idx.i + 1]) AS BIGINT) AS s
+        |FROM mic CROSS JOIN idx GROUP BY 1, 2
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |  CAST(COUNT(*) AS BIGINT) AS s FROM mic
+        |ORDER BY i, j""".stripMargin,
     // mirrors Similarity.randomProject: md5("rp:j:d") parity signs,
     // BIGINT micro-unit sums, rounded-double scale-back
     "q95_random_projection" ->

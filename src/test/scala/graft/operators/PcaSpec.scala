@@ -77,6 +77,45 @@ class PcaSpec extends SparkSpec {
       out.queryExecution.executedPlan) == 0, "projection must not shuffle")
   }
 
+  test("gramianMicro ties the oracle gate to fit: derived model matches") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val rows = Pca.gramianMicro(emb, "embedding", dim)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val n = rows((-1L, -1L)).toDouble
+    assert(n == emb.count().toDouble)
+    // de-quantize: mean and population covariance from the micro sums
+    val mean = Array.tabulate(dim)(i => rows((i.toLong, -1L)) / 1e6 / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = rows((i.toLong, j.toLong)) / 1e12 / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, _) = Pca.symEigen(cov)
+    val model = Pca.fit(emb, "embedding", dim, k = 4)
+    // quantization error is <=5e-7 per element; moments agree to ~1e-5
+    model.mean.zip(mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5, s"mean $a vs gramian-derived $b") }
+    val top = evals.sorted.reverse.take(4)
+    model.eigenvalues.zip(top).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4 * math.max(1.0, math.abs(a)),
+        s"eigenvalue $a vs gramian-derived $b") }
+  }
+
+  test("fit drops non-finite vectors instead of yielding a NaN model") {
+    val good = (-50 to 50).map { i =>
+      Tuple1(Array(i / 10.0, 2 * i / 10.0 + (if (i % 2 == 0) 0.1 else -0.1)))
+    }
+    val clean = good.toDF("emb")
+    val dirty = (good :+ Tuple1(Array(Double.NaN, 1.0))
+      :+ Tuple1(Array(Double.PositiveInfinity, 0.0))).toDF("emb")
+    val a = Pca.fit(clean, "emb", dim = 2, k = 2)
+    val b = Pca.fit(dirty, "emb", dim = 2, k = 2)
+    a.mean.zip(b.mean).foreach { case (x, y) =>
+      assert(x == y, "non-finite vectors must not perturb the model") }
+    assert(b.eigenvalues.forall(v => !v.isNaN))
+  }
+
   test("fit rejects bad dims and degenerate input") {
     val df = Seq(Tuple1(Array(1.0, 2.0))).toDF("emb")
     intercept[IllegalArgumentException](Pca.fit(df, "emb", dim = 2, k = 3))

@@ -95,7 +95,10 @@ class PlanGateSpec extends SparkSpec {
     // half-step); superseded pins are freed keep-newest-2 as the loop
     // advances, so the final plan is the last two half-steps' joins
     "q122_hits" -> 7,
-    "q123_pca_project" -> 1,
+    // one corpus pass; explode feeds partial agg, so the agg shuffle
+    // moves model-sized groups; +1 range exchange sorting the 2145-row
+    // output
+    "q123_pca_gramian" -> 2,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,

@@ -16,6 +16,13 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def dtype_family(dt) -> str:
+    if pd.api.types.is_bool_dtype(dt): return "bool"
+    if pd.api.types.is_integer_dtype(dt): return "int"
+    if pd.api.types.is_float_dtype(dt): return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt): return "datetime"
+    return "object"
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # normalize tz-aware → naive for compare
@@ -34,6 +41,20 @@ def main(sf_dir, out_dir):
     results = {}
     for name in sorted(oracle):
         sql = oracle[name]
+        # The driver's hash is TYPED: a DuckDB HUGEINT column (from an
+        # un-cast SUM over BIGINT) fails against Spark's int64 even when
+        # every value matches. Fail such oracles before comparing values —
+        # and before the MISSING check, so subset runs still sweep typing.
+        try:
+            desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchdf()
+            huge = [r["column_name"] for _, r in desc.iterrows()
+                    if "HUGEINT" in str(r["column_type"]).upper()]
+            if huge:
+                results[name] = f"ORACLE-TYPE HUGEINT cols={huge} (add CAST(... AS BIGINT))"
+                continue
+        except Exception as e:
+            results[name] = f"ERROR describe: {e}"
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             results[name] = "MISSING spark output"
@@ -54,6 +75,10 @@ def main(sf_dir, out_dir):
         mismatch = None
         for c in got.columns:
             g, e = got[c], exp[c]
+            gf, ef = dtype_family(g.dtype), dtype_family(e.dtype)
+            if gf != ef:
+                mismatch = f"DTYPE col={c} got={g.dtype}({gf}) exp={e.dtype}({ef})"
+                break
             try:
                 eq = (g.values == e.values) | (g.isna().values & e.isna().values)
             except Exception:
