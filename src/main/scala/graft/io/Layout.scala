@@ -83,7 +83,26 @@ object Layout {
       val bytesPerRow = math.max(1L, (sampleBytes + sampleN - 1) / sampleN)
       val files = math.max(1L,
         (n * bytesPerRow + targetBytes - 1) / targetBytes).toInt
-      df.repartition(files).write.mode("overwrite").parquet(path)
+      // Write to a sibling staging dir, then swap into place: `df` is
+      // still lazy here, so a direct overwrite of `path` while `df`
+      // reads FROM `path` (the normal compact-in-place maintenance
+      // call) either throws Spark's overwrite-while-reading check or —
+      // worse, on plans that slip past it — deletes source files mid
+      // read. The staging write fully materializes before anything at
+      // `path` is touched; the swap is two metadata ops on the same
+      // filesystem.
+      val stageDir = s"${path.stripSuffix("/")}_compact_stage"
+      val stagePath = new org.apache.hadoop.fs.Path(stageDir)
+      try {
+        df.repartition(files).write.mode("overwrite").parquet(stageDir)
+        val target = new org.apache.hadoop.fs.Path(path)
+        fs.delete(target, true)
+        require(fs.rename(stagePath, target),
+          s"rename $stageDir -> $path failed")
+      } finally {
+        fs.delete(stagePath, true)
+        ()
+      }
       files
     } finally {
       fs.delete(probePath, true)

@@ -115,8 +115,9 @@ object Graphs {
     // newest TWO has been fully consumed by later materializations and
     // is released on the spot — without this, cached frames accumulate
     // ~2 per iteration. The final two pins back the returned frame (as
-    // do `e`/`nodes`) and stay live until the caller is done —
-    // [[Checkpoints.free]] applies afterwards, the pageRank contract.
+    // does `nodes`; `e` is freed before returning) and stay live until
+    // the caller is done — [[Checkpoints.free]] applies afterwards, the
+    // pageRank contract.
     val pinned = scala.collection.mutable.Queue.empty[DataFrame]
     def pin(df: DataFrame): Unit = {
       pinned += df
@@ -143,8 +144,15 @@ object Graphs {
       }
       i += 1
     }
-    hub.join(auth.hint("shuffle_hash"), Seq("id"))
+    // `e` is fully consumed: every half-step's join output was
+    // materialized into a raw checkpoint, and the returned plan reads
+    // only the last two of those plus `nodes` — freeing it here (not
+    // leaving it to the caller's Checkpoints.free, which can't reach a
+    // leaf absent from the returned plan) releases the |E|-sized cache
+    val result = hub.join(auth.hint("shuffle_hash"), Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+    Checkpoints.free(e)
+    result
   }
 
   /** One HITS half-step (exposed for the GraphsSpec plan gate — the

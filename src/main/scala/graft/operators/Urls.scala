@@ -70,6 +70,13 @@ object Urls {
     * partition (a mega-domain) is the [[graft]] top-k skew case; route
     * the cap through the native TopKPerGroup operator if one host's
     * row count dwarfs a partition.
+    *
+    * Rows whose URL has no parseable host (`host` = "" — relative
+    * links, garbage) are EXEMPT from the cap (`rk` = 1): they are not a
+    * domain, so capping them as one would both recreate the collapse
+    * [[canonicalize]]'s pass-through avoids and pile every malformed
+    * row into a single skewed window partition — each gets its own
+    * partition key instead.
     */
   def dedupAndCapPerDomain(docs: DataFrame, urlCol: String, idCol: String,
       weightCol: String, cap: Int): DataFrame = {
@@ -81,9 +88,13 @@ object Urls {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("canon")).orderBy(col(idCol))))
       .filter(col("_rn") === 1).drop("_rn")
+    // hostless rows rank alone (per-row subkey); real hosts share "" and
+    // rank within the host as before
+    val capSubKey = when(col("host") === "", col(idCol).cast("string"))
+      .otherwise(lit(""))
     first
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("host"))
+        Window.partitionBy(col("host"), capSubKey)
           .orderBy(col(weightCol).desc, col(idCol))))
       .filter(col("rk") <= cap)
   }

@@ -132,4 +132,22 @@ class LayoutSpec extends SparkSpec {
       new java.io.File(s"$out/one").listFiles()
         .count(_.getName.endsWith(".parquet")) == 1)
   }
+
+  test("compactToFileSize compacts IN PLACE: df reading from the target path") {
+    val out = java.nio.file.Files.createTempDirectory("compact_inplace").toString
+    val path = s"$out/t"
+    // seed the lake dir with many tiny files
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    li.repartition(24).write.parquet(path)
+    val expect = li.count()
+    // the maintenance call the scaladoc advertises: source == target
+    val files = graft.io.Layout.compactToFileSize(
+      spark.read.parquet(path), path, 1L << 30)
+    assert(files == 1)
+    val dir = new java.io.File(path)
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(path).count() == expect)
+    // no staging/probe residue next to the target
+    assert(new java.io.File(out).listFiles().map(_.getName).toSet == Set("t"))
+  }
 }

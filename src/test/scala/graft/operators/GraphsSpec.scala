@@ -140,4 +140,20 @@ class GraphsSpec extends SparkSpec {
         org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
     assert(nlj <= 1, s"more than the 1-row max broadcast: $nlj BNLJs")
   }
+
+  test("hits leaves no orphaned cache: free(result) returns to baseline") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val edges = (1L to 300L).map(i => (i, (i * 13) % 300 + 1)).toDF("src", "dst")
+    val result = Graphs.hits(edges, iters = 2)
+    result.count()
+    // every checkpoint hits() made is either reachable from the result
+    // plan (freed here) or was released inside (superseded pins, `e`) —
+    // nothing should stay pinned past this pair of frees
+    Checkpoints.free(result)
+    // <=, not ==: the shared session's ContextCleaner may concurrently
+    // release OTHER suites' RDDs between the two reads
+    assert(sc.getPersistentRDDs.size <= before,
+      s"cached RDDs leaked: ${sc.getPersistentRDDs.size - before}")
+  }
 }

@@ -75,6 +75,23 @@ class UrlsSpec extends SparkSpec {
     assert(out == Set(("a.com", 4L, 1), ("a.com", 5L, 2), ("b.com", 6L, 1)))
   }
 
+  test("dedupAndCapPerDomain exempts hostless rows from the per-host cap") {
+    val docs = Seq(
+      // three DISTINCT unparseable URLs — all must survive a cap of 1
+      (1L, 10L, "not a url at all"),
+      (2L, 20L, "/relative/link/one"),
+      (3L, 30L, "/relative/link/two"),
+      // a real host to prove the cap still bites
+      (4L, 40L, "https://a.com/x"),
+      (5L, 50L, "https://a.com/y")
+    ).toDF("doc_id", "n_chars", "url")
+    val out = Urls.dedupAndCapPerDomain(docs, "url", "doc_id", "n_chars", cap = 1)
+      .select($"doc_id", $"host", $"rk").as[(Long, String, Int)]
+      .collect().toSet
+    // hostless rows all keep rk=1; a.com capped to its heaviest doc
+    assert(out == Set((1L, "", 1), (2L, "", 1), (3L, "", 1), (5L, "a.com", 1)))
+  }
+
   test("dedupStream: keep-first per canonical URL; expired entries re-admit") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime
