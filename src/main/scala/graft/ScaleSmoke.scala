@@ -420,6 +420,18 @@ object ScaleSmoke {
         pmod(xxhash64(col("doc_id")), lit(nDocs)).as("dst"))
       graft.operators.Graphs.hits(e, iters = 2)
     }, allowBroadcastNlj = true)
+    // host PageRank over co-occurrence edges (the q129 composition):
+    // the (key,node) dedup/rank grows with the corpus, while the pair
+    // join is bounded by maxPerKey^2 per key — the skew contract: edge
+    // growth saturates at ~keys*cap^2 no matter how hot a key gets
+    run("host_pagerank", {
+      val hostKeys = docs.select(
+        pmod(xxhash64(col("source"), col("doc_id") % 64), lit(100000L)).as("hid"),
+        (col("doc_id") % 997).as("k"))
+      val edges = graft.operators.Graphs.cooccurrenceEdges(
+        hostKeys, "k", "hid", maxPerKey = 50)
+      graft.operators.Graphs.pageRank(edges, iters = 2)
+    })
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

@@ -243,8 +243,15 @@ object StreamBench {
     // 8. TxMatch: dual-stream reconciliation keyed by txId with per-side
     // timeouts (the reference's hardest streaming semantics). One pay per
     // event; 4 of 5 get a receipt +1s later (matched, state cleared on
-    // the spot), 1 of 5 never does (expires via the event-time timeout) —
-    // so the state trace shows claims entering AND leaving.
+    // the spot), 1 of 5 never does (expires via the event-time timeout).
+    // Receipts are staggered ONE CHUNK behind their pays: with aligned
+    // chunks each receipt lands in the same micro-batch as its pay and
+    // unmatched pays expire within the batch's watermark advance, so
+    // end-of-batch sampling sees empty state and the trace demonstrates
+    // nothing — the stagger makes pending pays observable at every
+    // batch boundary (peak > 0), while the final drain still clears
+    // them (enter AND leave). StreamingAppsSpec pins the same
+    // staggered-input peak/final contract.
     bench("tx_match")(2L * events.size) { () =>
       val msP = MemoryStream[apps.OrderEvent]
       val msR = MemoryStream[apps.ReceiptEvent]
@@ -260,7 +267,7 @@ object StreamBench {
       val trace = new StateTrace(q)
       try {
         val pChunks = chunksOf(pays, nBatches)
-        val rChunks = chunksOf(receipts, nBatches)
+        val rChunks = Seq.empty[apps.ReceiptEvent] +: chunksOf(receipts, nBatches)
         val t0 = System.nanoTime()
         pChunks.zipAll(rChunks, Seq.empty[apps.OrderEvent],
             Seq.empty[apps.ReceiptEvent]).foreach { case (pc, rc) =>
@@ -269,6 +276,17 @@ object StreamBench {
           q.processAllAvailable()
           trace.sample()
         }
+        // watermark flush: one far-future event per side expires every
+        // real pending entry (the stagger leaves tail pays un-expired —
+        // no later input would otherwise advance the watermark past
+        // their timeout); only the 2 flush rows themselves may remain
+        val tmax = events.map(_.ts.getTime).max
+        msP.addData(Seq(apps.OrderEvent(-1L, "pay", "txflushP",
+          new Timestamp(tmax + 86400000L))))
+        msR.addData(Seq(apps.ReceiptEvent("txflushR", "chan0",
+          new Timestamp(tmax + 86400000L))))
+        q.processAllAvailable()
+        trace.sample()
         ((System.nanoTime() - t0) / 1e9, trace)
       } finally q.stop()
     }

@@ -155,6 +155,37 @@ object Graphs {
     result
   }
 
+  /** Symmetric co-occurrence edge list: nodes sharing a key get a
+    * directed edge EACH WAY — the standard construction for
+    * co-citation / co-visitation / shared-resource host graphs when no
+    * explicit link column exists (two hosts publishing the same
+    * canonical item are related). Input rows (`keyCol`, `nodeCol`,
+    * anything else); output (`src`, `dst`) distinct, self-loop free,
+    * ready for [[pageRank]]/[[hits]].
+    *
+    * Scale shape: one key-partitioned shuffle dedups (key, node) and
+    * ranks nodes within each key; the pair join is keyed on `keyCol`
+    * only, so a hot key emits quadratically — `maxPerKey` hard-caps
+    * each key's node set (keep-lowest-node, deterministic) BEFORE the
+    * join, bounding per-key fan-out at maxPerKey² rows. That cap is
+    * the skew contract: raise it consciously, never to "unlimited".
+    */
+  def cooccurrenceEdges(df: DataFrame, keyCol: String, nodeCol: String,
+      maxPerKey: Int = 1000): DataFrame = {
+    require(maxPerKey >= 2, s"maxPerKey must be >= 2: $maxPerKey")
+    import org.apache.spark.sql.expressions.Window
+    val kn = df.select(col(keyCol).as("k"), col(nodeCol).cast("long").as("n"))
+      .na.drop().distinct()
+    val capped = kn
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("n"))))
+      .filter(col("_r") <= maxPerKey).drop("_r")
+    capped.select(col("k"), col("n").as("src"))
+      .join(capped.select(col("k"), col("n").as("dst")), Seq("k"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
   /** One HITS half-step (exposed for the GraphsSpec plan gate — the
     * production path's final plan is post-checkpoint, so the interior
     * join/agg shapes must be gated here directly, the [[Clusters]]

@@ -190,6 +190,39 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("txMatchStream state enters AND leaves: staggered receipts peak > 0, flush drains") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pays = MemoryStream[OrderEvent]
+    val receipts = MemoryStream[ReceiptEvent]
+    val out = StreamingApps.txMatchStream(pays.toDS(), receipts.toDS(),
+      payWaitMs = 5000L, receiptWaitMs = 3000L)
+    val q = out.writeStream.format("memory").queryName("tx_stagger")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // the StreamBench tx_match shape: pays land one batch BEFORE their
+      // receipts, so pending claims are observable at the batch boundary
+      // (same event time for all — a time spread would let the leading
+      // pays' deadlines fall behind the batch-end watermark and expire
+      // before the sample)
+      pays.addData((1 to 20).map(i => OrderEvent(i.toLong, "pay", s"tx$i", t(10))))
+      q.processAllAvailable()
+      val peak = stateRows
+      assert(peak >= 20, s"pending pays must be visible in state, got $peak")
+      receipts.addData((1 to 20).map(i => ReceiptEvent(s"tx$i", "wechat", t(11))))
+      q.processAllAvailable()
+      // watermark flush far past every deadline: real state fully drains
+      pays.addData(OrderEvent(-1, "pay", "txflushP", t(100000)))
+      receipts.addData(ReceiptEvent("txflushR", "chan0", t(100000)))
+      q.processAllAvailable()
+      assert(stateRows <= 2,
+        s"only the 2 flush rows may remain after the drain, got $stateRows")
+      val matched = spark.table("tx_stagger").as[TxMatchOutcome]
+        .collect().count(_.kind == "matched")
+      assert(matched == 20, s"all 20 staggered pairs must match, got $matched")
+    } finally q.stop()
+  }
+
   test("txMatchStream: a receipt arriving after the pay timed out becomes unmatched-receipt") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val pays = MemoryStream[OrderEvent]

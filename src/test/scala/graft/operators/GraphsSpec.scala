@@ -141,6 +141,23 @@ class GraphsSpec extends SparkSpec {
     assert(nlj <= 1, s"more than the 1-row max broadcast: $nlj BNLJs")
   }
 
+  test("cooccurrenceEdges: symmetric, self-loop free, per-key cap binds") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 1L), // dup (a,1) collapses
+      ("b", 2L), ("b", 4L),
+      ("c", 9L) // singleton key -> no edges
+    ).toDF("k", "node")
+    val edges = Graphs.cooccurrenceEdges(df, "k", "node")
+      .as[(Long, Long)].collect().toSet
+    val expect = Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (4L, 2L))
+    assert(edges == expect)
+    // maxPerKey=2 keeps the two LOWEST nodes per key: node 3 drops off "a"
+    val cappedE = Graphs.cooccurrenceEdges(df, "k", "node", maxPerKey = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cappedE == Set((1L, 2L), (2L, 1L), (2L, 4L), (4L, 2L)))
+  }
+
   test("hits leaves no orphaned cache: free(result) returns to baseline") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size

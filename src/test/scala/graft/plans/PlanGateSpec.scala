@@ -99,6 +99,11 @@ class PlanGateSpec extends SparkSpec {
     // moves model-sized groups; +1 range exchange sorting the 2145-row
     // output
     "q123_pca_gramian" -> 2,
+    // front-door windows (2) + co-occurrence dedup/rank + edge join +
+    // 2 unrolled pagerank iterations (join+agg each, uncheckpointed at
+    // iters=2) + host-dim map-back and output sort — composed chain,
+    // q128 precedent
+    "q129_host_pagerank" -> 11,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
