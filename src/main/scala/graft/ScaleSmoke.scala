@@ -420,6 +420,12 @@ object ScaleSmoke {
         pmod(xxhash64(col("doc_id")), lit(nDocs)).as("dst"))
       graft.operators.Graphs.hits(e, iters = 2)
     }, allowBroadcastNlj = true)
+    // SQ8 quantized ANN: fit is one model-sized-shuffle bounds pass,
+    // encode+decode are map-only, search is the q26 broadcast shape —
+    // cost should track the corpus scan, not the query count
+    run("sq8_ann", graft.operators.Similarity.sq8TopK(
+      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 5, dim = 64), allowBroadcastNlj = true)
     // host PageRank over co-occurrence edges (the q129 composition):
     // the (key,node) dedup/rank grows with the corpus, while the pair
     // join is bounded by maxPerKey^2 per key — the skew contract: edge

@@ -250,8 +250,14 @@ object StreamBench {
     // end-of-batch sampling sees empty state and the trace demonstrates
     // nothing — the stagger makes pending pays observable at every
     // batch boundary (peak > 0), while the final drain still clears
-    // them (enter AND leave). StreamingAppsSpec pins the same
-    // staggered-input peak/final contract.
+    // them (enter AND leave). The stagger REQUIRES a watermark delay
+    // covering one chunk's event-time span (30 days / 20 chunks = 1.5
+    // days): txMatchStream watermarks the pay∪receipt union, so at 0s
+    // delay the lagged receipts would arrive below the watermark and be
+    // dropped as late rows — every pay would expire unmatched and the
+    // trace would silently measure the timeout path only.
+    // StreamingAppsSpec pins the same staggered-input peak/final
+    // contract.
     bench("tx_match")(2L * events.size) { () =>
       val msP = MemoryStream[apps.OrderEvent]
       val msR = MemoryStream[apps.ReceiptEvent]
@@ -261,7 +267,7 @@ object StreamBench {
         apps.ReceiptEvent(s"tx${e.event_id}", s"chan${e.event_id % 3}",
           new Timestamp(e.ts.getTime + 1000L)))
       val out = apps.StreamingApps.txMatchStream(msP.toDS(), msR.toDS(),
-        payWaitMs = 5000L, receiptWaitMs = 3000L)
+        payWaitMs = 5000L, receiptWaitMs = 3000L, wmDelay = "2 days")
       val q = out.writeStream.format("memory").queryName(s"sb_${tag}_tx")
         .outputMode("append").start()
       val trace = new StateTrace(q)
@@ -282,9 +288,9 @@ object StreamBench {
         // their timeout); only the 2 flush rows themselves may remain
         val tmax = events.map(_.ts.getTime).max
         msP.addData(Seq(apps.OrderEvent(-1L, "pay", "txflushP",
-          new Timestamp(tmax + 86400000L))))
+          new Timestamp(tmax + 30L * 86400000L))))
         msR.addData(Seq(apps.ReceiptEvent("txflushR", "chan0",
-          new Timestamp(tmax + 86400000L))))
+          new Timestamp(tmax + 30L * 86400000L))))
         q.processAllAvailable()
         trace.sample()
         ((System.nanoTime() - t0) / 1e9, trace)
@@ -455,6 +461,11 @@ object StreamBench {
       val (rs, rr) = cell(r.sec)
       md.append(s"| ${r.name} | ${opOf.getOrElse(r.name, "")} | ${r.rows} | $ms | $mr | $rs | $rr | ${r.stateFinal} | ${r.statePeak} |\n")
     }
+    md.append("\ntx_match staggers receipts one chunk behind their pays under\n")
+    md.append("a 2-day watermark delay, so pending pay claims are observable\n")
+    md.append("at batch boundaries: peak = in-flight claims (state ENTERS),\n")
+    md.append("final = 2 (only the watermark-flush rows remain — state\n")
+    md.append("LEAVES on match or timeout, nothing accumulates).\n")
     md.append("\nstream_dedup runs over the documents corpus replicated to\n")
     md.append(s"${docs.size} docs (SPARK_GRAFT_STREAM_DEDUP_DOCS, default 50000):\n")
     md.append("its per-micro-batch cost is ~fixed (state-store commit +\n")

@@ -112,6 +112,17 @@ object VectorQueries extends QueryModule {
         "vec_id", "embedding", k = 5, nlist = 16, nProbe = 4)
     }),
 
+    // int8 scalar quantization (FAISS-SQ8 shape) + quantized top-5:
+    // per-dim min/max fitted in one model-sized-shuffle pass, codes by
+    // the deterministic double-then-floor affine map, ranking by the
+    // exact integer code dot product — every stage oracle-replayable.
+    "q130_sq8_ann" -> ((spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.sq8TopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, dim = 64)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // PCA's corpus-scale half, oracle-gated: the micro-unit-quantized
     // moment sums (count, per-dim sums, upper-tri co-moments) that
     // Pca.fit reduces the corpus to. Exact BIGINT arithmetic = order-
@@ -126,6 +137,42 @@ object VectorQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // mirrors Similarity.sq8Fit/sq8Encode/sq8TopK: per-dim min/max,
+    // affine byte codes (identical IEEE double ops + floor in both
+    // engines), exact-integer dot-product ranking
+    "q130_sq8_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(d AS INTEGER) AS d FROM range(64) t(d)),
+        |st AS (SELECT d, MIN(v[d + 1]) AS mn, MAX(v[d + 1]) AS mx
+        |       FROM v CROSS JOIN idx GROUP BY d),
+        |codes AS (
+        |  SELECT vec_id, d,
+        |    CASE WHEN mx <= mn THEN 0
+        |         ELSE LEAST(255, GREATEST(0,
+        |           CAST(floor((v[d + 1] - mn) * 255.0 / (mx - mn) + 0.5)
+        |             AS INTEGER))) END AS c,
+        |    mn, mx
+        |  FROM v CROSS JOIN idx JOIN st USING (d)),
+        |dec AS (
+        |  SELECT vec_id, d,
+        |    CAST(floor((c * (mx - mn) / 255.0 + mn) * 1000000 + 0.5)
+        |      AS BIGINT) AS m
+        |  FROM codes),
+        |sc AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    CAST(SUM(q.m * c.m) AS BIGINT) AS score
+        |  FROM dec q JOIN dec c ON q.d = c.d
+        |    AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |rnk AS (SELECT qid, vid, score,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rk
+        |  FROM sc)
+        |SELECT qid, vid, score, rk FROM rnk WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
+
     // mirrors Pca.gramianMicro: micro-unit quantization, then exact
     // BIGINT moment sums (co-moments j>=i>=0, first moments j=-1,
     // count at (-1,-1))

@@ -601,6 +601,44 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"RP rerank recall@5 collapsed: $recall")
   }
 
+  test("SQ8: codes reconstruct within the half-step bound; dot-rank recall holds") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val model = Similarity.sq8Fit(e, "embedding", dim)
+    assert(model.mins.indices.forall(i => model.mins(i) <= model.maxs(i)))
+    // roundtrip: |decode(code) - x| <= range/510 + eps for every element
+    val coded = Similarity.sq8Encode(
+      e.select($"vec_id", $"embedding".as("v")), "v", model)
+      .select($"vec_id", $"v", $"codes")
+      .as[(Long, Seq[Float], Seq[Int])].collect()
+    coded.foreach { case (_, v, cs) =>
+      assert(cs.length == dim && cs.forall(c => c >= 0 && c <= 255))
+      cs.indices.foreach { i =>
+        val r = model.maxs(i) - model.mins(i)
+        if (r > 0) {
+          val decoded = model.mins(i) + cs(i) * r / 255.0
+          assert(math.abs(decoded - v(i)) <= r / 510.0 + 1e-9,
+            s"dim $i: decode $decoded vs ${v(i)} exceeds half-step ${r / 510.0}")
+        }
+      }
+    }
+    // quantized dot-product ranking keeps most exact-dot neighbors
+    val k = 5
+    val got = Similarity.sq8TopK(e.filter($"vec_id" < 20), e,
+      "vec_id", "embedding", k, dim)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val vecs = coded.map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.iterator.map(i => a(i) * b(i)).sum
+    val exact = vecs.keys.filter(_ < 20).flatMap { qid =>
+      vecs.toSeq.filter(_._1 != qid)
+        .sortBy { case (vid, v) => (-dot(vecs(qid), v), vid) }
+        .take(k).map(p => (qid, p._1))
+    }.toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"SQ8 recall@5 vs exact dot collapsed: $recall")
+  }
+
   test("spherical k-means refinement never decreases the IVF objective") {
     import graft.functions.VectorFunctions._
     import graft.plans.GraftFunctions

@@ -23,6 +23,7 @@ class PlanGateSpec extends SparkSpec {
     */
   private val allowBnlj: Set[String] = Set(
     "q26_ann_topk",        // 50-query batch broadcast vs corpus
+    "q130_sq8_ann",        // 10-query decoded-code batch broadcast (q26 shape)
     "q27_embedding_neardup", // bounded candidate batch broadcast
     "q42_lsh_ann",         // query batch broadcast into probed buckets
     "q53_late_tag",        // 1-row max-event-time frame broadcast (tagLate)
@@ -99,6 +100,9 @@ class PlanGateSpec extends SparkSpec {
     // moves model-sized groups; +1 range exchange sorting the 2145-row
     // output
     "q123_pca_gramian" -> 2,
+    // broadcast-q scored scan + per-query rank window + output sort;
+    // the fit's model-sized agg happens before the returned plan
+    "q130_sq8_ann" -> 2,
     // front-door windows (2) + co-occurrence dedup/rank + edge join +
     // 2 unrolled pagerank iterations (join+agg each, uncheckpointed at
     // iters=2) + host-dim map-back and output sort — composed chain,
