@@ -439,6 +439,21 @@ object ScaleSmoke {
       graft.operators.Graphs.pageRank(edges, iters = 2)
     })
 
+    // per-document repetition signals: zero-shuffle sorted-run-length
+    // folds — cost must track the corpus linearly with NO exchange
+    // (assertShapes enforces the no-shuffle plan on the count itself)
+    run("repetition_stats", graft.operators.Repetition.ngramStats(
+      docs, "doc_id", "text", Seq(1, 2, 3)))
+    run("line_dedup", graft.operators.Repetition.dedupLinesWithinDoc(
+      docs.select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+\\s+){2})", "$1\n").as("text")),
+      "doc_id", "text"))
+    // hashed-classifier gradient: one bucket-keyed partial agg whose
+    // exchange moves <= buckets rows per task regardless of corpus size
+    run("classifier_grad", graft.operators.Classifier.gradientAtZero(
+      docs.withColumn("y", col("doc_id") % 3 === 0), "text", "y",
+      buckets = 1024))
+
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
     // former CcProbe scratch main, folded in behind this flag)

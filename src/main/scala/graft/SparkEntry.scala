@@ -18,7 +18,8 @@ object SparkEntry {
     ExtendedQueries,
     PipelineQueries,
     CorpusQueries,
-    CurationQueries
+    CurationQueries,
+    SignalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Classifier, Repetition}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 document-signal additions: Gopher-style repetition metrics and
+  * intra-document line dedup — the per-document half of web curation
+  * (corpus-level boilerplate/dedup live in q115/q121; these operators need
+  * no corpus context, so their 100 TB form is a zero-shuffle map pass).
+  */
+object SignalQueries extends QueryModule {
+
+  /** Tokens-per-line used to synthesize multi-line text for q132 —
+    * 2-token lines make intra-document duplicates actually occur in the
+    * word-soup corpus (the oracle mirrors the same line synthesis).
+    */
+  private val lineTokens = 2
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher/MassiveText repetition report (Rae et al. 2021 A1.1) at
+    // n = 1/2/3: totals, distincts, duplicate occurrences, duplicate-
+    // covered characters, and the modal n-gram — ALL exact integers,
+    // computed per document by a sorted-run-length fold (higher-order
+    // aggregate) with ZERO shuffles; the only exchange is the output
+    // sort. The filter thresholds derive from these columns row-locally.
+    "q131_repetition" -> ((s, dir) => {
+      import s.implicits._
+      Repetition.ngramStats(Tables.documents(s, dir), "doc_id", "text",
+        Seq(1, 2, 3))
+        .orderBy($"doc_id")
+    }),
+
+    // Intra-document line dedup (keep first occurrence, order preserved):
+    // documents are re-lined at 2 tokens/line deterministically, then each
+    // page drops its own repeated lines — the within-page nav/chrome
+    // remover that needs no corpus context (cross-document chrome is
+    // q115's job). Zero shuffles except the output sort.
+    "q132_linededup" -> ((s, dir) => {
+      import s.implicits._
+      val t = split(trim($"text"), "\\s+")
+      val lines = transform(
+        sequence(lit(0), floor((size(t) - 1) / lineTokens).cast("int")),
+        i => concat_ws(" ", slice(t, i * lineTokens + 1, lit(lineTokens))))
+      val relined = Tables.documents(s, dir)
+        .select($"doc_id", concat_ws("\n", lines).as("text"))
+      Repetition.dedupLinesWithinDoc(relined, "doc_id", "text")
+        .select($"doc_id", $"text", $"n_lines", $"n_kept")
+        .orderBy($"doc_id")
+    }),
+
+    // Hashed-feature quality classifier, corpus-scale half: the exact
+    // integer 2x logistic gradient at w = 0 per md5 feature bucket
+    // (label: is the page English reference text). Gates the feature
+    // hashing + the bucket-keyed gradient aggregation — the GD loop's
+    // float numerics are ClassifierSpec's job (PCA-gramian discipline).
+    "q133_quality_grad" -> ((s, dir) => {
+      import s.implicits._
+      Classifier.gradientAtZero(
+        Tables.documents(s, dir).withColumn("is_ref", $"lang" === "en"),
+        "text", "is_ref", buckets = 64)
+        .orderBy($"bucket")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    // Replays the run-length fold as explode + GROUP BY: per (doc, gram)
+    // counts, then per-doc integer aggregates; the modal gram is the
+    // row_number()=1 row ordered (cnt DESC, gram ASC) — exactly the
+    // strict-displacement tie-break of the sorted fold.
+    "q131_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(w) AS g FROM words),
+        |c1 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g1 GROUP BY 1, 2),
+        |a1 AS (SELECT doc_id,
+        |         CAST(SUM(cnt) AS BIGINT) AS n1_total,
+        |         CAST(COUNT(*) AS BIGINT) AS n1_distinct,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+        |           AS n1_dup_occ,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END)
+        |           AS BIGINT) AS n1_dup_chars
+        |       FROM c1 GROUP BY 1),
+        |t1 AS (SELECT doc_id, cnt AS top_cnt, g AS top_gram FROM (
+        |         SELECT doc_id, g, cnt, ROW_NUMBER() OVER (
+        |           PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |g2 AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |       FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id,
+        |         CAST(SUM(cnt) AS BIGINT) AS n2_total,
+        |         CAST(COUNT(*) AS BIGINT) AS n2_distinct,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+        |           AS n2_dup_occ,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END)
+        |           AS BIGINT) AS n2_dup_chars
+        |       FROM c2 GROUP BY 1),
+        |t2 AS (SELECT doc_id, cnt AS top_cnt, g AS top_gram FROM (
+        |         SELECT doc_id, g, cnt, ROW_NUMBER() OVER (
+        |           PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |g3 AS (SELECT doc_id,
+        |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+        |           w[CAST(i AS INT) + 2] AS g
+        |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id,
+        |         CAST(SUM(cnt) AS BIGINT) AS n3_total,
+        |         CAST(COUNT(*) AS BIGINT) AS n3_distinct,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+        |           AS n3_dup_occ,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END)
+        |           AS BIGINT) AS n3_dup_chars
+        |       FROM c3 GROUP BY 1),
+        |t3 AS (SELECT doc_id, cnt AS top_cnt, g AS top_gram FROM (
+        |         SELECT doc_id, g, cnt, ROW_NUMBER() OVER (
+        |           PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        |         FROM c3) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  COALESCE(a1.n1_total, 0) AS n1_total,
+        |  COALESCE(a1.n1_distinct, 0) AS n1_distinct,
+        |  COALESCE(a1.n1_dup_occ, 0) AS n1_dup_occ,
+        |  COALESCE(a1.n1_dup_chars, 0) AS n1_dup_chars,
+        |  COALESCE(t1.top_cnt, 0) AS n1_top_cnt,
+        |  CAST(COALESCE(t1.top_cnt * length(t1.top_gram), 0) AS BIGINT)
+        |    AS n1_top_chars,
+        |  COALESCE(t1.top_gram, '') AS n1_top_gram,
+        |  COALESCE(a2.n2_total, 0) AS n2_total,
+        |  COALESCE(a2.n2_distinct, 0) AS n2_distinct,
+        |  COALESCE(a2.n2_dup_occ, 0) AS n2_dup_occ,
+        |  COALESCE(a2.n2_dup_chars, 0) AS n2_dup_chars,
+        |  COALESCE(t2.top_cnt, 0) AS n2_top_cnt,
+        |  CAST(COALESCE(t2.top_cnt * length(t2.top_gram), 0) AS BIGINT)
+        |    AS n2_top_chars,
+        |  COALESCE(a3.n3_total, 0) AS n3_total,
+        |  COALESCE(a3.n3_distinct, 0) AS n3_distinct,
+        |  COALESCE(a3.n3_dup_occ, 0) AS n3_dup_occ,
+        |  COALESCE(a3.n3_dup_chars, 0) AS n3_dup_chars,
+        |  COALESCE(t3.top_cnt, 0) AS n3_top_cnt,
+        |  CAST(COALESCE(t3.top_cnt * length(t3.top_gram), 0) AS BIGINT)
+        |    AS n3_top_chars
+        |FROM documents d
+        |LEFT JOIN a1 USING (doc_id) LEFT JOIN t1 USING (doc_id)
+        |LEFT JOIN a2 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+        |LEFT JOIN a3 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same 2-token line synthesis, then keep-first via ROW_NUMBER over
+    // (doc, line) ordered by position; string_agg skips the NULLed
+    // repeat lines and reassembles in position order.
+    "q132_linededup" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN CAST(2 * i + 2 AS INT) <= len(w)
+        |      THEN w[CAST(2 * i + 1 AS INT)] || ' ' || w[CAST(2 * i + 2 AS INT)]
+        |      ELSE w[CAST(2 * i + 1 AS INT)] END AS line
+        |  FROM words, UNNEST(range(0, (len(w) + 1) // 2)) AS t(i)),
+        |firsts AS (
+        |  SELECT doc_id, i, line, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id, line ORDER BY i) AS rn
+        |  FROM lines)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |    ORDER BY i), '') AS text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM firsts GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same md5-prefix bucket hash as the Spark side; (1 − 2y) = −1 for
+    // the positive (English) class. All-integer aggregation.
+    "q133_quality_grad" ->
+      """WITH toks AS (
+        |  SELECT (CASE WHEN lang = 'en' THEN -1 ELSE 1 END) AS s,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket,
+        |  CAST(SUM(s) AS BIGINT) AS grad2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM toks GROUP BY 1
+        |ORDER BY 1""".stripMargin
+  )
+}

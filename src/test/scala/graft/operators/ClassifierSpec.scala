@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Linearly separable toy corpus: "good" pages share a reference-text
+  // vocabulary, "spam" pages a promo vocabulary (no overlap).
+  private def corpus = Seq(
+    (1L, "the report covers quarterly revenue and product research", true),
+    (2L, "research teams published the annual engineering report", true),
+    (3L, "the quarterly product revenue grew with engineering research", true),
+    (4L, "buy cheap pills now click here winner prize", false),
+    (5L, "winner winner click now cheap prize pills here", false),
+    (6L, "click here now buy prize cheap winner pills", false)
+  ).toDF("doc_id", "text", "label")
+
+  test("gradientAtZero is the exact integer 2x gradient") {
+    // single doc, y=true → s=-1; each token occurrence contributes -1 to
+    // its bucket; two docs with y=false contribute +1 per occurrence
+    val df = Seq((1L, "a b a", true), (2L, "a c", false)).toDF("doc_id", "text", "label")
+    val g = Classifier.gradientAtZero(df, "text", "label", buckets = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // occurrences with signs: a(-1) b(-1) a(-1) from doc 1, a(+1) c(+1)
+    // from doc 2; fold them through the same hash (collisions at 8
+    // buckets are legitimate and folded identically)
+    val bucketOf = Seq("a", "b", "c").map { t =>
+      t -> spark.range(1).select(Classifier.tokenBucket(lit(t), 8))
+        .collect()(0).getLong(0)
+    }.toMap
+    val occ = Seq(("a", -1L), ("b", -1L), ("a", -1L), ("a", 1L), ("c", 1L))
+    val expected = occ.groupBy { case (t, _) => bucketOf(t) }
+      .map { case (b, xs) => b -> ((xs.map(_._2).sum, xs.size.toLong)) }
+    assert(g == expected)
+  }
+
+  test("fit separates the toy corpus and score ranks good above spam") {
+    val m = Classifier.fit(corpus, "text", "label", buckets = 64,
+      iters = 40, lr = 2.0)
+    val scores = Classifier.score(corpus, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val good = Seq(1L, 2L, 3L).map(scores)
+    val spam = Seq(4L, 5L, 6L).map(scores)
+    assert(good.min > spam.max,
+      s"not separated: good=$good spam=$spam")
+    assert(good.forall(_ > 0.5) && spam.forall(_ < 0.5))
+  }
+
+  test("fit matches a single-node reference GD within tolerance") {
+    // reference implementation: same normalization, same hash buckets
+    val buckets = 32
+    val rows = corpus.select($"text", $"label",
+        Classifier.bucketArr($"text", buckets).as("bk"))
+      .collect().map(r => (r.getSeq[Long](2).toArray, r.getBoolean(1)))
+    var w = Array.fill(buckets)(0.0); var b = 0.0
+    val lr = 1.0; val n = rows.length.toDouble
+    for (_ <- 0 until 10) {
+      val gw = Array.fill(buckets)(0.0); var gb = 0.0
+      rows.foreach { case (bk, y) =>
+        val inv = if (bk.nonEmpty) 1.0 / bk.length else 0.0
+        val margin = bk.map(k => w(k.toInt)).sum * inv + b
+        val p = 1.0 / (1.0 + math.exp(-margin))
+        val c = (p - (if (y) 1.0 else 0.0))
+        bk.foreach(k => gw(k.toInt) += c * inv)
+        gb += c
+      }
+      for (k <- 0 until buckets) w(k) -= lr * gw(k) / n
+      b -= lr * gb / n
+    }
+    val m = Classifier.fit(corpus, "text", "label", buckets, iters = 10, lr = 1.0)
+    assert(math.abs(m.bias - b) < 1e-9)
+    (0 until buckets).foreach { k =>
+      assert(math.abs(m.weights(k) - w(k)) < 1e-9, s"bucket $k")
+    }
+  }
+
+  test("filterByModel keeps only above-threshold docs") {
+    val m = Classifier.fit(corpus, "text", "label", buckets = 64,
+      iters = 40, lr = 2.0)
+    val kept = Classifier.filterByModel(corpus, "doc_id", "text", m, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("score plan is map-only (no shuffle)") {
+    val m = Classifier.LogRegModel(Array.fill(16)(0.1), 0.0)
+    val plan = Classifier.score(corpus, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -108,6 +108,11 @@ class PlanGateSpec extends SparkSpec {
     // iters=2) + host-dim map-back and output sort — composed chain,
     // q128 precedent
     "q129_host_pagerank" -> 11,
+    // zero-shuffle sorted-run-length folds; only the output sort exchanges
+    "q131_repetition" -> 1,
+    "q132_linededup" -> 1,
+    // explode feeds a bucket-keyed partial agg (64 groups) + output sort
+    "q133_quality_grad" -> 2,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
