@@ -453,6 +453,11 @@ object ScaleSmoke {
     run("classifier_grad", graft.operators.Classifier.gradientAtZero(
       docs.withColumn("y", col("doc_id") % 3 === 0), "text", "y",
       buckets = 1024))
+    // bigram LM: count shuffle keys on ~V^2 uniform bigrams, history
+    // totals aggregate the VOCAB-sized table, scoring joins a broadcast
+    // LM — corpus-linear with a vocab-bounded exchange payload
+    run("bigram_lm", graft.operators.Quality.bigramLogprob(
+      docs, "doc_id", "text"), allowBroadcastNlj = true)
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

@@ -124,31 +124,55 @@ object Pca {
     * Σ mᵢ·mⱼ, `(i, -1)` the first-moment sums Σ mᵢ, and `(-1, -1)`
     * the row count.
     *
-    * Scale shape: the corpus is touched once; the explode feeds
-    * partial hash aggregation inside the same codegen stage, so the
-    * single shuffle moves at most d·(d+3)/2+1 groups per map
-    * partition — model-sized, never corpus-sized (same reduction
-    * shape as [[fit]]'s treeAggregate, expressed relationally).
+    * Scale shape: the corpus is touched once by a treeAggregate into a
+    * d·(d+3)/2+1-long exact-integer moment vector ([[fit]]'s own
+    * reduction shape — integer sums are order-free, so the result is
+    * engine-exact no matter how partitions combine); only the
+    * model-sized vector ever moves or reaches the driver. The earlier
+    * relational form (explode 2145 structs/row into a hash aggregate)
+    * produced the identical frame but materialized |corpus|·2145
+    * exploded rows — 13× slower at sf0.1, worse with scale.
     */
   def gramianMicro(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")
-    import org.apache.spark.sql.{functions => F}
-    val m = F.transform(col(vecCol).cast("array<double>"),
-      x => floor(x * lit(1000000.0d) + lit(0.5d)).cast("long"))
-    val idx = sequence(lit(0), lit(dim - 1))
-    val comoments = flatten(F.transform(idx, i =>
-      F.transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("m"), i + 1) * element_at(col("m"), j + 1)).as("p")))))
-    val firstMoments = F.transform(idx, i =>
-      struct(i.as("i"), lit(-1).as("j"), element_at(col("m"), i + 1).as("p")))
-    val countRow = array(
-      struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p")))
-    df.select(m.as("m"))
-      .select(explode(concat(comoments, firstMoments, countRow)).as("e"))
-      .select(col("e.i").cast("long").as("i"),
-        col("e.j").cast("long").as("j"), col("e.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").as("s"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nTri = dim * (dim + 1) / 2
+    val total = nTri + dim + 1
+    val micro = df
+      .select(org.apache.spark.sql.functions.transform(
+        col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1000000.0d) + lit(0.5d)).cast("long")).as("m"))
+      .as[Seq[Long]]
+    val acc = micro.rdd.treeAggregate(new Array[Long](total))(
+      seqOp = { (a, mseq) =>
+        if (mseq != null && mseq.length == dim) {
+          val m = mseq.toArray
+          var k = 0
+          var i = 0
+          while (i < dim) {
+            var j = i
+            while (j < dim) { a(k) += m(i) * m(j); k += 1; j += 1 }
+            a(nTri + i) += m(i)
+            i += 1
+          }
+          a(total - 1) += 1L
+        }
+        a
+      },
+      combOp = { (a, b) =>
+        var k = 0
+        while (k < total) { a(k) += b(k); k += 1 }
+        a
+      })
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    var k = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      rows += ((i.toLong, j.toLong, acc(k))); k += 1
+    }
+    for (i <- 0 until dim) rows += ((i.toLong, -1L, acc(nTri + i)))
+    rows += ((-1L, -1L, acc(total - 1)))
+    rows.result().toDF("i", "j", "s")
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns

@@ -197,4 +197,72 @@ object Quality {
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Per-document bigram-LM score with Laplace (add-1) smoothing — the
+    * conditional-fluency step up from [[unigramLogprob]] (the CCNet
+    * perplexity-filter shape: n-gram LM trained on the corpus, documents
+    * ranked by average log-probability; a repeated-phrase page scores
+    * HIGH, a shuffled-word page scores LOW — complementary to
+    * [[graft.operators.Repetition]]'s surface counts).
+    *
+    * P(b|a) = (c(a b) + 1) / (c(a ·) + V), V = distinct-token vocabulary.
+    * Output: (idCol, n_bigrams, lp_micro, avg_lp); single-token and empty
+    * docs have no bigrams and are absent (the q87 convention).
+    *
+    * Determinism: ln is quantized to integer micro-units at the
+    * VOCABULARY level (one ln per distinct bigram — the [[unigramLogprob]]
+    * discipline), so the per-doc sum is an exact BIGINT.
+    *
+    * Scale: the bigram table shuffles once to count (keys ~V², uniform);
+    * the history totals aggregate the vocabulary-sized count table, not
+    * the corpus; V is a 1-row broadcast; scoring re-derives the corpus
+    * bigrams (same deliberate re-tokenize as [[unigramLogprob]] — cheaper
+    * than materializing a larger-than-corpus intermediate at 100 TB) and
+    * joins the vocabulary-sized LM table (AQE broadcasts it when small).
+    */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigramTable(df, idCol, textCol)
+    val cg = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("f"))
+    val ch = cg.groupBy(col("a")).agg(sum(col("f")).as("fh"))
+    val v = tokenTable(df, idCol, textCol)
+      .agg(countDistinct(col("tok")).as("nv"))
+    val lm = cg.join(ch, Seq("a")).crossJoin(broadcast(v))
+      .withColumn("lpu",
+        floor(log((col("f") + 1L).cast("double")
+          / (col("fh") + col("nv")).cast("double")) * 1e6 + 0.5).cast("long"))
+      .select(col("a"), col("b"), col("lpu"))
+    bigramLogprobWith(df, idCol, textCol, lm)
+  }
+
+  /** Score against an EXTERNAL bigram LM: `lm` = (a, b, lpu) keyed by
+    * the (history, next) token pair, lpu = ln P(b|a) in 1e-6 units.
+    * Bigrams absent from the LM are dropped (supply smoothed floor rows
+    * upstream for OOV handling) — one reference LM, many corpora.
+    */
+  def bigramLogprobWith(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame =
+    bigramTable(df, idCol, textCol).join(lm, Seq("a", "b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpu")).as("lp_micro"))
+      .withColumn("avg_lp",
+        col("lp_micro").cast("double") / col("n_bigrams").cast("double") / 1e6)
+
+  /** (idCol, a, b) per bigram occurrence — the [[tokenTable]] typed
+    * flatMap extended one token of lookahead (the HOF shingle form
+    * `wordShinglesAll(_, 2)` is interpreted, not codegen'd, and measured
+    * ~10x slower per bigram; tokenization is exactly MinhashImpl.tokens
+    * both ways). Docs empty after trim contribute nothing.
+    */
+  private def bigramTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val tk = graft.functions.MinhashImpl.tokens(t)
+        if (tk.length < 2 || (tk.length == 1 && tk(0).isEmpty)) Iterator.empty
+        else (0 until tk.length - 1).iterator.map(i => (id, tk(i), tk(i + 1)))
+      }
+      .toDF(idCol, "a", "b")
+  }
 }

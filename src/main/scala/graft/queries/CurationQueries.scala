@@ -304,6 +304,29 @@ object CurationQueries extends QueryModule {
             .otherwise(size(split(trim($"text"), "\\s+"))))
             .cast("bigint").as("tokens_kept"))
         .orderBy($"host")
+    }),
+
+    // Per-host repetition dashboard: the q121 front door picks the
+    // surviving docs, Repetition's zero-shuffle per-doc report supplies
+    // the integer signals, and one host-keyed rollup aggregates them —
+    // the crawl-health view (which domains ship template-heavy or
+    // degenerate-repetition pages) a curation pipeline prioritizes by.
+    "q135_host_signals" -> ((s, dir) => {
+      import s.implicits._
+      val u = Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", syntheticUrl.as("url"))
+      val kept = Urls.dedupAndCapPerDomain(u, "url", "doc_id", "n_chars",
+        cap = 5).select($"doc_id", $"host")
+      val rep = graft.operators.Repetition.ngramStats(
+        Tables.documents(s, dir), "doc_id", "text", Seq(1, 2))
+      rep.join(broadcast(kept), Seq("doc_id"))
+        .groupBy($"host").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n1_total").cast("bigint").as("words_total"),
+          sum($"n1_dup_occ").cast("bigint").as("words_dup"),
+          sum($"n2_dup_occ").cast("bigint").as("bigrams_dup"),
+          sum($"n2_top_chars").cast("bigint").as("top_bigram_chars"))
+        .orderBy($"host")
     })
   )
 
@@ -707,6 +730,41 @@ object CurationQueries extends QueryModule {
          |  CAST(SUM(CASE WHEN stripped = '' THEN 0
          |    ELSE len(string_split_regex(trim(stripped), '\\s+')) END)
          |    AS BIGINT) AS tokens_kept
-         |FROM docrow GROUP BY host ORDER BY host""".stripMargin)
+         |FROM docrow GROUP BY host ORDER BY host""".stripMargin),
+
+    // q135: front-door survivors × the q131 per-doc integer repetition
+    // stats, rolled up per host — all-BIGINT sums.
+    "q135_host_signals" ->
+      (s"WITH $urlFrontDoorSql,\n" +
+      """keep AS (SELECT doc_id, host FROM capped WHERE rk <= 5),
+        |words AS (
+        |  SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\s+') AS w
+        |  FROM documents d JOIN keep USING (doc_id)),
+        |rg1 AS (SELECT doc_id, unnest(w) AS g FROM words),
+        |rc1 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM rg1 GROUP BY 1, 2),
+        |ra1 AS (SELECT doc_id,
+        |         CAST(SUM(cnt) AS BIGINT) AS total,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)
+        |           AS BIGINT) AS dup
+        |       FROM rc1 GROUP BY 1),
+        |rg2 AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |       FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        |rc2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM rg2 GROUP BY 1, 2),
+        |ra2 AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)
+        |           AS BIGINT) AS dup2
+        |       FROM rc2 GROUP BY 1),
+        |rt2 AS (SELECT doc_id, cnt * length(g) AS topchars FROM (
+        |         SELECT doc_id, g, cnt, ROW_NUMBER() OVER (
+        |           PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        |         FROM rc2) WHERE rn = 1)
+        |SELECT k.host, COUNT(*) AS n_docs,
+        |  CAST(SUM(ra1.total) AS BIGINT) AS words_total,
+        |  CAST(SUM(ra1.dup) AS BIGINT) AS words_dup,
+        |  CAST(SUM(COALESCE(ra2.dup2, 0)) AS BIGINT) AS bigrams_dup,
+        |  CAST(SUM(COALESCE(rt2.topchars, 0)) AS BIGINT) AS top_bigram_chars
+        |FROM keep k JOIN ra1 USING (doc_id)
+        |LEFT JOIN ra2 USING (doc_id) LEFT JOIN rt2 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

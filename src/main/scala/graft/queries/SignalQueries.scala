@@ -62,6 +62,19 @@ object SignalQueries extends QueryModule {
         Tables.documents(s, dir).withColumn("is_ref", $"lang" === "en"),
         "text", "is_ref", buckets = 64)
         .orderBy($"bucket")
+    }),
+
+    // Bigram-LM fluency scoring (CCNet shape): Laplace-smoothed
+    // conditional logprobs trained on the corpus itself, quantized to
+    // integer micro-units at the vocabulary level, summed exactly per
+    // document. Complements q131: repeated phrases score HIGH here and
+    // flag in the repetition report — the two signals disagree by design.
+    "q134_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Quality.bigramLogprob(
+        Tables.documents(s, dir), "doc_id", "text")
+        .select($"doc_id", $"n_bigrams", $"lp_micro", $"avg_lp")
+        .orderBy($"doc_id")
     })
   )
 
@@ -186,6 +199,33 @@ object SignalQueries extends QueryModule {
         |  CAST(SUM(s) AS BIGINT) AS grad2,
         |  CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM toks GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // Same add-1 LM: P(b|a) = (c(a b)+1)/(c(a ·)+V); ln quantized to
+    // 1e-6 units per DISTINCT bigram (the q87 ln-replay discipline),
+    // then exact integer sums per document.
+    "q134_bigram_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS a,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        |cg AS (SELECT a, g, COUNT(*) AS f FROM bg GROUP BY 1, 2),
+        |ch AS (SELECT a, CAST(SUM(f) AS BIGINT) AS fh FROM cg GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS nv
+        |      FROM (SELECT unnest(w) AS tok FROM words)),
+        |lm AS (
+        |  SELECT g,
+        |    CAST(floor(ln(CAST(f + 1 AS DOUBLE) / CAST(fh + nv AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS lpu
+        |  FROM cg JOIN ch USING (a) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(lpu) AS BIGINT) AS lp_micro,
+        |  CAST(SUM(lpu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS avg_lp
+        |FROM bg JOIN lm USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -86,4 +86,40 @@ class QualitySpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(2L))
   }
+
+  test("bigramLogprob: hand-computed add-1 LM on a 2-doc corpus") {
+    // corpus: "a b a b" + "a c" → bigrams: (a b)x2, (b a)x1, (a c)x1
+    //   histories: a·=3, b·=1; vocab V={a,b,c}=3
+    //   P(b|a)=(2+1)/(3+3)=1/2  P(a|b)=(1+1)/(1+3)=1/2  P(c|a)=(1+1)/(3+3)=1/3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Quality.bigramLogprob(docs, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"lp_micro").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lpHalf = math.floor(math.log(0.5) * 1e6 + 0.5).toLong
+    val lpThird = math.floor(math.log(1.0 / 3.0) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((3L, 3 * lpHalf)))  // a b, b a, a b — all ln(1/2)
+    assert(out(2L) == ((1L, lpThird)))     // a c — ln(1/3)
+  }
+
+  test("bigramLogprob: single-token and empty docs are absent") {
+    val docs = Seq((1L, "a b"), (2L, "solo"), (3L, "  ")).toDF("doc_id", "text")
+    val ids = Quality.bigramLogprob(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  test("bigramLogprob ranks a coherent doc above a shuffled-word doc") {
+    // 4 docs share phrase structure; doc 9 uses the same words in an
+    // order the LM never saw elsewhere → lower conditional fluency
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat"),
+      (9L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val scored = Quality.bigramLogprob(docs, "doc_id", "text")
+      .select($"doc_id", $"avg_lp").as[(Long, Double)].collect().toMap
+    assert(scored(1L) > scored(9L))
+    assert(scored(2L) > scored(9L))
+  }
 }

@@ -35,6 +35,7 @@ class PlanGateSpec extends SparkSpec {
     "q84_bm25",            // query terms + corpus stats (1 row) broadcast
     "q85_semantic_dedup",  // bounded embedding-pair candidates
     "q87_unigram_logprob", // 1-row total-token stats broadcast
+    "q134_bigram_lm",      // 1-row vocabulary-size frame broadcast (q87 shape)
     "q92_curation_pipeline", // composes unigram scoring above
     "q94_quality_band",    // per-band totals (bounded) broadcast
     "q96_tfidf_terms",     // 1-row doc-count stats broadcast
@@ -96,10 +97,10 @@ class PlanGateSpec extends SparkSpec {
     // half-step); superseded pins are freed keep-newest-2 as the loop
     // advances, so the final plan is the last two half-steps' joins
     "q122_hits" -> 7,
-    // one corpus pass; explode feeds partial agg, so the agg shuffle
-    // moves model-sized groups; +1 range exchange sorting the 2145-row
-    // output
-    "q123_pca_gramian" -> 2,
+    // the corpus pass is a treeAggregate during CONSTRUCTION (the CC
+    // loop precedent); the returned frame is the model-sized local
+    // moment table + its output-sort range exchange
+    "q123_pca_gramian" -> 1,
     // broadcast-q scored scan + per-query rank window + output sort;
     // the fit's model-sized agg happens before the returned plan
     "q130_sq8_ann" -> 2,
@@ -113,6 +114,13 @@ class PlanGateSpec extends SparkSpec {
     "q132_linededup" -> 1,
     // explode feeds a bucket-keyed partial agg (64 groups) + output sort
     "q133_quality_grad" -> 2,
+    // bigram counts + history totals + exact-distinct vocab (2) + LM
+    // join (broadcast) + per-doc agg + output sort — q87's shape plus
+    // the history/conditional tier
+    "q134_bigram_lm" -> 7,
+    // front-door windows (2) + host rollup + output sort; repetition
+    // stats themselves are shuffle-free (RepetitionSpec pins that)
+    "q135_host_signals" -> 4,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
