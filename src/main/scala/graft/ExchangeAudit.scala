@@ -10,8 +10,14 @@ import org.apache.spark.sql.SparkSession
 object ExchangeAudit {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // Optional 2nd arg: comma-separated query names to audit (subset while
+    // iterating; absent = full surface, the budget-table contract).
+    val only = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.local(8)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
         df.count()

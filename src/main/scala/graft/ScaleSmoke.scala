@@ -49,11 +49,14 @@ object ScaleSmoke {
     * (by-name `df`: eager operators — the CC loop's localCheckpoint
     * rounds — bill their work here, not to the caller's line).
     */
-  private def timed(df: => DataFrame)
+  private def timed(df: => DataFrame, force: Boolean = false)
       : (Double, Long, org.apache.spark.sql.execution.SparkPlan) = {
     val t0 = System.nanoTime()
     val built = df
-    val n = built.count()
+    // force=true: materialize EVERY output column (count() lets the
+    // optimizer prune map-side expressions — a map-only operator would
+    // time its scan, not its work). Used by the round-10 rows.
+    val n = if (force) built.queryExecution.toRdd.count() else built.count()
     val sec = (System.nanoTime() - t0) / 1e9
     (sec, n, built.queryExecution.executedPlan)
   }
@@ -98,9 +101,10 @@ object ScaleSmoke {
     // subset while iterating; unset runs everything.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def run(op: String, df: => DataFrame, allowBroadcastNlj: Boolean = false): Unit = {
+    def run(op: String, df: => DataFrame, allowBroadcastNlj: Boolean = false,
+        force: Boolean = false): Unit = {
       if (only.exists(!_(op))) return
-      val (sec, n, plan) = timed(df)
+      val (sec, n, plan) = timed(df, force)
       assertShapes(op, plan, allowBroadcastNlj)
       println(f"SCALE $op%-24s $sec%8.2f sec  rows=$n")
       // isolate phases: drop cached plans + let the ContextCleaner free
@@ -443,11 +447,11 @@ object ScaleSmoke {
     // folds — cost must track the corpus linearly with NO exchange
     // (assertShapes enforces the no-shuffle plan on the count itself)
     run("repetition_stats", graft.operators.Repetition.ngramStats(
-      docs, "doc_id", "text", Seq(1, 2, 3)))
+      docs, "doc_id", "text", Seq(1, 2, 3)), force = true)
     run("line_dedup", graft.operators.Repetition.dedupLinesWithinDoc(
       docs.select(col("doc_id"),
         regexp_replace(col("text"), "((\\S+\\s+){2})", "$1\n").as("text")),
-      "doc_id", "text"))
+      "doc_id", "text"), force = true)
     // hashed-classifier gradient: one bucket-keyed partial agg whose
     // exchange moves <= buckets rows per task regardless of corpus size
     run("classifier_grad", graft.operators.Classifier.gradientAtZero(
@@ -457,7 +461,21 @@ object ScaleSmoke {
     // totals aggregate the VOCAB-sized table, scoring joins a broadcast
     // LM — corpus-linear with a vocab-bounded exchange payload
     run("bigram_lm", graft.operators.Quality.bigramLogprob(
-      docs, "doc_id", "text"), allowBroadcastNlj = true)
+      docs, "doc_id", "text"), allowBroadcastNlj = true, force = true)
+
+    // DSIR: two ≤buckets-row feature-dist aggs + a broadcast-literal
+    // scoring map — task output is bucket-bounded at any corpus size
+    run("dsir_scores", graft.operators.Selection.dsirScores(
+      docs.withColumn("is_tgt", col("lang") === "en"),
+      "doc_id", "text", "is_tgt", buckets = 1024),
+      allowBroadcastNlj = true, force = true)
+    // corpus-level keep-first line dedup: first-occurrence table is ONE
+    // digest-keyed agg with map-side min(struct) partials — a 10^9-copy
+    // boilerplate line reaches the reducer as one row per task
+    run("line_dedup_corpus", graft.operators.Boilerplate.dedupLinesKeepFirst(
+      docs.select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+\\s+){2})", "$1\n").as("text")),
+      "doc_id", "text"), force = true)
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

@@ -19,7 +19,8 @@ object SparkEntry {
     PipelineQueries,
     CorpusQueries,
     CurationQueries,
-    SignalQueries
+    SignalQueries,
+    SelectionQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

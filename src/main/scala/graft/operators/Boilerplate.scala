@@ -72,6 +72,16 @@ object Boilerplate {
       segments: DataFrame, minDocs: Int, rejoin: String): DataFrame = {
     val freq = frequentSegments(segments, idCol, minDocs).select(col("seg"))
     val kept = segments.join(broadcast(freq), Seq("seg"), "left_anti")
+    rebuildFromKept(docs, idCol, textCol, segments, kept, rejoin)
+  }
+
+  /** Reassemble documents from a surviving subset of their segments:
+    * original order, `n_segments` (before) and `n_dropped` appended,
+    * textCol replaced. One shuffle keyed by doc id (totals and rebuilt
+    * share the partitioning).
+    */
+  private def rebuildFromKept(docs: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame, kept: DataFrame, rejoin: String): DataFrame = {
     val totals = segments.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_segments"))
     val rebuilt = kept.groupBy(col(idCol))
@@ -94,6 +104,43 @@ object Boilerplate {
       minDocs: Int, delim: String = "\n"): DataFrame =
     stripFrequent(docs, idCol, textCol,
       segmentsByDelim(docs, idCol, textCol, delim), minDocs, delim)
+
+  /** Corpus-level KEEP-FIRST segment dedup (the RefinedWeb/C4 exact line
+    * dedup): every duplicate occurrence of a segment is dropped EXCEPT
+    * the globally first one — first by (doc id, position) — and documents
+    * are reassembled in original order. Differs from [[stripFrequent]]
+    * in both threshold (any 2nd occurrence is a duplicate) and policy
+    * (one copy survives rather than none); differs from
+    * `Repetition.dedupLinesWithinDoc` in scope (cross-document).
+    * Whitespace-only segments are exempt (structure, not content).
+    *
+    * Scale shape: the first-occurrence table is ONE aggregation keyed by
+    * the segment digest — `min(struct(id, pos))` partial-aggregates
+    * map-side, so a boilerplate line with 10^9 copies still reaches the
+    * reducer as one row per upstream task (no hot-key funnel, unlike a
+    * per-segment row_number window). The keep decision is a left-semi
+    * join on (digest, id, pos) — a UNIQUE key, so that join cannot skew
+    * either. Reassembly is one shuffle keyed by doc id.
+    */
+  def dedupSegmentsKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame, rejoin: String): DataFrame = {
+    val occ = segments.withColumn("__h", md5(col("seg")))
+    val firsts = occ.filter(trim(col("seg")) =!= "")
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__h"), col("__first").getField(idCol).as(idCol),
+        col("__first").getField("pos").as("pos"))
+    val kept = occ.filter(trim(col("seg")) === "")
+      .unionByName(occ.join(firsts, Seq("__h", idCol, "pos"), "left_semi"))
+      .drop("__h")
+    rebuildFromKept(docs, idCol, textCol, segments, kept, rejoin)
+  }
+
+  /** Line-delimited keep-first form. */
+  def dedupLinesKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame =
+    dedupSegmentsKeepFirst(docs, idCol, textCol,
+      segmentsByDelim(docs, idCol, textCol, delim), delim)
 
   /** Token-window form: strip aligned `winTokens`-token windows recurring
     * in >= minDocs docs; rejoins with single spaces (token-exact for a

@@ -119,6 +119,38 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Temperature-flattened source mixing (the UniMax / multilingual-LM
+    * rebalancing rule): downsample each stratum so the kept mixture is
+    * proportional to n_s^alpha — alpha = 1 keeps the natural
+    * distribution, alpha → 0 flattens toward uniform, intermediate
+    * values lift low-resource sources without letting head sources
+    * drown them. Realized as [[mixCorpus]] with integer weights
+    * w_s = max(1, floor(n_s^alpha)): the binding stratum minimizes
+    * n_s / n_s^alpha = n_s^(1-alpha), i.e. the SMALLEST source is kept
+    * in full and every larger one is hash-thresholded down to match —
+    * exactly the n^alpha profile.
+    *
+    * Engine determinism: the per-stratum counts are exact integers and
+    * the only float step is n^alpha. For the oracle-gated configuration
+    * use alpha = 0.5 — sqrt is correctly rounded IEEE in every engine,
+    * so floor(sqrt(n)) replays exactly; other alphas are supported but
+    * pow() may differ in the last ulp across engines near an integer
+    * boundary. Scale: one |strata|-row count agg to the driver
+    * (planning metadata), then a pure map-side filter — no shuffle.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    val weights = counts.map { case (s, n) =>
+      s -> math.floor(math.pow(n.toDouble, alpha))
+        .max(1.0).min(Int.MaxValue.toDouble).toInt
+    }
+    mixCorpus(df, strataCol, idCol, weights, buckets)
+  }
+
   /** Deterministic fractional replication — source-level training
     * EPOCHS ("wikipedia x2.5"): every row of stratum s gets
     * floor(w_s) copies, plus one more iff its hash bucket falls under
@@ -215,6 +247,41 @@ object Sampling {
       .orderBy(col("wkey").desc, col(idCol))
       .limit(k)
       .withColumn("wkey", col("wkey").cast("double"))
+  }
+
+  /** [[weightedSampleByHash]] with the weight given in LOG space:
+    * w = exp(`logWeightCol`), for weights spanning hundreds of orders of
+    * magnitude (DSIR importance weights are log-ratios; exp() of them
+    * under/overflows doubles). The E-S rank key is kept in log space
+    * too — ln(u)/w DESC  ⟺  ln(−ln u) − lw ASC (both sides negative, u
+    * uniform in (0,1)) — so no exp() is ever evaluated: the Gumbel
+    * top-k trick. Same md5 uniforms, same TakeOrdered no-global-sort
+    * plan; smallest key wins here. The key is quantized to 1e-6
+    * micro-units (BIGINT), NOT [[samplingKey]]'s DECIMAL(20,15): the
+    * nested ln(−ln u) doubles the engines' sub-ulp ln() disagreement,
+    * and at 1e-15 granularity that flipped real rows in testing — at
+    * 1e-6 the flip probability is ~1e-9/row (the q87 vocabulary-ln
+    * discipline). Micro-ties break on id, deterministically in both
+    * engines. Output adds `gkey` (the micro-unit ordering key, long).
+    */
+  def weightedSampleByLogWeight(df: DataFrame, idCol: String,
+      logWeightCol: String, k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.withColumn("gkey", logSamplingKey(col(idCol), col(logWeightCol), seed))
+      .orderBy(col("gkey").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** floor((ln(−ln u) − lw)·1e6 + 0.5) as BIGINT; u off md5(seed:id).
+    * DuckDB mirror:
+    * `CAST(floor((ln(-ln((CAST('0x'||substr(md5(seed||':'||id),1,6) AS
+    *  BIGINT) + 0.5) / 16777216.0)) - lw) * 1e6 + 0.5) AS BIGINT)`.
+    */
+  private def logSamplingKey(id: Column, logWeight: Column,
+      seed: Long): Column = {
+    val u = (conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))),
+      1, 6), 16, 10).cast("double") + 0.5) / 16777216.0
+    floor((log(-log(u)) - logWeight.cast("double")) * 1e6 + 0.5).cast("long")
   }
 
   /** Per-group [[weightedSampleByHash]]: the k largest keys per group —

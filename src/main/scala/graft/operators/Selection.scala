@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data selection for LM training sets — the "which raw documents deserve
+  * training compute" half of a curation pipeline, complementing the hard
+  * filters (Quality/Repetition/Classifier):
+  *
+  *  - [[dsirTable]] / [[scoreWith]]: DSIR (Data Selection via Importance
+  *    Resampling, Xie et al. 2023). Importance log-weights over HASHED
+  *    n-gram features: lw(d) = Σ_feats ln p_target(b) − ln p_raw(b),
+  *    estimated with Laplace smoothing on a `buckets`-sized hashed
+  *    feature space (unigrams + adjacent bigrams, the paper's
+  *    configuration). Selection = weighted sampling without replacement
+  *    on exp(lw) — compose with `Sampling.weightedSamplePerGroup`.
+  *  - [[perplexityBuckets]]: CCNet's head/middle/tail split (Wenzek et
+  *    al. 2019) — per-language quantile buckets of an LM fluency score,
+  *    here the bigram-LM avg logprob from `Quality.bigramLogprob`.
+  *
+  * At 100 TB: both feature distributions are ONE aggregation each whose
+  * output is ≤ `buckets` rows (map-side partial — tasks emit at most
+  * `buckets` rows regardless of input size); the λ table is collected to
+  * the driver (bounded metadata, the Classifier-weights/codebook
+  * discipline) and scoring is a pure MAP pass over a broadcast literal
+  * array — the corpus is never re-keyed, joined, or collected.
+  * Determinism: each ln is taken once per bucket on exact integer counts
+  * and quantized to 1e-6 units (the q87/q134 vocabulary-level ln-replay
+  * discipline); per-document sums are exact BIGINT.
+  */
+object Selection {
+
+  /** Hashed feature occurrences of a document: every unigram and every
+    * adjacent bigram, each mapped to a md5-prefix bucket (the house
+    * cross-engine hash — see `Classifier.tokenBucket`). Map-only.
+    */
+  def featureArr(text: Column, buckets: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), t => Classifier.tokenBucket(t, buckets))
+  }
+
+  /** The Retrieval.buildIndex respread discipline: if the corpus arrives
+    * in fewer splits than the session has cores (the local single-file
+    * fixture — a no-op on a real corpus landing in thousands of splits),
+    * spread it so the per-doc hashing CPU parallelizes. The feature
+    * passes here are where ALL of DSIR's cost lives; on one split they
+    * run as one task.
+    */
+  private def respread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(2 * p) else df
+  }
+
+  /** Per-bucket occurrence counts over a corpus — ONE aggregation whose
+    * result is ≤ `buckets` rows (map-side combine caps task output).
+    */
+  def featureDist(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    respread(df)
+      .select(explode(featureArr(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def qln(num: Column, den: Column): Column =
+    floor(log(num.cast("double") / den.cast("double")) * 1e6 + 0.5).cast("long")
+
+  /** `(bucket, n_raw, n_target, lw_micro)` from per-bucket counts —
+    * the shared tail of [[dsirTable]] / [[dsirTableLabeled]].
+    */
+  private def lwTable(j: DataFrame, buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    val tot = j.agg(sum(col("n_raw")).as("rt"), sum(col("n_target")).as("tt"))
+    j.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_raw"), col("n_target"),
+        (qln(col("n_target") + 1L, col("tt") + b) -
+          qln(col("n_raw") + 1L, col("rt") + b)).as("lw_micro"))
+  }
+
+  /** The DSIR importance table: per feature bucket, raw/target counts and
+    * the quantized log-ratio
+    * `lw_micro = Q(ln((n_target+1)/(T+B))) − Q(ln((n_raw+1)/(R+B)))`
+    * (Laplace-smoothed over the B-dim hashed space; Q = 1e-6 floor-round
+    * quantization per DISTINCT bucket). `raw` is the corpus to be scored,
+    * `target` the distribution to move toward (e.g. curated reference
+    * text). Two bounded aggregations + a `buckets`-sized join — no
+    * corpus-sized shuffle anywhere.
+    */
+  def dsirTable(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    val rd = featureDist(raw, textCol, buckets).withColumnRenamed("cnt", "n_raw")
+    val td = featureDist(target, textCol, buckets).withColumnRenamed("cnt", "n_target")
+    val j = rd.join(td, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_raw", "n_target"))
+    lwTable(j, buckets)
+  }
+
+  /** Same-corpus importance table: target = rows where `targetCol` holds,
+    * raw = every row. Fuses both feature distributions into ONE scan
+    * (conditional count), halving the hash work of the two-frame
+    * [[dsirTable]] for the labeled-subset case — identical output by
+    * construction (target ⊆ raw, so the full-outer join degenerates).
+    */
+  def dsirTableLabeled(df: DataFrame, textCol: String, targetCol: String,
+      buckets: Int): DataFrame = {
+    val j = respread(df).select(col(targetCol).as("__t"),
+        explode(featureArr(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_raw"),
+        count_if(col("__t")).as("n_target"))
+    lwTable(j, buckets)
+  }
+
+  /** Score a corpus against a precomputed importance table: collects the
+    * `buckets`-bounded λ column to a plan literal and scores in ONE
+    * map-only pass (`aggregate` over the feature array). Output:
+    * (id, n_feats, lw_micro, avg_lw) with lw_micro an exact BIGINT sum.
+    *
+    * The hashed feature array is referenced EXACTLY once (inside the
+    * aggregate): n_feats is derived arithmetically from the token count
+    * — |unigrams| + |bigrams| = 2·|toks| − 1 (split never returns an
+    * empty array) — because CollapseProject inlines a multiply-
+    * referenced array expression into every consumer, and the md5
+    * hashing pass is the whole cost of this operator (a duplicate
+    * reference measurably doubled the scoring wall time).
+    */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+      table: DataFrame, buckets: Int): DataFrame = {
+    val lam = Array.fill(buckets)(0L)
+    table.select(col("bucket").cast("int"), col("lw_micro").cast("long"))
+      .collect().foreach(r => lam(r.getInt(0)) = r.getLong(1))
+    val lamLit = typedLit(lam.toSeq)
+    val nf = (size(split(trim(col(textCol)), "\\s+")) * 2 - 1).cast("long")
+    respread(df)
+      .select(col(idCol), nf.as("n_feats"),
+        aggregate(featureArr(col(textCol), buckets), lit(0L),
+          (acc, fb) => acc + element_at(lamLit, fb.cast("int") + 1)).as("lw_micro"))
+      .withColumn("avg_lw",
+        when(col("n_feats") > 0,
+          col("lw_micro").cast("double") / col("n_feats").cast("double") / 1e6))
+  }
+
+  /** DSIR end to end over one corpus: target = rows where `targetCol`
+    * (boolean) holds, raw = the whole frame. The corpus is scanned twice
+    * (one fused distribution agg + the scoring map) on purpose — the
+    * alternative, persisting an exploded feature table, materializes
+    * a larger-than-corpus intermediate (the `unigramLogprob` trade-off).
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      targetCol: String, buckets: Int): DataFrame =
+    scoreWith(df, idCol, textCol,
+      dsirTableLabeled(df, textCol, targetCol, buckets), buckets)
+
+  /** CCNet head/middle/tail: split each language's documents into
+    * `nBuckets` equal-count fluency tiers (1 = most fluent). `scored`
+    * must carry (idCol, langCol, nCol, lpMicroCol) — e.g. the output of
+    * `Quality.bigramLogprob` joined back onto the language column.
+    *
+    * Ordering is exact: the rank key is `avg_nano = round(lp_micro ·
+    * 1e3 / n)` — the integer product stays under 2^53 so the double is
+    * exact, the division is one correctly-rounded IEEE op, and ties
+    * break on document id. One window shuffle, partitioned BY LANGUAGE —
+    * at 100 TB per-language partitions are corpus-scale, so the exact
+    * NTILE here is the small-corpus form; the scale path is
+    * `Sketches.histogramQuantiles` thresholds (approximate, one pass)
+    * applied as a row-local filter, which this operator's output
+    * validates at test scale.
+    */
+  def perplexityBuckets(scored: DataFrame, idCol: String, langCol: String,
+      nCol: String, lpMicroCol: String, nBuckets: Int = 3): DataFrame = {
+    val avgNano = floor(col(lpMicroCol).cast("double") * 1e3 /
+      col(nCol).cast("double") + 0.5).cast("long")
+    scored.withColumn("avg_nano", avgNano)
+      .withColumn("bucket", ntile(nBuckets).over(
+        Window.partitionBy(col(langCol))
+          .orderBy(col("avg_nano").desc, col(idCol))))
+  }
+}

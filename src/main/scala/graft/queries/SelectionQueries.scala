@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Boilerplate, Sampling, Selection}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 data-selection tier: given the signals (q131–q135), decide
+  * WHICH documents train — DSIR importance weighting, CCNet per-language
+  * fluency tiers, and corpus-level keep-first line dedup.
+  */
+object SelectionQueries extends QueryModule {
+
+  /** Tokens per synthesized line for q138 (q132's relining, corpus-wide). */
+  private val lineTokens = 2
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DSIR (Xie et al. 2023): importance log-weights toward the English
+    // subset over a 64-bucket hashed unigram+bigram feature space. The
+    // corpus-scale parts — two bounded feature-distribution aggs and the
+    // exact integer per-doc weight sums — are what this gates; the λ
+    // table rides to the scoring pass as a broadcast literal (bounded
+    // metadata, Classifier-weights discipline).
+    "q136_dsir" -> ((s, dir) => {
+      import s.implicits._
+      Selection.dsirScores(
+        Tables.documents(s, dir).withColumn("is_tgt", $"lang" === "en"),
+        "doc_id", "text", "is_tgt", buckets = 64)
+        .select($"doc_id", $"n_feats", $"lw_micro")
+        .orderBy($"doc_id")
+    }),
+
+    // CCNet head/middle/tail (Wenzek et al. 2019): per-language fluency
+    // terciles of the q134 bigram-LM score. Rank key is the exact
+    // integer avg_nano (one IEEE division, ties on doc_id), so the NTILE
+    // assignment is engine-reproducible bit for bit.
+    "q137_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val lm = graft.operators.Quality.bigramLogprob(docs, "doc_id", "text")
+      val scored = lm.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      Selection.perplexityBuckets(scored, "doc_id", "lang", "n_bigrams",
+        "lp_micro", nBuckets = 3)
+        .select($"doc_id", $"lang", $"n_bigrams", $"avg_nano",
+          $"bucket".cast("long").as("bucket"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus-level keep-first line dedup (RefinedWeb/C4 exact line
+    // dedup): re-lined at 2 tokens/line (q132's synthesis, so duplicates
+    // actually occur), then every repeated line keeps only its globally
+    // first (doc_id, pos) occurrence. Complements q115 (frequency-
+    // threshold strip: ALL occurrences go) and q132 (within-doc only).
+    "q138_line_dedup_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val t = split(trim($"text"), "\\s+")
+      val lines = transform(
+        sequence(lit(0), floor((size(t) - 1) / lineTokens).cast("int")),
+        i => concat_ws(" ", slice(t, i * lineTokens + 1, lit(lineTokens))))
+      val relined = Tables.documents(s, dir)
+        .select($"doc_id", concat_ws("\n", lines).as("text"))
+      Boilerplate.dedupLinesKeepFirst(relined, "doc_id", "text")
+        .select($"doc_id", $"text", $"n_segments", $"n_dropped")
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR selection end to end: importance-weight toward the English
+    // subset (q136), then sample 100 docs WITHOUT replacement with
+    // probability ∝ exp(avg_lw) via the log-domain Gumbel/E-S key — no
+    // exp() is ever evaluated, so weights spanning hundreds of orders
+    // of magnitude can't overflow. The paper's full selection loop.
+    "q139_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Selection.dsirScores(
+        Tables.documents(s, dir).withColumn("is_tgt", $"lang" === "en"),
+        "doc_id", "text", "is_tgt", buckets = 64)
+        .filter($"n_feats" > 0)
+      Sampling.weightedSampleByLogWeight(scored, "doc_id", "avg_lw",
+        k = 100, seed = 7)
+        .select($"doc_id", $"lw_micro", $"gkey")
+        .orderBy($"doc_id")
+    }),
+
+    // UniMax/mT5 temperature rebalancing at alpha = 0.5: kept mixture
+    // ∝ n_lang^0.5, smallest language kept whole. sqrt is correctly
+    // rounded IEEE in both engines, so the driver oracle re-derives the
+    // integer weights and thresholds exactly.
+    "q140_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.temperatureMix(Tables.documents(s, dir), "lang", "doc_id",
+          alpha = 0.5)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"),
+          sum($"doc_id").as("sum_doc"))
+        .orderBy($"lang")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    // Replays the hashed feature space (md5-prefix buckets, the q133
+    // replay), the Laplace-smoothed per-bucket log-ratios quantized at
+    // the bucket level, and the exact per-doc integer sums.
+    "q136_dsir" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(w) AS g FROM words
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM grams),
+        |rd AS (SELECT b, COUNT(*) AS rn FROM feats GROUP BY 1),
+        |td AS (SELECT b, COUNT(*) AS tn FROM feats WHERE lang = 'en' GROUP BY 1),
+        |j AS (SELECT b, rn, COALESCE(tn, 0) AS tn FROM rd LEFT JOIN td USING (b)),
+        |tot AS (SELECT CAST(SUM(rn) AS BIGINT) AS rt,
+        |               CAST(SUM(tn) AS BIGINT) AS tt FROM j),
+        |lam AS (
+        |  SELECT b,
+        |    CAST(floor(ln(CAST(tn + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS lw
+        |  FROM j CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |  CAST(SUM(lw) AS BIGINT) AS lw_micro
+        |FROM feats JOIN lam USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q134's LM CTE + the language column + the same exact-integer rank
+    // key and NTILE (standard equal-count buckets, earlier buckets take
+    // the remainder in both engines).
+    "q137_ccnet_buckets" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS a,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        |cg AS (SELECT a, g, COUNT(*) AS f FROM bg GROUP BY 1, 2),
+        |ch AS (SELECT a, CAST(SUM(f) AS BIGINT) AS fh FROM cg GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS nv
+        |      FROM (SELECT unnest(w) AS tok FROM words)),
+        |lm AS (
+        |  SELECT g,
+        |    CAST(floor(ln(CAST(f + 1 AS DOUBLE) / CAST(fh + nv AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS lpu
+        |  FROM cg JOIN ch USING (a) CROSS JOIN v),
+        |scored AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(lpu) AS BIGINT) AS lp_micro
+        |  FROM bg JOIN lm USING (g) GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT s.doc_id, d.lang, s.n_bigrams,
+        |    CAST(floor(CAST(s.lp_micro AS DOUBLE) * 1e3
+        |      / CAST(s.n_bigrams AS DOUBLE) + 0.5) AS BIGINT) AS avg_nano
+        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, lang, n_bigrams, avg_nano,
+        |  CAST(NTILE(3) OVER (PARTITION BY lang
+        |    ORDER BY avg_nano DESC, doc_id) AS BIGINT) AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // q132's relining + a GLOBAL first-occurrence rank per line; the
+    // strict (doc_id, pos) order is exactly min(struct(id, pos)).
+    "q138_line_dedup_corpus" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS pos,
+        |    CASE WHEN CAST(2 * i + 2 AS INT) <= len(w)
+        |      THEN w[CAST(2 * i + 1 AS INT)] || ' ' || w[CAST(2 * i + 2 AS INT)]
+        |      ELSE w[CAST(2 * i + 1 AS INT)] END AS seg
+        |  FROM words, UNNEST(range(0, (len(w) + 1) // 2)) AS t(i)),
+        |firsts AS (
+        |  SELECT doc_id, pos, seg,
+        |    (trim(seg) = '' OR ROW_NUMBER() OVER (
+        |      PARTITION BY seg ORDER BY doc_id, pos) = 1) AS keep
+        |  FROM lines)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN keep THEN seg END, chr(10)
+        |    ORDER BY pos), '') AS text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM firsts GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q136's scoring CTE + the log-domain E-S key: gkey =
+    // ln(-ln u) - lw_micro/n_feats/1e6, u off md5('7:'||doc_id),
+    // quantized to DECIMAL(20,15) before ranking (Sampling.samplingKey
+    // convention), smallest 100 keys win.
+    "q139_dsir_select" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(w) AS g FROM words
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM grams),
+        |rd AS (SELECT b, COUNT(*) AS rn FROM feats GROUP BY 1),
+        |td AS (SELECT b, COUNT(*) AS tn FROM feats WHERE lang = 'en' GROUP BY 1),
+        |j AS (SELECT b, rn, COALESCE(tn, 0) AS tn FROM rd LEFT JOIN td USING (b)),
+        |tot AS (SELECT CAST(SUM(rn) AS BIGINT) AS rt,
+        |               CAST(SUM(tn) AS BIGINT) AS tt FROM j),
+        |lam AS (
+        |  SELECT b,
+        |    CAST(floor(ln(CAST(tn + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS lw
+        |  FROM j CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |    CAST(SUM(lw) AS BIGINT) AS lw_micro
+        |  FROM feats JOIN lam USING (b)
+        |  GROUP BY doc_id HAVING COUNT(*) > 0),
+        |keyed AS (
+        |  SELECT doc_id, lw_micro,
+        |    CAST(floor((ln(-ln((CAST('0x' || substr(md5('7:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) + 0.5)
+        |      / 16777216.0))
+        |      - CAST(lw_micro AS DOUBLE) / n_feats / 1e6) * 1e6 + 0.5)
+        |      AS BIGINT) AS gkey
+        |  FROM scored)
+        |SELECT doc_id, lw_micro, gkey
+        |FROM keyed ORDER BY gkey, doc_id LIMIT 100""".stripMargin,
+
+    // q75's exact-integer mixCorpus replay with the temperature weights
+    // w = GREATEST(1, floor(sqrt(n))) derived from the SAME table.
+    "q140_temperature_mix" ->
+      """WITH cnt AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    GREATEST(CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT),
+        |      1) AS wt
+        |  FROM documents GROUP BY lang),
+        |m AS (
+        |  SELECT a.lang AS mlang, a.wt AS mwt, a.n AS mn FROM cnt a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cnt b
+        |    WHERE b.n * a.wt < a.n * b.wt
+        |       OR (b.n * a.wt = a.n * b.wt AND b.lang < a.lang))),
+        |thr AS (
+        |  SELECT c.lang,
+        |    LEAST((10000 * c.wt * m.mn) // (m.mwt * c.n), 10000) AS t
+        |  FROM cnt c, m),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT s.lang, s.doc_id
+        |  FROM s JOIN thr ON s.lang = thr.lang WHERE s.b < thr.t)
+        |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

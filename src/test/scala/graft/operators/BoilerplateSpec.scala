@@ -91,4 +91,30 @@ class BoilerplateSpec extends SparkSpec {
       Boilerplate.segmentsByDelim(docs, "doc_id", "text"), "doc_id", minDocs = 2)
     assert(freq.count() == 0, "within-doc repeats must not count as frequent")
   }
+
+  test("dedupLinesKeepFirst keeps only the globally first (doc_id, pos) copy") {
+    val docs = Seq(
+      (1L, "shared line\nalpha only"),
+      (2L, "beta only\nshared line\nbeta tail"),
+      (3L, "shared line") // loses its only line entirely
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .select($"doc_id", $"text", $"n_segments", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().toMap2
+    assert(out(1L) == (("shared line\nalpha only", 2L, 0L)))
+    assert(out(2L) == (("beta only\nbeta tail", 3L, 1L)))
+    assert(out(3L) == (("", 1L, 1L)))
+  }
+
+  test("dedupLinesKeepFirst: within-doc repeats collapse to the first; blanks exempt") {
+    val docs = Seq(
+      (1L, "dup\n\ndup\nend"), // blank between repeats survives
+      (2L, "\n\n")             // all-blank doc unchanged
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .select($"doc_id", $"text", $"n_segments", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().toMap2
+    assert(out(1L) == (("dup\n\nend", 4L, 1L)))
+    assert(out(2L) == (("\n\n", 3L, 0L)))
+  }
 }

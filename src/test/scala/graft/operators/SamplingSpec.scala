@@ -186,6 +186,47 @@ class SamplingSpec extends SparkSpec {
     assert(s4 == (6L to 10L).toSet)
   }
 
+  test("weightedSampleByLogWeight agrees with the linear-space sampler") {
+    // moderate weights where exp() is safe: the log-domain Gumbel key
+    // must select EXACTLY the same set in the same order as ln(u)/w
+    val rows = (1L to 300L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+    val linear = Sampling.weightedSampleByHash(rows, "id", "w", k = 40)
+      .select($"id").as[Long].collect().toSeq
+    val logW = rows.withColumn("lw", log($"w"))
+    val logDomain = Sampling.weightedSampleByLogWeight(logW, "id", "lw", k = 40)
+      .select($"id").as[Long].collect().toSeq
+    assert(logDomain == linear)
+  }
+
+  test("weightedSampleByLogWeight survives weights exp() cannot represent") {
+    // lw spans [-2000, 2000]: exp under/overflows doubles at both ends,
+    // but the log-domain key ranks fine — the largest log-weights must
+    // dominate the sample
+    val rows = (1L to 400L).map(i => (i, (i.toDouble - 200.0) * 10.0))
+      .toDF("id", "lw")
+    val top = Sampling.weightedSampleByLogWeight(rows, "id", "lw", k = 20)
+      .select($"id").as[Long].collect().toSet
+    assert(top.count(_ > 380L) >= 18,
+      s"extreme log-weights under-sampled: ${top.count(_ > 380L)}/20")
+  }
+
+  test("temperatureMix keeps the smallest stratum whole, alpha-flattens the rest") {
+    // en:1600, fr:400, de:100 at alpha=0.5 -> weights 40/20/10; binding
+    // stratum de (n^(1-a) smallest) kept 100%; fr thresholded to
+    // 10000*20*100/(10*400)=5000 buckets (~50%), en to 2500 (~25%)
+    val rows = ((1L to 1600L).map(i => (i, "en")) ++
+      (2001L to 2400L).map(i => (i, "fr")) ++
+      (3001L to 3100L).map(i => (i, "de"))).toDF("id", "lang")
+    val kept = Sampling.temperatureMix(rows, "lang", "id", alpha = 0.5)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(kept("de") == 100L)
+    assert(math.abs(kept("fr") - 200L) < 40, s"fr kept ${kept("fr")}")
+    assert(math.abs(kept("en") - 400L) < 80, s"en kept ${kept("en")}")
+    // alpha = 1 must keep everything (natural distribution)
+    val all = Sampling.temperatureMix(rows, "lang", "id", alpha = 1.0).count()
+    assert(all == 2100L)
+  }
+
   test("weightedSamplePerGroup: k per group, same key function as global") {
     val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd", 1.0 + i))
       .toDF("id", "g", "w")

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 32
+
+  private def corpus = Seq(
+    (1L, "the cat sat", true),
+    (2L, "the cat ran", true),
+    (3L, "qq zz xx yy", false),
+    (4L, "the cat sat", false), // identical text to doc 1, not target
+    (5L, "zz qq", false)
+  ).toDF("doc_id", "text", "is_tgt")
+
+  test("featureDist counts unigrams + adjacent bigrams, bounded by buckets") {
+    val d = Selection.featureDist(corpus, "text", B)
+    // total features = sum over docs of (n + max(n-1, 0))
+    val expected = Seq(3, 3, 4, 3, 2).map(n => n + (n - 1)).sum
+    assert(d.agg(sum($"cnt")).as[Long].head() == expected)
+    assert(d.count() <= B)
+  }
+
+  test("dsirTable weights target-only features above raw-only features") {
+    val raw = corpus
+    val tgt = corpus.filter($"is_tgt")
+    val t = Selection.dsirTable(raw, tgt, "text", B)
+    // every bucket present in the full outer join has the exact smoothed
+    // quantized log-ratio; target-heavy buckets must outrank target-absent
+    val rows = t.select($"n_raw", $"n_target", $"lw_micro")
+      .as[(Long, Long, Long)].collect()
+    val inTgt = rows.filter(_._2 > 0).map(_._3)
+    val notTgt = rows.filter(_._2 == 0).map(_._3)
+    assert(inTgt.nonEmpty && notTgt.nonEmpty)
+    assert(inTgt.min > notTgt.max)
+  }
+
+  test("dsirTableLabeled (fused single scan) equals the two-frame dsirTable") {
+    val two = Selection.dsirTable(corpus, corpus.filter($"is_tgt"), "text", B)
+    val fused = Selection.dsirTableLabeled(corpus, "text", "is_tgt", B)
+    assert(two.orderBy($"bucket").collect().toSeq ==
+      fused.orderBy($"bucket").collect().toSeq)
+  }
+
+  test("dsirScores ranks target-like docs above off-distribution docs") {
+    val s = Selection.dsirScores(corpus, "doc_id", "text", "is_tgt", B)
+      .select($"doc_id", $"avg_lw").as[(Long, Double)].collect().toMap
+    // doc 4 shares doc 1's text → identical score (content, not label)
+    assert(s(4L) == s(1L))
+    // target-like docs beat the qq/zz docs
+    assert(Seq(1L, 2L).map(s).min > Seq(3L, 5L).map(s).max)
+  }
+
+  test("scoreWith is an exact integer sum of per-bucket weights") {
+    val tgt = corpus.filter($"is_tgt")
+    val table = Selection.dsirTable(corpus, tgt, "text", B)
+    val lam = table.select($"bucket".cast("int"), $"lw_micro")
+      .as[(Int, Long)].collect().toMap
+    val scored = Selection.scoreWith(corpus, "doc_id", "text", table, B)
+      .select($"doc_id", $"n_feats", $"lw_micro").as[(Long, Long, Long)]
+      .collect().toMap2
+    // recompute doc 5's weight by hand: features of "zz qq"
+    val feats = corpus.filter($"doc_id" === 5L)
+      .select(explode(Selection.featureArr($"text", B)).as("b"))
+      .as[Long].collect()
+    assert(scored(5L) == ((feats.length.toLong, feats.map(b => lam(b.toInt)).sum)))
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("perplexityBuckets: per-language equal-count tiers, desc fluency, id ties") {
+    // lang en: 4 docs with distinct avg scores; lang fr: 2 docs tied → id order
+    val scored = Seq(
+      (1L, "en", 10L, 4000000L), // avg 400000.0 → nano 400000000
+      (2L, "en", 10L, 3000000L),
+      (3L, "en", 10L, 2000000L),
+      (4L, "en", 10L, 1000000L),
+      (5L, "fr", 10L, 5000000L),
+      (6L, "fr", 10L, 5000000L)
+    ).toDF("doc_id", "lang", "n_bigrams", "lp_micro")
+    val out = Selection.perplexityBuckets(scored, "doc_id", "lang",
+        "n_bigrams", "lp_micro", nBuckets = 3)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    // en: 4 docs over 3 buckets → sizes 2,1,1; most fluent first
+    assert(out(1L) == 1 && out(2L) == 1 && out(3L) == 2 && out(4L) == 3)
+    // fr tie: doc 5 before doc 6
+    assert(out(5L) == 1 && out(6L) == 2)
+  }
+
+  test("perplexityBuckets avg_nano is the correctly-rounded integer key") {
+    val scored = Seq((1L, "en", 3L, 1000001L)).toDF(
+      "doc_id", "lang", "n_bigrams", "lp_micro")
+    val nano = Selection.perplexityBuckets(scored, "doc_id", "lang",
+        "n_bigrams", "lp_micro").select($"avg_nano").as[Long].head()
+    // 1000001 * 1e3 / 3 = 333333666.67 → floor(+0.5) = 333333667
+    assert(nano == 333333667L)
+  }
+}

@@ -36,6 +36,7 @@ class PlanGateSpec extends SparkSpec {
     "q85_semantic_dedup",  // bounded embedding-pair candidates
     "q87_unigram_logprob", // 1-row total-token stats broadcast
     "q134_bigram_lm",      // 1-row vocabulary-size frame broadcast (q87 shape)
+    "q137_ccnet_buckets",  // composes q134's bigram LM (same 1-row vocab frame)
     "q92_curation_pipeline", // composes unigram scoring above
     "q94_quality_band",    // per-band totals (bounded) broadcast
     "q96_tfidf_terms",     // 1-row doc-count stats broadcast
@@ -121,6 +122,22 @@ class PlanGateSpec extends SparkSpec {
     // front-door windows (2) + host rollup + output sort; repetition
     // stats themselves are shuffle-free (RepetitionSpec pins that)
     "q135_host_signals" -> 4,
+    // the respread repartition (single-split fixture; no-op on a real
+    // corpus) + the output sort; the feature-dist agg collapses to a
+    // ≤64-row frame before the broadcast-literal scoring map
+    "q136_dsir" -> 2,
+    // q134's LM chain (7) + the per-language NTILE window
+    "q137_ccnet_buckets" -> 8,
+    // segment digest first-occurrence agg + keep semi-join + doc-keyed
+    // totals/rebuild + output sort
+    "q138_line_dedup_corpus" -> 4,
+    // the respread repartition only: the scoring pass is map-only and
+    // the selection is TakeOrdered (per-partition heaps, no sort
+    // exchange)
+    "q139_dsir_select" -> 1,
+    // one |strata|-row count agg (driver planning metadata) + the
+    // rollup agg; the mix filter itself is a pure map
+    "q140_temperature_mix" -> 2,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
