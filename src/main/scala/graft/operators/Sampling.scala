@@ -96,12 +96,23 @@ object Sampling {
   private def mixByMeasure(df: DataFrame, strataCol: String, idCol: String,
       weights: Map[String, Int], buckets: Int,
       measure: Column): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      s"positive integer weights required: $weights")
     val counts: Map[String, Long] = df
       .filter(col(strataCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(strataCol)).agg(measure.as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixWithCounts(df, strataCol, idCol, weights, buckets, counts)
+  }
+
+  /** The binding-stratum threshold filter given ALREADY-COLLECTED
+    * per-stratum measures — so a caller that needed the counts anyway
+    * (temperatureMix derives its weights from them) pays ONE corpus
+    * scan, not two.
+    */
+  private def mixWithCounts(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Int], buckets: Int,
+      counts: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"positive integer weights required: $weights")
     val present = weights.keys.toSeq.sorted.filter(s => counts.getOrElse(s, 0L) > 0)
     require(present.nonEmpty, s"no rows in any weighted stratum: $weights")
     // binding stratum m: minimizes n_s / w_s, compared by exact
@@ -141,14 +152,20 @@ object Sampling {
   def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
       alpha: Double, buckets: Int = 10000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // null strata are dropped here (and could not survive anyway — the
+    // mix filter tests equality against named strata), which also keeps
+    // the getString below total
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty corpus")
     val weights = counts.map { case (s, n) =>
       s -> math.floor(math.pow(n.toDouble, alpha))
         .max(1.0).min(Int.MaxValue.toDouble).toInt
     }
-    mixCorpus(df, strataCol, idCol, weights, buckets)
+    // counts are already in hand — reuse them; a second corpus-wide
+    // count agg (the old mixCorpus path) doubled the planning cost
+    mixWithCounts(df, strataCol, idCol, weights, buckets, counts)
   }
 
   /** Deterministic fractional replication — source-level training
@@ -267,7 +284,12 @@ object Sampling {
   def weightedSampleByLogWeight(df: DataFrame, idCol: String,
       logWeightCol: String, k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    df.withColumn("gkey", logSamplingKey(col(idCol), col(logWeightCol), seed))
+    // Every non-null log-weight is a valid weight (log space has no
+    // w <= 0), but a NULL one yields a null gkey — and ascending sort is
+    // NULLS FIRST, so null-weight rows would deterministically beat every
+    // real row into the sample. Mirror of weightedSampleByHash's w > 0.
+    df.filter(col(logWeightCol).isNotNull)
+      .withColumn("gkey", logSamplingKey(col(idCol), col(logWeightCol), seed))
       .orderBy(col("gkey").asc, col(idCol))
       .limit(k)
   }

@@ -130,9 +130,26 @@ object Selection {
     */
   def scoreWith(df: DataFrame, idCol: String, textCol: String,
       table: DataFrame, buckets: Int): DataFrame = {
-    val lam = Array.fill(buckets)(0L)
-    table.select(col("bucket").cast("int"), col("lw_micro").cast("long"))
-      .collect().foreach(r => lam(r.getInt(0)) = r.getLong(1))
+    val rows = table.select(col("bucket").cast("int"),
+        col("lw_micro").cast("long"), col("n_raw").cast("long"),
+        col("n_target").cast("long"))
+      .collect()
+    // Buckets ABSENT from the table default to the Laplace-smoothed
+    // unseen-bucket weight qln(1, tt+B) − qln(1, rt+B) — exactly what
+    // lwTable would emit for a (0, 0) count row — not 0: scoring a
+    // held-out corpus hits buckets the table never saw, and a 0 default
+    // would bias them toward "neutral" instead of the paper's smoothing.
+    // Same-corpus scoring (dsirScores) never hits the default (every
+    // scored bucket occurs in raw by construction). rt/tt are recovered
+    // exactly from the table itself: absent buckets hold zero counts.
+    val rt = rows.map(_.getLong(2)).sum
+    val tt = rows.map(_.getLong(3)).sum
+    val b = buckets.toLong
+    def qlnD(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1e6 + 0.5).toLong
+    val unseen = qlnD(1L, tt + b) - qlnD(1L, rt + b)
+    val lam = Array.fill(buckets)(unseen)
+    rows.foreach(r => lam(r.getInt(0)) = r.getLong(1))
     val lamLit = typedLit(lam.toSeq)
     val nf = (size(split(trim(col(textCol)), "\\s+")) * 2 - 1).cast("long")
     respread(df)

@@ -193,9 +193,10 @@ object SelectionQueries extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
 
     // q136's scoring CTE + the log-domain E-S key: gkey =
-    // ln(-ln u) - lw_micro/n_feats/1e6, u off md5('7:'||doc_id),
-    // quantized to DECIMAL(20,15) before ranking (Sampling.samplingKey
-    // convention), smallest 100 keys win.
+    // floor((ln(-ln u) - lw_micro/n_feats/1e6) * 1e6 + 0.5) as BIGINT
+    // (Sampling.logSamplingKey's micro-unit quantization — NOT the
+    // linear-space DECIMAL(20,15) convention), u off md5('7:'||doc_id),
+    // smallest 100 keys win.
     "q139_dsir_select" ->
       """WITH words AS (
         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w

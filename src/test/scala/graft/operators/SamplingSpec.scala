@@ -210,6 +210,27 @@ class SamplingSpec extends SparkSpec {
       s"extreme log-weights under-sampled: ${top.count(_ > 380L)}/20")
   }
 
+  test("weightedSampleByLogWeight drops null log-weights instead of sampling them first") {
+    // ascending sort is NULLS FIRST: without the guard, the two
+    // null-weight rows would deterministically displace real rows
+    val rows = (1L to 50L).map(i => (i, Some(i.toDouble))).toDF("id", "lw")
+      .union(Seq((98L, None: Option[Double]), (99L, None)).toDF("id", "lw"))
+    val top = Sampling.weightedSampleByLogWeight(rows, "id", "lw", k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(!top.contains(98L) && !top.contains(99L),
+      s"null log-weight rows entered the sample: $top")
+    assert(top.size == 10)
+  }
+
+  test("temperatureMix drops null strata without NPE") {
+    val rows = ((1L to 100L).map(i => (i, Some("en"))) ++
+      (201L to 210L).map(i => (i, Some("fr"))) ++
+      (301L to 305L).map(i => (i, None: Option[String]))).toDF("id", "lang")
+    val kept = Sampling.temperatureMix(rows, "lang", "id", alpha = 1.0)
+    assert(kept.filter($"lang".isNull).count() == 0)
+    assert(kept.count() == 110L) // alpha=1 keeps every non-null stratum whole
+  }
+
   test("temperatureMix keeps the smallest stratum whole, alpha-flattens the rest") {
     // en:1600, fr:400, de:100 at alpha=0.5 -> weights 40/20/10; binding
     // stratum de (n^(1-a) smallest) kept 100%; fr thresholded to

@@ -73,6 +73,28 @@ class SelectionSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("scoreWith gives held-out unseen buckets the Laplace-smoothed weight, not 0") {
+    val tgt = corpus.filter($"is_tgt")
+    val table = Selection.dsirTable(corpus, tgt, "text", B)
+    val seen = table.select($"bucket").as[Long].collect().toSet
+    // find a single token whose feature bucket the table never saw
+    val novel = (0 until 200).map(i => s"novel$i").find { t =>
+      val b = Seq(t).toDF("text")
+        .select(Classifier.tokenBucket($"text", B)).as[Long].head()
+      !seen.contains(b)
+    }.getOrElse(fail(s"all $B buckets occupied — enlarge B for this test"))
+    // expected: lwTable's own smoothing at (n_raw, n_target) = (0, 0)
+    val (rt, tt) = table.agg(sum($"n_raw"), sum($"n_target"))
+      .as[(Long, Long)].head()
+    def qln(n: Long, d: Long): Long =
+      math.floor(math.log(n.toDouble / d.toDouble) * 1e6 + 0.5).toLong
+    val unseen = qln(1, tt + B) - qln(1, rt + B)
+    val held = Seq((9L, novel)).toDF("doc_id", "text") // 1 token → 1 feature
+    val got = Selection.scoreWith(held, "doc_id", "text", table, B)
+      .select($"lw_micro").as[Long].head()
+    assert(got == unseen, s"unseen-bucket weight: got $got, want $unseen")
+  }
+
   test("perplexityBuckets: per-language equal-count tiers, desc fluency, id ties") {
     // lang en: 4 docs with distinct avg scores; lang fr: 2 docs tied → id order
     val scored = Seq(
