@@ -196,4 +196,88 @@ object Selection {
         Window.partitionBy(col(langCol))
           .orderBy(col("avg_nano").desc, col(idCol))))
   }
+
+  /** The integer rank key shared by both tercile forms: nano-scaled avg
+    * logprob per token, exact (product < 2^53, one IEEE division).
+    */
+  private def avgNanoCol(nCol: String, lpMicroCol: String): Column =
+    floor(col(lpMicroCol).cast("double") * 1e3 /
+      col(nCol).cast("double") + 0.5).cast("long")
+
+  /** The 100 TB form of [[perplexityBuckets]]: equal-count fluency tiers
+    * from HISTOGRAM-SKETCH thresholds instead of an exact per-language
+    * NTILE — no per-language sort anywhere, so a skewed low-cardinality
+    * language key cannot funnel a corpus-scale partition through one
+    * task.
+    *
+    * Shape: one eager `Sketches.histogramSketch` pass at CONSTRUCTION (a
+    * keyed agg whose task output is capped at |langs|·nHist rows by
+    * map-side combine, plus a sketch-sized threshold window), whose
+    * |langs|-row threshold table is collected to the driver — bounded
+    * planning metadata, the λ-table/centroid discipline — and embedded in
+    * the returned plan as a LITERAL map, so tier assignment is a pure
+    * row-local expression. The corpus is never sorted, re-keyed, or
+    * joined. (The returned plan re-derives `scored` once more; in
+    * production `scored` is a materialized score table, making this one
+    * agg pass + one map pass total — the q123 construction-job
+    * precedent.)
+    *
+    * Semantics vs the exact form: boundary rank i sits at
+    * t_i = ceil(i·n/nBuckets) in fluency-DESC order; the threshold is the
+    * histogram bucket CONTAINING that rank, and the whole bucket goes to
+    * the upper tier — so assignments can differ from NTILE only for rows
+    * inside a threshold bucket (and for NTILE's id-order tie splits,
+    * which a value-based rule cannot express). With every distinct
+    * avg_nano in its own histogram bucket and tier sizes exact, the two
+    * forms agree row for row ([[SelectionSpec]] pins both the exact-grid
+    * equality and the boundary-only divergence). Rows whose language has
+    * no threshold row (possible only for a language absent from the
+    * sketch) are dropped, matching the exact form's grouping of known
+    * languages.
+    *
+    * Determinism: pick (lo, hi, nHist) so the bucket width is a power of
+    * two (the q141 gate uses [-2^33, 0) / 16384 → width 2^19 nano):
+    * avg_nano−lo is then exact in a double and the divide is exact
+    * scaling, so both engines compute identical bucket indices with no
+    * float drift.
+    */
+  def perplexityBucketsBySketch(scored: DataFrame, idCol: String,
+      langCol: String, nCol: String, lpMicroCol: String,
+      lo: Double, hi: Double, nHist: Int, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 tiers: $nBuckets")
+    val width = (hi - lo) / nHist
+    val base = scored.withColumn("avg_nano", avgNanoCol(nCol, lpMicroCol))
+    val hb = least(lit(nHist - 1), greatest(lit(0),
+      floor((col("avg_nano") - lo) / width).cast("int")))
+    val sk = Sketches.histogramSketch(base, langCol, "avg_nano", lo, hi, nHist)
+    // boundary i (1..nBuckets-1) lives in the DESC-order bucket containing
+    // rank t_i = ceil(i·n/nBuckets); cum windows run over sketch-sized
+    // rows only. floor((i·n + nB−1)/nB): i·n < 2^53 so the double floor-div
+    // is exact for any real tier count.
+    val nB = lit(nBuckets.toDouble)
+    val w = Window.partitionBy(col(langCol), col("i"))
+      .orderBy(col("bucket").desc)
+    val thr: Map[String, Seq[Int]] = sk
+      .select(col(langCol).cast("string"), col("n"),
+        posexplode(col("counts")).as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("i", explode(array((1 until nBuckets).map(lit): _*)))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("t", floor((col("i") * col("n") + lit(nBuckets - 1)) / nB))
+      .filter(col("cum") >= col("t") && (col("cum") - col("cnt")) < col("t"))
+      .groupBy(col(langCol))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("bucket")))),
+        s => s.getField("bucket")).as("__thr"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    // tier = 1 + number of boundaries this row's bucket falls below —
+    // row-local against the literal threshold map (|langs| entries)
+    val thrLit = map(thr.toSeq.sortBy(_._1).flatMap { case (l, bs) =>
+      Seq(lit(l), typedLit(bs)) }: _*)
+    val thrArr = element_at(thrLit, col(langCol).cast("string"))
+    base.withColumn("__thr", thrArr)
+      .filter(col("__thr").isNotNull)
+      .withColumn("bucket", lit(1) + aggregate(col("__thr"), lit(0),
+        (acc, b) => acc + when(hb < b, 1).otherwise(0)))
+      .drop("__thr")
+  }
 }

@@ -82,6 +82,26 @@ object SelectionQueries extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // q137's terciles in their 100 TB form: histogram-sketch thresholds
+    // + row-local bucketing — no per-language sort anywhere (the exact
+    // NTILE funnels each language through ONE task at corpus scale).
+    // Grid [-2^33, 0) / 16384 → width 2^19 nano (~0.0005 ln per bucket),
+    // so bucket indices are exact float-free integer arithmetic in both
+    // engines and boundary buckets hold a vanishing share of each
+    // language (SelectionSpec pins ≥90% agreement with the exact NTILE).
+    "q141_ccnet_buckets_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val lm = graft.operators.Quality.bigramLogprob(docs, "doc_id", "text")
+      val scored = lm.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      Selection.perplexityBucketsBySketch(scored, "doc_id", "lang",
+        "n_bigrams", "lp_micro", lo = -math.pow(2, 33), hi = 0.0,
+        nHist = 16384, nBuckets = 3)
+        .select($"doc_id", $"lang", $"n_bigrams", $"avg_nano",
+          $"bucket".cast("long").as("bucket"))
+        .orderBy($"doc_id")
+    }),
+
     // UniMax/mT5 temperature rebalancing at alpha = 0.5: kept mixture
     // ∝ n_lang^0.5, smallest language kept whole. sqrt is correctly
     // rounded IEEE in both engines, so the driver oracle re-derives the
@@ -238,6 +258,60 @@ object SelectionQueries extends QueryModule {
         |  FROM scored)
         |SELECT doc_id, lw_micro, gkey
         |FROM keyed ORDER BY gkey, doc_id LIMIT 100""".stripMargin,
+
+    // q137's LM chain + the sketch-threshold replay: equi-width histogram
+    // over avg_nano on the power-of-two grid, per-(lang, boundary) DESC
+    // cumulative counts, boundary bucket = the one containing rank
+    // ceil(i·n/3), tier = 1 + #boundaries the row's bucket falls below.
+    "q141_ccnet_buckets_sketch" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS a,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        |cg AS (SELECT a, g, COUNT(*) AS f FROM bg GROUP BY 1, 2),
+        |ch AS (SELECT a, CAST(SUM(f) AS BIGINT) AS fh FROM cg GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS nv
+        |      FROM (SELECT unnest(w) AS tok FROM words)),
+        |lm AS (
+        |  SELECT g,
+        |    CAST(floor(ln(CAST(f + 1 AS DOUBLE) / CAST(fh + nv AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS lpu
+        |  FROM cg JOIN ch USING (a) CROSS JOIN v),
+        |scored AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(lpu) AS BIGINT) AS lp_micro
+        |  FROM bg JOIN lm USING (g) GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT s.doc_id, d.lang, s.n_bigrams,
+        |    CAST(floor(CAST(s.lp_micro AS DOUBLE) * 1e3
+        |      / CAST(s.n_bigrams AS DOUBLE) + 0.5) AS BIGINT) AS avg_nano
+        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+        |hb AS (
+        |  SELECT *, LEAST(16383, GREATEST(0, CAST(floor(
+        |    (CAST(avg_nano AS DOUBLE) + 8589934592.0) / 524288.0)
+        |    AS INT))) AS b
+        |  FROM ranked),
+        |cnts AS (SELECT lang, b, COUNT(*) AS cnt FROM hb GROUP BY 1, 2),
+        |ln_ AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM cnts
+        |        GROUP BY 1),
+        |bounds AS (
+        |  SELECT c.lang, u.i, c.b, c.cnt,
+        |    SUM(c.cnt) OVER (PARTITION BY c.lang, u.i ORDER BY c.b DESC)
+        |      AS cum,
+        |    floor((u.i * ln_.n + 2) / 3.0) AS t
+        |  FROM cnts c JOIN ln_ USING (lang)
+        |  CROSS JOIN (SELECT unnest([1, 2]) AS i) u),
+        |thr AS (SELECT lang, i, b FROM bounds
+        |        WHERE cum >= t AND cum - cnt < t)
+        |SELECT h.doc_id, h.lang, h.n_bigrams, h.avg_nano,
+        |  CAST(1 + SUM(CASE WHEN h.b < t.b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bucket
+        |FROM hb h JOIN thr t USING (lang)
+        |GROUP BY h.doc_id, h.lang, h.n_bigrams, h.avg_nano
+        |ORDER BY doc_id""".stripMargin,
 
     // q75's exact-integer mixCorpus replay with the temperature weights
     // w = GREATEST(1, floor(sqrt(n))) derived from the SAME table.

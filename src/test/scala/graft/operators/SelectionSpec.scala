@@ -122,4 +122,72 @@ class SelectionSpec extends SparkSpec {
     // 1000001 * 1e3 / 3 = 333333666.67 → floor(+0.5) = 333333667
     assert(nano == 333333667L)
   }
+
+  // (doc_id, lang, n_bigrams=1000, lp_micro) rows whose avg_nano is
+  // exactly -i·1e6 — one value per i, landing in distinct 1e6-wide
+  // histogram buckets of the [-64e6, 0) / 64 test grid
+  private def gridScored(lang: String, ids: Range) =
+    ids.map(i => (i.toLong, lang, 1000L, -i.toLong * 1000000L))
+
+  test("perplexityBucketsBySketch equals exact NTILE on a distinct-bucket grid") {
+    // 30 en + 12 fr docs (both divisible by 3), every avg_nano in its
+    // own histogram bucket → the sketch thresholds ARE the exact tercile
+    // boundaries and the two forms agree row for row
+    val scored = (gridScored("en", 1 to 30) ++ gridScored("fr", 41 to 52))
+      .toDF("doc_id", "lang", "n_bigrams", "lp_micro")
+    val exact = Selection.perplexityBuckets(scored, "doc_id", "lang",
+        "n_bigrams", "lp_micro", nBuckets = 3)
+      .select($"doc_id", $"bucket".cast("int")).as[(Long, Int)].collect().toMap
+    val sketch = Selection.perplexityBucketsBySketch(scored, "doc_id", "lang",
+        "n_bigrams", "lp_micro", lo = -64e6, hi = 0.0, nHist = 64, nBuckets = 3)
+      .select($"doc_id", $"bucket".cast("int")).as[(Long, Int)].collect().toMap
+    assert(sketch == exact)
+  }
+
+  test("perplexityBucketsBySketch diverges from NTILE only inside threshold buckets") {
+    // one coarse bucket (width 16e6) holds several docs, so a tercile
+    // boundary falls INSIDE it: every doc of that bucket takes the upper
+    // tier, and all other docs still match the exact form
+    val scored = gridScored("en", 1 to 30)
+      .toDF("doc_id", "lang", "n_bigrams", "lp_micro")
+    val exact = Selection.perplexityBuckets(scored, "doc_id", "lang",
+        "n_bigrams", "lp_micro", nBuckets = 3)
+      .select($"doc_id", $"bucket".cast("int")).as[(Long, Int)].collect().toMap
+    val out = Selection.perplexityBucketsBySketch(scored, "doc_id", "lang",
+        "n_bigrams", "lp_micro", lo = -64e6, hi = 0.0, nHist = 4, nBuckets = 3)
+      .select($"doc_id", $"bucket".cast("int")).as[(Long, Int)].collect().toMap
+    // histogram bucket of doc i on the coarse grid: floor((64-i)/16)
+    def hb(i: Long): Long = (64 - i) / 16
+    val thresholdBuckets = out.keys.map(hb).toSeq.distinct.filter { b =>
+      // a bucket is a threshold bucket iff docs in it disagree in `exact`
+      // tiers or it contains an exact boundary — detect via divergence
+      out.keys.filter(hb(_) == b).exists(id => out(id) != exact(id))
+    }
+    out.keys.foreach { id =>
+      if (!thresholdBuckets.contains(hb(id)))
+        assert(out(id) == exact(id), s"doc $id diverged outside a threshold bucket")
+      else
+        assert(out(id) <= exact(id),
+          s"doc $id: boundary bucket must take the UPPER tier (${out(id)} vs ${exact(id)})")
+    }
+    // the coarse grid genuinely exercises the divergence path
+    assert(thresholdBuckets.nonEmpty)
+    // and whole threshold buckets are single-tier in the sketch form
+    thresholdBuckets.foreach { b =>
+      val tiers = out.keys.filter(hb(_) == b).map(out).toSet
+      assert(tiers.size == 1, s"threshold bucket $b split tiers: $tiers")
+    }
+  }
+
+  test("q141 sketch terciles track q137 exact terciles on the documents table") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q137_ccnet_buckets")(spark, dir)
+      .select($"doc_id", $"bucket").as[(Long, Long)].collect().toMap
+    val sk = graft.SparkEntry.queries("q141_ccnet_buckets_sketch")(spark, dir)
+      .select($"doc_id", $"bucket").as[(Long, Long)].collect().toMap
+    assert(sk.keySet == exact.keySet)
+    val agree = sk.keys.count(id => sk(id) == exact(id))
+    val frac = agree.toDouble / sk.size
+    assert(frac >= 0.9, s"sketch/exact tercile agreement $frac < 0.9")
+  }
 }

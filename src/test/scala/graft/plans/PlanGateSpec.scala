@@ -37,6 +37,7 @@ class PlanGateSpec extends SparkSpec {
     "q87_unigram_logprob", // 1-row total-token stats broadcast
     "q134_bigram_lm",      // 1-row vocabulary-size frame broadcast (q87 shape)
     "q137_ccnet_buckets",  // composes q134's bigram LM (same 1-row vocab frame)
+    "q141_ccnet_buckets_sketch", // same LM chain, sketch-threshold tier map
     "q92_curation_pipeline", // composes unigram scoring above
     "q94_quality_band",    // per-band totals (bounded) broadcast
     "q96_tfidf_terms",     // 1-row doc-count stats broadcast
@@ -138,6 +139,10 @@ class PlanGateSpec extends SparkSpec {
     // one |strata|-row count agg (driver planning metadata) + the
     // rollup agg; the mix filter itself is a pure map
     "q140_temperature_mix" -> 2,
+    // q134's LM chain + output sort; the histogram sketch + threshold
+    // derivation run at CONSTRUCTION (q123 precedent) and the tier map
+    // is a row-local literal — no NTILE window, no per-language sort
+    "q141_ccnet_buckets_sketch" -> 7,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
