@@ -501,6 +501,79 @@ object Dedup {
           .as("covered_frac"))
   }
 
+  /** Corpus-wide exact-substring span REMOVAL (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr shape, at word granularity): every maximal duplicated
+    * token run keeps its globally FIRST occurrence — ordered by
+    * (doc id, position) — and is excised everywhere else. Extends
+    * [[dupSpanCoverage]] (q89's measurement) into removal: the same
+    * positional n-gram anchors, but instead of reporting coverage the
+    * losing anchors' token intervals are unioned per doc and cut out of
+    * the text. A duplicated run longer than `n` is covered by a chain of
+    * overlapping losing anchors, so the whole run disappears — the
+    * suffix-array extend-left/right step of the paper falls out of
+    * anchor overlap for free. Within-doc repeats lose too (their first
+    * occurrence survives).
+    *
+    * Scale shape (one shingle-keyed shuffle + one doc-keyed shuffle):
+    *  - survivors: ONE aggregation keyed by the anchor digest —
+    *    `min(struct(id, pos))` partial-aggregates map-side, so a 10⁹-copy
+    *    boilerplate anchor reaches the reducer as one row per task (the
+    *    `Boilerplate.dedupSegmentsKeepFirst` posture);
+    *  - losers: a left-anti join on (digest, id, pos) — a UNIQUE key, so
+    *    a hot anchor's occurrences spread uniformly across reducers;
+    *  - excision: `collect_list(pos)` keyed by doc (bounded by the doc's
+    *    own length) and a ROW-LOCAL covered-position rebuild. Per-doc
+    *    cost is O(L·|losing anchors|·n) via the covered-set membership
+    *    scan — fine while dup density is moderate; a merged-interval
+    *    two-pointer fold is the escape hatch if a pathological doc is
+    *    ~all duplicates.
+    * Anchors key on the full 128-bit md5 of the n-gram (the house
+    * cross-engine digest; collision odds ~rows²/2¹²⁸ can only excise a
+    * non-duplicate span). Rebuilt text is single-space joined — token
+    * exact for a whitespace-tokenized corpus ([[stripFrequentWindows]]
+    * precedent). Output: (idCol, text, n_tokens, n_removed) for EVERY
+    * input doc (docs with no duplicated span pass through rebuilt).
+    */
+  def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"anchor length must be >= 2 tokens: $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // 1-based positional anchors; docs shorter than n contribute none
+    // (sequence(1, L-n+1) would run DESCENDING for L < n — guard it)
+    val anchors = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(toks, i, lit(n)))).as("__h"))))
+      .otherwise(array().cast("array<struct<pos:int,__h:string>>"))
+    val occ = df.select(col(idCol).cast("long").as(idCol),
+        explode(anchors).as("a"))
+      .select(col(idCol), col("a.pos").as("pos"), col("a.__h").as("__h"))
+    val firsts = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__h"), col("__first").getField(idCol).as(idCol),
+        col("__first").getField("pos").as("pos"))
+    val losers = occ.join(firsts, Seq("__h", idCol, "pos"), "left_anti")
+    val dups = losers.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__dups"))
+    val covered = array_distinct(flatten(transform(col("__dups"),
+      p => sequence(p, p + (n - 1)))))
+    val keptToks = filter(
+      transform(toks, (t, i) => struct((i + 1).as("p"), t.as("t"))),
+      s => !array_contains(covered, s.getField("p")))
+    // covered ⊆ [1, L] by construction (anchors end inside the doc), so
+    // n_removed = |covered| — keptToks is referenced exactly ONCE
+    // (CollapseProject would inline the whole rebuild into every
+    // consumer, the scoreWith lesson)
+    df.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .join(dups, Seq(idCol), "left")
+      .withColumn("__dups", coalesce(col("__dups"), array().cast("array<int>")))
+      .select(col(idCol),
+        concat_ws(" ", transform(keptToks, s => s.getField("t"))).as("text"),
+        size(toks).cast("long").as("n_tokens"),
+        size(covered).cast("long").as("n_removed"))
+  }
+
   /** 64-bit SimHash per document: explode tokens, hash each with xxhash64,
     * sum ±1 per bit position, sign -> bit. Distributed as one groupBy on
     * the id (no pair joins); near-dups then cluster by hamming distance

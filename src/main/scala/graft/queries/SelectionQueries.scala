@@ -102,6 +102,19 @@ object SelectionQueries extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Corpus-wide exact-substring span dedup (Lee et al. 2021 ExactSubstr
+    // shape): 8-token anchors, globally-first occurrence survives, losing
+    // anchors' token intervals are unioned per doc and excised. The
+    // strongest exact-dedup tier production pipelines run — complements
+    // q89 (measures coverage, removes nothing) and q138 (aligned lines,
+    // not free-position runs).
+    "q142_exactsubstr_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.dedupSpansKeepFirst(
+        Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
+    }),
+
     // UniMax/mT5 temperature rebalancing at alpha = 0.5: kept mixture
     // ∝ n_lang^0.5, smallest language kept whole. sqrt is correctly
     // rounded IEEE in both engines, so the driver oracle re-derives the
@@ -311,6 +324,50 @@ object SelectionQueries extends QueryModule {
         |    AS bucket
         |FROM hb h JOIN thr t USING (lang)
         |GROUP BY h.doc_id, h.lang, h.n_bigrams, h.avg_nano
+        |ORDER BY doc_id""".stripMargin,
+
+    // Positional 8-gram anchors over the shared tokenization; the
+    // keep-first survivor is the ROW_NUMBER-1 row per anchor string
+    // (ordered doc_id, pos — exactly min(struct)); losing anchors'
+    // intervals union via DISTINCT covered positions; docs rebuild by
+    // position with single-space joins. The anchor key is the n-gram
+    // STRING here (grouping semantics identical to Spark's md5 digest
+    // short of a 2^-128 collision).
+    "q142_exactsubstr_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)),
+        |losers AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM sh) WHERE rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS INT) AS cp
+        |  FROM losers, UNNEST(range(pos, pos + 8)) AS t(p)),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
+        |  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.cp
+        |  WHERE c.cp IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id),
+        |nrem AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(a.text, '') AS text,
+        |  CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM words w
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN nrem nr USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // q75's exact-integer mixCorpus replay with the temperature weights

@@ -739,6 +739,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> ((6L, 4L)), 2L -> ((6L, 4L))))
   }
 
+  test("dedupSpansKeepFirst excises every duplicated run except its first occurrence") {
+    val d = Seq(
+      (1L, "a b c d e"),       // first occurrence — survives whole
+      (2L, "a b c d e"),       // identical — fully excised
+      (3L, "q a b c d e"),     // shares the run with an extra prefix token
+      (4L, "x y z w x y z w"), // within-doc repeat: second copy excised
+      (5L, "m n"))             // shorter than the anchor — untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpansKeepFirst(d, "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("a b c d e", 5L, 0L)))
+    assert(got(2L) == (("", 5L, 5L)))
+    // anchors abc/bcd/cde all lose -> covered positions 2..6, "q" survives
+    assert(got(3L) == (("q", 6L, 5L)))
+    // xyz@5 and yzw@6 lose to their pos-1/2 twins -> covered 5..8
+    assert(got(4L) == (("x y z w", 8L, 4L)))
+    assert(got(5L) == (("m n", 2L, 0L)))
+  }
+
   test("incrementalDedupReport flags exact and near incoming dups, exact taking precedence") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -143,6 +143,10 @@ class PlanGateSpec extends SparkSpec {
     // derivation run at CONSTRUCTION (q123 precedent) and the tier map
     // is a row-local literal — no NTILE window, no per-language sort
     "q141_ccnet_buckets_sketch" -> 7,
+    // anchor-digest keep-first agg + (digest,id,pos) anti join +
+    // doc-keyed loser collect + rebuild join; output sort folds into
+    // the doc-keyed exchange
+    "q142_exactsubstr_dedup" -> 3,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
