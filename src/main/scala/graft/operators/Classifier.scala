@@ -122,6 +122,34 @@ object Classifier {
       (lit(1.0) / (lit(1.0) + exp(-margin))).as("score"))
   }
 
+  /** Map-only EXACT-integer scoring against a FIXED micro-unit weight
+    * vector riding as a plan literal: `score_micro = Σ_occurrences
+    * w_micro(bucket)` — an exact BIGINT per document, so the scoring
+    * half of the classifier is engine-replayable (the q136 λ-scoring
+    * discipline; q143 gates it). This is the production path once a
+    * model is FROZEN: quantize the trained weights once
+    * (`w_micro = floor(w·1e6 + 0.5)`) and every subsequent corpus pass
+    * is deterministic integer arithmetic — [[fit]]'s float loop stays
+    * spec-gated ([[ClassifierSpec]]), exactly like the PCA eigensolve
+    * atop the gated gramian. Output: (idCol, n_toks, score_micro);
+    * length-normalize downstream as score_micro / n_toks if the
+    * fasttext mean convention is wanted (kept separate so the gated
+    * column stays a pure integer sum).
+    */
+  def scoreMicro(df: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Array[Long]): DataFrame = {
+    val wLit = typedLit(weightsMicro.toSeq)
+    val bk = bucketArr(col(textCol), weightsMicro.length)
+    // the hashed array is referenced exactly once (inside the aggregate);
+    // n_toks re-splits without hashing — the scoreWith CollapseProject
+    // lesson
+    df.select(col(idCol),
+      size(tokenArr(col(textCol))).cast("long").as("n_toks"),
+      aggregate(bk, lit(0L),
+        (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+        .as("score_micro"))
+  }
+
   /** Threshold filter over [[score]] — keep documents the model rates
     * at or above `minScore`. Map-only.
     */

@@ -64,6 +64,24 @@ object SignalQueries extends QueryModule {
         .orderBy($"bucket")
     }),
 
+    // The classifier's SCORING half, closed into the gate (q133 covers
+    // the gradient half): freeze an integer weight vector — one exact
+    // integer GD step at w = 0, w_micro(b) = −grad2(b) — collect it as
+    // bounded metadata (≤ buckets rows, the λ-table discipline), and
+    // score every document as an exact BIGINT occurrence-weighted sum.
+    "q143_classifier_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("is_ref", $"lang" === "en")
+      val w = Array.fill(64)(0L)
+      Classifier.gradientAtZero(docs, "text", "is_ref", buckets = 64)
+        .select($"bucket".cast("int"), $"grad2")
+        .as[(Int, Long)].collect()
+        .foreach { case (b, g) => w(b) = -g }
+      Classifier.scoreMicro(docs, "doc_id", "text", w)
+        .orderBy($"doc_id")
+    }),
+
     // Bigram-LM fluency scoring (CCNet shape): Laplace-smoothed
     // conditional logprobs trained on the corpus itself, quantized to
     // integer micro-units at the vocabulary level, summed exactly per
@@ -200,6 +218,23 @@ object SignalQueries extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM toks GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // q133's gradient CTE negated into weights, then per-doc exact
+    // integer sums over the same hashed occurrences.
+    "q143_classifier_score" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN lang = 'en' THEN -1 ELSE 1 END) AS s,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)),
+        |wt AS (SELECT b, CAST(-SUM(s) AS BIGINT) AS w FROM feat GROUP BY 1)
+        |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |  CAST(SUM(wt.w) AS BIGINT) AS score_micro
+        |FROM feat f JOIN wt USING (b)
+        |GROUP BY f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     // Same add-1 LM: P(b|a) = (c(a b)+1)/(c(a ·)+V); ln quantized to
     // 1e-6 units per DISTINCT bigram (the q87 ln-replay discipline),

@@ -36,6 +36,33 @@ class ClassifierSpec extends SparkSpec {
     assert(g == expected)
   }
 
+  test("scoreMicro is the exact occurrence-weighted integer sum") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val B = 8
+    val bucketOf = Seq("a", "b", "c").map { t =>
+      t -> spark.range(1).select(Classifier.tokenBucket(lit(t), B))
+        .collect()(0).getLong(0).toInt
+    }.toMap
+    val w = Array.tabulate(B)(b => (b + 1) * 10L) // arbitrary fixed weights
+    val got = Classifier.scoreMicro(df, "doc_id", "text", w)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 2 * w(bucketOf("a")) + w(bucketOf("b")))))
+    assert(got(2L) == ((2L, w(bucketOf("a")) + w(bucketOf("c")))))
+  }
+
+  test("scoreMicro with one integer GD step ranks reference text above spam") {
+    // the q143 shape: w = -grad2 at w=0; reference-vocab docs must score
+    // strictly above promo-vocab docs
+    val w = Array.fill(64)(0L)
+    Classifier.gradientAtZero(corpus, "text", "label", buckets = 64)
+      .select($"bucket".cast("int"), $"grad2").as[(Int, Long)].collect()
+      .foreach { case (b, g) => w(b) = -g }
+    val s = Classifier.scoreMicro(corpus, "doc_id", "text", w)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(Seq(1L, 2L, 3L).map(s).min > Seq(4L, 5L, 6L).map(s).max)
+  }
+
   test("fit separates the toy corpus and score ranks good above spam") {
     val m = Classifier.fit(corpus, "text", "label", buckets = 64,
       iters = 40, lr = 2.0)

@@ -147,6 +147,9 @@ class PlanGateSpec extends SparkSpec {
     // doc-keyed loser collect + rebuild join; output sort folds into
     // the doc-keyed exchange
     "q142_exactsubstr_dedup" -> 3,
+    // gradient agg runs at CONSTRUCTION (bounded collect, λ discipline);
+    // the returned plan is a pure scoring map + output sort
+    "q143_classifier_score" -> 1,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
