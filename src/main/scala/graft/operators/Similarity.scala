@@ -817,6 +817,41 @@ object Similarity {
       .select(col("block"), col("id_a"), col("id_b"), col("cos_r"))
   }
 
+  /** [[blockedNearDups]] over the SQ8 CODE tier: fit the quantizer on
+    * the corpus (model-sized construction job), encode → decode to
+    * micro-unit longs, and run the same blocked pair scan on exact
+    * integer dots — the 100 TB composition where the embedding store is
+    * 4x-compressed codes (q130's lever) and near-dup detection runs
+    * without ever touching float vectors. Per-vector squared norms are
+    * computed ONCE in the base projection; the per-pair work is one
+    * zip_with dot. cos = dt/(√aa·√bb) rounded at `roundScale`, every
+    * input an exact integer — engine-replayable end to end (q144).
+    * Recall vs the raw-vector pairs: SQ8's per-dim error is ≤ range/510,
+    * so only pairs within quantization distance of the threshold can
+    * flip ([[OperatorsSpec]] pins set agreement on the fixture corpus).
+    */
+  def blockedNearDupsSq8(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double, dim: Int,
+      roundScale: Int = 4): DataFrame = {
+    val model = sq8Fit(df, vecCol, dim)
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    val base = sq8DecodeMicro(sq8Encode(df, vecCol, model), "codes", model)
+      .select(col(blockCol).as("block"), col(idCol).as("id"), col("dec"))
+      .withColumn("n2", dotL(col("dec"), col("dec")))
+    val l = base.select(col("block"), col("id").as("id_a"),
+      col("dec").as("da"), col("n2").as("aa"))
+    val r = base.select(col("block").as("block_r"), col("id").as("id_b"),
+      col("dec").as("db"), col("n2").as("bb"))
+    l.join(r, col("block") === col("block_r") && col("id_a") < col("id_b"))
+      .withColumn("cos_r", round(
+        dotL(col("da"), col("db")).cast("double") /
+          (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))),
+        roundScale))
+      .filter(col("cos_r") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("cos_r"))
+  }
+
   // ------------------------------------------------------ int8 scalar
   // quantization (the FAISS-SQ8 shape): per-dimension min/max codes in
   // [0,255]. At 100 TB this is THE embedding-store memory lever — 4x

@@ -123,6 +123,22 @@ object VectorQueries extends QueryModule {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // q85's semantic dedup run entirely on the SQ8 CODE tier (q130's 4x
+    // embedding-store compression): quantizer fit at construction,
+    // blocked pair scan over exact integer decoded-micro dots, then the
+    // same CC cluster resolution. The 100 TB posture where raw float
+    // vectors never exist at dedup time.
+    "q144_sq8_semantic_dedup" -> ((spark, dir) => {
+      import spark.implicits._
+      val pairs = Similarity.blockedNearDupsSq8(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", "label",
+          threshold = 0.2, dim = 64)
+        .select($"id_a", $"id_b")
+      graft.operators.Clusters.connectedComponents(pairs, edgesDeduped = true)
+        .select($"id".as("vec_id"), $"cluster",
+          ($"id" === $"cluster").as("is_canonical"))
+    }),
+
     // PCA's corpus-scale half, oracle-gated: the micro-unit-quantized
     // moment sums (count, per-dim sums, upper-tri co-moments) that
     // Pca.fit reduces the corpus to. Exact BIGINT arithmetic = order-
@@ -172,6 +188,55 @@ object VectorQueries extends QueryModule {
         |  FROM sc)
         |SELECT qid, vid, score, rk FROM rnk WHERE rk <= 5
         |ORDER BY qid, rk""".stripMargin,
+
+    // q130's SQ8 encode/decode replay feeding q85's pair + recursive-CC
+    // tail: exact integer micro dots and squared norms, cos rounded at
+    // 1e-4, label-blocked pairs, min-label cluster resolution.
+    "q144_sq8_semantic_dedup" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(d AS INTEGER) AS d FROM range(64) t(d)),
+        |st AS (SELECT d, MIN(v[d + 1]) AS mn, MAX(v[d + 1]) AS mx
+        |       FROM v CROSS JOIN idx GROUP BY d),
+        |codes AS (
+        |  SELECT vec_id, label, d,
+        |    CASE WHEN mx <= mn THEN 0
+        |         ELSE LEAST(255, GREATEST(0,
+        |           CAST(floor((v[d + 1] - mn) * 255.0 / (mx - mn) + 0.5)
+        |             AS INTEGER))) END AS c,
+        |    mn, mx
+        |  FROM v CROSS JOIN idx JOIN st USING (d)),
+        |dec AS (
+        |  SELECT vec_id, label, d,
+        |    CAST(floor((c * (mx - mn) / 255.0 + mn) * 1000000 + 0.5)
+        |      AS BIGINT) AS m
+        |  FROM codes),
+        |n2 AS (SELECT vec_id, CAST(SUM(m * m) AS BIGINT) AS n2
+        |       FROM dec GROUP BY 1),
+        |prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(SUM(a.m * b.m) AS BIGINT) AS dt
+        |  FROM dec a JOIN dec b
+        |    ON a.label = b.label AND a.d = b.d AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM prs JOIN n2 na ON na.vec_id = prs.id_a
+        |    JOIN n2 nb ON nb.vec_id = prs.id_b
+        |  WHERE ROUND(CAST(dt AS DOUBLE) /
+        |    (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 4)
+        |    >= 0.2),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |wk AS (
+        |  SELECT s AS id, s AS lbl FROM e
+        |  UNION
+        |  SELECT e.d, wk.lbl FROM wk JOIN e ON e.s = wk.id)
+        |SELECT id AS vec_id, MIN(lbl) AS cluster,
+        |  id = MIN(lbl) AS is_canonical
+        |FROM wk GROUP BY id""".stripMargin,
 
     // mirrors Pca.gramianMicro: micro-unit quantization, then exact
     // BIGINT moment sums (co-moments j>=i>=0, first moments j=-1,

@@ -639,6 +639,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"SQ8 recall@5 vs exact dot collapsed: $recall")
   }
 
+  test("SQ8 blocked near-dups recover the raw-vector pair set") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val raw = Similarity.blockedNearDups(e, "vec_id", "embedding", "label",
+        threshold = 0.2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.blockedNearDupsSq8(e, "vec_id", "embedding", "label",
+        threshold = 0.2, dim = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(raw.nonEmpty, "fixture produced no raw near-dup pairs")
+    val recall = (sq8 intersect raw).size.toDouble / raw.size
+    val precision = if (sq8.isEmpty) 0.0
+      else (sq8 intersect raw).size.toDouble / sq8.size
+    assert(recall >= 0.9, s"SQ8 pair recall vs raw vectors collapsed: $recall")
+    assert(precision >= 0.9, s"SQ8 pair precision vs raw vectors collapsed: $precision")
+  }
+
   test("spherical k-means refinement never decreases the IVF objective") {
     import graft.functions.VectorFunctions._
     import graft.plans.GraftFunctions

@@ -150,6 +150,10 @@ class PlanGateSpec extends SparkSpec {
     // gradient agg runs at CONSTRUCTION (bounded collect, λ discipline);
     // the returned plan is a pure scoring map + output sort
     "q143_classifier_score" -> 1,
+    // q85's shape on the code tier: SQ8 fit + CC loop run at
+    // CONSTRUCTION; the returned labels frame is loop-final (q85
+    // precedent: budget 0)
+    "q144_sq8_semantic_dedup" -> 0,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
