@@ -122,6 +122,143 @@ object Classifier {
       (lit(1.0) / (lit(1.0) + exp(-margin))).as("score"))
   }
 
+  // --------------------------------------------------- multi-class
+  // (softmax) tier: the fasttext lang-ID shape. Same hashed bag-of-words
+  // features; K weight rows instead of one. The gradient at W = 0 is
+  // exact-integer (all class probabilities are exactly 1/K there), so the
+  // corpus-scale aggregation is oracle-gated (q145) while the GD loop's
+  // float numerics stay spec-gated — the house PCA-gramian discipline.
+
+  /** K times the softmax cross-entropy gradient at W = 0, per (feature
+    * bucket, class): `K·∂L/∂w_{b,c} = Σ_occurrences (1 − K·[y = c])
+    * = n_b − K·n_{b,c}` — exact BIGINT (at the zero matrix every class
+    * probability is exactly 1/K). ONE corpus aggregation keyed by
+    * (bucket, class) — map-side partials cap task output at buckets·K
+    * rows; the class list and per-bucket totals derive from that
+    * sketch-sized result, never from a second corpus pass. Emits the
+    * FULL bucket × class grid (a class absent from a bucket still has
+    * gradient n_b ≠ 0): (bucket, cls, n_bc, gradk).
+    */
+  def softmaxGradientAtZero(df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int): DataFrame = {
+    val cnt = df.select(col(labelCol).cast("string").as("cls"),
+        explode(bucketArr(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"), col("cls"))
+      .agg(count(lit(1)).as("n_bc"))
+    val nb = cnt.groupBy(col("bucket")).agg(sum(col("n_bc")).as("nb"))
+    val classes = cnt.select(col("cls")).distinct()
+    val k = cnt.agg(countDistinct(col("cls")).as("k"))
+    // all frames after cnt are sketch-sized; the k 1-row frame broadcasts
+    nb.crossJoin(broadcast(classes))
+      .join(cnt, Seq("bucket", "cls"), "left")
+      .na.fill(0L, Seq("n_bc"))
+      .crossJoin(broadcast(k))
+      .select(col("bucket"), col("cls"), col("n_bc").cast("long").as("n_bc"),
+        (col("nb") - col("k") * col("n_bc")).cast("long").as("gradk"))
+  }
+
+  /** Trained multi-class model: `weights(c)(b)` + per-class bias;
+    * `classes` sorted ascending (the index space of both arrays).
+    */
+  final case class SoftmaxModel(classes: Array[String],
+      weights: Array[Array[Double]], biases: Array[Double]) {
+    def k: Int = classes.length
+    def buckets: Int = weights(0).length
+  }
+
+  /** Full-batch softmax regression on hashed bag-of-words counts (the
+    * fasttext lang-ID shape; length-normalized features, stable
+    * max-subtracted softmax). Per iteration: one map pass scores every
+    * doc against the K broadcast weight rows — a SINGLE
+    * array-accumulator fold, so the md5 feature array is hashed once,
+    * not K times — and ONE bucket-keyed aggregation emits K partial
+    * sums per bucket (+ the bias pseudo-bucket −1): ≤ (buckets+1)·K
+    * values reach the driver. Float numerics spec-gated
+    * ([[ClassifierSpec]] pins separation and a single-node GD replay);
+    * the aggregation shape is q145's oracle-gated [[softmaxGradientAtZero]].
+    */
+  def fitSoftmax(df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int, iters: Int = 20, lr: Double = 0.5): SoftmaxModel = {
+    val classes = df.select(col(labelCol).cast("string").as("c")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = classes.length
+    require(k >= 2, s"need at least 2 classes, got $k: ${classes.toSeq}")
+    var w = Array.fill(k, buckets)(0.0)
+    var b = Array.fill(k)(0.0)
+    val yCol = classes.zipWithIndex.tail
+      .foldLeft(when(col(labelCol).cast("string") === classes.head, 0)) {
+        case (acc, (c, i)) => acc.when(col(labelCol).cast("string") === c, i)
+      }.otherwise(-1)
+    val base = df.select(bucketArr(col(textCol), buckets).as("bk"), yCol.as("y"))
+      .withColumn("inv", when(size(col("bk")) > 0,
+        lit(1.0) / size(col("bk"))).otherwise(lit(0.0)))
+    val n = math.max(1L, base.count()).toDouble
+    for (_ <- 0 until iters) {
+      val raw = marginArr(col("bk"), col("inv"), w, b)
+      val mx = array_max(col("ms"))
+      val exps = transform(col("ms"), m => exp(m - mx))
+      val z = aggregate(exps, lit(0.0), (s, x) => s + x)
+      // cs(c) = p_c − [y = c], one K-array per doc
+      val cs = transform(exps, (e, i) =>
+        e / z - when(col("y") === i, 1.0).otherwise(0.0))
+      val grads = base
+        .withColumn("ms", raw)
+        .withColumn("cs", cs)
+        .select(explode(concat(
+          transform(col("bk"), bkt => struct(bkt.as("bucket"),
+            transform(col("cs"), c => c * col("inv")).as("v"))),
+          array(struct(lit(-1L).as("bucket"), col("cs").as("v"))))).as("e"))
+        .groupBy(col("e.bucket"))
+        .agg(sum(element_at(col("e.v"), 1)).as("g0"),
+          (1 until k).map(i =>
+            sum(element_at(col("e.v"), i + 1)).as(s"g$i")): _*)
+        .collect()
+      val w2 = w.map(_.clone())
+      val b2 = b.clone()
+      grads.foreach { r =>
+        val bkt = r.getLong(0).toInt
+        (0 until k).foreach { c =>
+          val g = r.getDouble(c + 1)
+          if (bkt < 0) b2(c) = b2(c) - lr * g / n
+          else w2(c)(bkt) = w2(c)(bkt) - lr * g / n
+        }
+      }
+      w = w2; b = b2
+    }
+    SoftmaxModel(classes, w, b)
+  }
+
+  /** All K margins in ONE fold over the feature array (hashed once):
+    * acc(c) += wFlat(c·buckets + bucket), then ·inv + bias(c).
+    */
+  private def marginArr(bk: Column, inv: Column,
+      w: Array[Array[Double]], b: Array[Double]): Column = {
+    val k = w.length
+    val buckets = w(0).length
+    val wFlat = typedLit(w.flatten.toSeq)
+    val bLit = typedLit(b.toSeq)
+    val sums = aggregate(bk, typedLit(Seq.fill(k)(0.0)),
+      (acc, bkt) => transform(acc, (a, i) =>
+        a + element_at(wFlat, i * buckets + bkt.cast("int") + 1)))
+    zip_with(sums, bLit, (s, bb) => s * inv + bb)
+  }
+
+  /** Map-only argmax scoring: (idCol, pred, margin). Margin ties break
+    * toward the LOWEST class index (struct-max over (margin, −index)).
+    */
+  def scoreSoftmax(df: DataFrame, idCol: String, textCol: String,
+      model: SoftmaxModel): DataFrame = {
+    val classesLit = typedLit(model.classes.toSeq)
+    val bk = bucketArr(col(textCol), model.buckets)
+    val inv = when(size(bk) > 0, lit(1.0) / size(bk)).otherwise(lit(0.0))
+    val ms = marginArr(bk, inv, model.weights, model.biases)
+    val best = array_max(transform(ms, (m, i) =>
+      struct(m.as("m"), (-i).as("ni"))))
+    df.select(col(idCol),
+      element_at(classesLit, lit(1) - best.getField("ni")).as("pred"),
+      best.getField("m").as("margin"))
+  }
+
   /** Map-only EXACT-integer scoring against a FIXED micro-unit weight
     * vector riding as a plan literal: `score_micro = Σ_occurrences
     * w_micro(bucket)` — an exact BIGINT per document, so the scoring

@@ -82,6 +82,18 @@ object SignalQueries extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Multi-class (softmax) lang-ID classifier, corpus-scale half: the
+    // exact integer K·gradient at W = 0 over the full bucket × class
+    // grid (q133's discipline generalized — at the zero matrix every
+    // class probability is exactly 1/K). The GD loop + argmax scoring
+    // are ClassifierSpec's job.
+    "q145_langid_softmax_grad" -> ((s, dir) => {
+      import s.implicits._
+      Classifier.softmaxGradientAtZero(Tables.documents(s, dir),
+        "text", "lang", buckets = 64)
+        .orderBy($"bucket", $"cls")
+    }),
+
     // Bigram-LM fluency scoring (CCNet shape): Laplace-smoothed
     // conditional logprobs trained on the corpus itself, quantized to
     // integer micro-units at the vocabulary level, summed exactly per
@@ -235,6 +247,28 @@ object SignalQueries extends QueryModule {
         |FROM feat f JOIN wt USING (b)
         |GROUP BY f.doc_id
         |ORDER BY f.doc_id""".stripMargin,
+
+    // One (bucket, lang) count, per-bucket totals, K = distinct langs,
+    // full grid via cross join: gradk = n_b − K·n_bc. All integers.
+    "q145_langid_softmax_grad" ->
+      """WITH feats AS (
+        |  SELECT lang AS cls,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket
+        |  FROM (SELECT lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)),
+        |cnt AS (SELECT bucket, cls, COUNT(*) AS n_bc FROM feats
+        |        GROUP BY 1, 2),
+        |nb AS (SELECT bucket, CAST(SUM(n_bc) AS BIGINT) AS nb FROM cnt
+        |       GROUP BY 1),
+        |kk AS (SELECT COUNT(DISTINCT cls) AS k FROM cnt),
+        |cl AS (SELECT DISTINCT cls FROM cnt)
+        |SELECT nb.bucket, cl.cls,
+        |  CAST(COALESCE(ct.n_bc, 0) AS BIGINT) AS n_bc,
+        |  CAST(nb.nb - kk.k * COALESCE(ct.n_bc, 0) AS BIGINT) AS gradk
+        |FROM nb CROSS JOIN cl CROSS JOIN kk
+        |LEFT JOIN cnt ct ON ct.bucket = nb.bucket AND ct.cls = cl.cls
+        |ORDER BY nb.bucket, cl.cls""".stripMargin,
 
     // Same add-1 LM: P(b|a) = (c(a b)+1)/(c(a ·)+V); ln quantized to
     // 1e-6 units per DISTINCT bigram (the q87 ln-replay discipline),

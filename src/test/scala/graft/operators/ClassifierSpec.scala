@@ -63,6 +63,108 @@ class ClassifierSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(s).min > Seq(4L, 5L, 6L).map(s).max)
   }
 
+  // 3-class toy corpus with disjoint vocabularies per class
+  private def triCorpus = Seq(
+    (1L, "alpha beta gamma alpha", "en"),
+    (2L, "beta alpha gamma beta gamma", "en"),
+    (3L, "rouge bleu vert rouge", "fr"),
+    (4L, "vert bleu rouge bleu", "fr"),
+    (5L, "rot blau gruen rot", "de"),
+    (6L, "blau gruen rot gruen", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("softmaxGradientAtZero is the exact integer grid n_b - K*n_bc") {
+    val B = 8
+    val g = Classifier.softmaxGradientAtZero(triCorpus, "text", "lang", B)
+      .as[(Long, String, Long, Long)].collect()
+    // recompute from raw occurrences
+    val occ = triCorpus.select($"lang",
+        explode(Classifier.bucketArr($"text", B)).as("b"))
+      .as[(String, Long)].collect()
+    val k = occ.map(_._1).distinct.length
+    val nb = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nbc = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(g.nonEmpty)
+    // full grid: every (occupied bucket, class) pair appears
+    assert(g.length == nb.size * k)
+    g.foreach { case (b, c, cnt, gr) =>
+      val expect = nbc.getOrElse((c, b), 0L)
+      assert(cnt == expect)
+      assert(gr == nb(b) - k * expect, s"bucket $b cls $c")
+    }
+  }
+
+  test("fitSoftmax matches a single-node GD replay and separates the classes") {
+    val B = 32
+    val m = Classifier.fitSoftmax(triCorpus, "text", "lang", B,
+      iters = 10, lr = 0.5)
+    assert(m.classes.toSeq == Seq("de", "en", "fr"))
+    // argmax scoring recovers every training label
+    val preds = Classifier.scoreSoftmax(triCorpus, "doc_id", "text", m)
+      .select($"doc_id", $"pred").as[(Long, String)].collect().toMap
+    val labels = triCorpus.select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    assert(preds == labels, s"misclassified: $preds vs $labels")
+    // single-node replay of the same GD (same features, same order of
+    // ops per doc; cross-partition float sums may differ in the last
+    // ulps, hence the tolerance)
+    val docs = triCorpus.select($"doc_id",
+        Classifier.bucketArr($"text", B).as("bk"), $"lang")
+      .as[(Long, Seq[Long], String)].collect().sortBy(_._1)
+    val k = 3
+    val clsIdx = Map("de" -> 0, "en" -> 1, "fr" -> 2)
+    var w = Array.fill(k, B)(0.0); var bias = Array.fill(k)(0.0)
+    val n = docs.length.toDouble
+    for (_ <- 0 until 10) {
+      val gw = Array.fill(k, B)(0.0); val gb = Array.fill(k)(0.0)
+      docs.foreach { case (_, bk, lang) =>
+        val inv = if (bk.nonEmpty) 1.0 / bk.length else 0.0
+        val ms = Array.tabulate(k)(c => bk.map(b => w(c)(b.toInt)).sum * inv + bias(c))
+        val mx = ms.max
+        val ex = ms.map(x => math.exp(x - mx)); val z = ex.sum
+        (0 until k).foreach { c =>
+          val coef = ex(c) / z - (if (clsIdx(lang) == c) 1.0 else 0.0)
+          gb(c) += coef
+          bk.foreach(b => gw(c)(b.toInt) += coef * inv)
+        }
+      }
+      (0 until k).foreach { c =>
+        bias(c) -= 0.5 * gb(c) / n
+        (0 until B).foreach(j => w(c)(j) -= 0.5 * gw(c)(j) / n)
+      }
+    }
+    (0 until k).foreach { c =>
+      assert(math.abs(bias(c) - m.biases(c)) < 1e-9)
+      (0 until B).foreach(j =>
+        assert(math.abs(w(c)(j) - m.weights(c)(j)) < 1e-9,
+          s"w($c)($j): ${w(c)(j)} vs ${m.weights(c)(j)}"))
+    }
+  }
+
+  test("fitSoftmax recovers an injected class marker on the fixture corpus") {
+    // the fixture's `lang` column is statistically independent of the
+    // text (every language draws from the same near-uniform 31-token
+    // distribution), so NO bag-of-words model can beat majority class on
+    // it — instead inject a separable 3-class marker token and require
+    // the distributed GD path to recover it at corpus shape/size
+    // ~20% of each doc's tokens become the marker: full-batch GD with
+    // length-normalized features moves margins by O(lr·share²/K) per
+    // step, so a 1-token marker would need hundreds of iterations
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("cls", concat(lit("c"), pmod($"doc_id", lit(3))))
+      .withColumn("text", concat_ws(" ", $"text",
+        array_join(array_repeat(concat(lit("marker_"), $"cls"),
+          greatest(lit(1), (size(split(trim($"text"), "\\s+")) / 4).cast("int"))), " ")))
+    val m = Classifier.fitSoftmax(docs, "text", "cls", buckets = 64,
+      iters = 15, lr = 2.0)
+    assert(m.classes.toSeq == Seq("c0", "c1", "c2"))
+    val joined = Classifier.scoreSoftmax(docs, "doc_id", "text", m)
+      .join(docs.select($"doc_id", $"cls"), Seq("doc_id"))
+    val acc = joined.filter($"pred" === $"cls").count().toDouble /
+      joined.count()
+    assert(acc >= 0.95, s"marker-class train accuracy collapsed: $acc")
+  }
+
   test("fit separates the toy corpus and score ranks good above spam") {
     val m = Classifier.fit(corpus, "text", "label", buckets = 64,
       iters = 40, lr = 2.0)

@@ -38,6 +38,7 @@ class PlanGateSpec extends SparkSpec {
     "q134_bigram_lm",      // 1-row vocabulary-size frame broadcast (q87 shape)
     "q137_ccnet_buckets",  // composes q134's bigram LM (same 1-row vocab frame)
     "q141_ccnet_buckets_sketch", // same LM chain, sketch-threshold tier map
+    "q145_langid_softmax_grad", // |K|-row class list + 1-row K frame broadcast
     "q92_curation_pipeline", // composes unigram scoring above
     "q94_quality_band",    // per-band totals (bounded) broadcast
     "q96_tfidf_terms",     // 1-row doc-count stats broadcast
@@ -154,6 +155,10 @@ class PlanGateSpec extends SparkSpec {
     // CONSTRUCTION; the returned labels frame is loop-final (q85
     // precedent: budget 0)
     "q144_sq8_semantic_dedup" -> 0,
+    // one (bucket, cls)-keyed corpus agg; everything downstream is
+    // sketch-sized (per-bucket totals, distinct classes, K 1-row frame,
+    // full-grid join) + output sort
+    "q145_langid_softmax_grad" -> 7,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
