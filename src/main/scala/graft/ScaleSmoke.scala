@@ -477,6 +477,45 @@ object ScaleSmoke {
         regexp_replace(col("text"), "((\\S+\\s+){2})", "$1\n").as("text")),
       "doc_id", "text"), force = true)
 
+    // round-11 tier ------------------------------------------------
+    // CCNet terciles, BOTH forms over the same synthesized scored frame
+    // (hash-derived avg_nano in the q141 grid, n = 1000 so avg_nano =
+    // lp_micro — the phase times the operator, not an upstream LM):
+    // the exact NTILE's per-language window partitions must grow with
+    // the corpus while the sketch form's histogram agg stays flat.
+    def ccnetScored = docs.select(col("doc_id"), col("lang"),
+      lit(1000L).as("n"),
+      (-(lit(3300000000L) +
+        pmod(xxhash64(col("doc_id")), lit(300000000L)))).as("lp"))
+    run("ccnet_exact", graft.operators.Selection.perplexityBuckets(
+      ccnetScored, "doc_id", "lang", "n", "lp"), force = true)
+    run("ccnet_sketch", graft.operators.Selection.perplexityBucketsBySketch(
+      ccnetScored, "doc_id", "lang", "n", "lp",
+      lo = -math.pow(2, 33), hi = 0.0, nHist = 16384), force = true)
+    // exact-substring span dedup under the replication WORST case
+    // (replicas duplicate every text verbatim, so nearly every anchor
+    // past the first copy loses and most of the corpus is excised):
+    // digest-keyed min(struct) agg + unique-key anti join + doc rebuild
+    run("exactsubstr_dedup", graft.operators.Dedup.dedupSpansKeepFirst(
+      docs, "doc_id", "text", n = 8), force = true)
+    // frozen-weight classifier scoring: pure map, zero shuffle
+    run("classifier_score", graft.operators.Classifier.scoreMicro(
+      docs, "doc_id", "text",
+      Array.tabulate(1024)(b => (b * 2654435761L) % 2000001L - 1000000L)),
+      force = true)
+    // softmax gradient at W=0: ONE (bucket, class)-keyed agg, map-side
+    // capped at buckets*K rows per task; grid join is sketch-sized
+    run("softmax_grad", graft.operators.Classifier.softmaxGradientAtZero(
+      docs, "text", "lang", buckets = 1024), allowBroadcastNlj = true)
+    // SQ8 code-tier near-dup: hash blocks sized ~64 vectors keep the
+    // pair scan corpus-LINEAR (~32 pairs/vector); at production scale
+    // the block column is an LSH bucket or cluster id
+    run("sq8_neardup", graft.operators.Similarity.blockedNearDupsSq8(
+      emb.withColumn("blk",
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, nVec / 64)))),
+      "vec_id", "embedding", "blk", threshold = 0.2, dim = 64),
+      force = true)
+
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
     // former CcProbe scratch main, folded in behind this flag)

@@ -213,6 +213,25 @@ object StreamBench {
       finally q.stop()
     }
 
+    // 5b. the signals tier as a STATELESS streaming map: Gopher
+    // repetition filter + fixed-weight classifier scoring applied to a
+    // document stream exactly as written for batch — zero state
+    // operators (state columns read -1/n-a), zero shuffles, per-row
+    // column expressions only. The evidence that the per-document
+    // curation signals drop into a streaming ingest path unchanged.
+    bench("signals_map")(docs.size.toLong) { () =>
+      val ms = MemoryStream[(Long, String)]
+      val w = Array.tabulate(64)(b => ((b * 37) % 101 - 50).toLong)
+      val filtered = operators.Repetition.filterByRepetition(
+        ms.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      val out = operators.Classifier.scoreMicro(filtered, "doc_id", "text", w)
+      val q = out.writeStream.format("memory").queryName(s"sb_${tag}_sig")
+        .outputMode("append").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(docs, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
     // 6. watermarked tumbling-window aggregation, append mode — the
     // engine-native windowed agg (state in the streaming agg operator)
     bench("windowed_agg")(events.size.toLong) { () =>
@@ -426,6 +445,7 @@ object StreamBench {
       "count_window" -> "`CountWindows.tumblingStream` (size 10)",
       "interval_join" -> "`StreamJoins.intervalJoin` (±5 min)",
       "stream_dedup" -> s"`StreamDedup.nearDupCandidates` (LSH bands, ${docs.size} docs)",
+      "signals_map" -> "`Repetition.filterByRepetition` + `Classifier.scoreMicro` (stateless map)",
       "windowed_agg" -> "`StreamOps.windowedAgg` (1h tumble, append)",
       "topn_hotitems" -> "`StreamOps.streamingTopN` (HotItems, top-3/1h)",
       "tx_match" -> "`StreamingApps.txMatchStream` (pay↔receipt, 20% unmatched)",
@@ -466,6 +486,11 @@ object StreamBench {
     md.append("at batch boundaries: peak = in-flight claims (state ENTERS),\n")
     md.append("final = 2 (only the watermark-flush rows remain — state\n")
     md.append("LEAVES on match or timeout, nothing accumulates).\n")
+    md.append("\nsignals_map is the per-document curation tier (Gopher\n")
+    md.append("repetition filter + frozen-weight classifier scoring) applied\n")
+    md.append("to the stream VERBATIM from the batch operators: zero state\n")
+    md.append("operators (state columns 0/0), no watermark, no shuffle —\n")
+    md.append("rows/s here is pure per-doc CPU + micro-batch overhead.\n")
     md.append("\nstream_dedup runs over the documents corpus replicated to\n")
     md.append(s"${docs.size} docs (SPARK_GRAFT_STREAM_DEDUP_DOCS, default 50000):\n")
     md.append("its per-micro-batch cost is ~fixed (state-store commit +\n")

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Every per-document statistic here is computed WITHOUT a shuffle: the
   * n-gram histogramming is a sorted-run-length fold over the document's own
-  * shingle array (a codegen'd higher-order `aggregate`), so at 100 TB the
+  * shingle array (a higher-order `aggregate`; NOTE: HOFs are
+  * CodegenFallback — interpreted, ~0.9 ms/doc/order — which is fine for
+  * the oracle-gated report but is why the hot-path FILTER uses the typed
+  * twin below), so at 100 TB the
   * whole metrics pass is a map-only projection pipelined into the scan —
   * no exploded token table ever materializes, nothing keys on doc_id.
   * Contrast the corpus-level twins (Boilerplate document frequency, BM25
@@ -106,26 +109,28 @@ object Repetition {
     *   top-bigram char fraction  (top2_chars / text chars)    <= maxTopBigramCharFrac,
     *   dup-trigram char fraction (dup3_chars / text chars)    <= maxDupTrigramCharFrac.
     * Fractions are derived per row (doubles never aggregated). Map-only.
+    *
+    * Implemented as a TYPED row predicate
+    * ([[graft.functions.RepetitionImpl.keep]], same tokenizer and
+    * run-length rules as [[ngramRunStats]]): the column-fold form cost
+    * ~2.5 ms/doc — the interpreted HOF fold is ~0.9 ms per pass and a
+    * Filter gets no subexpression elimination, so every struct-field
+    * reference re-ran the fold — vs ~tens of µs/doc typed (the q134
+    * typed-flatMap precedent; RepetitionSpec pins decision parity with
+    * the fold-derived thresholds). Short-circuits per condition, so
+    * most rejects never compute the trigram pass. Null text drops, as
+    * the column condition's NULL did.
     */
   def filterByRepetition(df: DataFrame, idCol: String, textCol: String,
       maxDupWordFrac: Double = 0.6,
       maxTopBigramCharFrac: Double = 0.18,
       maxDupTrigramCharFrac: Double = 0.4): DataFrame = {
-    val s1 = ngramRunStats(col(textCol), 1)
-    val s2 = ngramRunStats(col(textCol), 2)
-    val s3 = ngramRunStats(col(textCol), 3)
-    val chars = length(col(textCol)).cast("double")
-    df.withColumn("_s1", s1).withColumn("_s2", s2).withColumn("_s3", s3)
-      .filter(
-        (col("_s1")("total") === 0 ||
-          lit(1.0) - col("_s1")("distinct") / col("_s1")("total")
-            <= maxDupWordFrac) &&
-        (chars === 0 ||
-          (col("_s2")("top_cnt") * length(col("_s2")("top_gram"))) / chars
-            <= maxTopBigramCharFrac) &&
-        (chars === 0 ||
-          col("_s3")("dup_chars") / chars <= maxDupTrigramCharFrac))
-      .drop("_s1", "_s2", "_s3")
+    val ti = df.schema.fieldIndex(textCol)
+    df.filter { (r: org.apache.spark.sql.Row) =>
+      graft.functions.RepetitionImpl.keep(
+        if (r.isNullAt(ti)) null else r.getString(ti),
+        maxDupWordFrac, maxTopBigramCharFrac, maxDupTrigramCharFrac)
+    }
   }
 
   /** Split `text` into lines and report duplicate-line statistics:

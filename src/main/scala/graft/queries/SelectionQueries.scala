@@ -5,9 +5,10 @@ import graft.operators.{Boilerplate, Sampling, Selection}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-10 data-selection tier: given the signals (q131–q135), decide
-  * WHICH documents train — DSIR importance weighting, CCNet per-language
-  * fluency tiers, and corpus-level keep-first line dedup.
+/** Data-selection tier: given the signals (q131–q135), decide WHICH
+  * documents train — DSIR importance weighting, CCNet per-language
+  * fluency tiers (exact + sketch-threshold forms), corpus-level
+  * keep-first line dedup, and corpus-wide exact-substring span dedup.
   */
 object SelectionQueries extends QueryModule {
 

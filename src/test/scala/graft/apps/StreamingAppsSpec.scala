@@ -402,4 +402,44 @@ class StreamingAppsSpec extends SparkSpec {
       assert(uv.exists(v => v >= 6 && v <= 8)) // 7 distinct users, approx
     } finally q.stop()
   }
+
+  test("signals tier runs unchanged as a stateless streaming map") {
+    // the Gopher repetition filter + fixed-weight classifier scoring are
+    // pure column expressions, so the BATCH operators apply to a stream
+    // verbatim: same rows out, and the running query holds ZERO state
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // clean docs long enough that no single bigram tops 18% of chars
+    val clean1 = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val clean2 = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean1),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"), // dup-word frac 0.9
+      (3L, clean2))
+    val w = Array.tabulate(64)(b => b.toLong)
+    val filtered = graft.operators.Repetition.filterByRepetition(
+      ms.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val out = graft.operators.Classifier.scoreMicro(filtered, "doc_id", "text", w)
+    val q = out.writeStream.format("memory").queryName("sig_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("sig_stream")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch twin over the same rows
+      val batch = graft.operators.Classifier.scoreMicro(
+        graft.operators.Repetition.filterByRepetition(
+          docs.toDF("doc_id", "text"), "doc_id", "text"),
+        "doc_id", "text", w)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch)
+      assert(!got.contains(2L), "repetition filter must drop the spam page")
+      assert(got.keySet == Set(1L, 3L))
+      // stateless: the progress reports carry no state operators
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty,
+        s"signals map acquired state operators: ${st.length}")
+    } finally q.stop()
+  }
 }

@@ -59,6 +59,29 @@ class RepetitionSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("typed filterByRepetition decisions match the fold-derived thresholds") {
+    // the typed predicate (RepetitionImpl.keep) must agree row for row
+    // with the same thresholds computed from the oracle-gated column
+    // fold's report on the fixture corpus — plus a null-text row, which
+    // both forms drop
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((999999L, null: String)).toDF("doc_id", "text"))
+    val typed = Repetition.filterByRepetition(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val rep = Repetition.ngramStats(docs, "doc_id", "text", Seq(1, 2, 3))
+      .join(docs.select($"doc_id", length($"text").cast("double").as("ch")),
+        Seq("doc_id"))
+    val fold = rep.filter(
+        ($"n1_total" === 0 ||
+          lit(1.0) - $"n1_distinct" / $"n1_total" <= 0.6) &&
+        ($"ch" === 0 || $"n2_top_chars" / $"ch" <= 0.18) &&
+        ($"ch" === 0 || $"n3_dup_chars" / $"ch" <= 0.4))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(typed == fold)
+    assert(!typed.contains(999999L))
+  }
+
   test("lineStats counts duplicate lines and their characters") {
     // lines: nav×2 (3 chars each), body×1 → n=3, distinct=2,
     // dup_line_chars=6, total chars 3+3+9=15
