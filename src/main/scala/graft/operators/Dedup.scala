@@ -523,17 +523,20 @@ object Dedup {
     *  - losers: a left-anti join on (digest, id, pos) — a UNIQUE key, so
     *    a hot anchor's occurrences spread uniformly across reducers;
     *  - excision: `collect_list(pos)` keyed by doc (bounded by the doc's
-    *    own length) and a ROW-LOCAL covered-position rebuild. Per-doc
-    *    cost is O(L·|losing anchors|·n) via the covered-set membership
-    *    scan — fine while dup density is moderate; a merged-interval
-    *    two-pointer fold is the escape hatch if a pathological doc is
-    *    ~all duplicates.
-    * Anchors key on the full 128-bit md5 of the n-gram (the house
-    * cross-engine digest; collision odds ~rows²/2¹²⁸ can only excise a
-    * non-duplicate span). Rebuilt text is single-space joined — token
-    * exact for a whitespace-tokenized corpus ([[stripFrequentWindows]]
-    * precedent). Output: (idCol, text, n_tokens, n_removed) for EVERY
-    * input doc (docs with no duplicated span pass through rebuilt).
+    *    own length) and a ROW-LOCAL covered-position rebuild —
+    *    `array_except` over the position range (hash-set membership), so
+    *    per-doc cost is O(L·n), even for a ~100% duplicate document.
+    * Anchors key on xxhash64 of the n-gram — the [[dupSpanCoverage]]
+    * lesson verbatim: the 32-byte md5 hex form shuffled 4x the bytes
+    * (together with the membership-scan rebuild it replaced: 95 s → 35 s
+    * at the 80x replication worst case). A 64-bit
+    * collision (P ~ rows²/2⁶⁴) could only excise a non-duplicate span;
+    * the DuckDB oracle groups by the n-gram STRING, so q142 passing is
+    * itself the no-collision witness at test scale. Rebuilt text is
+    * single-space joined — token exact for a whitespace-tokenized
+    * corpus ([[stripFrequentWindows]] precedent). Output: (idCol, text,
+    * n_tokens, n_removed) for EVERY input doc (docs with no duplicated
+    * span pass through rebuilt).
     */
   def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
@@ -544,8 +547,8 @@ object Dedup {
     val anchors = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice(toks, i, lit(n)))).as("__h"))))
-      .otherwise(array().cast("array<struct<pos:int,__h:string>>"))
+          xxhash64(concat_ws(" ", slice(toks, i, lit(n)))).as("__h"))))
+      .otherwise(array().cast("array<struct<pos:int,__h:bigint>>"))
     val occ = df.select(col(idCol).cast("long").as(idCol),
         explode(anchors).as("a"))
       .select(col(idCol), col("a.pos").as("pos"), col("a.__h").as("__h"))
@@ -558,9 +561,13 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos"))).as("__dups"))
     val covered = array_distinct(flatten(transform(col("__dups"),
       p => sequence(p, p + (n - 1)))))
-    val keptToks = filter(
-      transform(toks, (t, i) => struct((i + 1).as("p"), t.as("t"))),
-      s => !array_contains(covered, s.getField("p")))
+    // surviving positions via array_except (hash-set lookup, first-array
+    // order preserved) — the per-token array_contains scan this replaces
+    // was O(L·|covered|) per doc, the rebuild's wall-clock at the 80x
+    // all-duplicate worst case
+    val keptToks = transform(
+      array_except(sequence(lit(1), size(toks)), covered),
+      p => element_at(toks, p))
     // covered ⊆ [1, L] by construction (anchors end inside the doc), so
     // n_removed = |covered| — keptToks is referenced exactly ONCE
     // (CollapseProject would inline the whole rebuild into every
@@ -569,7 +576,7 @@ object Dedup {
       .join(dups, Seq(idCol), "left")
       .withColumn("__dups", coalesce(col("__dups"), array().cast("array<int>")))
       .select(col(idCol),
-        concat_ws(" ", transform(keptToks, s => s.getField("t"))).as("text"),
+        concat_ws(" ", keptToks).as("text"),
         size(toks).cast("long").as("n_tokens"),
         size(covered).cast("long").as("n_removed"))
   }

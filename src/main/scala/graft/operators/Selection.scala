@@ -210,8 +210,9 @@ object Selection {
     * language key cannot funnel a corpus-scale partition through one
     * task.
     *
-    * Shape: one eager `Sketches.histogramSketch` pass at CONSTRUCTION (a
-    * keyed agg whose task output is capped at |langs|·nHist rows by
+    * Shape: one eager histogram pass at CONSTRUCTION (a (lang, bucket)
+    * keyed agg — the `Sketches.histogramSketch` bucketization kept
+    * SPARSE — whose task output is capped at |langs|·nHist rows by
     * map-side combine, plus a sketch-sized threshold window), whose
     * |langs|-row threshold table is collected to the driver — bounded
     * planning metadata, the λ-table/centroid discipline — and embedded in
@@ -249,7 +250,17 @@ object Selection {
     val base = scored.withColumn("avg_nano", avgNanoCol(nCol, lpMicroCol))
     val hb = least(lit(nHist - 1), greatest(lit(0),
       floor((col("avg_nano") - lo) / width).cast("int")))
-    val sk = Sketches.histogramSketch(base, langCol, "avg_nano", lo, hi, nHist)
+    // The SPARSE per-(lang, bucket) counts — same mergeable equi-width
+    // integer histogram as Sketches.histogramSketch, minus the dense
+    // array rebuild: that rebuild probes a ≤nHist-entry MAP nHist times
+    // per group (Spark map lookup is a linear scan → O(nHist²) probes —
+    // 12x the exact NTILE's wall time at nHist = 16384 before this), and
+    // the threshold derivation re-sparsifies it anyway.
+    val sk = base
+      .filter(col("avg_nano").isNotNull) // histogramSketch's null-drop rule
+      .groupBy(col(langCol), hb.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val nPer = sk.groupBy(col(langCol)).agg(sum(col("cnt")).as("n"))
     // boundary i (1..nBuckets-1) lives in the DESC-order bucket containing
     // rank t_i = ceil(i·n/nBuckets); cum windows run over sketch-sized
     // rows only. floor((i·n + nB−1)/nB): i·n < 2^53 so the double floor-div
@@ -258,9 +269,8 @@ object Selection {
     val w = Window.partitionBy(col(langCol), col("i"))
       .orderBy(col("bucket").desc)
     val thr: Map[String, Seq[Int]] = sk
-      .select(col(langCol).cast("string"), col("n"),
-        posexplode(col("counts")).as(Seq("bucket", "cnt")))
-      .filter(col("cnt") > 0)
+      .join(nPer, Seq(langCol))
+      .select(col(langCol).cast("string"), col("n"), col("bucket"), col("cnt"))
       .withColumn("i", explode(array((1 until nBuckets).map(lit): _*)))
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("t", floor((col("i") * col("n") + lit(nBuckets - 1)) / nB))
