@@ -285,13 +285,19 @@ object Sampling {
       logWeightCol: String, k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     // Every non-null log-weight is a valid weight (log space has no
-    // w <= 0), but a NULL one yields a null gkey — and ascending sort is
-    // NULLS FIRST, so null-weight rows would deterministically beat every
-    // real row into the sample. Mirror of weightedSampleByHash's w > 0.
-    df.filter(col(logWeightCol).isNotNull)
-      .withColumn("gkey", logSamplingKey(col(idCol), col(logWeightCol), seed))
-      .orderBy(col("gkey").asc, col(idCol))
+    // w <= 0), but a NULL one yields a null gkey — and plain ascending
+    // sort is NULLS FIRST, so null-weight rows would deterministically
+    // beat every real row into the sample. Guard by sorting nulls LAST
+    // and dropping them from the ≤k-row result — NOT by filtering the
+    // input: `logWeightCol` is typically a derived column (dsirScores'
+    // avg_lw = the whole scoring aggregate), and an input filter gets
+    // substituted through the projection into a predicate that re-runs
+    // the aggregate per row with no subexpression elimination (measured
+    // 5x on q139).
+    df.withColumn("gkey", logSamplingKey(col(idCol), col(logWeightCol), seed))
+      .orderBy(col("gkey").asc_nulls_last, col(idCol))
       .limit(k)
+      .filter(col("gkey").isNotNull)
   }
 
   /** floor((ln(−ln u) − lw)·1e6 + 0.5) as BIGINT; u off md5(seed:id).

@@ -833,20 +833,25 @@ object Similarity {
   def blockedNearDupsSq8(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, dim: Int,
       roundScale: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val model = sq8Fit(df, vecCol, dim)
-    def dotL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    // decoded micro values are |x| < ~2^22 and dim ≤ thousands, so every
+    // product and partial sum stays < 2^53: the DOUBLE dot over the
+    // per-pair hot loop is EXACT integer arithmetic, and the native
+    // codegen'd graft_dot replaces an interpreted HOF fold that cost
+    // ~2.5x the whole query (q85's scoring discipline)
     val base = sq8DecodeMicro(sq8Encode(df, vecCol, model), "codes", model)
-      .select(col(blockCol).as("block"), col(idCol).as("id"), col("dec"))
-      .withColumn("n2", dotL(col("dec"), col("dec")))
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        transform(col("dec"), c => c.cast("double")).as("dec"))
+      .withColumn("n2", GraftFunctions.dot(col("dec"), col("dec")))
     val l = base.select(col("block"), col("id").as("id_a"),
       col("dec").as("da"), col("n2").as("aa"))
     val r = base.select(col("block").as("block_r"), col("id").as("id_b"),
       col("dec").as("db"), col("n2").as("bb"))
     l.join(r, col("block") === col("block_r") && col("id_a") < col("id_b"))
       .withColumn("cos_r", round(
-        dotL(col("da"), col("db")).cast("double") /
-          (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))),
+        GraftFunctions.dot(col("da"), col("db")) /
+          (sqrt(col("aa")) * sqrt(col("bb"))),
         roundScale))
       .filter(col("cos_r") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("cos_r"))
