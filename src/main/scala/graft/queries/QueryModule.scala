@@ -15,6 +15,30 @@ trait QueryModule {
   def oracles: Map[String, String]
 }
 
+/** One bigram-LM scoring pass per (session, sf dir), shared by the LM
+  * family gates (q134 / q137 / q141) — the q116/q120/q127 shared-BM25
+  * discipline: the three gates compose the SAME deterministic add-1
+  * bigram chain (counts, history totals, exact-distinct vocab, LM join,
+  * per-doc exact-integer sums), and three identical rebuilds dominated
+  * the family's bench cost (q141 additionally consumed the chain twice —
+  * threshold construction + scored plan). The scored frame is
+  * `localCheckpoint`ed so every consumer reads materialized partitions.
+  * Keyed by applicationId so a stopped session's dead checkpoint blocks
+  * are never reused.
+  */
+object SharedLm {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** (doc_id, n_bigrams, lp_micro, avg_lp) — `Quality.bigramLogprob`
+    * over the documents table, materialized once per session+dir.
+    */
+  def scored(s: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir",
+      _ => graft.operators.Quality.bigramLogprob(
+        graft.Tables.documents(s, dir), "doc_id", "text").localCheckpoint())
+}
+
 /** Cross-engine determinism helpers.
   *
   * Double sums are order-dependent, so any aggregate over a money-like

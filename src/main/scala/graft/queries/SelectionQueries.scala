@@ -39,8 +39,8 @@ object SelectionQueries extends QueryModule {
     "q137_ccnet_buckets" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val lm = graft.operators.Quality.bigramLogprob(docs, "doc_id", "text")
-      val scored = lm.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      val scored = SharedLm.scored(s, dir)
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
       Selection.perplexityBuckets(scored, "doc_id", "lang", "n_bigrams",
         "lp_micro", nBuckets = 3)
         .select($"doc_id", $"lang", $"n_bigrams", $"avg_nano",
@@ -93,8 +93,8 @@ object SelectionQueries extends QueryModule {
     "q141_ccnet_buckets_sketch" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val lm = graft.operators.Quality.bigramLogprob(docs, "doc_id", "text")
-      val scored = lm.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      val scored = SharedLm.scored(s, dir)
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
       Selection.perplexityBucketsBySketch(scored, "doc_id", "lang",
         "n_bigrams", "lp_micro", lo = -math.pow(2, 33), hi = 0.0,
         nHist = 16384, nBuckets = 3)

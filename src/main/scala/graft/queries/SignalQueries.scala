@@ -101,8 +101,7 @@ object SignalQueries extends QueryModule {
     // flag in the repetition report — the two signals disagree by design.
     "q134_bigram_lm" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Quality.bigramLogprob(
-        Tables.documents(s, dir), "doc_id", "text")
+      SharedLm.scored(s, dir)
         .select($"doc_id", $"n_bigrams", $"lp_micro", $"avg_lp")
         .orderBy($"doc_id")
     })
