@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Boilerplate, Sampling, Selection}
+import graft.operators.{Boilerplate, Classifier, Sampling, Selection}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,46 @@ object SelectionQueries extends QueryModule {
       import s.implicits._
       graft.operators.Dedup.dedupSpansKeepFirst(
         Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
+    }),
+
+    // Round-11 composed curation chain (the q92/q128 full-chain
+    // discipline, over the round-11 tier): corpus-wide exact-substring
+    // span dedup → Gopher repetition filter on the REBUILT text (typed
+    // predicate; oracle replays the same thresholds in SQL — parity
+    // pinned by RepetitionSpec) → frozen-weight classifier scoring
+    // (one integer GD step at w = 0 over the SURVIVING corpus) →
+    // top-100 by the exact integer per-token score (q137's nano-key
+    // discipline, TakeOrdered — no global sort).
+    "q146_curation_select" -> ((s, dir) => {
+      import s.implicits._
+      // the dedup + filter + label chain is consumed by BOTH the
+      // gradient construction job and the returned scoring plan —
+      // materialize it ONCE (the Retrieval.buildIndex localCheckpoint
+      // discipline; running the chain per consumer measured 17 s vs
+      // ~3 s at sf0.1). n_removed rides through the filter, so no
+      // second dedup pass is needed for the output column.
+      val deduped = graft.operators.Dedup.dedupSpansKeepFirst(
+        Tables.documents(s, dir), "doc_id", "text", n = 8)
+      val labeled = graft.operators.Repetition.filterByRepetition(
+          deduped, "doc_id", "text")
+        .join(Tables.documents(s, dir).select($"doc_id", $"lang"),
+          Seq("doc_id"))
+        .withColumn("is_ref", $"lang" === "en")
+        .localCheckpoint()
+      val w = Array.fill(64)(0L)
+      Classifier.gradientAtZero(labeled, "text", "is_ref", buckets = 64)
+        .select($"bucket".cast("int"), $"grad2")
+        .as[(Int, Long)].collect()
+        .foreach { case (b, g) => w(b) = -g }
+      Classifier.scoreMicro(labeled, "doc_id", "text", w)
+        .join(labeled.select($"doc_id", $"n_removed"), Seq("doc_id"))
+        .withColumn("score_nano",
+          floor($"score_micro".cast("double") * 1e3 /
+            $"n_toks".cast("double") + 0.5).cast("long"))
+        .orderBy($"score_nano".desc, $"doc_id")
+        .limit(100)
+        .select($"doc_id", $"n_toks", $"n_removed", $"score_nano")
         .orderBy($"doc_id")
     }),
 
@@ -370,6 +410,102 @@ object SelectionQueries extends QueryModule {
         |LEFT JOIN agg a USING (doc_id)
         |LEFT JOIN nrem nr USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // The q142 rebuild CTEs → the Gopher thresholds in SQL over the
+    // REBUILT text (the RepetitionSpec parity contract) → q143's
+    // gradient/scoring CTEs over the survivors → the nano-key top-100.
+    "q146_curation_select" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)),
+        |losers AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM sh) WHERE rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS INT) AS cp
+        |  FROM losers, UNNEST(range(pos, pos + 8)) AS t(p)),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
+        |  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.cp
+        |  WHERE c.cp IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id),
+        |nrem AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+        |rw AS (
+        |  SELECT w.doc_id, COALESCE(a.text, '') AS text,
+        |    CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed,
+        |    regexp_split_to_array(trim(COALESCE(a.text, '')), '\s+') AS rwv
+        |  FROM words w
+        |  LEFT JOIN agg a USING (doc_id)
+        |  LEFT JOIN nrem nr USING (doc_id)),
+        |g1 AS (SELECT doc_id, unnest(rwv) AS g FROM rw),
+        |c1 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g1 GROUP BY 1, 2),
+        |a1 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total,
+        |         CAST(COUNT(*) AS BIGINT) AS dist
+        |       FROM c1 GROUP BY 1),
+        |g2 AS (SELECT doc_id,
+        |         rwv[CAST(i AS INT)] || ' ' || rwv[CAST(i AS INT) + 1] AS g
+        |       FROM rw, UNNEST(range(1, len(rwv))) AS t(i)),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, CAST(cnt * length(g) AS BIGINT) AS topchars
+        |       FROM (SELECT doc_id, g, cnt, ROW_NUMBER() OVER (
+        |               PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        |             FROM c2) WHERE rn = 1),
+        |g3 AS (SELECT doc_id,
+        |         rwv[CAST(i AS INT)] || ' ' || rwv[CAST(i AS INT) + 1]
+        |           || ' ' || rwv[CAST(i AS INT) + 2] AS g
+        |       FROM rw, UNNEST(range(1, len(rwv) - 1)) AS t(i)),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(g)
+        |                       ELSE 0 END) AS BIGINT) AS dupchars
+        |       FROM c3 GROUP BY 1),
+        |surv AS (
+        |  SELECT r.doc_id, r.n_removed, r.rwv
+        |  FROM rw r JOIN a1 USING (doc_id)
+        |  LEFT JOIN t2 USING (doc_id)
+        |  LEFT JOIN a3 USING (doc_id)
+        |  WHERE (a1.total = 0 OR
+        |         1.0 - CAST(a1.dist AS DOUBLE) / CAST(a1.total AS DOUBLE)
+        |           <= 0.6)
+        |    AND (length(r.text) = 0 OR
+        |         CAST(COALESCE(t2.topchars, 0) AS DOUBLE) / length(r.text)
+        |           <= 0.18)
+        |    AND (length(r.text) = 0 OR
+        |         CAST(COALESCE(a3.dupchars, 0) AS DOUBLE) / length(r.text)
+        |           <= 0.4)),
+        |feat AS (
+        |  SELECT s.doc_id,
+        |    (CASE WHEN d.lang = 'en' THEN -1 ELSE 1 END) AS sg,
+        |    CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM surv s JOIN documents d USING (doc_id),
+        |    UNNEST(s.rwv) AS t(tok)),
+        |wt AS (SELECT b, CAST(-SUM(sg) AS BIGINT) AS wv FROM feat
+        |       GROUP BY 1),
+        |sc AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |         CAST(SUM(wt.wv) AS BIGINT) AS score_micro
+        |       FROM feat f JOIN wt USING (b) GROUP BY 1),
+        |keyd AS (SELECT doc_id, n_toks,
+        |           CAST(floor(CAST(score_micro AS DOUBLE) * 1e3
+        |             / CAST(n_toks AS DOUBLE) + 0.5) AS BIGINT) AS score_nano
+        |         FROM sc)
+        |SELECT k.doc_id, k.n_toks, s.n_removed, k.score_nano
+        |FROM (SELECT * FROM keyd
+        |      ORDER BY score_nano DESC, doc_id LIMIT 100) k
+        |JOIN surv s USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
 
     // q75's exact-integer mixCorpus replay with the temperature weights
     // w = GREATEST(1, floor(sqrt(n))) derived from the SAME table.

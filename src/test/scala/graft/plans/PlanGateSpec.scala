@@ -145,9 +145,10 @@ class PlanGateSpec extends SparkSpec {
     // is a row-local literal — no NTILE window, no per-language sort
     "q141_ccnet_buckets_sketch" -> 7,
     // anchor-digest keep-first agg + (digest,id,pos) anti join +
-    // doc-keyed loser collect + rebuild join; output sort folds into
-    // the doc-keyed exchange
-    "q142_exactsubstr_dedup" -> 3,
+    // doc-keyed loser collect + rebuild join + output sort, plus the
+    // respread repartition on both chain arms (single-split fixture;
+    // no-op on a real corpus — the q136 budget precedent)
+    "q142_exactsubstr_dedup" -> 6,
     // gradient agg runs at CONSTRUCTION (bounded collect, λ discipline);
     // the returned plan is a pure scoring map + output sort
     "q143_classifier_score" -> 1,
@@ -159,6 +160,12 @@ class PlanGateSpec extends SparkSpec {
     // sketch-sized (per-bucket totals, distinct classes, K 1-row frame,
     // full-grid join) + output sort
     "q145_langid_softmax_grad" -> 7,
+    // composed chain: the dedup + filter + label frame materializes
+    // ONCE at construction (localCheckpoint, Retrieval.buildIndex
+    // discipline) and the gradient agg runs there too (q143); the
+    // returned plan is checkpoint scan + scoring map + n_removed
+    // self-join + TakeOrdered
+    "q146_curation_select" -> 2,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
