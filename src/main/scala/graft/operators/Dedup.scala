@@ -541,13 +541,11 @@ object Dedup {
   def dedupSpansKeepFirst(df0: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"anchor length must be >= 2 tokens: $n")
-    // the Retrieval.buildIndex respread discipline: per-doc CPU
-    // (tokenize + anchor hashing + rebuild) lives in the pre-shuffle map
-    // stages, and the local single-split fixture would run them as ONE
-    // task (measured 5x on the composed q146 chain); a real corpus
-    // arrives in thousands of splits and this is a no-op
-    val p = df0.sparkSession.sparkContext.defaultParallelism
-    val df = if (df0.rdd.getNumPartitions < p) df0.repartition(2 * p) else df0
+    // Respread: per-doc CPU (tokenize + anchor hashing + rebuild) lives
+    // in the pre-shuffle map stages, and the local single-split fixture
+    // would run them as ONE task (measured 5x on the composed q146
+    // chain); a real corpus arrives in thousands of splits → no-op
+    val df = Respread(df0)
     val toks = split(trim(col(textCol)), "\\s+")
     // 1-based positional anchors; docs shorter than n contribute none
     // (sequence(1, L-n+1) would run DESCENDING for L < n — guard it)

@@ -44,17 +44,10 @@ object Selection {
     transform(concat(toks, bigrams), t => Classifier.tokenBucket(t, buckets))
   }
 
-  /** The Retrieval.buildIndex respread discipline: if the corpus arrives
-    * in fewer splits than the session has cores (the local single-file
-    * fixture — a no-op on a real corpus landing in thousands of splits),
-    * spread it so the per-doc hashing CPU parallelizes. The feature
-    * passes here are where ALL of DSIR's cost lives; on one split they
-    * run as one task.
+  /** [[Respread]]: the feature passes here are where ALL of DSIR's cost
+    * lives; on one split they run as one task.
     */
-  private def respread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(2 * p) else df
-  }
+  private def respread(df: DataFrame): DataFrame = Respread(df)
 
   /** Per-bucket occurrence counts over a corpus — ONE aggregation whose
     * result is ≤ `buckets` rows (map-side combine caps task output).
