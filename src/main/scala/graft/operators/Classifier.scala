@@ -259,6 +259,32 @@ object Classifier {
       best.getField("m").as("margin"))
   }
 
+  /** Frozen-weight multi-class scoring, exact integers end to end
+    * (q147): per-class `score_c = Σ_occurrences w_c(bucket)`, argmax
+    * with ties to the LOWEST class index. Typed row kernel
+    * ([[graft.functions.ClassifierImpl.scoreSoftmax]]) — a columnar
+    * K-class fold would inline the md5-hashing array into BOTH output
+    * columns (pred, best score; the scoreWith CollapseProject lesson),
+    * and unlike the binary [[scoreMicro]] an argmax cannot be derived
+    * arithmetically from a single referenced column. Output:
+    * (idCol, n_toks, pred, best_micro) — fully oracle-replayable
+    * (integer sums + deterministic argmax).
+    */
+  def scoreSoftmaxMicro(df: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Array[Array[Long]], classes: Array[String]): DataFrame = {
+    require(classes.length == weightsMicro.length && classes.length >= 2,
+      s"need one weight row per class: ${classes.length} vs ${weightsMicro.length}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (n, ci, s) = graft.functions.ClassifierImpl.scoreSoftmax(
+          text, weightsMicro)
+        (id, n, classes(ci), s)
+      }.toDF(idCol, "n_toks", "pred", "best_micro")
+  }
+
   /** Map-only EXACT-integer scoring against a FIXED micro-unit weight
     * vector riding as a plan literal: `score_micro = Σ_occurrences
     * w_micro(bucket)` — an exact BIGINT per document, so the scoring

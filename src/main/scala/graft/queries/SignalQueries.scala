@@ -94,6 +94,27 @@ object SignalQueries extends QueryModule {
         .orderBy($"bucket", $"cls")
     }),
 
+    // The multi-class scoring half closed into the gate (q145 covers the
+    // gradient): freeze per-class integer weights w_c(b) = −gradk(b,c) =
+    // K·n_bc − n_b (one integer GD step at W = 0, the q143 discipline,
+    // collected as bucket×class bounded metadata) and score every
+    // document with exact per-class sums + deterministic argmax (ties to
+    // the alphabetically first class).
+    "q147_softmax_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val grid = Classifier.softmaxGradientAtZero(docs, "text", "lang",
+          buckets = 64)
+        .select($"cls", $"bucket".cast("int"), $"gradk")
+        .as[(String, Int, Long)].collect()
+      val classes = grid.map(_._1).distinct.sorted
+      val idx = classes.zipWithIndex.toMap
+      val w = Array.fill(classes.length, 64)(0L)
+      grid.foreach { case (c, b, g) => w(idx(c))(b) = -g }
+      Classifier.scoreSoftmaxMicro(docs, "doc_id", "text", w, classes)
+        .orderBy($"doc_id")
+    }),
+
     // Bigram-LM fluency scoring (CCNet shape): Laplace-smoothed
     // conditional logprobs trained on the corpus itself, quantized to
     // integer micro-units at the vocabulary level, summed exactly per
@@ -268,6 +289,39 @@ object SignalQueries extends QueryModule {
         |FROM nb CROSS JOIN cl CROSS JOIN kk
         |LEFT JOIN cnt ct ON ct.bucket = nb.bucket AND ct.cls = cl.cls
         |ORDER BY nb.bucket, cl.cls""".stripMargin,
+
+    // q145's grid negated into per-class weights, per-doc per-class
+    // exact sums (each token joins exactly one wt row per class), argmax
+    // via ROW_NUMBER (s DESC, cls ASC) = ties to the first class.
+    "q147_softmax_score" ->
+      """WITH feat AS (
+        |  SELECT doc_id, lang AS cls,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)),
+        |cnt AS (SELECT b, cls, COUNT(*) AS n_bc FROM feat GROUP BY 1, 2),
+        |nb AS (SELECT b, CAST(SUM(n_bc) AS BIGINT) AS nb FROM cnt
+        |       GROUP BY 1),
+        |kk AS (SELECT COUNT(DISTINCT cls) AS k FROM cnt),
+        |cl AS (SELECT DISTINCT cls FROM cnt),
+        |wt AS (
+        |  SELECT nb.b, cl.cls,
+        |    CAST(kk.k * COALESCE(ct.n_bc, 0) - nb.nb AS BIGINT) AS wv
+        |  FROM nb CROSS JOIN cl CROSS JOIN kk
+        |  LEFT JOIN cnt ct ON ct.b = nb.b AND ct.cls = cl.cls),
+        |sc AS (
+        |  SELECT f.doc_id, w.cls, CAST(SUM(w.wv) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_toks
+        |  FROM feat f JOIN wt w ON w.b = f.b
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, cls, s, n_toks, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
+        |  FROM sc)
+        |SELECT doc_id, n_toks, cls AS pred, s AS best_micro
+        |FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Same add-1 LM: P(b|a) = (c(a b)+1)/(c(a ·)+V); ln quantized to
     // 1e-6 units per DISTINCT bigram (the q87 ln-replay discipline),

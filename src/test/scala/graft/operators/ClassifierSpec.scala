@@ -165,6 +165,40 @@ class ClassifierSpec extends SparkSpec {
     assert(acc >= 0.95, s"marker-class train accuracy collapsed: $acc")
   }
 
+  test("ClassifierImpl.tokenBucket matches the column tokenBucket on fixture tokens") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(trim($"text"), "\\s+")).as("t"))
+      .distinct().limit(200)
+    for (b <- Seq(8, 64, 1024)) {
+      val colSide = toks.select($"t", Classifier.tokenBucket($"t", b))
+        .as[(String, Long)].collect()
+      colSide.foreach { case (t, expect) =>
+        assert(graft.functions.ClassifierImpl.tokenBucket(t, b) == expect,
+          s"bucket mismatch for '$t' at $b buckets")
+      }
+    }
+  }
+
+  test("scoreSoftmaxMicro with mirrored 2-class weights equals the binary scorer's sign") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "rouge bleu"),
+      (3L, "alpha rouge")).toDF("doc_id", "text")
+    val B = 16
+    val w = Array.tabulate(B)(b => (b * 13 % 31 - 15).toLong)
+    val binary = Classifier.scoreMicro(docs, "doc_id", "text", w)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val multi = Classifier.scoreSoftmaxMicro(docs, "doc_id", "text",
+        Array(w, w.map(-_)), Array("pos", "neg"))
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    binary.foreach { case (id, (n, s)) =>
+      val (mn, pred, best) = multi(id)
+      assert(mn == n)
+      // argmax(s, -s): s >= 0 -> "pos" (ties break to the first class)
+      assert(pred == (if (s >= 0) "pos" else "neg"))
+      assert(best == math.max(s, -s))
+    }
+  }
+
   test("fit separates the toy corpus and score ranks good above spam") {
     val m = Classifier.fit(corpus, "text", "label", buckets = 64,
       iters = 40, lr = 2.0)

@@ -166,6 +166,9 @@ class PlanGateSpec extends SparkSpec {
     // returned plan is checkpoint scan + scoring map + n_removed
     // self-join + TakeOrdered
     "q146_curation_select" -> 2,
+    // gradient grid runs at CONSTRUCTION (bounded collect); the typed
+    // scoring map + output sort is the whole returned plan
+    "q147_softmax_score" -> 1,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
