@@ -546,37 +546,84 @@ object Dedup {
     // would run them as ONE task (measured 5x on the composed q146
     // chain); a real corpus arrives in thousands of splits → no-op
     val df = Respread(df0)
-    val toks = split(trim(col(textCol)), "\\s+")
-    // 1-based positional anchors; docs shorter than n contribute none
-    // (sequence(1, L-n+1) would run DESCENDING for L < n — guard it)
-    val anchors = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => struct(i.as("pos"),
-          xxhash64(concat_ws(" ", slice(toks, i, lit(n)))).as("__h"))))
-      .otherwise(array().cast("array<struct<pos:int,__h:bigint>>"))
-    val occ = df.select(col(idCol).cast("long").as(idCol),
-        explode(anchors).as("a"))
-      .select(col(idCol), col("a.pos").as("pos"), col("a.__h").as("__h"))
+    val occ = spanAnchors(df, idCol, textCol, n)
     val firsts = occ.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
       .select(col("__h"), col("__first").getField(idCol).as(idCol),
         col("__first").getField("pos").as("pos"))
     val losers = occ.join(firsts, Seq("__h", idCol, "pos"), "left_anti")
+    rebuildExcised(df, idCol, textCol, losers, n)
+  }
+
+  /** Incremental [[dedupSpansKeepFirst]]: excise from `incoming` every
+    * duplicated run that already exists ANYWHERE in `corpus` (the corpus
+    * keeps all its copies — it is the already-accepted past), plus
+    * within-batch repeats of corpus-absent runs (keep-first inside the
+    * batch). The per-micro-batch production form of exact-substring
+    * dedup: wrap in `foreachBatch` with a static corpus frame — every
+    * step is a batch op, no streaming state (the
+    * `StreamDedup.againstCorpusExact` posture).
+    *
+    * Scale: the corpus side reduces to DISTINCT anchor digests (one agg,
+    * map-side combine — positions never shuffle), the membership test is
+    * an anti join on the 8-byte digest, and only `incoming` is ever
+    * rebuilt. Output: (idCol, text, n_tokens, n_removed) for every
+    * incoming doc.
+    */
+  def dedupSpansIncremental(incoming0: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"anchor length must be >= 2 tokens: $n")
+    val incoming = Respread(incoming0)
+    val occ = spanAnchors(incoming, idCol, textCol, n)
+    val corpusH = spanAnchors(Respread(corpus), idCol, textCol, n)
+      .select(col("__h")).distinct()
+    // anchors whose run exists in the corpus all lose; the rest keep
+    // their first (id, pos) occurrence within the batch
+    val fresh = occ.join(corpusH, Seq("__h"), "left_anti")
+    val firsts = fresh.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__h"), col("__first").getField(idCol).as(idCol),
+        col("__first").getField("pos").as("pos"))
+    val losers = occ.join(firsts, Seq("__h", idCol, "pos"), "left_anti")
+    rebuildExcised(incoming, idCol, textCol, losers, n)
+  }
+
+  /** (id, pos, __h): 1-based positional n-gram anchors keyed by
+    * xxhash64; docs shorter than n contribute none (sequence(1, L-n+1)
+    * would run DESCENDING for L < n — guard it).
+    */
+  private def spanAnchors(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val anchors = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(toks, i, lit(n)))).as("__h"))))
+      .otherwise(array().cast("array<struct<pos:int,__h:bigint>>"))
+    df.select(col(idCol).cast("long").as(idCol),
+        explode(anchors).as("a"))
+      .select(col(idCol), col("a.pos").as("pos"), col("a.__h").as("__h"))
+  }
+
+  /** Shared excision tail: union losing anchors' intervals per doc and
+    * rebuild (single-space joined). Surviving positions via
+    * `array_except` (hash-set lookup, first-array order preserved) — the
+    * per-token `array_contains` scan this replaced was O(L·|covered|)
+    * per doc, the rebuild's wall-clock at the 80x all-duplicate worst
+    * case. covered ⊆ [1, L] by construction, so n_removed = |covered|;
+    * keptToks is referenced exactly ONCE (CollapseProject would inline
+    * the whole rebuild into every consumer — the scoreWith lesson).
+    */
+  private def rebuildExcised(df: DataFrame, idCol: String, textCol: String,
+      losers: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
     val dups = losers.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__dups"))
     val covered = array_distinct(flatten(transform(col("__dups"),
       p => sequence(p, p + (n - 1)))))
-    // surviving positions via array_except (hash-set lookup, first-array
-    // order preserved) — the per-token array_contains scan this replaces
-    // was O(L·|covered|) per doc, the rebuild's wall-clock at the 80x
-    // all-duplicate worst case
     val keptToks = transform(
       array_except(sequence(lit(1), size(toks)), covered),
       p => element_at(toks, p))
-    // covered ⊆ [1, L] by construction (anchors end inside the doc), so
-    // n_removed = |covered| — keptToks is referenced exactly ONCE
-    // (CollapseProject would inline the whole rebuild into every
-    // consumer, the scoreWith lesson)
     df.select(col(idCol).cast("long").as(idCol), col(textCol))
       .join(dups, Seq(idCol), "left")
       .withColumn("__dups", coalesce(col("__dups"), array().cast("array<int>")))

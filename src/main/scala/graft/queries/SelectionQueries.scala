@@ -156,6 +156,21 @@ object SelectionQueries extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Incremental exact-substring dedup (q142's per-batch production
+    // form): docs with doc_id % 10 == 0 arrive as the incoming batch,
+    // the rest are the accepted corpus. Runs already present in the
+    // corpus are excised from the batch everywhere; corpus-absent runs
+    // keep their first within-batch occurrence.
+    "q148_exactsubstr_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.dedupSpansIncremental(
+        docs.filter($"doc_id" % 10 === 0),
+        docs.filter($"doc_id" % 10 =!= 0),
+        "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
+    }),
+
     // UniMax/mT5 temperature rebalancing at alpha = 0.5: kept mixture
     // ∝ n_lang^0.5, smallest language kept whole. sqrt is correctly
     // rounded IEEE in both engines, so the driver oracle re-derives the
@@ -506,6 +521,55 @@ object SelectionQueries extends QueryModule {
         |      ORDER BY score_nano DESC, doc_id LIMIT 100) k
         |JOIN surv s USING (doc_id)
         |ORDER BY k.doc_id""".stripMargin,
+
+    // Anchors of the incoming slice; corpus membership via ANTI JOIN on
+    // the n-gram string; within-batch keep-first for corpus-absent runs
+    // only; the same rebuild tail as q142 over the incoming docs.
+    "q148_exactsubstr_incremental" ->
+      """WITH wi AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |shi AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM wi, UNNEST(range(1, len(w) - 6)) AS t(i)),
+        |corpg AS (
+        |  SELECT DISTINCT
+        |    array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents WHERE doc_id % 10 <> 0),
+        |    UNNEST(range(1, len(w) - 6)) AS t(i)),
+        |l1 AS (SELECT doc_id, pos FROM shi JOIN corpg USING (g)),
+        |rest AS (SELECT shi.* FROM shi ANTI JOIN corpg USING (g)),
+        |l2 AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM rest) WHERE rn > 1),
+        |losers AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS INT) AS cp
+        |  FROM losers, UNNEST(range(pos, pos + 8)) AS t(p)),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
+        |  FROM wi, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.cp
+        |  WHERE c.cp IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id),
+        |nrem AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(a.text, '') AS text,
+        |  CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM wi w
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN nrem nr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q75's exact-integer mixCorpus replay with the temperature weights
     // w = GREATEST(1, floor(sqrt(n))) derived from the SAME table.

@@ -775,6 +775,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got(5L) == (("m n", 2L, 0L)))
   }
 
+  test("dedupSpansIncremental excises corpus runs everywhere, batch runs after their first") {
+    val corpus = Seq(
+      (10L, "a b c d e f"),
+      (11L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "a b c d x y"),   // run "a b c d" exists in corpus -> excised
+      (2L, "m n o v w z"),   // fresh -> untouched
+      (3L, "m n o v w z"),   // within-batch repeat of doc 2 -> excised
+      (4L, "a b c d e f"))   // whole corpus doc -> fully excised
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupSpansIncremental(
+        incoming, corpus, "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // anchors of doc 1: abc bcd (corpus) + cdx dxy (fresh, first here)
+    assert(got(1L) == (("x y", 6L, 4L)))
+    assert(got(2L) == (("m n o v w z", 6L, 0L)))
+    assert(got(3L) == (("", 6L, 6L)))
+    assert(got(4L) == (("", 6L, 6L)))
+    // the corpus itself is never rewritten — only incoming docs return
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("incrementalDedupReport flags exact and near incoming dups, exact taking precedence") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

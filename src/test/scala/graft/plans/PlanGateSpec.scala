@@ -169,6 +169,10 @@ class PlanGateSpec extends SparkSpec {
     // gradient grid runs at CONSTRUCTION (bounded collect); the typed
     // scoring map + output sort is the whole returned plan
     "q147_softmax_score" -> 1,
+    // q142's shape plus the corpus-digest distinct + membership anti
+    // join and a second respread (both arms of the fixture are
+    // single-split); only incoming rebuilds
+    "q148_exactsubstr_incremental" -> 8,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
