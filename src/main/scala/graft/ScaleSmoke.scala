@@ -515,6 +515,48 @@ object ScaleSmoke {
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, nVec / 64)))),
       "vec_id", "embedding", "blk", threshold = 0.2, dim = 64),
       force = true)
+    // frozen multi-class scoring (q147): typed per-row kernel, zero
+    // shuffle — like classifier_score this should be corpus-linear
+    run("softmax_score", graft.operators.Classifier.scoreSoftmaxMicro(
+      docs, "doc_id", "text",
+      Array.tabulate(4, 256)((k, b) =>
+        ((b + 1) * (k + 3) * 2654435761L) % 2000001L - 1000000L),
+      Array("en", "de", "fr", "zz")), force = true)
+    // incremental span dedup (q148) under the replication worst case:
+    // every 10th row arrives as the batch, the rest are the accepted
+    // corpus — replicas duplicate texts verbatim so nearly every batch
+    // anchor collides with a corpus digest (max anti-join traffic).
+    // Only the BATCH side is rebuilt; the corpus contributes one
+    // min-key row per digest to the join.
+    run("exactsubstr_incremental",
+      graft.operators.Dedup.dedupSpansIncremental(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 8), force = true)
+    // skip-gram co-occurrence (q149): typed flatMap (≤ 2·window rows
+    // per token) + ONE pair-keyed agg with map-side partials — the
+    // replication multiplies every pair count by rep, so the DISTINCT
+    // pair set (≈ the agg's reduce side) stays ~fixed while the map
+    // side grows: wall time should track the flatMap, not the shuffle
+    run("skipgram_pairs", graft.operators.Cooccurrence.skipgramPairs(
+      docs, "text", window = 4, minCount = 3L), force = true)
+    // cross-corpus decontamination (q150): shuffled hash join on the
+    // shingle key — both sides corpus-sized, the regime where q81's
+    // broadcast contract breaks
+    run("decontam_shuffle", graft.operators.Decontam.contaminationReportShuffle(
+      docs.filter(col("doc_id") % 2 =!= 0),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3), force = true)
+    // PMI over the pruned pair matrix (q151): the corpus cost is the
+    // same flatMap+agg as skipgram_pairs (checkpointed once); the PMI
+    // tier itself is vocab-keyed joins over the ~fixed distinct-pair
+    // set, so the DELTA over skipgram_pairs should stay flat with rep
+    run("pmi_pairs", graft.operators.Cooccurrence.pmiPairs(
+      docs, "text", window = 4, minCount = 3L), force = true)
+    // per-doc token entropy (q152): two uniform-key shuffles, no corpus
+    // state — corpus-linear like the repetition report
+    run("token_entropy", graft.operators.Quality.tokenEntropy(
+      docs, "doc_id", "text"), force = true)
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

@@ -359,7 +359,29 @@ object StreamBench {
       finally q.stop()
     }
 
-    // 11. transformWithState running count — the Spark-4 native state
+    // 11. streaming skip-gram pair counting — the reference's flagship
+    // streaming WordCount shape generalized to q149's pair space: a
+    // stateless typed flatMap into (center, context) emissions, then an
+    // update-mode streaming count. State rows = DISTINCT pairs seen so
+    // far (vocabulary-bounded, NOT corpus-bounded): the trace's final
+    // == peak plateau is the design claim, matching the batch
+    // operator's "reduce side stays ~fixed while the map side grows".
+    bench("skipgram_count")(docs.size.toLong) { () =>
+      val ms = MemoryStream[(Long, String)]
+      val out = ms.toDS()
+        .flatMap { case (_, t) =>
+          operators.Cooccurrence.pairIter(t, 4).map(p => (p._1, p._2))
+        }
+        .toDF("center", "context")
+        .groupBy($"center", $"context").count()
+      val q = out.writeStream.format("memory").queryName(s"sb_${tag}_sg")
+        .outputMode("update").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(docs, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
+    // 12. transformWithState running count — the Spark-4 native state
     // API. Requires the RocksDB provider (transformWithState contract),
     // so it only runs in that pass; the memory column stays "-".
     if (tag == "rocksdb")

@@ -53,4 +53,30 @@ object Decontam {
       .select(col(idCol))
     train.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** [[contaminationReport]] for a reference set too big to broadcast —
+    * cross-CORPUS overlap (which slices of corpus A reappear in corpus
+    * B), where both sides are TBs and the broadcast contract breaks.
+    * Same semantics, different physical plan: the reference shingle set
+    * is dedup'd by its own shingle-keyed exchange, then the overlap
+    * join runs as a SHUFFLED hash join on the shingle key (uniform —
+    * shingles are near-unique strings), never a broadcast and never a
+    * sort-merge (no order is needed; hint pinned so a misestimated
+    * reference side can't flip the plan to a corpus-wide sort). Use
+    * [[contaminationReport]] whenever the reference side fits a
+    * broadcast — one exchange cheaper.
+    */
+  def contaminationReportShuffle(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val trainSh = Dedup.shingleTable(train, idCol, textCol, n)
+    val benchSh = Dedup.shingleTable(bench, idCol, textCol, n)
+      .select("shingle").distinct().withColumn("__hit", lit(1))
+    trainSh.join(benchSh.hint("shuffle_hash"), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__hit")).as("n_shared"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shared") > 0)
+      .withColumn("ratio",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
 }

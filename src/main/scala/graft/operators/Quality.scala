@@ -98,6 +98,36 @@ object Quality {
     * final per-doc top-k is a row_number window PARTITIONED by doc —
     * no global ordering stage anywhere.
     */
+  /** Per-document token (Shannon) entropy — the low-entropy filter for
+    * repetitive/boilerplate pages (a Gopher-family signal): `H =
+    * Σ (c/n)·ln(n/c)` over the doc's own token distribution. Emitted as
+    * the exact BIGINT `ent_micro = n·qln(n) − Σ c·qln(c)` (each qln =
+    * `floor(ln·1e6 + 0.5)` of an exact integer count — the vocab-level
+    * quantization discipline, applied per (doc, token) row), plus the
+    * derived `ent_norm = ent_micro / n / 1e6 ≈ H` as a deterministic
+    * double. Keyword-stuffed or template pages score near 0; natural
+    * prose scores near ln(n_distinct).
+    *
+    * Scale shape: two uniform-key shuffles — (doc, token) counts with
+    * map-side partials, then the doc-keyed rollup. Nothing is
+    * corpus-global: no vocabulary table, no broadcast.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val ent = col("n_tokens") * qln(col("n_tokens")) - col("s")
+    tokenTable(df, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * qln(col("c"))).as("s"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        ent.as("ent_micro"),
+        (ent.cast("double") / col("n_tokens").cast("double") / 1e6)
+          .as("ent_norm"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val tf = tokenTable(df, idCol, textCol)

@@ -124,6 +124,22 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"n_shared", $"n_shingles", $"ratio")
     }),
 
+    // Cross-CORPUS overlap (q81's semantics at the scale where the
+    // reference side is itself a full corpus and cannot broadcast):
+    // the even half is the reference, the odd half is scanned for
+    // shared 3-grams via a SHUFFLED hash join on the shingle key —
+    // plan-gated in ClustersSpec to contain a ShuffledHashJoin and no
+    // broadcast of the reference side.
+    "q150_decontam_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Decontam.contaminationReportShuffle(
+          docs.filter($"doc_id" % 2 =!= 0),
+          docs.filter($"doc_id" % 2 === 0),
+          "doc_id", "text", n = 3)
+        .select($"doc_id", $"n_shared", $"n_shingles", $"ratio")
+    }),
+
     // PII scrub: redact emails / phones / IPv4s from deterministic
     // PII-bearing text; per nation report hit totals and how much the
     // redaction changed the byte length. Pure codegen'd regex columns —
@@ -463,6 +479,16 @@ object CorpusQueries extends QueryModule {
       s"""WITH ${TextQueries.docShingles},
          |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
          |t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+         |tsz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM t GROUP BY doc_id)
+         |SELECT t.doc_id, COUNT(*) AS n_shared, tsz.n_shingles,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(tsz.n_shingles AS DOUBLE) AS ratio
+         |FROM t JOIN b USING (shingle) JOIN tsz ON t.doc_id = tsz.doc_id
+         |GROUP BY t.doc_id, tsz.n_shingles""".stripMargin,
+
+    "q150_decontam_shuffle" ->
+      s"""WITH ${TextQueries.docShingles},
+         |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 <> 0),
          |tsz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM t GROUP BY doc_id)
          |SELECT t.doc_id, COUNT(*) AS n_shared, tsz.n_shingles,
          |  CAST(COUNT(*) AS DOUBLE) / CAST(tsz.n_shingles AS DOUBLE) AS ratio

@@ -327,6 +327,29 @@ object CurationQueries extends QueryModule {
           sum($"n2_dup_occ").cast("bigint").as("bigrams_dup"),
           sum($"n2_top_chars").cast("bigint").as("top_bigram_chars"))
         .orderBy($"host")
+    }),
+
+    // Skip-gram co-occurrence table (embedding-training prep): symmetric
+    // (center, context) counts within a 4-token window, harmonic-1/d
+    // distance weights carried as exact 1e-6 integer units, min_count 3.
+    // One typed flatMap + ONE pair-keyed aggregate (map-side partial
+    // aggregation collapses hot pairs per task before the exchange).
+    "q149_skipgram_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Cooccurrence.skipgramPairs(
+          Tables.documents(s, dir), "text", window = 4, minCount = 3L)
+        .orderBy($"center", $"context")
+    }),
+
+    // PMI over the co-occurrence matrix (SVD-PMI / GloVe input):
+    // quantized-ln micro units over exact integer counts — qln(n_ab) +
+    // qln(T) − qln(n_a) − qln(n_b). The pair matrix materializes once;
+    // marginals are vocab-sized; the 1-row total broadcasts.
+    "q151_pmi_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Cooccurrence.pmiPairs(
+          Tables.documents(s, dir), "text", window = 4, minCount = 5L)
+        .orderBy($"center", $"context")
     })
   )
 
@@ -765,6 +788,67 @@ object CurationQueries extends QueryModule {
         |  CAST(SUM(COALESCE(rt2.topchars, 0)) AS BIGINT) AS top_bigram_chars
         |FROM keep k JOIN ra1 USING (doc_id)
         |LEFT JOIN ra2 USING (doc_id) LEFT JOIN rt2 USING (doc_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Positional pair generation (offset d = 1..4 forward), then the
+    // symmetric union doubles each occurrence into both directions —
+    // identical to the engine's flatMap emitting (a,b) and (b,a) per
+    // occurrence. 1000000 // d is exact integer division in both engines.
+    "q149_skipgram_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |fwd AS (
+        |  SELECT w[CAST(i AS INT)] AS center,
+        |         w[CAST(i + d AS INT)] AS context,
+        |         CAST(d AS BIGINT) AS d
+        |  FROM words,
+        |       UNNEST(range(1, len(w) + 1)) AS t(i),
+        |       UNNEST(range(1, 5)) AS s(d)
+        |  WHERE i + d <= len(w)),
+        |sym AS (
+        |  SELECT center, context, d FROM fwd
+        |  UNION ALL
+        |  SELECT context AS center, center AS context, d FROM fwd)
+        |SELECT center, context,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(1000000 // d) AS BIGINT) AS w_micro
+        |FROM sym GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q149's pair CTE at min_count 5, then PMI in quantized-ln micro
+    // units: each ln applies to an exact BIGINT count and is floored to
+    // 1e-6 units BEFORE the integer add/subtract — replaying the
+    // engine's vocab-level quantization discipline.
+    "q151_pmi_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |fwd AS (
+        |  SELECT w[CAST(i AS INT)] AS center,
+        |         w[CAST(i + d AS INT)] AS context
+        |  FROM words,
+        |       UNNEST(range(1, len(w) + 1)) AS t(i),
+        |       UNNEST(range(1, 5)) AS s(d)
+        |  WHERE i + d <= len(w)),
+        |sym AS (
+        |  SELECT center, context FROM fwd
+        |  UNION ALL
+        |  SELECT context AS center, center AS context FROM fwd),
+        |pc AS (
+        |  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM sym GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM pc),
+        |mg AS (SELECT center AS w, CAST(SUM(n_pairs) AS BIGINT) AS n_w
+        |       FROM pc GROUP BY 1)
+        |SELECT p.center, p.context, p.n_pairs,
+        |  CAST(floor(ln(CAST(p.n_pairs AS DOUBLE)) * 1e6 + 0.5)
+        |     + floor(ln(CAST(tot.t AS DOUBLE)) * 1e6 + 0.5)
+        |     - floor(ln(CAST(a.n_w AS DOUBLE)) * 1e6 + 0.5)
+        |     - floor(ln(CAST(b.n_w AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |    AS pmi_micro
+        |FROM pc p JOIN mg a ON p.center = a.w JOIN mg b ON p.context = b.w
+        |CROSS JOIN tot
+        |ORDER BY 1, 2""".stripMargin
   )
 }

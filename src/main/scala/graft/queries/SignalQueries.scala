@@ -20,6 +20,17 @@ object SignalQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-document token entropy (the low-entropy repetitive-page
+    // signal): exact BIGINT ent_micro = n·qln(n) − Σ c·qln(c) over the
+    // doc's own token counts — two uniform-key shuffles, no corpus
+    // state.
+    "q152_token_entropy" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Quality.tokenEntropy(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Gopher/MassiveText repetition report (Rae et al. 2021 A1.1) at
     // n = 1/2/3: totals, distincts, duplicate occurrences, duplicate-
     // covered characters, and the modal n-gram — ALL exact integers,
@@ -129,6 +140,31 @@ object SignalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+
+    // Per (doc, token) counts, each qln'd BEFORE the integer rollup —
+    // the engine's exact two-level aggregate replayed in SQL. c and the
+    // products stay far under BIGINT; the SUMs are re-cast from DuckDB's
+    // HUGEINT widening.
+    "q152_token_entropy" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+        |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id,
+        |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |        CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+        |          AS BIGINT)) AS BIGINT) AS s
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+        |    AS BIGINT) - s AS ent_micro,
+        |  CAST(n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6
+        |      + 0.5) AS BIGINT) - s AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) / 1e6 AS ent_norm
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Replays the run-length fold as explode + GROUP BY: per (doc, gram)
     // counts, then per-doc integer aggregates; the modal gram is the

@@ -442,4 +442,43 @@ class StreamingAppsSpec extends SparkSpec {
         s"signals map acquired state operators: ${st.length}")
     } finally q.stop()
   }
+
+  test("streaming skip-gram pair counts converge to the batch matrix across micro-batches") {
+    // the WordCount shape generalized to q149's pair space: stateless
+    // flatMap + update-mode count. After all batches the accumulated
+    // counts must equal the batch operator's n_pairs, and the state
+    // row count must equal the DISTINCT pair count (vocab-bounded, not
+    // corpus-bounded).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, "a b c a b"), (2L, "b c d"), (3L, "a a a"))
+    val ms = MemoryStream[(Long, String)]
+    val out = ms.toDS()
+      .flatMap { case (_, t) =>
+        graft.operators.Cooccurrence.pairIter(t, 4).map(p => (p._1, p._2))
+      }
+      .toDF("center", "context")
+      .groupBy($"center", $"context").count()
+    val q = out.writeStream.format("memory").queryName("sg_stream")
+      .outputMode("update").start()
+    try {
+      docs.foreach { d => ms.addData(d); q.processAllAvailable() }
+      // update mode re-emits a pair's row each time its count changes;
+      // the LAST emission per pair is the accumulated total
+      val got = spark.table("sg_stream")
+        .groupBy($"center", $"context")
+        .agg(org.apache.spark.sql.functions.max($"count").as("n"))
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, n) => (a, b) -> n }.toMap
+      val batch = graft.operators.Cooccurrence.skipgramPairs(
+          docs.toDF("doc_id", "text"), "text", window = 4)
+        .select($"center", $"context", $"n_pairs")
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, n) => (a, b) -> n }.toMap
+      assert(got == batch)
+      val st = q.lastProgress.stateOperators
+      assert(st != null && st.nonEmpty &&
+        st(0).numRowsTotal == batch.size.toLong,
+        s"state rows != distinct pairs (${batch.size})")
+    } finally q.stop()
+  }
 }

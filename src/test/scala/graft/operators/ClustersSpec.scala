@@ -113,6 +113,33 @@ class ClustersSpec extends SparkSpec {
       s"corpus side shuffled for the overlap probe:\n$plan")
   }
 
+  test("contaminationReportShuffle matches the broadcast form and hash-joins without broadcast") {
+    val bench = docs.filter($"doc_id" % 2 === 0)
+    val train = docs.filter($"doc_id" % 2 =!= 0)
+    val rep = Decontam.contaminationReportShuffle(
+      train, bench, "doc_id", "text", 3)
+    val got = rep.select($"doc_id", $"n_shared", $"n_shingles")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Decontam.contaminationReport(train, bench, "doc_id", "text", 3)
+      .select($"doc_id", $"n_shared", $"n_shingles")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "shuffle path diverged from the broadcast form")
+    val plan = rep.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = PlanWalk.walk(plan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      s"overlap probe is not a shuffled hash join:\n$plan")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"reference corpus was broadcast — the shape this path exists to avoid:\n$plan")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"overlap probe sort-merged (no order is needed):\n$plan")
+  }
+
   test("connectedComponents converges on LSH-style clustered pairs from the corpus") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
         blockCol = Some("lang"), maxShingleFreq = 50)

@@ -28,6 +28,26 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(s(1L)._2 - want) < 1e-9)
   }
 
+  test("tokenEntropy: exact micro units, 0 for uniform-repeat docs, ln(n) for all-distinct") {
+    def qln(x: Long) = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val got = Quality.tokenEntropy(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"ent_micro")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: one token repeated 4x → H = 0 exactly
+    assert(got(1L) == ((4L, 1L, 4L * qln(4) - 4L * qln(4))))
+    assert(got(1L)._3 == 0L)
+    // doc 3: 4 distinct singletons → n·qln(n) − 4·1·qln(1) = 4·qln(4)
+    assert(got(3L) == ((4L, 4L, 4L * qln(4))))
+    // doc 2: counts {2,1,1} → 4·qln(4) − 2·qln(2)
+    assert(got(2L) == ((4L, 3L, 4L * qln(4) - 2L * qln(2))))
+    // single-token doc: H = 0; empty doc absent
+    assert(got(5L) == ((1L, 1L, 0L)))
+    assert(!got.contains(4L))
+    // repetitive doc must score strictly below the all-distinct doc
+    assert(got(1L)._3 < got(3L)._3)
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones, exact micro math") {
     val out = Quality.tfidfTopTerms(docs, "doc_id", "text", k = 2)
       .select($"doc_id", $"term", $"tf", $"score_u")

@@ -50,7 +50,8 @@ class PlanGateSpec extends SparkSpec {
     "q120_hybrid_rrf",     // dense arm: query batch broadcast (q26 shape)
     "q122_hits",           // 1-row max-normalizer broadcast per half-step
     "q124_ivfpq_ann",      // probe batch + ADC tables broadcast (q60/q78)
-    "q127_retrieval_eval"  // searchBm25's 1-row corpus-stats broadcast (q116)
+    "q127_retrieval_eval", // searchBm25's 1-row corpus-stats broadcast (q116)
+    "q151_pmi_pairs"       // 1-row matrix-total frame broadcast (q87 shape)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -173,6 +174,19 @@ class PlanGateSpec extends SparkSpec {
     // join and a second respread (both arms of the fixture are
     // single-split); only incoming rebuilds
     "q148_exactsubstr_incremental" -> 8,
+    // typed flatMap pair generation is map-side; ONE pair-keyed agg
+    // + output sort
+    "q149_skipgram_pairs" -> 2,
+    // reference-shingle distinct + the shuffled overlap join's corpus
+    // side + per-doc agg (the whole point: NO broadcast of the
+    // reference corpus — ClustersSpec pins the join operator)
+    "q150_decontam_shuffle" -> 3,
+    // pair matrix reads its construction-time checkpoint; marginal agg
+    // + the two vocab-keyed joins + output sort (the 1-row total
+    // broadcasts — allowBnlj)
+    "q151_pmi_pairs" -> 4,
+    // (doc, token) counts + doc rollup + output sort
+    "q152_token_entropy" -> 3,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
