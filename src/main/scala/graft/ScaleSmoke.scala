@@ -551,8 +551,11 @@ object ScaleSmoke {
     // same flatMap+agg as skipgram_pairs (checkpointed once); the PMI
     // tier itself is vocab-keyed joins over the ~fixed distinct-pair
     // set, so the DELTA over skipgram_pairs should stay flat with rep
+    // allowBroadcastNlj: the 1-row matrix-total frame broadcasts (the
+    // unigram_logprob shape)
     run("pmi_pairs", graft.operators.Cooccurrence.pmiPairs(
-      docs, "text", window = 4, minCount = 3L), force = true)
+      docs, "text", window = 4, minCount = 3L),
+      allowBroadcastNlj = true, force = true)
     // per-doc token entropy (q152): two uniform-key shuffles, no corpus
     // state — corpus-linear like the repetition report
     run("token_entropy", graft.operators.Quality.tokenEntropy(

@@ -473,6 +473,7 @@ object StreamBench {
       "tx_match" -> "`StreamingApps.txMatchStream` (pay↔receipt, 20% unmatched)",
       "network_flow" -> "`StreamingApps.networkFlowStream` (top-3/60s, 5s lateness)",
       "url_dedup" -> "`Urls.dedupStream` (3 spellings/page, canonical keep-first, 1h horizon)",
+      "skipgram_count" -> "`Cooccurrence.pairIter` flatMap + update-mode count (streaming WordCount shape)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")
