@@ -560,6 +560,19 @@ object ScaleSmoke {
     // state — corpus-linear like the repetition report
     run("token_entropy", graft.operators.Quality.tokenEntropy(
       docs, "doc_id", "text"), force = true)
+    // host-disjoint split (q153): pure column expressions — the curve
+    // is the scan (synthetic URL derived off doc_id per replica)
+    run("host_split", graft.operators.Sampling.splitByHostHash(
+      docs.withColumn("url", concat(lit("https://site"),
+        (col("doc_id") % 97).cast("string"), lit(".example.com/item/"),
+        col("doc_id").cast("string"))),
+      "url", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), force = true)
+    // word2vec subsampling (q154): the unigram_logprob shape — vocab
+    // agg + 1-row broadcast + vocab-keyed survival join + doc rollup
+    run("word_subsample", graft.operators.Sampling.subsampleFrequentWords(
+      docs, "doc_id", "text", thresh = 1e-3),
+      allowBroadcastNlj = true, force = true)
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

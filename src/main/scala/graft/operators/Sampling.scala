@@ -349,12 +349,18 @@ object Sampling {
     */
   def splitByHash(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], outCol: String = "split",
+      buckets: Int = 10000): DataFrame =
+    splitByKeyHash(df, col(idCol), splits, outCol, buckets)
+
+  /** [[splitByHash]] over an arbitrary key expression. */
+  def splitByKeyHash(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], outCol: String = "split",
       buckets: Int = 10000): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights required")
     val total = splits.map(_._2).sum
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail.map(f => math.round(f * buckets))
-    val b = hashBucket(col(idCol), buckets)
+    val b = hashBucket(key, buckets)
     // ordered when-chain; the last bound is exactly `buckets`, so the
     // final otherwise is unreachable (kept for total-ness)
     val first = when(b < bounds.head, lit(splits.head._1))
@@ -362,5 +368,65 @@ object Sampling {
       case (acc, ((label, _), hi)) => acc.when(b < hi, lit(label))
     }.otherwise(lit(splits.last._1))
     df.withColumn(outCol, labeled)
+  }
+
+  /** Leakage-safe corpus split: the hash key is the HOST of the row's
+    * canonical URL, so every page of a domain lands in ONE split.
+    * Near-duplicate pages (mirrors, template siblings, shared chrome)
+    * overwhelmingly co-occur within a host — an id-hash split
+    * ([[splitByHash]]) scatters them across train/test and leaks; a
+    * host-disjoint split cannot. Hostless rows (unparseable URLs) fall
+    * back to the id hash — they carry no domain identity to leak and
+    * must not all collapse into one split ([[Urls.canonicalize]]'s
+    * pass-through rationale). Adds `host` ("" when unparseable) and
+    * `outCol`. Pure column expressions — no shuffle at any size.
+    */
+  def splitByHostHash(df: DataFrame, urlCol: String, idCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split",
+      buckets: Int = 10000): DataFrame = {
+    val withHost = df.withColumn("host",
+      Urls.host(Urls.canonicalize(col(urlCol))))
+    val key = when(col("host") === "", col(idCol).cast("string"))
+      .otherwise(col("host"))
+    splitByKeyHash(withHost, key, splits, outCol, buckets)
+  }
+
+  /** word2vec frequent-word subsampling (Mikolov et al. 2013 §2.3):
+    * each token OCCURRENCE survives with probability
+    * `min(1, sqrt(thresh / (f/T)))` — "the", "of" thin to ~sqrt scale
+    * while words rarer than `thresh` always survive. Deterministic and
+    * engine-exact: the survival threshold is `floor(p·1e6)` where the
+    * only float ops are one IEEE multiply/divide chain and one
+    * correctly-rounded sqrt per VOCAB entry (the q140 sqrt precedent),
+    * and the per-occurrence uniform is the house md5 bucket off
+    * (doc, pos) — each repeat of a word in a doc decides independently.
+    *
+    * Output: (idCol, n_tokens, n_kept) per non-empty doc. Scale shape:
+    * tokenize-explode twice (the [[graft.operators.Quality.unigramLogprob]]
+    * rationale — re-scanning beats materializing a corpus-sized token
+    * table), a vocab-sized frequency agg, the 1-row total broadcast, a
+    * vocab-keyed survival join, and one doc-keyed rollup.
+    */
+  def subsampleFrequentWords(df: DataFrame, idCol: String, textCol: String,
+      thresh: Double = 1e-4): DataFrame = {
+    require(thresh > 0, s"thresh must be positive: $thresh")
+    val toksArr = split(trim(col(textCol)), "\\s+")
+    val tok = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(toksArr).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val total = freq.agg(sum(col("f")).as("tt"))
+    val keep = freq.crossJoin(broadcast(total))
+      .select(col("tok"), least(lit(1000000L),
+        floor(sqrt(lit(thresh) * col("tt").cast("double") /
+          col("f").cast("double")) * 1e6).cast("long")).as("keep_micro"))
+    tok
+      .withColumn("u", hashBucket(concat(col(idCol).cast("string"),
+        lit(":"), col("pos").cast("string")), 1000000))
+      .join(keep, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("u") < col("keep_micro"), 1L).otherwise(0L))
+          .as("n_kept"))
   }
 }

@@ -54,11 +54,10 @@ object CurationQueries extends QueryModule {
       when(col("doc_id") % 7 === 0, "#frag").otherwise(""))
   }
 
-  /** The q121 oracle's URL-front-door CTE chain (derivation +
-    * canonicalization + keep-first + per-host cap), shared with q128.
-    * Ends with `capped` (host, doc_id, canon, n_chars, rk).
+  /** The synthetic-URL derivation CTE (`u`), shared by the front-door
+    * chain and q153's host-split oracle.
     */
-  private val urlFrontDoorSql: String =
+  private val syntheticUrlCte: String =
     """u AS (
       |  SELECT doc_id, n_chars,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
@@ -72,7 +71,15 @@ object CurationQueries extends QueryModule {
       |             || '&id=' || CAST(doc_id % 40 AS VARCHAR)
       |      ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR) END) ||
       |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  /** The q121 oracle's URL-front-door CTE chain (derivation +
+    * canonicalization + keep-first + per-host cap), shared with q128.
+    * Ends with `capped` (host, doc_id, canon, n_chars, rk).
+    */
+  private val urlFrontDoorSql: String =
+    syntheticUrlCte + ",\n" +
+    """
       |c0 AS (
       |  SELECT doc_id, n_chars,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -339,6 +346,23 @@ object CurationQueries extends QueryModule {
       graft.operators.Cooccurrence.skipgramPairs(
           Tables.documents(s, dir), "text", window = 4, minCount = 3L)
         .orderBy($"center", $"context")
+    }),
+
+    // Leakage-safe host-disjoint split: the split hash key is the
+    // canonical HOST, so a domain's near-dup pages can never straddle
+    // train/test (hostless rows fall back to the id hash). Map-only —
+    // the only exchanges are the report's aggregate + sort.
+    "q153_host_split" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.splitByHostHash(
+          Tables.documents(s, dir).select($"doc_id", syntheticUrl.as("url")),
+          "url", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"host").as("n_hosts"),
+          sum($"doc_id").as("sum_doc"))
+        .orderBy($"split")
     }),
 
     // PMI over the co-occurrence matrix (SVD-PMI / GloVe input):
@@ -815,6 +839,34 @@ object CurationQueries extends QueryModule {
         |  CAST(SUM(1000000 // d) AS BIGINT) AS w_micro
         |FROM sym GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // Host derivation = canonicalize's host step (the synthetic URLs
+    // are always https, so the :443 strip is unconditional here); the
+    // split bucket is the house md5-prefix idiom over the host (id
+    // fallback for hostless rows never fires on this data but keeps
+    // the CASE for parity).
+    "q153_host_split" ->
+      (s"WITH $syntheticUrlCte,\n" +
+      """h AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', ''),
+        |      ':443$', '') AS host
+        |  FROM u),
+        |lab AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN b < 8000 THEN 'train'
+        |         WHEN b < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, host,
+        |          CAST('0x' || substr(md5(CASE WHEN host = ''
+        |            THEN CAST(doc_id AS VARCHAR) ELSE host END), 1, 8)
+        |            AS BIGINT) % 10000 AS b
+        |        FROM h))
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // q149's pair CTE at min_count 5, then PMI in quantized-ln micro
     // units: each ln applies to an exact BIGINT count and is floored to

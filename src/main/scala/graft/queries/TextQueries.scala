@@ -240,6 +240,19 @@ object TextQueries extends QueryModule {
         .orderBy($"lang", $"split")
     }),
 
+    // word2vec frequent-word subsampling (Mikolov 2013 §2.3): each
+    // token occurrence survives with min(1, sqrt(1e-3/(f/T))); the
+    // threshold is one correctly-rounded sqrt per vocab entry (the
+    // q140 sqrt precedent) and the per-occurrence uniform is the md5
+    // bucket off (doc, pos). thresh=1e-3 so the small fixture actually
+    // thins its head words.
+    "q154_word_subsample" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sampling.subsampleFrequentWords(
+          Tables.documents(spark, dir), "doc_id", "text", thresh = 1e-3)
+        .orderBy($"doc_id")
+    }),
+
     // Stratified deterministic sample: per-language keep fraction via
     // the md5 bucket threshold (clean fractions -> exact integer
     // thresholds in both engines). Summary output so the gate checks
@@ -556,6 +569,33 @@ object TextQueries extends QueryModule {
         |  FROM s)
         |SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // Survival threshold floor(sqrt(1e-3·T/f)·1e6) per vocab entry
+    // (LEAST caps rare words at always-keep); uniform = md5 bucket off
+    // 'doc:pos' — the same ':'-joined key the engine hashes.
+    "q154_word_subsample" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(f) AS BIGINT) AS tt FROM f),
+        |k AS (SELECT tok,
+        |        LEAST(1000000, CAST(floor(sqrt(1e-3 * tt / f) * 1e6)
+        |          AS BIGINT)) AS keep_micro
+        |      FROM f CROSS JOIN tt),
+        |sel AS (
+        |  SELECT tok.doc_id,
+        |    CAST('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR) || ':' ||
+        |      CAST(tok.pos AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u,
+        |    k.keep_micro
+        |  FROM tok JOIN k USING (tok))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN u < keep_micro THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q76_token_chunks" ->
       """WITH w AS (

@@ -150,6 +150,69 @@ class SamplingSpec extends SparkSpec {
     assert(shard0.toSeq != shard0.sorted.toSeq)
   }
 
+  test("splitByHostHash is host-disjoint; hostless rows fall back to the id hash") {
+    val docs = (1L to 200L).map { i =>
+      val url = if (i % 10 == 0) s"not a url $i"
+      else s"https://site${i % 7}.example.com/page/$i"
+      (i, url)
+    }.toDF("doc_id", "url")
+    val split = Sampling.splitByHostHash(docs, "url", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every row labeled; a host appears in exactly ONE split
+    assert(split.count() == 200L)
+    val perHost = split.filter($"host" =!= "")
+      .groupBy($"host").agg(countDistinct($"split").as("k"))
+      .select($"k").as[Long].collect()
+    assert(perHost.nonEmpty && perHost.forall(_ == 1L),
+      "a host straddled splits — the leakage this operator exists to prevent")
+    // hostless rows don't collapse onto one split key: their buckets
+    // come from distinct doc ids, so (with 20 rows) expect >1 label
+    val hostless = split.filter($"host" === "")
+      .select($"split").distinct().count()
+    assert(hostless > 1, "hostless rows collapsed onto a single split")
+    // determinism
+    val again = Sampling.splitByHostHash(docs, "url", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val first = split.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("subsampleFrequentWords thins head words, keeps rare words whole, exact counts") {
+    // 'the' appears 40x (freq ratio 40/44), rare words once each; with
+    // thresh=1e-2 the keep prob for 'the' is sqrt(0.01·44/40) ≈ 0.105
+    // and rare words are at the LEAST(1e6) always-keep cap
+    val docs = Seq(
+      (1L, ("the " * 20).trim),
+      (2L, ("the " * 20).trim + " alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val got = Sampling.subsampleFrequentWords(docs, "doc_id", "text",
+        thresh = 1e-2)
+      .select($"doc_id", $"n_tokens", $"n_kept")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 20L && got(2L)._1 == 24L)
+    // doc 2 keeps all 4 rare words plus a thinned share of its 'the's
+    assert(got(2L)._2 >= 4L, "rare words must always survive")
+    val theKept = (got(1L)._2 + got(2L)._2) - 4L
+    assert(theKept < 20L,
+      s"head word should thin to ~10% of 40, kept $theKept")
+    // exact replay: per-occurrence md5('doc:pos') bucket vs the
+    // floor(sqrt)·1e6 threshold
+    val t = 1e-2 * 44.0 / 40.0
+    val thr = math.min(1000000L,
+      math.floor(math.sqrt(t) * 1e6).toLong)
+    def bucket(id: Long, pos: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$pos".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expect1 = (1 to 20).count(p => bucket(1L, p) < thr).toLong
+    assert(got(1L)._2 == expect1, "engine diverged from the md5 replay")
+  }
+
   test("splitByHash weights normalize (2:1:1 == 0.5:0.25:0.25)") {
     val a = Sampling.splitByHash(docs, "doc_id",
       Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0))

@@ -51,7 +51,8 @@ class PlanGateSpec extends SparkSpec {
     "q122_hits",           // 1-row max-normalizer broadcast per half-step
     "q124_ivfpq_ann",      // probe batch + ADC tables broadcast (q60/q78)
     "q127_retrieval_eval", // searchBm25's 1-row corpus-stats broadcast (q116)
-    "q151_pmi_pairs"       // 1-row matrix-total frame broadcast (q87 shape)
+    "q151_pmi_pairs",      // 1-row matrix-total frame broadcast (q87 shape)
+    "q154_word_subsample"  // 1-row corpus-total frame broadcast (q87 shape)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -187,6 +188,12 @@ class PlanGateSpec extends SparkSpec {
     "q151_pmi_pairs" -> 4,
     // (doc, token) counts + doc rollup + output sort
     "q152_token_entropy" -> 3,
+    // split assignment is map-only; distinct-host report agg (expand)
+    // + final agg + output sort
+    "q153_host_split" -> 3,
+    // vocab freq agg + survival join's token side + doc rollup +
+    // output sort (the 1-row total broadcasts — allowBnlj)
+    "q154_word_subsample" -> 5,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
