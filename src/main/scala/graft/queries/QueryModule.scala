@@ -39,6 +39,27 @@ object SharedLm {
         graft.Tables.documents(s, dir), "doc_id", "text").localCheckpoint())
 }
 
+/** One corpus-wide exact-substring span dedup per (session, sf dir) —
+  * the same discipline for the ExactSubstr family: q142 gates the
+  * rebuilt corpus directly and q146 consumes it as the chain head, and
+  * the dedup (anchor shuffle + anti join + rebuild) dominated both
+  * queries' bench cost when each rebuilt it from scratch.
+  */
+object SharedSpanDedup {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** (doc_id, text, n_tokens, n_removed) — `Dedup.dedupSpansKeepFirst`
+    * (n = 8) over the documents table, materialized once per
+    * session+dir.
+    */
+  def deduped(s: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir",
+      _ => graft.operators.Dedup.dedupSpansKeepFirst(
+        graft.Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .localCheckpoint())
+}
+
 /** Cross-engine determinism helpers.
   *
   * Double sums are order-dependent, so any aggregate over a money-like

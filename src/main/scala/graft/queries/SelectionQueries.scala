@@ -111,8 +111,7 @@ object SelectionQueries extends QueryModule {
     // not free-position runs).
     "q142_exactsubstr_dedup" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Dedup.dedupSpansKeepFirst(
-        Tables.documents(s, dir), "doc_id", "text", n = 8)
+      SharedSpanDedup.deduped(s, dir)
         .orderBy($"doc_id")
     }),
 
@@ -131,9 +130,9 @@ object SelectionQueries extends QueryModule {
       // materialize it ONCE (the Retrieval.buildIndex localCheckpoint
       // discipline; running the chain per consumer measured 17 s vs
       // ~3 s at sf0.1). n_removed rides through the filter, so no
-      // second dedup pass is needed for the output column.
-      val deduped = graft.operators.Dedup.dedupSpansKeepFirst(
-        Tables.documents(s, dir), "doc_id", "text", n = 8)
+      // second dedup pass is needed for the output column. The dedup
+      // itself is the session-shared q142 frame (SharedSpanDedup).
+      val deduped = SharedSpanDedup.deduped(s, dir)
       val labeled = graft.operators.Repetition.filterByRepetition(
           deduped, "doc_id", "text")
         .join(Tables.documents(s, dir).select($"doc_id", $"lang"),

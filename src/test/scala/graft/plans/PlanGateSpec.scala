@@ -150,7 +150,10 @@ class PlanGateSpec extends SparkSpec {
     // doc-keyed loser collect + rebuild join + output sort, plus the
     // respread repartition on both chain arms (single-split fixture;
     // no-op on a real corpus — the q136 budget precedent)
-    "q142_exactsubstr_dedup" -> 6,
+    // the dedup runs at CONSTRUCTION into the session-shared
+    // SharedSpanDedup checkpoint (q146 consumes the same frame); the
+    // returned plan is checkpoint scan + output sort
+    "q142_exactsubstr_dedup" -> 1,
     // gradient agg runs at CONSTRUCTION (bounded collect, λ discipline);
     // the returned plan is a pure scoring map + output sort
     "q143_classifier_score" -> 1,
