@@ -571,15 +571,37 @@ object Dedup {
     * incoming doc.
     */
   def dedupSpansIncremental(incoming0: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    dedupSpansIncrementalWith(incoming0,
+      corpusSpanDigests(corpus, idCol, textCol, n), idCol, textCol, n)
+
+  /** The accepted corpus reduced to its DISTINCT anchor digests
+    * (`__h`: BIGINT xxhash64) — the state a production per-batch dedup
+    * loop maintains instead of re-scanning the corpus every batch:
+    * persist this table once, and after each accepted batch append the
+    * batch's own digests (a distinct-union, monotone). One agg with
+    * map-side combine; positions never shuffle.
+    */
+  def corpusSpanDigests(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"anchor length must be >= 2 tokens: $n")
+    spanAnchors(Respread(corpus), idCol, textCol, n)
+      .select(col("__h")).distinct()
+  }
+
+  /** [[dedupSpansIncremental]] against a PRECOMPUTED digest set
+    * ([[corpusSpanDigests]]) — the foreachBatch production form: the
+    * corpus is never re-scanned, each micro-batch pays only its own
+    * anchors + one membership anti join against the digest table.
+    */
+  def dedupSpansIncrementalWith(incoming0: DataFrame, corpusH: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"anchor length must be >= 2 tokens: $n")
     val incoming = Respread(incoming0)
     val occ = spanAnchors(incoming, idCol, textCol, n)
-    val corpusH = spanAnchors(Respread(corpus), idCol, textCol, n)
-      .select(col("__h")).distinct()
     // anchors whose run exists in the corpus all lose; the rest keep
     // their first (id, pos) occurrence within the batch
-    val fresh = occ.join(corpusH, Seq("__h"), "left_anti")
+    val fresh = occ.join(corpusH.select(col("__h")), Seq("__h"), "left_anti")
     val firsts = fresh.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
       .select(col("__h"), col("__first").getField(idCol).as(idCol),

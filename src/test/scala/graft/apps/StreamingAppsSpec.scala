@@ -443,6 +443,40 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupSpansIncremental runs as its documented foreachBatch production form") {
+    // the q148 scaladoc's contract: wrap the batch operator in
+    // foreachBatch with a corpus frame, appending each micro-batch's
+    // REBUILT survivors to the accepted corpus — so a span accepted in
+    // batch 1 is excised when batch 2 repeats it
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val accepted = scala.collection.mutable.ArrayBuffer[(Long, String)](
+      (100L, "a b c d"))
+    val out = scala.collection.mutable.Map.empty[Long, String]
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val corpus = accepted.toSeq.toDF("doc_id", "text")
+        val res = graft.operators.Dedup.dedupSpansIncremental(
+            batch, corpus, "doc_id", "text", n = 2)
+          .select($"doc_id", $"text").as[(Long, String)].collect()
+        res.foreach { case (id, t) => out(id) = t }
+        accepted ++= res.filter(_._2.nonEmpty)
+        ()
+      }
+      .start()
+    try {
+      // batch 1: "a b c d" exists in the corpus -> excised; "x y" is
+      // fresh (the "d x" bridge anchor keeps its first occurrence but
+      // d is covered by the corpus run)
+      ms.addData((1L, "a b c d x y")); q.processAllAvailable()
+      assert(out(1L) == "x y")
+      // batch 2: "x y" was ACCEPTED in batch 1 -> excised now; "z"
+      // survives
+      ms.addData((2L, "x y z")); q.processAllAvailable()
+      assert(out(2L) == "z")
+    } finally q.stop()
+  }
+
   test("streaming skip-gram pair counts converge to the batch matrix across micro-batches") {
     // the WordCount shape generalized to q149's pair space: stateless
     // flatMap + update-mode count. After all batches the accumulated
