@@ -573,6 +573,10 @@ object ScaleSmoke {
     run("word_subsample", graft.operators.Sampling.subsampleFrequentWords(
       docs, "doc_id", "text", thresh = 1e-3),
       allowBroadcastNlj = true, force = true)
+    // negative-sampling table (q155): vocab agg + TakeOrdered top-V +
+    // a ≤ V-row prefix window — the corpus term is the one agg
+    run("neg_sampling", graft.operators.Cooccurrence.negativeSamplingTable(
+      docs, "text", maxVocab = 100000), force = true)
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

@@ -66,6 +66,38 @@ object Cooccurrence {
       .filter(col("n_pairs") >= minCount)
   }
 
+  /** word2vec negative-sampling table: `p(w) ∝ f^(3/4)` over the
+    * top-`maxVocab` tokens (the practical cap every implementation
+    * applies — the tail's mass is negligible and an unbounded table
+    * would not broadcast to samplers). The 3/4 power is two
+    * correctly-rounded IEEE sqrts over the double image of f³ — no
+    * `pow`, so any IEEE engine reproduces the exact same doubles (the
+    * q140 sqrt discipline) — quantized to 1e-6 units. `cum_micro` is
+    * the EXCLUSIVE prefix sum in (f desc, tok) order: a sampler draws
+    * u ∈ [0, Σw) and binary-searches the ranges.
+    *
+    * Scale shape: one vocab-keyed frequency agg, then top-V via
+    * orderBy+limit (TakeOrdered — no global sort), then the prefix
+    * window over the ≤ maxVocab-row result — the Packing.prefixSum
+    * bounded-window precedent, never over corpus rows.
+    */
+  def negativeSamplingTable(df: DataFrame, textCol: String,
+      maxVocab: Int = 100000): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val d = col("f").cast("double")
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(maxVocab)
+      .withColumn("w_micro",
+        floor(sqrt(sqrt(d * d * d)) * 1e6).cast("long"))
+    top.withColumn("cum_micro",
+      coalesce(sum(col("w_micro")).over(
+        Window.orderBy(col("f").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
+
   /** Pointwise mutual information over the [[skipgramPairs]] matrix —
     * the table SVD-PMI / GloVe-style embedding pipelines factorize:
     * `pmi = ln(n_ab · T / (n_a · n_b))` with T the matrix total and

@@ -365,6 +365,17 @@ object CurationQueries extends QueryModule {
         .orderBy($"split")
     }),
 
+    // word2vec negative-sampling table: p(w) ∝ f^(3/4) over the top-20
+    // tokens (the cap exercised: the fixture vocab is 31), exclusive
+    // cumulative ranges in (f desc, tok) order. f^(3/4) = two
+    // correctly-rounded sqrts — engine-exact without pow.
+    "q155_negative_sampling" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Cooccurrence.negativeSamplingTable(
+          Tables.documents(s, dir), "text", maxVocab = 20)
+        .orderBy($"f".desc, $"tok")
+    }),
+
     // PMI over the co-occurrence matrix (SVD-PMI / GloVe input):
     // quantized-ln micro units over exact integer counts — qln(n_ab) +
     // qln(T) − qln(n_a) − qln(n_b). The pair matrix materializes once;
@@ -867,6 +878,27 @@ object CurationQueries extends QueryModule {
         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // top-20 by (f desc, tok), f^(3/4) via nested sqrt over the double
+    // image of f³ (left-assoc mult chain matches the engine), exclusive
+    // prefix sum re-cast from DuckDB's HUGEINT window widening.
+    "q155_negative_sampling" ->
+      """WITH words AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tok AS (SELECT unnest(w) AS tok FROM words),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+        |      FROM tok GROUP BY 1),
+        |v AS (SELECT tok, f FROM f ORDER BY f DESC, tok LIMIT 20),
+        |wt AS (SELECT tok, f,
+        |         CAST(floor(sqrt(sqrt(CAST(f AS DOUBLE) * CAST(f AS DOUBLE)
+        |           * CAST(f AS DOUBLE))) * 1e6) AS BIGINT) AS w_micro
+        |       FROM v)
+        |SELECT tok, f, w_micro,
+        |  CAST(COALESCE(SUM(w_micro) OVER (ORDER BY f DESC, tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_micro
+        |FROM wt ORDER BY f DESC, tok""".stripMargin,
 
     // q149's pair CTE at min_count 5, then PMI in quantized-ln micro
     // units: each ln applies to an exact BIGINT count and is floored to

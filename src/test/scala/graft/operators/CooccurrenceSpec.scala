@@ -64,6 +64,24 @@ class CooccurrenceSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.forall(_ >= 2L))
   }
 
+  test("negativeSamplingTable: f^(3/4) micro weights, exclusive ranges, vocab cap") {
+    // "a a a a b": f(a)=4 → w = floor(4^0.75·1e6) = floor(2^1.5·1e6);
+    // f(b)=1 → w = 1e6. Ranges: a starts at 0, b at w(a).
+    val got = Cooccurrence.negativeSamplingTable(
+        Seq("a a a a b").toDF("text"), "text")
+      .select($"tok", $"f", $"w_micro", $"cum_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val wa = math.floor(math.sqrt(math.sqrt(64.0)) * 1e6).toLong
+    assert(got == Map("a" -> ((4L, wa, 0L)), "b" -> ((1L, 1000000L, wa))))
+    assert(wa == 2828427L)
+    // cap keeps the top-V by (f desc, tok)
+    val capped = Cooccurrence.negativeSamplingTable(
+        Seq("x x y z").toDF("text"), "text", maxVocab = 2)
+      .select($"tok").as[String].collect().toSet
+    assert(capped == Set("x", "y"))
+  }
+
   test("whitespace-edge docs follow the house tokenization (space-trim, \\s+ split)") {
     // space-only doc contributes nothing; a tab-separated doc tokenizes
     // on the tab; leading/trailing spaces are trimmed before the split

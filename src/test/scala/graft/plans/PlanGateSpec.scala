@@ -197,6 +197,9 @@ class PlanGateSpec extends SparkSpec {
     // vocab freq agg + survival join's token side + doc rollup +
     // output sort (the 1-row total broadcasts — allowBnlj)
     "q154_word_subsample" -> 5,
+    // vocab freq agg; top-V is TakeOrdered and the prefix window +
+    // output sort run over the ≤ maxVocab-row single partition
+    "q155_negative_sampling" -> 1,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
