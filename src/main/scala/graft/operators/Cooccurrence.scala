@@ -4,7 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Word-level skip-gram co-occurrence counts — the embedding-training
-  * prep table (word2vec / GloVe input): for every token position and
+  * prep table (word2vec / GloVe input). The aggregation shape is the
+  * reference's flagship streaming WordCount
+  * (`scala/src/main/scala/com/ngt/wc/StreamWordCount.scala:15-20` —
+  * flatMap-split, key, running count)
+  * generalized from unigrams to windowed pairs; the streaming twin in
+  * StreamBench runs it in update mode exactly like that demo.
+  *
+  * For every token position and
   * every offset d ∈ [1, window], the (center, context) pair is counted
   * once in EACH direction (the symmetric-context convention) with the
   * harmonic distance weight 1/d (GloVe's decreasing weighting) carried
