@@ -25,6 +25,13 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
+    // This box has intermittent multi-x degradation windows (SCALE.md
+    // round-11b): under one, a broadcast build can blow the 300 s
+    // default and abort a whole suite/verify run spuriously. The
+    // broadcast sides here are all bounded by design (plan-gated), so
+    // a longer fuse trades nothing except failing later on a genuine
+    // hang.
+    .config("spark.sql.broadcastTimeout", "1800")
 
   /** Local session for tests and ad-hoc runs. */
   def local(cores: Int = 4): SparkSession = {
