@@ -577,6 +577,15 @@ object ScaleSmoke {
     // a ≤ V-row prefix window — the corpus term is the one agg
     run("neg_sampling", graft.operators.Cooccurrence.negativeSamplingTable(
       docs, "text", maxVocab = 100000), force = true)
+    // corpus snapshot diff (q156): digest map per side + ONE id-keyed
+    // full-outer hash join (payload = id/digest/length, never texts)
+    run("corpus_diff", graft.io.Layout.corpusDiff(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 11 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source")),
+      "doc_id", "text"), force = true)
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

@@ -162,4 +162,37 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Snapshot diff between two corpus versions — the ingestion audit
+    * every recurring crawl/refresh pipeline runs before accepting a new
+    * drop: per row id, classify `added` (only in `next`), `removed`
+    * (only in `prev`), `changed` (both, content digest differs), `same`.
+    * Content compare is by md5 digest, never by carrying both full
+    * texts through the join — at 100 TB the join payload is
+    * (id, 32-byte digest, length) regardless of document size.
+    *
+    * Output: one row per (status) with doc and char totals (chars of
+    * the NEXT version for added/changed/same, of the PREV for removed —
+    * "what the new snapshot costs / what the old one loses").
+    * Scale shape: one digest map pass per side + a single full-outer
+    * hash join on the id (uniform key) + a 4-group aggregate.
+    */
+  def corpusDiff(prev: DataFrame, next: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def digested(df: DataFrame, d: String, n: String) =
+      df.select(col(idCol).cast("long").as(idCol),
+        md5(col(textCol).cast("string")).as(d),
+        length(col(textCol).cast("string")).cast("long").as(n))
+    val joined = digested(prev, "__dp", "__np")
+      .join(digested(next, "__dn", "__nn"), Seq(idCol), "full_outer")
+    joined
+      .select(
+        when(col("__dp").isNull, "added")
+          .when(col("__dn").isNull, "removed")
+          .when(col("__dp") =!= col("__dn"), "changed")
+          .otherwise("same").as("status"),
+        coalesce(col("__nn"), col("__np")).as("n_chars"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+  }
 }

@@ -140,6 +140,22 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"n_shared", $"n_shingles", $"ratio")
     }),
 
+    // Corpus snapshot diff (recurring-crawl ingestion audit): prev
+    // drops doc_id % 7 == 0, next drops % 11 == 0 and rewrites % 5 == 0
+    // — classify added/removed/changed/same by md5 digest; the join
+    // carries (id, digest, length), never the texts.
+    "q156_corpus_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id", $"text")
+      val next = docs.filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text").as("text"))
+      graft.io.Layout.corpusDiff(prev, next, "doc_id", "text")
+        .orderBy($"status")
+    }),
+
     // PII scrub: redact emails / phones / IPv4s from deterministic
     // PII-bearing text; per nation report hit totals and how much the
     // redaction changed the byte length. Pure codegen'd regex columns —
@@ -494,6 +510,27 @@ object CorpusQueries extends QueryModule {
          |  CAST(COUNT(*) AS DOUBLE) / CAST(tsz.n_shingles AS DOUBLE) AS ratio
          |FROM t JOIN b USING (shingle) JOIN tsz ON t.doc_id = tsz.doc_id
          |GROUP BY t.doc_id, tsz.n_shingles""".stripMargin,
+
+    "q156_corpus_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (
+        |  SELECT md5(p.text) AS dp, md5(n.text) AS dn,
+        |    CAST(len(p.text) AS BIGINT) AS np,
+        |    CAST(len(n.text) AS BIGINT) AS nn
+        |  FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id)
+        |SELECT
+        |  CASE WHEN dp IS NULL THEN 'added'
+        |       WHEN dn IS NULL THEN 'removed'
+        |       WHEN dp <> dn THEN 'changed'
+        |       ELSE 'same' END AS status,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(COALESCE(nn, np)) AS BIGINT) AS chars
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q82_pii_redact" ->
       s"""WITH base AS (SELECT c_custkey, c_nationkey, $piiTextSql AS txt

@@ -150,4 +150,21 @@ class LayoutSpec extends SparkSpec {
     // no staging/probe residue next to the target
     assert(new java.io.File(out).listFiles().map(_.getName).toSet == Set("t"))
   }
+
+  test("corpusDiff classifies added/removed/changed/same with next-side char accounting") {
+    import spark.implicits._
+    val prev = Seq((1L, "aa"), (2L, "bbb"), (3L, "cccc"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "aa"), (2L, "BBBBB"), (4L, "dddddd"))
+      .toDF("doc_id", "text")
+    val got = graft.io.Layout.corpusDiff(prev, next, "doc_id", "text")
+      .select($"status", $"n_docs", $"chars")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // 1 same (chars of next "aa" = 2), 2 changed (next "BBBBB" = 5),
+    // 3 removed (prev "cccc" = 4), 4 added (next "dddddd" = 6)
+    assert(got == Map(
+      "same" -> ((1L, 2L)), "changed" -> ((1L, 5L)),
+      "removed" -> ((1L, 4L)), "added" -> ((1L, 6L))))
+  }
 }

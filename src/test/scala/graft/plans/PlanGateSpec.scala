@@ -200,6 +200,9 @@ class PlanGateSpec extends SparkSpec {
     // vocab freq agg; top-V is TakeOrdered and the prefix window +
     // output sort run over the ≤ maxVocab-row single partition
     "q155_negative_sampling" -> 1,
+    // both digest sides' join exchanges + the 4-group agg + output
+    // sort (payload = id/digest/length — never the texts)
+    "q156_corpus_diff" -> 4,
     "q124_ivfpq_ann" -> 3,
     "q125_distinct_sketch" -> 2,
     "q126_hist_quantiles" -> 3,
