@@ -14,7 +14,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.broadcastTimeout", GraftSession.longFuse))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch the fact tables + exercise codegen once
@@ -45,22 +46,33 @@ object Bench {
     }
     val results = measure(spark, sfDir, selected.toSeq.sortBy(_._1), runs)
     // The driver captures only the LAST 2000 chars of stdout and parses the
-    // JSON line out of that tail; sbt's own trailer eats ~100 of those. With
-    // 100+ queries the full names at nanosecond precision overflow the
-    // buffer (rounds 1-4 all recorded parsed=null). Short keys (unique qNN
-    // prefix) + millisecond precision keep the line comfortably under it.
-    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val shortKeys = results.map(_._1.split("_")(0))
+    // JSON line out of that tail; sbt's own "[success] ..." trailer eats ~75
+    // of those. With 100+ queries the full names at nanosecond precision
+    // overflow the buffer (rounds 1-4 recorded parsed=null), and at 156
+    // queries even qNN keys + 3 decimals did (round 11: line 2025 > window).
+    // Key = the query's qNN prefix MINUS the leading 'q' ("104" is
+    // q104_minhash_*), value = centisecond precision with trailing zeros
+    // trimmed; that is ~1700 chars at 156 queries with room to ~190.
+    def cs(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+      if (t.isEmpty || t == "-") "0" else t
+    }
+    val shortKeys = results.map(_._1.split("_")(0).stripPrefix("q"))
     require(shortKeys.distinct.size == shortKeys.size,
       "duplicate qNN prefixes would silently drop a timing: " +
         shortKeys.diff(shortKeys.distinct).mkString(", "))
     val qs = results.map { case (k, v) =>
-      "\"" + k.split("_")(0) + "\":" + (if (v < 0) "-1" else ms(v))
+      "\"" + k.split("_")(0).stripPrefix("q") + "\":" + (if (v < 0) "-1" else cs(v))
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k.split("_")(0) + "\"" }
-      .mkString("[", ",", "]")
+    val errs = results.collect {
+      case (k, v) if v < 0 => "\"" + k.split("_")(0).stripPrefix("q") + "\""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}""")
+    // sf as a bare number (parsed from the dir name) — the full path is
+    // knowable from the driver's own invocation and costs 20 window chars.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":$sfNum}""")
     spark.stop()
   }
 

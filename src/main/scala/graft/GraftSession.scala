@@ -25,22 +25,33 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
-    // This box has intermittent multi-x degradation windows (SCALE.md
-    // round-11b): under one, a broadcast build can blow the 300 s
-    // default and abort a whole suite/verify run spuriously. The
-    // broadcast sides here are all bounded by design (plan-gated), so
-    // a longer fuse trades nothing except failing later on a genuine
-    // hang.
-    .config("spark.sql.broadcastTimeout", "1800")
+    // Broadcast fuse: the Spark default (300 s) unless overridden. The
+    // test/bench/verify entry points opt into a LONGER fuse (this box
+    // has intermittent multi-x degradation windows — SCALE.md round-11b —
+    // under which a broadcast build can blow 300 s and abort a whole run
+    // spuriously; their broadcast sides are all bounded by design,
+    // plan-gated). A library user's session keeps the stock 5-minute
+    // fail-fast: a genuinely hung broadcast should surface, not stall
+    // half an hour. GRAFT_BROADCAST_TIMEOUT overrides everywhere.
+    .config("spark.sql.broadcastTimeout", broadcastTimeout)
 
-  /** Local session for tests and ad-hoc runs. */
+  /** Seconds before an unfinished broadcast build aborts the query.
+    * `longFuse` is what Bench/Verify/ScaleSmoke/StreamBench and the test
+    * JVMs pass explicitly (post-`tune` configs win). */
+  def broadcastTimeout: String =
+    sys.env.getOrElse("GRAFT_BROADCAST_TIMEOUT", "300")
+  def longFuse: String =
+    sys.env.getOrElse("GRAFT_BROADCAST_TIMEOUT", "1800")
+
+  /** Local session for tests and ad-hoc runs — our own entry point, so it
+    * opts into the long broadcast fuse (see [[tune]]'s rationale). */
   def local(cores: Int = 4): SparkSession = {
     val s = tune(
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
-    ).getOrCreate()
+    ).config("spark.sql.broadcastTimeout", longFuse).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

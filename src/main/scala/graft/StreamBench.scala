@@ -387,8 +387,11 @@ object StreamBench {
     // appends to); each micro-batch pays only its own anchors + one
     // membership anti join + rebuild, driven through foreachBatch.
     // Zero state operators by design — the digest table IS the state.
-    bench("exactsubstr_batch")(docs.size.toLong / 2) { () =>
-      val (corpusSeq, incomingSeq) = docs.splitAt(docs.size / 2)
+    // split FIRST and count the actual incoming side — docs.size/2 is off
+    // by one for odd sizes (incoming = size - size/2), which skewed the
+    // throughput denominator.
+    val (corpusSeq, incomingSeq) = docs.splitAt(docs.size / 2)
+    bench("exactsubstr_batch")(incomingSeq.size.toLong) { () =>
       val corpusH = operators.Dedup.corpusSpanDigests(
         corpusSeq.toDF("doc_id", "text"), "doc_id", "text", 8)
         .localCheckpoint()
@@ -433,7 +436,8 @@ object StreamBench {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(50000)
     val base = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.broadcastTimeout", GraftSession.longFuse))
       .getOrCreate()
     base.sparkContext.setLogLevel("WARN")
     import base.implicits._

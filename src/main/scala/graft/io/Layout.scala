@@ -179,16 +179,24 @@ object Layout {
     */
   def corpusDiff(prev: DataFrame, next: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def digested(df: DataFrame, d: String, n: String) =
-      df.select(col(idCol).cast("long").as(idCol),
-        md5(col(textCol).cast("string")).as(d),
-        length(col(textCol).cast("string")).cast("long").as(n))
-    val joined = digested(prev, "__dp", "__np")
-      .join(digested(next, "__dn", "__nn"), Seq(idCol), "full_outer")
-    joined
+    // Join on the RAW id column — casting it (e.g. to long) would turn
+    // string ids (URLs, UUIDs) into nulls, and null keys never match in a
+    // full-outer join, so every such row would double-report as one
+    // 'added' + one 'removed': a silently wrong audit. Presence on a side
+    // is therefore detected via that side's id copy, NOT via digest
+    // nullity — a present row with a NULL text digests to the "" sentinel
+    // (md5 can never return ""), so null-text rows still diff correctly
+    // against each other and against real texts.
+    def digested(df: DataFrame, id: String, d: String, n: String) =
+      df.select(col(idCol).as(id),
+        coalesce(md5(col(textCol).cast("string")), lit("")).as(d),
+        coalesce(length(col(textCol).cast("string")).cast("long"), lit(0L)).as(n))
+    val p = digested(prev, "__ip", "__dp", "__np")
+    val q = digested(next, "__in", "__dn", "__nn")
+    p.join(q, p("__ip") === q("__in"), "full_outer")
       .select(
-        when(col("__dp").isNull, "added")
-          .when(col("__dn").isNull, "removed")
+        when(col("__ip").isNull, "added")
+          .when(col("__in").isNull, "removed")
           .when(col("__dp") =!= col("__dn"), "changed")
           .otherwise("same").as("status"),
         coalesce(col("__nn"), col("__np")).as("n_chars"))

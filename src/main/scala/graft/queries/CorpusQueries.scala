@@ -519,13 +519,16 @@ object CorpusQueries extends QueryModule {
         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 0),
         |j AS (
-        |  SELECT md5(p.text) AS dp, md5(n.text) AS dn,
-        |    CAST(len(p.text) AS BIGINT) AS np,
-        |    CAST(len(n.text) AS BIGINT) AS nn
+        |  SELECT p.doc_id AS ip, n.doc_id AS inx,
+        |    COALESCE(md5(p.text), '') AS dp, COALESCE(md5(n.text), '') AS dn,
+        |    CASE WHEN p.doc_id IS NULL THEN NULL
+        |         ELSE CAST(COALESCE(len(p.text), 0) AS BIGINT) END AS np,
+        |    CASE WHEN n.doc_id IS NULL THEN NULL
+        |         ELSE CAST(COALESCE(len(n.text), 0) AS BIGINT) END AS nn
         |  FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id)
         |SELECT
-        |  CASE WHEN dp IS NULL THEN 'added'
-        |       WHEN dn IS NULL THEN 'removed'
+        |  CASE WHEN ip IS NULL THEN 'added'
+        |       WHEN inx IS NULL THEN 'removed'
         |       WHEN dp <> dn THEN 'changed'
         |       ELSE 'same' END AS status,
         |  COUNT(*) AS n_docs,

@@ -25,14 +25,15 @@ object CurationQueries extends QueryModule {
     * postings dominated the retrieval family's bench variance (the
     * repartition + localCheckpoint materialization is contention-
     * sensitive: judge measured ~1.9× under driver-side load while pure
-    * CPU queries held at 1.0×). Keyed by applicationId so a stopped
-    * session's dead checkpoint blocks are never reused.
+    * CPU queries held at 1.0×). Lives in the bounded [[SharedFrames]]
+    * LRU so sweeping many dirs can't pin checkpoint blocks forever.
     */
-  private val bmIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Retrieval.TextIndex]()
   private def sharedBmIndex(s: SparkSession, dir: String): Retrieval.TextIndex =
-    bmIndexCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir",
-      _ => Retrieval.buildIndex(Tables.documents(s, dir), "doc_id", "text"))
+    SharedFrames.cached(s, "bm25", dir)(
+      Retrieval.buildIndex(Tables.documents(s, dir), "doc_id", "text")) { ix =>
+      Seq(ix.postings, ix.terms, ix.stats)
+        .foreach(df => scala.util.Try(df.unpersist(false)))
+    }
 
   /** Deterministic messy URL derived from doc_id/source — shared by
     * q121 and q128 so the two gates can't drift apart; the matching

@@ -27,16 +27,65 @@ trait QueryModule {
   * are never reused.
   */
 object SharedLm {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   /** (doc_id, n_bigrams, lp_micro, avg_lp) — `Quality.bigramLogprob`
     * over the documents table, materialized once per session+dir.
     */
   def scored(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir",
-      _ => graft.operators.Quality.bigramLogprob(
-        graft.Tables.documents(s, dir), "doc_id", "text").localCheckpoint())
+    SharedFrames.get(s, "lm", dir)(
+      graft.operators.Quality.bigramLogprob(
+        graft.Tables.documents(s, dir), "doc_id", "text"))
+}
+
+/** Bounded per-session materialization cache behind the Shared* frame
+  * families (LM scoring, span dedup). The old per-family unbounded
+  * ConcurrentHashMaps pinned one localCheckpoint per (app, dir) touched,
+  * forever — fine for the one-dir verify driver, a slow leak for any
+  * long-lived session sweeping many dirs. Access-ordered LRU capped at
+  * [[maxEntries]]: an evicted entry's reference is dropped (and its
+  * blocks unpersisted best-effort) so the ContextCleaner can free the
+  * checkpoint blocks; a later request simply recomputes.
+  */
+object SharedFrames {
+  private val maxEntries = 16
+  private final case class Entry(value: Any, release: () => Unit)
+  private val cache = new java.util.LinkedHashMap[String, Entry](
+    32, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Entry]): Boolean = {
+      val evict = size() > maxEntries
+      if (evict) scala.util.Try(e.getValue.release())
+      evict
+    }
+  }
+
+  /** The cached value for (this session, tag, dir), built from `mk` on
+    * first request, released via `release` on LRU eviction. Keyed by
+    * applicationId so a stopped session's dead blocks are never reused.
+    * The build runs OUTSIDE the lock (it launches Spark jobs and must
+    * not serialize unrelated families); a lost build race is settled by
+    * releasing the loser and returning the winner.
+    */
+  def cached[V](s: SparkSession, tag: String, dir: String)(
+      mk: => V)(release: V => Unit): V = {
+    val key = s"${s.sparkContext.applicationId}:$tag:$dir"
+    val hit = cache.synchronized(Option(cache.get(key)))
+    hit.map(_.value.asInstanceOf[V]).getOrElse {
+      val built = mk
+      cache.synchronized {
+        Option(cache.get(key)) match {
+          case Some(winner) =>
+            scala.util.Try(release(built)); winner.value.asInstanceOf[V]
+          case None =>
+            cache.put(key, Entry(built, () => release(built))); built
+        }
+      }
+    }
+  }
+
+  /** localCheckpoint'd-DataFrame convenience form of [[cached]]. */
+  def get(s: SparkSession, tag: String, dir: String)(
+      mk: => DataFrame): DataFrame =
+    cached(s, tag, dir)(mk.localCheckpoint())(df => { df.unpersist(false); () })
 }
 
 /** One corpus-wide exact-substring span dedup per (session, sf dir) —
@@ -46,18 +95,14 @@ object SharedLm {
   * queries' bench cost when each rebuilt it from scratch.
   */
 object SharedSpanDedup {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   /** (doc_id, text, n_tokens, n_removed) — `Dedup.dedupSpansKeepFirst`
     * (n = 8) over the documents table, materialized once per
     * session+dir.
     */
   def deduped(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir",
-      _ => graft.operators.Dedup.dedupSpansKeepFirst(
-        graft.Tables.documents(s, dir), "doc_id", "text", n = 8)
-        .localCheckpoint())
+    SharedFrames.get(s, "spandedup", dir)(
+      graft.operators.Dedup.dedupSpansKeepFirst(
+        graft.Tables.documents(s, dir), "doc_id", "text", n = 8))
 }
 
 /** Cross-engine determinism helpers.

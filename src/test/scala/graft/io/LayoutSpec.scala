@@ -167,4 +167,31 @@ class LayoutSpec extends SparkSpec {
       "same" -> ((1L, 2L)), "changed" -> ((1L, 5L)),
       "removed" -> ((1L, 4L)), "added" -> ((1L, 6L))))
   }
+
+  test("corpusDiff joins string ids raw and treats null texts as present") {
+    import spark.implicits._
+    // String ids (URLs): the old cast-to-long join turned every id into
+    // null and double-reported each row as added+removed; the raw-key
+    // join must classify them. Null texts: a present row with a null
+    // text is PRESENT (digest sentinel ""), so null->null is 'same',
+    // null->text and text->null are 'changed', never 'added'.
+    val prev = Seq(
+      ("http://a/1", Option("aa")), ("http://a/2", None),
+      ("http://a/3", Option("ccc")), ("http://a/4", None))
+      .toDF("url", "text")
+    val next = Seq(
+      ("http://a/1", Option("aa")), ("http://a/2", None),
+      ("http://a/3", Option.empty[String]), ("http://a/5", Option("ee")))
+      .toDF("url", "text")
+    val got = graft.io.Layout.corpusDiff(prev, next, "url", "text")
+      .select($"status", $"n_docs", $"chars")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // 1 same ("aa"->2), 2 same (null->null, 0 chars), 3 changed
+    // (text->null, next chars 0), 4 removed (null text, 0 chars),
+    // 5 added ("ee" = 2)
+    assert(got == Map(
+      "same" -> ((2L, 2L)), "changed" -> ((1L, 0L)),
+      "removed" -> ((1L, 0L)), "added" -> ((1L, 2L))))
+  }
 }
