@@ -588,6 +588,41 @@ object ScaleSmoke {
         col("lang"), col("source")),
       "doc_id", "text"), force = true)
 
+    // round-12 analytics tier ------------------------------------------
+    // exact winsorize (q160): the rank window funnels each source's rows
+    // through ONE task's sort — measured here precisely because it is the
+    // shape that degrades with per-key volume; the sketch twin below is
+    // the production path (histogram agg + map-only clamp, no sort)
+    run("winsorize_exact", graft.operators.Relational.winsorizedStats(
+      docs.withColumn("n_chars", length(col("text"))),
+      "source", "n_chars", "doc_id", 5, 95), force = true)
+    run("winsorize_sketch", graft.operators.Relational.winsorizedStatsBySketch(
+      docs.withColumn("n_chars", length(col("text"))),
+      "source", "n_chars", 5, 95, lo = 0L, width = 16L, nBuckets = 4096),
+      force = true)
+    // rank-blend selection (q164): two rank windows + top-k, all on the
+    // lang key — same caveat as winsorize_exact (per-language sorts); the
+    // signals ride the row, so the curve is the window sort cost
+    run("score_blend", graft.operators.Selection.blendByRank(
+      docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len_sig"),
+        (col("doc_id") % 997).cast("long").as("aux_sig")),
+      "doc_id", "lang", "len_sig", "aux_sig", k = 100), force = true)
+    // rollup cube (q157): Expand(3x rows) + ONE map-side-combined agg —
+    // the output is |sources|x|langs| bounded whatever the corpus size
+    run("token_cube", docs
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .rollup(col("source"), col("lang"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens")), force = true)
+    // moment sums (q162): one partial-aggregated shuffle of 6 longs per
+    // group — the corr gate's corpus pass, expected ~scan-bound
+    run("corr_moments", graft.operators.Quality.momentSums(
+      docs.select(col("source"), length(col("text")).cast("long").as("x"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("y")),
+      "source", "x", "y"), force = true)
+
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
     // former CcProbe scratch main, folded in behind this flag)

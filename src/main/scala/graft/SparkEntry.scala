@@ -20,7 +20,8 @@ object SparkEntry {
     CorpusQueries,
     CurationQueries,
     SignalQueries,
-    SelectionQueries
+    SelectionQueries,
+    AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -295,4 +295,27 @@ object Quality {
       }
       .toDF(idCol, "a", "b")
   }
+
+  /** Per-group exact second-moment sums between two INTEGER signals —
+    * the distributed half of Pearson correlation / covariance /
+    * least-squares, kept in the engine as pure BIGINT so any engine
+    * replays it bit for bit: n, Σx, Σy, Σxy, Σx², Σy². The float
+    * finish (corr = (nΣxy−ΣxΣy)/√(nΣx²−(Σx)²)/√(nΣy²−(Σy)²)) is
+    * model-sized driver/reader arithmetic on those six numbers — the
+    * Pca.gramianMicro discipline: gate the corpus-scale sums, derive
+    * floats downstream.
+    *
+    * One map-side-partial aggregate; nothing but (key, 6 longs)
+    * shuffles. Caller guarantees |x|,|y| small enough that Σxy fits in
+    * BIGINT at corpus scale (quantize upstream if not).
+    */
+  def momentSums(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+  }
 }

@@ -187,4 +187,118 @@ object Relational {
       explode(sequence(lit(0), lit(salts - 1))).as("__salt"))
     saltedFact.join(explodedDim, keyCols :+ "__salt").drop("__salt")
   }
+
+  /** Per-group winsorized statistics over an integer measure: exact
+    * order-statistic thresholds at `pLo`/`pHi` (percentile_disc lower
+    * semantics — the value at 1-based rank floor(p*(n-1))+1 in
+    * (value, tieCol) order, so ties break deterministically), then every
+    * value clamped into [lo, hi] and summed exactly.
+    *
+    * All arithmetic is integer (rank index via exact multiply/divide on
+    * BIGINT, clamp via greatest/least, BIGINT sums) so any engine replays
+    * it bit for bit — no percentile interpolation, whose IEEE rounding
+    * differs across engines.
+    *
+    * Scale shape: one shuffle on `keyCol` for the rank window (windows
+    * are PARTITIONED — no global sort), the threshold rows collapse to
+    * 2 per group and broadcast back onto the grouped rows, then one
+    * map-side-partial aggregate. The measure column never leaves its
+    * group's partition twice. CAVEAT: the rank window still sorts each
+    * GROUP inside one task — with a low-cardinality skewed key (20
+    * sources over a 100 TB corpus) that is n/|keys| rows per sort;
+    * [[winsorizedStatsBySketch]] is the production tier for that regime
+    * (SCALE.md round-12 measures the two head to head).
+    *
+    * Output: (key, n, lo, hi, sum_raw, sum_winsorized, n_clamped).
+    */
+  def winsorizedStats(df: DataFrame, keyCol: String, valCol: String,
+      tieCol: String, pLoPct: Int, pHiPct: Int): DataFrame = {
+    require(0 <= pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
+      s"need 0 <= pLo <= pHi <= 100, got $pLoPct/$pHiPct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__v"), col(tieCol))
+    val ranked = df
+      .select(col(keyCol), col(valCol).cast("long").as("__v"), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+    // 1-based rank of the percentile_disc-lower order statistic:
+    // floor(p/100 * (n-1)) + 1. Column `/` is DOUBLE division even on
+    // longs, so take floor explicitly: p*(n-1) <= 100n stays exact in a
+    // double far past any group size, and floor of a correctly-rounded
+    // quotient with fractional part bounded away from 1 by >= 1/100 is
+    // the true integer quotient.
+    def idx(pct: Int) =
+      floor(lit(pct.toLong) * (col("__n") - 1L) / lit(100.0)).cast("long") + 1L
+    val thresholds = ranked
+      .filter(col("__rn") === idx(pLoPct) || col("__rn") === idx(pHiPct))
+      .groupBy(col(keyCol))
+      .agg(min(when(col("__rn") === idx(pLoPct), col("__v"))).as("lo"),
+        max(when(col("__rn") === idx(pHiPct), col("__v"))).as("hi"))
+    val clamped = ranked.join(broadcast(thresholds), Seq(keyCol))
+      .withColumn("__w", greatest(least(col("__v"), col("hi")), col("lo")))
+    clamped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("__v")).as("sum_raw"),
+        sum(col("__w")).as("sum_winsorized"),
+        sum(when(col("__w") =!= col("__v"), 1L).otherwise(0L)).as("n_clamped"))
+  }
+
+  /** The 100 TB form of [[winsorizedStats]]: thresholds from a per-group
+    * HISTOGRAM instead of a rank window — [[winsorizedStats]] sorts each
+    * group inside one task (row_number over the group), so a skewed
+    * low-cardinality key (20 sources over a 100 TB corpus) funnels
+    * n/|keys| rows through single-task sorts. Here the group's
+    * distribution is reduced map-side to ≤ `nBuckets` bucket counts
+    * (one uniform (key, bucket) aggregate), the percentile threshold is
+    * the LOWER BOUND of the bucket containing the target rank (computed
+    * on the |keys|·nBuckets-row sketch), and the clamp+sum pass is
+    * map-only + one final aggregate. No corpus row is ever sorted.
+    * Same output schema as the exact form.
+    *
+    * Bucketization: index = (v − lo) div width, clamped to
+    * [0, nBuckets). Pure integer arithmetic — any engine replays it
+    * exactly. With `width = 1` and values inside [lo, lo + nBuckets)
+    * the thresholds EQUAL the exact form's order statistics
+    * (RelationalSpec pins this); wider buckets trade threshold
+    * resolution (≤ width) for the bounded sketch.
+    */
+  def winsorizedStatsBySketch(df: DataFrame, keyCol: String, valCol: String,
+      pLoPct: Int, pHiPct: Int, lo: Long, width: Long, nBuckets: Int)
+      : DataFrame = {
+    require(0 <= pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
+      s"need 0 <= pLo <= pHi <= 100, got $pLoPct/$pHiPct")
+    require(width > 0 && nBuckets > 1, s"bad sketch grid: $width/$nBuckets")
+    val v = col("__v")
+    // exact integer bucket index; values outside the grid clamp to the
+    // edge buckets (their threshold then reports the edge bound)
+    val bkt = greatest(least((v - lit(lo)) - pmod(v - lit(lo), lit(width)),
+      lit((nBuckets - 1).toLong * width)), lit(0L)) / lit(width.toDouble)
+    val hist = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .withColumn("__b", floor(bkt + lit(0.5)).cast("long"))
+      .groupBy(col(keyCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wall = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    def idx(pct: Int) =
+      floor(lit(pct.toLong) * (col("__n") - 1L) / lit(100.0)).cast("long") + 1L
+    val thresholds = hist
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(wall))
+      .withColumn("__thr", lit(lo) + col("__b") * width)
+      .groupBy(col(keyCol))
+      .agg(min(when(col("__cum") >= idx(pLoPct), col("__thr"))).as("lo"),
+        min(when(col("__cum") >= idx(pHiPct), col("__thr"))).as("hi"))
+    val clamped = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .join(broadcast(thresholds), Seq(keyCol))
+      .withColumn("__w", greatest(least(col("__v"), col("hi")), col("lo")))
+    clamped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("__v")).as("sum_raw"),
+        sum(col("__w")).as("sum_winsorized"),
+        sum(when(col("__w") =!= col("__v"), 1L).otherwise(0L)).as("n_clamped"))
+  }
 }

@@ -110,6 +110,42 @@ object Retrieval {
         col("sdec").cast("double").as("score"))
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the DPR /
+    * sentence-transformers recipe): for each query, retrieve the BM25
+    * top `kPos + kNeg` and emit ranks kPos+1 .. kPos+kNeg — documents
+    * the lexical ranker finds MOST similar yet which rank below the
+    * presumed-relevant head. When an explicit positives table is given
+    * (query_id, doc_id), those documents are excluded by anti-join
+    * instead of by rank position and the top `kNeg` survivors are kept.
+    *
+    * Scale shape: everything downstream of [[searchBm25]] operates on
+    * rank lists (|Q|·(kPos+kNeg) rows) — the corpus is touched exactly
+    * once by the retrieval itself; the positives anti-join is
+    * broadcastable because a labeled positives set is training
+    * metadata, orders smaller than the corpus.
+    *
+    * Returns (query_id, doc_id, rk, score): `rk` is the rank in the
+    * ORIGINAL retrieval list (1-based), so the consumer can see how
+    * close each negative sat to the head.
+    */
+  def hardNegatives(index: TextIndex, queries: DataFrame, kPos: Int,
+      kNeg: Int, positives: Option[DataFrame] = None,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kPos >= 0, s"kPos must be non-negative: $kPos")
+    require(kNeg > 0, s"kNeg must be positive: $kNeg")
+    val top = searchBm25(index, queries, kPos + kNeg, k1, b)
+    positives match {
+      case None => top.filter(col("rk") > kPos)
+      case Some(pos) =>
+        val keep = top.join(broadcast(pos.select(col("query_id"), col("doc_id"))),
+          Seq("query_id", "doc_id"), "left_anti")
+        keep.withColumn("__keep", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("rk"))))
+          .filter(col("__keep") <= kNeg).drop("__keep")
+    }
+  }
+
   /** Reciprocal-rank fusion of retrieval arms (the standard
     * hybrid-search combiner, Cormack/Clarke/Buettcher SIGIR'09): each
     * arm is a rank list (query_id, doc_id, rk); a document's fused

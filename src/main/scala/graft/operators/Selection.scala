@@ -283,4 +283,52 @@ object Selection {
         (acc, b) => acc + when(hb < b, 1).otherwise(0)))
       .drop("__thr")
   }
+
+  /** Rank-normalized blend of two quality signals into one curation
+    * score — the standard trick for combining signals on incompatible
+    * scales (an LM logprob and a length prior, a classifier logit and
+    * a PageRank) without z-scores: within each `partCol` group, each
+    * signal becomes its exact percentile rank in integer MICRO-UNITS
+    * ((rank−1)·1e6 div (n−1), higher-is-better ties broken by id), and
+    * the blend is `wA·pctA + wB·pctB` — pure BIGINT arithmetic any
+    * engine replays exactly. Emits the per-group top `k` by blended
+    * score (ties by id).
+    *
+    * Scale shape: two rank windows + the count, all partitioned by the
+    * SAME `partCol` key — one shuffle total, windows never global —
+    * then a per-group top-k window over already-scored rows. Signals
+    * ride the same row; nothing joins. CAVEAT: like
+    * [[Relational.winsorizedStats]], each group sorts inside one task;
+    * when `partCol` is low-cardinality over a full corpus, derive the
+    * percentiles from histogram-bucket cumsums instead (the
+    * [[perplexityBucketsBySketch]] machinery — rank→pct via bucket
+    * thresholds) and keep this exact form as the semantics reference.
+    */
+  def blendByRank(df: DataFrame, idCol: String, partCol: String,
+      aCol: String, bCol: String, k: Int, wA: Long = 1L, wB: Long = 1L)
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(wA >= 0 && wB >= 0, s"weights must be non-negative: $wA/$wB")
+    def pct(c: String) = {
+      val r = row_number().over(Window.partitionBy(col(partCol))
+        .orderBy(col(c).asc, col(idCol)))
+      val n = count(lit(1)).over(Window.partitionBy(col(partCol)))
+      // exact BIGINT floor-division (a div b): Column `/` is DOUBLE
+      // division, and the dividend (r-1)*1e6 can exceed 2^53 at corpus
+      // group sizes — strip the remainder with pmod FIRST (exact in
+      // long), then the double quotient is integer-valued with absolute
+      // error << 0.5, which +0.5/floor snaps away.
+      val a = (r.cast("long") - 1L) * 1000000L
+      val b = n - 1L
+      when(n === 1L, lit(1000000L))
+        .otherwise(floor((a - pmod(a, b)).cast("double") / b.cast("double")
+          + 0.5).cast("long"))
+    }
+    df.withColumn("pct_a", pct(aCol))
+      .withColumn("pct_b", pct(bCol))
+      .withColumn("blend_u", lit(wA) * col("pct_a") + lit(wB) * col("pct_b"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(partCol))
+        .orderBy(col("blend_u").desc, col(idCol))))
+      .filter(col("rk") <= k)
+  }
 }

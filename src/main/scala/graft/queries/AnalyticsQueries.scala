@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Quality, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 analytics-surface tier: the multi-dimensional reporting
+  * machinery a corpus dashboard sits on — ROLLUP cubes, pivot/unpivot
+  * reshaping, exact winsorized robust stats, RANGE-frame moving windows,
+  * and exact integer moment sums (the distributed half of correlation).
+  * All are Spark built-ins used declaratively (Catalyst expands rollup
+  * grouping sets and pivots into single-pass aggregates) — the point is
+  * the plan shape, not custom code: each query is one scan + one or two
+  * partial-aggregated shuffles at any scale.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  /** Whitespace token count, SQL-twin semantics both engines share
+    * (`len(string_split_regex(trim(text), '\s+'))`). */
+  private def nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token-accounting cube: doc and token totals by (source, lang) with
+    // ROLLUP subtotals — the "how much of each language does each source
+    // contribute, and overall" planning table every mixture decision
+    // reads. Catalyst expands the rollup into ONE Expand + one aggregate
+    // (map-side partial over 3x the rows, grouping-set key): a single
+    // shuffle at 100 TB, not three passes.
+    "q157_token_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"source", $"lang", nTokens.as("nt"), $"n_chars")
+        .rollup($"source", $"lang")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum($"nt").as("n_tokens"),
+          sum($"n_chars".cast("long")).as("n_chars"))
+        .orderBy($"gid", $"source", $"lang")
+    }),
+
+    // Language-mix pivot: one row per source, one doc-count column per
+    // language — the wide corpus-composition report. An EXPLICIT value
+    // list keeps pivot single-pass (no distinct-scan job) and fixes the
+    // output schema; Catalyst compiles it to one aggregate with
+    // conditional counts — one shuffle on source.
+    "q158_lang_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = Tables.documents(s, dir)
+        .groupBy($"source")
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+      langs.foldLeft(wide)((df, l) =>
+          df.withColumn(l, coalesce(col(l), lit(0L))))
+        .orderBy($"source")
+    }),
+
+    // Unpivot (melt): the same per-source totals as a long (source,
+    // metric, value) table — the shape dashboards and metric stores
+    // ingest. Spark's native unpivot is a zero-shuffle Expand over the
+    // aggregated rows; the only shuffle is the upstream groupBy.
+    "q159_metrics_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars".cast("long")).as("n_chars"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"))
+        .unpivot(Array($"source"), Array($"n_docs", $"n_chars", $"n_en"),
+          "metric", "value")
+        .orderBy($"source", $"metric")
+    }),
+
+    // Winsorized length stats per source: exact p05/p95 order-statistic
+    // thresholds, outliers clamped, raw vs clamped sums — the robust
+    // "is this source's length distribution broken" check that a mean
+    // alone can't answer. Integer-exact end to end (no percentile
+    // interpolation); windows are partitioned by source, never global.
+    "q160_winsorized_len" -> ((s, dir) => {
+      import s.implicits._
+      Relational.winsorizedStats(Tables.documents(s, dir),
+        "source", "n_chars", "doc_id", pLoPct = 5, pHiPct = 95)
+        .orderBy($"source")
+    }),
+
+    // 7-day moving revenue window per event type: daily exact-decimal
+    // totals, then a RANGE frame (6 preceding days .. current) over the
+    // DAY-NUMBER ordering — value-range frames handle calendar gaps
+    // correctly where ROWS frames silently don't. Two shuffles total
+    // (daily rollup, then window keyed by event_type over ~days rows).
+    "q161_moving_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day_num")
+        .rangeBetween(-6, 0)
+      Tables.events(s, dir)
+        .select($"event_type",
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("day_num"),
+          $"value")
+        .groupBy($"event_type", $"day_num")
+        .agg(Q.dec2(sum(Q.dec2($"value"))).as("day_total"))
+        .select($"event_type", $"day_num",
+          $"day_total".cast("double").as("day_total"),
+          sum($"day_total").over(w).cast("double").as("win_total"),
+          count(lit(1)).over(w).as("win_days"))
+        .orderBy($"event_type", $"day_num")
+    }),
+
+    // Exact second-moment sums between doc length and token count per
+    // source — the distributed half of Pearson correlation, kept BIGINT
+    // so the gate is engine-exact; the float corr finish is model-sized
+    // arithmetic on six numbers per group (Pca.gramianMicro discipline).
+    "q162_corr_moments" -> ((s, dir) => {
+      import s.implicits._
+      Quality.momentSums(
+        Tables.documents(s, dir).select($"source",
+          $"n_chars".cast("long").as("x"), nTokens.as("y")),
+        "source", "x", "y")
+        .orderBy($"source")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    "q157_token_cube" ->
+      """SELECT source, lang,
+        |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
+
+    "q158_lang_pivot" ->
+      """SELECT source,
+        |  COUNT(*) FILTER (lang = 'de') AS de,
+        |  COUNT(*) FILTER (lang = 'en') AS en,
+        |  COUNT(*) FILTER (lang = 'es') AS es,
+        |  COUNT(*) FILTER (lang = 'fr') AS fr,
+        |  COUNT(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q159_metrics_unpivot" ->
+      """WITH agg AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en
+        |  FROM documents GROUP BY source)
+        |SELECT source, 'n_docs' AS metric, n_docs AS value FROM agg
+        |UNION ALL
+        |SELECT source, 'n_chars', n_chars FROM agg
+        |UNION ALL
+        |SELECT source, 'n_en', n_en FROM agg
+        |ORDER BY source, metric""".stripMargin,
+
+    "q160_winsorized_len" ->
+      """WITH r AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |t AS (
+        |  SELECT source,
+        |    MIN(CASE WHEN rn = 5 * (n - 1) // 100 + 1 THEN v END) AS lo,
+        |    MAX(CASE WHEN rn = 95 * (n - 1) // 100 + 1 THEN v END) AS hi
+        |  FROM r
+        |  WHERE rn = 5 * (n - 1) // 100 + 1 OR rn = 95 * (n - 1) // 100 + 1
+        |  GROUP BY source),
+        |c AS (
+        |  SELECT r.source, r.v,
+        |    GREATEST(LEAST(r.v, t.hi), t.lo) AS w
+        |  FROM r JOIN t USING (source))
+        |SELECT c.source, COUNT(*) AS n,
+        |  MIN(t.lo) AS lo, MIN(t.hi) AS hi,
+        |  CAST(SUM(v) AS BIGINT) AS sum_raw,
+        |  CAST(SUM(w) AS BIGINT) AS sum_winsorized,
+        |  CAST(SUM(CASE WHEN w <> v THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM c JOIN t USING (source)
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
+
+    "q161_moving_window" ->
+      s"""WITH ${Q.eventsUs},
+         |d AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day_num,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |      AS day_total
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT event_type, day_num,
+         |  CAST(day_total AS DOUBLE) AS day_total,
+         |  CAST(SUM(day_total) OVER (PARTITION BY event_type ORDER BY day_num
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS win_total,
+         |  CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day_num
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS win_days
+         |FROM d ORDER BY event_type, day_num""".stripMargin,
+
+    "q162_corr_moments" ->
+      """WITH b AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |  CAST(SUM(y * y) AS BIGINT) AS syy
+        |FROM b GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -289,6 +289,37 @@ object CurationQueries extends QueryModule {
         .orderBy($"query_id")
     }),
 
+    // Hard-negative mining for embedding/retrieval training (the DPR
+    // recipe): BM25 top-15 per query, the LABELED positives anti-joined
+    // away, first 10 survivors kept with their ORIGINAL retrieval rank.
+    // Positives are the 5 lowest-id q127 qrels per query — a labeled
+    // set is always a SMALL SAMPLE of the truly relevant docs, and the
+    // unlabeled-yet-lexically-hot survivors are exactly what "hard
+    // negative" means (with its known false-negative noise). Everything
+    // after the retrieval operates on |Q|-bounded rank lists.
+    "q163_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = sharedBmIndex(s, dir)
+      val qs = bmQueries.toDF("query_id", "qtext")
+      val qterms = qs.select($"query_id",
+        explode(array_distinct(split(trim($"qtext"), "\\s+"))).as("term"))
+      val nq = qterms.groupBy($"query_id").agg(count(lit(1)).as("nqt"))
+      val dTerms = docs.select($"doc_id",
+        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+      val qrels = dTerms.join(broadcast(qterms), Seq("term"))
+        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("nm"))
+        .join(broadcast(nq), Seq("query_id")).filter($"nm" === $"nqt")
+        .select($"query_id", $"doc_id")
+      val labeled = qrels.withColumn("__lr",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"doc_id")))
+        .filter($"__lr" <= 5).drop("__lr")
+      Retrieval.hardNegatives(idx, qs, kPos = 5, kNeg = 10,
+        positives = Some(labeled))
+        .orderBy($"query_id", $"rk")
+    }),
+
     // Chained web-curation pipeline over the round-9b tier: URL front
     // door (canonicalize -> keep-first -> per-host cap) -> boilerplate
     // strip over the SURVIVORS (document frequency re-computed on the
@@ -389,6 +420,43 @@ object CurationQueries extends QueryModule {
     })
   )
 
+  /** The BM25 ranking CTE chain (through the `rk` rank list), shared by
+    * the q116 retrieval gate and the q163 hard-negative gate so the two
+    * replays can never drift apart.
+    */
+  private def bm25RankCtes: String =
+    s"""q(query_id, qtext) AS (VALUES
+       |  ${bmQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+       |    len(string_split_regex(trim(text), '\\s+')) AS len
+       |  FROM documents),
+       |p AS (SELECT doc_id, len, unnest(w) AS term FROM w),
+       |post AS (SELECT term, doc_id, len, COUNT(*) AS tf
+       |         FROM p GROUP BY 1, 2, 3),
+       |terms AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(CAST(len AS BIGINT)) AS DOUBLE) AS sumlen FROM w),
+       |qt AS (
+       |  SELECT query_id,
+       |    unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term
+       |  FROM q),
+       |contrib AS (
+       |  SELECT qt.query_id, post.doc_id,
+       |    CAST((ln((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+       |      (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+       |      (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} + 0.75 *
+       |        (CAST(post.len AS DOUBLE) / (sumlen / n))))) AS DECIMAL(18,9)) AS c
+       |  FROM qt JOIN terms USING (term) JOIN post USING (term)
+       |  CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, SUM(c) AS sdec
+       |       FROM contrib GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, doc_id, sdec,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sdec DESC, doc_id) AS rk
+       |  FROM sc)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
 
     "q115_boilerplate" ->
@@ -421,39 +489,40 @@ object CurationQueries extends QueryModule {
          |ORDER BY doc_id""".stripMargin,
 
     "q116_bm25_retrieval" ->
-      s"""WITH q(query_id, qtext) AS (VALUES
-         |  ${bmQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
-         |w AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
-         |    len(string_split_regex(trim(text), '\\s+')) AS len
-         |  FROM documents),
-         |p AS (SELECT doc_id, len, unnest(w) AS term FROM w),
-         |post AS (SELECT term, doc_id, len, COUNT(*) AS tf
-         |         FROM p GROUP BY 1, 2, 3),
-         |terms AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
-         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |  CAST(SUM(CAST(len AS BIGINT)) AS DOUBLE) AS sumlen FROM w),
-         |qt AS (
-         |  SELECT query_id,
-         |    unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term
-         |  FROM q),
-         |contrib AS (
-         |  SELECT qt.query_id, post.doc_id,
-         |    CAST((ln((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
-         |      (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
-         |      (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} + 0.75 *
-         |        (CAST(post.len AS DOUBLE) / (sumlen / n))))) AS DECIMAL(18,9)) AS c
-         |  FROM qt JOIN terms USING (term) JOIN post USING (term)
-         |  CROSS JOIN stats),
-         |sc AS (SELECT query_id, doc_id, SUM(c) AS sdec
-         |       FROM contrib GROUP BY 1, 2),
-         |rk AS (
-         |  SELECT query_id, doc_id, sdec,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY sdec DESC, doc_id) AS rk
-         |  FROM sc)
+      s"""WITH $bm25RankCtes
          |SELECT query_id, doc_id, rk, CAST(sdec AS DOUBLE) AS score
          |FROM rk WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // The q116 ranking chain retrieved to depth 15, the labeled subset
+    // of the q127 qrels CTEs (5 lowest doc_id per query) anti-joined
+    // away, and the first 10 survivors per query kept in retrieval
+    // order — exactly `Retrieval.hardNegatives` with an explicit
+    // positives table.
+    "q163_hard_negatives" ->
+      s"""WITH $bm25RankCtes,
+         |nqt AS (SELECT query_id, COUNT(*) AS nqt FROM qt GROUP BY 1),
+         |dt AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS term
+         |  FROM documents),
+         |m AS (SELECT qt.query_id, dt.doc_id, COUNT(*) AS nm
+         |      FROM qt JOIN dt USING (term) GROUP BY 1, 2),
+         |relq AS (SELECT query_id, doc_id FROM m JOIN nqt USING (query_id)
+         |         WHERE nm = nqt),
+         |labeled AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY doc_id) AS lr
+         |    FROM relq) lbl WHERE lr <= 5),
+         |neg AS (
+         |  SELECT r.query_id, r.doc_id, r.rk, r.sdec,
+         |    ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY r.rk) AS keep
+         |  FROM rk r LEFT JOIN labeled rel
+         |    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+         |  WHERE r.rk <= 15 AND rel.query_id IS NULL)
+         |SELECT query_id, doc_id, rk, CAST(sdec AS DOUBLE) AS score
+         |FROM neg WHERE keep <= 10
          |ORDER BY query_id, rk""".stripMargin,
 
     "q117_weighted_sample" ->

@@ -182,8 +182,59 @@ object SelectionQueries extends QueryModule {
         .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"),
           sum($"doc_id").as("sum_doc"))
         .orderBy($"lang")
+    }),
+
+    // Rank-normalized blend of two incompatible quality signals — the
+    // q134 LM fluency score and the raw length prior — into one exact
+    // integer curation score, per-language top 10. All windows share
+    // the language partitioning (one shuffle); the signals ride the
+    // same row, nothing joins after the LM scoring pass.
+    "q164_score_blend" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = SharedLm.scored(s, dir)
+        .join(docs.select($"doc_id", $"lang",
+          $"n_chars".cast("long").as("n_chars")), Seq("doc_id"))
+        .withColumn("avg_nano", floor($"lp_micro".cast("double") * 1e3 /
+          $"n_bigrams".cast("double") + 0.5).cast("long"))
+      Selection.blendByRank(scored, "doc_id", "lang",
+        "avg_nano", "n_chars", k = 10)
+        .select($"doc_id", $"lang", $"pct_a", $"pct_b", $"blend_u",
+          $"rk".cast("long").as("rk"))
+        .orderBy($"doc_id")
     })
   )
+
+  /** The q134 bigram-LM CTE chain through `ranked` (doc_id, lang,
+    * n_bigrams, avg_nano) — shared by the q137 tercile gate and the
+    * q164 blend gate so the two replays can never drift apart.
+    */
+  private def lmRankedCtes: String =
+    """words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |bg AS (
+      |  SELECT doc_id, w[CAST(i AS INT)] AS a,
+      |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+      |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
+      |cg AS (SELECT a, g, COUNT(*) AS f FROM bg GROUP BY 1, 2),
+      |ch AS (SELECT a, CAST(SUM(f) AS BIGINT) AS fh FROM cg GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS nv
+      |      FROM (SELECT unnest(w) AS tok FROM words)),
+      |lm AS (
+      |  SELECT g,
+      |    CAST(floor(ln(CAST(f + 1 AS DOUBLE) / CAST(fh + nv AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS lpu
+      |  FROM cg JOIN ch USING (a) CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(lpu) AS BIGINT) AS lp_micro
+      |  FROM bg JOIN lm USING (g) GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT s.doc_id, d.lang, s.n_bigrams,
+      |    CAST(floor(CAST(s.lp_micro AS DOUBLE) * 1e3
+      |      / CAST(s.n_bigrams AS DOUBLE) + 0.5) AS BIGINT) AS avg_nano
+      |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
 
@@ -225,35 +276,44 @@ object SelectionQueries extends QueryModule {
     // key and NTILE (standard equal-count buckets, earlier buckets take
     // the remainder in both engines).
     "q137_ccnet_buckets" ->
-      """WITH words AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |bg AS (
-        |  SELECT doc_id, w[CAST(i AS INT)] AS a,
-        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
-        |  FROM words, UNNEST(range(1, len(w))) AS t(i)),
-        |cg AS (SELECT a, g, COUNT(*) AS f FROM bg GROUP BY 1, 2),
-        |ch AS (SELECT a, CAST(SUM(f) AS BIGINT) AS fh FROM cg GROUP BY 1),
-        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS nv
-        |      FROM (SELECT unnest(w) AS tok FROM words)),
-        |lm AS (
-        |  SELECT g,
-        |    CAST(floor(ln(CAST(f + 1 AS DOUBLE) / CAST(fh + nv AS DOUBLE))
-        |      * 1e6 + 0.5) AS BIGINT) AS lpu
-        |  FROM cg JOIN ch USING (a) CROSS JOIN v),
-        |scored AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |    CAST(SUM(lpu) AS BIGINT) AS lp_micro
-        |  FROM bg JOIN lm USING (g) GROUP BY doc_id),
-        |ranked AS (
-        |  SELECT s.doc_id, d.lang, s.n_bigrams,
-        |    CAST(floor(CAST(s.lp_micro AS DOUBLE) * 1e3
-        |      / CAST(s.n_bigrams AS DOUBLE) + 0.5) AS BIGINT) AS avg_nano
-        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
-        |SELECT doc_id, lang, n_bigrams, avg_nano,
-        |  CAST(NTILE(3) OVER (PARTITION BY lang
-        |    ORDER BY avg_nano DESC, doc_id) AS BIGINT) AS bucket
-        |FROM ranked ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmRankedCtes
+         |SELECT doc_id, lang, n_bigrams, avg_nano,
+         |  CAST(NTILE(3) OVER (PARTITION BY lang
+         |    ORDER BY avg_nano DESC, doc_id) AS BIGINT) AS bucket
+         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // The q137 LM chain's ranked scores, each signal (fluency avg_nano,
+    // length prior n_chars) converted to its exact per-language
+    // percentile rank in integer micro-units ((r-1)*1e6 // (n-1)), the
+    // blend summed, and the per-language top 10 kept — exactly
+    // `Selection.blendByRank`.
+    "q164_score_blend" ->
+      s"""WITH $lmRankedCtes,
+         |base AS (
+         |  SELECT r.doc_id, r.lang, r.avg_nano, CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM ranked r JOIN documents d ON r.doc_id = d.doc_id),
+         |pcts AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN COUNT(*) OVER (PARTITION BY lang) = 1 THEN 1000000
+         |      ELSE (ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY avg_nano, doc_id) - 1) * 1000000
+         |        // (COUNT(*) OVER (PARTITION BY lang) - 1) END AS pct_a,
+         |    CASE WHEN COUNT(*) OVER (PARTITION BY lang) = 1 THEN 1000000
+         |      ELSE (ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY n_chars, doc_id) - 1) * 1000000
+         |        // (COUNT(*) OVER (PARTITION BY lang) - 1) END AS pct_b
+         |  FROM base),
+         |blended AS (
+         |  SELECT doc_id, lang, pct_a, pct_b, pct_a + pct_b AS blend_u
+         |  FROM pcts),
+         |topk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY blend_u DESC, doc_id) AS rk
+         |  FROM blended)
+         |SELECT doc_id, lang, CAST(pct_a AS BIGINT) AS pct_a,
+         |  CAST(pct_b AS BIGINT) AS pct_b, CAST(blend_u AS BIGINT) AS blend_u,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM topk WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     // q132's relining + a GLOBAL first-occurrence rank per line; the
     // strict (doc_id, pos) order is exactly min(struct(id, pos)).

@@ -142,4 +142,23 @@ class QualitySpec extends SparkSpec {
     assert(scored(1L) > scored(9L))
     assert(scored(2L) > scored(9L))
   }
+
+  test("momentSums produces exact integer second moments per group") {
+    val df = Seq(("a", 1L, 2L), ("a", 3L, 4L), ("b", 5L, 6L))
+      .toDF("k", "x", "y")
+    val got = Quality.momentSums(df, "k", "x", "y")
+      .select($"k", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 4L, 6L, 14L, 10L, 20L)))
+    assert(got("b") == (("b", 1L, 5L, 6L, 30L, 25L, 36L)))
+    // corr finish on the six numbers (driver-side arithmetic): for group a,
+    // corr of {(1,2),(3,4)} is exactly 1.
+    val (_, n, sx, sy, sxy, sxx, syy) = got("a")
+    val num = n * sxy - sx * sy
+    val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+      math.sqrt((n * syy - sy * sy).toDouble)
+    assert(math.abs(num / den - 1.0) < 1e-12)
+  }
+
 }

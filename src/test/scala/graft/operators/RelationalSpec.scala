@@ -118,4 +118,56 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, String, Long, String)].collect().toSet
     assert(got == Set((1L, "x", 10L, "a"), (2L, "x", 30L, "b")))
   }
+
+  test("winsorizedStats clamps at exact percentile_disc-lower thresholds") {
+    val df = (1L to 10L).map(i => ("s", i, i)).toDF("src", "len", "id")
+    // p25/p75 over 1..10: lo rank floor(25*9/100)+1 = 3 -> 3,
+    // hi rank floor(75*9/100)+1 = 7 -> 7; 1,2 clamp up, 8,9,10 clamp down.
+    val got = Relational.winsorizedStats(df, "src", "len", "id", 25, 75)
+      .select($"src", $"n", $"lo", $"hi", $"sum_raw", $"sum_winsorized",
+        $"n_clamped")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("s", 10L, 3L, 7L, 55L, 52L, 5L)))
+  }
+
+  test("winsorizedStats handles per-group thresholds and single-row groups") {
+    val df = ((1L to 10L).map(i => ("a", i, i)) :+ (("b", 42L, 1L)))
+      .toDF("src", "len", "id")
+    val got = Relational.winsorizedStats(df, "src", "len", "id", 10, 90)
+      .select($"src", $"lo", $"hi", $"sum_winsorized", $"n_clamped")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // a: lo rank floor(10*9/100)+1 = 1 -> 1, hi rank floor(90*9/100)+1 = 9
+    // -> 9: only the 10 clamps (to 9). b: n=1, lo=hi=42, nothing clamps.
+    assert(got("a") == ((1L, 9L, 54L, 1L)))
+    assert(got("b") == ((42L, 42L, 42L, 0L)))
+  }
+
+  test("winsorizedStatsBySketch equals the exact form on a unit-width grid") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i => (if (i % 3 == 0) "a" else "b",
+      (rnd.nextInt(64)).toLong, i))
+    val df = rows.toDF("src", "len", "id")
+    val exact = Relational.winsorizedStats(df, "src", "len", "id", 5, 95)
+      .select($"src", $"n", $"lo", $"hi", $"sum_raw", $"sum_winsorized",
+        $"n_clamped")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val sk = Relational.winsorizedStatsBySketch(df, "src", "len", 5, 95,
+      lo = 0L, width = 1L, nBuckets = 64)
+      .select($"src", $"n", $"lo", $"hi", $"sum_raw", $"sum_winsorized",
+        $"n_clamped")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(sk == exact)
+  }
+
+  test("winsorizedStatsBySketch thresholds are bucket lower bounds") {
+    // values 0..99, width 10: p10 rank = floor(10*99/100)+1 = 10 -> value 9
+    // -> bucket [0,10) lower bound 0; p90 rank 90 -> value 89 -> bound 80.
+    val df = (0L until 100L).map(i => ("s", i, i)).toDF("src", "len", "id")
+    val got = Relational.winsorizedStatsBySketch(df, "src", "len", 10, 90,
+      lo = 0L, width = 10L, nBuckets = 10)
+      .select($"lo", $"hi", $"n_clamped").as[(Long, Long, Long)].collect()
+    assert(got.toList == List((0L, 80L, 19L))) // 81..99 clamp to 80
+  }
+
 }

@@ -164,4 +164,30 @@ class RetrievalSpec extends SparkSpec {
     assert(files(scan) < files(fullScan),
       s"tb partition filter did not prune: ${files(scan)} vs ${files(fullScan)}")
   }
+
+  test("hardNegatives slices below the presumed-positive head by rank") {
+    val docs = Seq((1L, "apple apple apple"), (2L, "apple apple"),
+      (3L, "apple"), (4L, "banana")).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+    val qs = Seq((7L, "apple")).toDF("query_id", "qtext")
+    val got = Retrieval.hardNegatives(idx, qs, kPos = 1, kNeg = 2)
+      .select($"query_id", $"doc_id", $"rk")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toList
+    // BM25 ranks 1,2,3 by tf; rank 1 is the presumed positive.
+    assert(got == List((7L, 2L, 2L), (7L, 3L, 3L)))
+  }
+
+  test("hardNegatives anti-joins explicit positives and keeps retrieval order") {
+    val docs = Seq((1L, "apple apple apple"), (2L, "apple apple"),
+      (3L, "apple"), (4L, "banana")).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+    val qs = Seq((7L, "apple")).toDF("query_id", "qtext")
+    val pos = Seq((7L, 2L)).toDF("query_id", "doc_id")
+    val got = Retrieval.hardNegatives(idx, qs, kPos = 1, kNeg = 2,
+      positives = Some(pos))
+      .select($"doc_id", $"rk").as[(Long, Long)].collect().sortBy(_._2).toList
+    // top-3 minus labeled doc 2 -> docs 1 (rk 1) and 3 (rk 3), original ranks.
+    assert(got == List((1L, 1L), (3L, 3L)))
+  }
+
 }

@@ -190,4 +190,30 @@ class SelectionSpec extends SparkSpec {
     val frac = agree.toDouble / sk.size
     assert(frac >= 0.9, s"sketch/exact tercile agreement $frac < 0.9")
   }
+
+  test("blendByRank sums exact percentile micro-ranks and keeps top-k") {
+    val df = Seq((1L, "en", 10L, 1L), (2L, "en", 20L, 5L), (3L, "en", 30L, 9L),
+      (9L, "zh", 7L, 7L)).toDF("id", "lang", "a", "b")
+    val got = Selection.blendByRank(df, "id", "lang", "a", "b", k = 2)
+      .select($"id", $"pct_a", $"pct_b", $"blend_u", $"rk")
+      .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // en (n=3): pct steps 0 / 500000 / 1000000 on both signals.
+    assert(got(3L) == ((3L, 1000000L, 1000000L, 2000000L, 1)))
+    assert(got(2L) == ((2L, 500000L, 500000L, 1000000L, 2)))
+    assert(!got.contains(1L)) // rk 3 > k
+    // singleton group: both percentiles pin to 1e6.
+    assert(got(9L) == ((9L, 1000000L, 1000000L, 2000000L, 1)))
+  }
+
+  test("blendByRank weights scale the blend") {
+    val df = Seq((1L, "en", 1L, 9L), (2L, "en", 9L, 1L)).toDF("id", "lang", "a", "b")
+    val got = Selection.blendByRank(df, "id", "lang", "a", "b", k = 2,
+      wA = 3L, wB = 1L)
+      .select($"id", $"blend_u", $"rk").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // n=2: pcts are 0 or 1e6. id2: 3*1e6 + 0; id1: 0 + 1e6.
+    assert(got(2L) == ((2L, 3000000L, 1)))
+    assert(got(1L) == ((1L, 1000000L, 2)))
+  }
+
 }

@@ -52,7 +52,9 @@ class PlanGateSpec extends SparkSpec {
     "q124_ivfpq_ann",      // probe batch + ADC tables broadcast (q60/q78)
     "q127_retrieval_eval", // searchBm25's 1-row corpus-stats broadcast (q116)
     "q151_pmi_pairs",      // 1-row matrix-total frame broadcast (q87 shape)
-    "q154_word_subsample"  // 1-row corpus-total frame broadcast (q87 shape)
+    "q154_word_subsample", // 1-row corpus-total frame broadcast (q87 shape)
+    "q163_hard_negatives", // searchBm25's 1-row corpus-stats broadcast (q116)
+    "q164_score_blend"     // composes q134's bigram LM (1-row vocab frame)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -302,7 +304,21 @@ class PlanGateSpec extends SparkSpec {
     "q99_token_budget" -> 9,
     "q112_late_tag_sql" -> 3,
     "q113_session_gap_sql" -> 1,
-    "q114_video_meta" -> 1)
+    "q114_video_meta" -> 1,
+    // round-12 analytics tier: rollup/pivot/unpivot are ONE aggregate
+    // shuffle + the output sort; winsorize/moving-window add the
+    // partitioned rank/frame window's key shuffle.
+    "q157_token_cube" -> 2,
+    "q158_lang_pivot" -> 3,
+    "q159_metrics_unpivot" -> 2,
+    "q160_winsorized_len" -> 3,
+    "q161_moving_window" -> 3,
+    "q162_corr_moments" -> 2,
+    // BM25 index build + qrels all-terms chain + search agg + windows
+    "q163_hard_negatives" -> 10,
+    // LM chain is SharedLm-checkpointed; blend windows share one
+    // lang-keyed shuffle
+    "q164_score_blend" -> 2)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
