@@ -119,6 +119,87 @@ object AnalyticsQueries extends QueryModule {
           $"n_chars".cast("long").as("x"), nTokens.as("y")),
         "source", "x", "y")
         .orderBy($"source")
+    }),
+
+    // Ordered conversion funnel (view -> click -> purchase, strict
+    // event-time order per user): each step's reach is the count of
+    // users whose step-k event strictly follows their step-(k-1) first
+    // completion. Three user-keyed conditional-min aggregates chained by
+    // uniform-key joins — no window over raw events, no per-user sort;
+    // every stage reduces to |users| rows before the next touches it.
+    "q165_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+      val t1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = ev.filter($"event_type" === "click").join(t1, Seq("user_id"))
+        .filter($"ts" > $"t1").groupBy($"user_id").agg(min($"ts").as("t2"))
+      val t3 = ev.filter($"event_type" === "purchase").join(t2, Seq("user_id"))
+        .filter($"ts" > $"t2").groupBy($"user_id").agg(min($"ts").as("t3"))
+      def c(step: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("step_name"), $"n_users")
+      c(1L, "view", t1).unionAll(c(2L, "click", t2))
+        .unionAll(c(3L, "purchase", t3))
+        .orderBy($"step")
+    }),
+
+    // Retention cohort triangle: cohort = a user's first active day,
+    // cell (cohort_day, offset) = distinct users active `offset` days
+    // later (offsets 0-7). The (user, day) activity table is distinct
+    // BEFORE anything joins, so the triangle aggregates |users|·|days|
+    // rows at most — never raw events.
+    "q166_retention" -> ((s, dir) => {
+      import s.implicits._
+      val act = Tables.events(s, dir)
+        .select($"user_id",
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("day"))
+        .distinct()
+      val cohort = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      act.join(cohort, Seq("user_id"))
+        .withColumn("day_offset", $"day" - $"cohort_day")
+        .filter($"day_offset" <= 7)
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    }),
+
+    // Last-touch attribution: each purchase matched to the SAME user's
+    // latest click at-or-before it (`Relational.asOfJoin` — one keyed
+    // shuffle, zero pair explosion), attributed when the click is
+    // within a 3-day lookback (exact floor-epoch seconds both engines
+    // share). Daily report: purchases vs attributed.
+    "q167_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      Relational.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tieBreak = Seq("event_id"))
+        .select(
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("day_num"),
+          ($"asof".isNotNull &&
+            ($"ts".cast("long") - $"asof.ts".cast("long") <= 259200L)).as("att"))
+        .groupBy($"day_num")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when($"att", 1L).otherwise(0L)).as("n_attributed"))
+        .orderBy($"day_num")
+    }),
+
+    // The q157 ROLLUP cube through the PURE SQL-TEXT surface (the
+    // reference's catalog-and-SQL-strings entry point): registered
+    // views + one SQL string, same single-Expand plan Catalyst builds
+    // for the DataFrame form.
+    "q168_cube_sql" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql("""SELECT source, lang, grouping_id() AS gid,
+              |  count(*) AS n_docs,
+              |  CAST(sum(size(split(trim(text), '\\s+'))) AS BIGINT)
+              |    AS n_tokens
+              |FROM documents GROUP BY ROLLUP(source, lang)
+              |ORDER BY gid, source, lang""".stripMargin)
     })
   )
 
@@ -201,6 +282,66 @@ object AnalyticsQueries extends QueryModule {
          |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS win_days
          |FROM d ORDER BY event_type, day_num""".stripMargin,
+
+    "q165_funnel" ->
+      s"""WITH ${Q.eventsUs},
+         |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+         |       JOIN t1 ON e.user_id = t1.user_id
+         |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+         |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+         |       JOIN t2 ON e.user_id = t2.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+         |  COUNT(*) AS n_users FROM t1
+         |UNION ALL
+         |SELECT 2, 'click', COUNT(*) FROM t2
+         |UNION ALL
+         |SELECT 3, 'purchase', COUNT(*) FROM t3
+         |ORDER BY step""".stripMargin,
+
+    "q166_retention" ->
+      s"""WITH ${Q.eventsUs},
+         |act AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day
+         |  FROM ev),
+         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+         |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         |  COUNT(*) AS n_users
+         |FROM act a JOIN cohort c ON a.user_id = c.user_id
+         |WHERE a.day - c.cohort_day <= 7
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q167_attribution" ->
+      s"""WITH ${Q.eventsUs},
+         |p AS (SELECT event_id, user_id, ts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+         |la AS (
+         |  SELECT p.event_id, p.ts AS pts, MAX(c.ts) AS cts
+         |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+         |  GROUP BY 1, 2)
+         |SELECT
+         |  CAST(datediff('day', DATE '1970-01-01', CAST(pts AS DATE))
+         |    AS BIGINT) AS day_num,
+         |  COUNT(*) AS n_purchases,
+         |  CAST(SUM(CASE WHEN cts IS NOT NULL
+         |    AND date_diff('second', cts, pts) <= 259200 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_attributed
+         |FROM la GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q168_cube_sql" ->
+      """SELECT source, lang,
+        |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents
+        |GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
 
     "q162_corr_moments" ->
       """WITH b AS (

@@ -318,7 +318,14 @@ class PlanGateSpec extends SparkSpec {
     "q163_hard_negatives" -> 10,
     // LM chain is SharedLm-checkpointed; blend windows share one
     // lang-keyed shuffle
-    "q164_score_blend" -> 2)
+    "q164_score_blend" -> 2,
+    // funnel: 3 user-keyed conditional-min aggs + their join legs +
+    // 3 single-row count aggs feeding the union
+    "q165_funnel" -> 8,
+    "q166_retention" -> 4,
+    // asOfJoin's one keyed window shuffle + daily agg + sort
+    "q167_attribution" -> 3,
+    "q168_cube_sql" -> 2)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
