@@ -14,8 +14,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.broadcastTimeout", GraftSession.longFuse))
+      .config("spark.sql.shuffle.partitions", cpus),
+      GraftSession.longFuse)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch the fact tables + exercise codegen once
@@ -45,35 +45,80 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = measure(spark, sfDir, selected.toSeq.sortBy(_._1), runs)
-    // The driver captures only the LAST 2000 chars of stdout and parses the
-    // JSON line out of that tail; sbt's own "[success] ..." trailer eats ~75
-    // of those. With 100+ queries the full names at nanosecond precision
-    // overflow the buffer (rounds 1-4 recorded parsed=null), and at 156
-    // queries even qNN keys + 3 decimals did (round 11: line 2025 > window).
-    // Key = the query's qNN prefix MINUS the leading 'q' ("104" is
-    // q104_minhash_*), value = centisecond precision with trailing zeros
-    // trimmed; that is ~1700 chars at 156 queries with room to ~190.
-    def cs(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-      if (t.isEmpty || t == "-") "0" else t
-    }
-    val shortKeys = results.map(_._1.split("_")(0).stripPrefix("q"))
+    // sf as a bare number (parsed from the dir name) — the full path is
+    // knowable from the driver's own invocation and costs 20 window chars.
+    // The capture must be a valid JSON number: sf([0-9.]+) would swallow
+    // trailing/repeated dots from a dir like 'sf0.001.bak' ("0.001." is
+    // not JSON) and make the whole line unparseable.
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // Full per-query detail (full names, 3 decimals) goes to a FILE the
+    // judge can read; stdout carries the driver line only.
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson(results, sfNum)))
+    println(benchLine(results, sfNum))
+    spark.stop()
+  }
+
+  /** The driver captures only the LAST 2000 chars of stdout and parses the
+    * JSON line out of that tail; sbt's own "[success] ..." trailer eats ~75
+    * of those. Budget the line at 1900 chars to leave margin for both.
+    */
+  val lineBudget = 1900
+
+  private def cs(v: Double): String = {
+    val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    if (t.isEmpty || t == "-") "0" else t
+  }
+
+  /** Per-query stdout key = the query's qNN prefix MINUS the leading 'q'
+    * ("104" is q104_minhash_*): full names at nanosecond precision
+    * overflowed the tail window at 100+ queries (rounds 1-4 recorded
+    * parsed=null), and at 156 queries even qNN keys + 3 decimals did
+    * (round 11: line 2025 > window).
+    */
+  private def shortKey(name: String): String =
+    name.split("_")(0).stripPrefix("q")
+
+  /** The one-line driver contract JSON. If the per-query map would push
+    * the line past [[lineBudget]] (the surface passes ~190 queries), it
+    * degrades to totals + errs + the q104 sentinel only — the full map is
+    * always in BENCH_DETAIL.json. A truncated-but-parseable line beats a
+    * complete line the driver records as parsed=null.
+    */
+  def benchLine(results: Seq[(String, Double)], sfNum: String): String = {
+    val shortKeys = results.map(r => shortKey(r._1))
     require(shortKeys.distinct.size == shortKeys.size,
       "duplicate qNN prefixes would silently drop a timing: " +
         shortKeys.diff(shortKeys.distinct).mkString(", "))
-    val qs = results.map { case (k, v) =>
-      "\"" + k.split("_")(0).stripPrefix("q") + "\":" + (if (v < 0) "-1" else cs(v))
-    }.mkString("{", ",", "}")
     val errs = results.collect {
-      case (k, v) if v < 0 => "\"" + k.split("_")(0).stripPrefix("q") + "\""
+      case (k, v) if v < 0 => "\"" + shortKey(k) + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // sf as a bare number (parsed from the dir name) — the full path is
-    // knowable from the driver's own invocation and costs 20 window chars.
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":$sfNum}""")
-    spark.stop()
+    def line(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) =>
+        "\"" + shortKey(k) + "\":" + (if (v < 0) "-1" else cs(v))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":$sfNum}"""
+    }
+    val full = line(results)
+    if (full.length <= lineBudget) full
+    else line(results.filter(r => shortKey(r._1) == "104"))
+  }
+
+  /** Full-fidelity per-query JSON (full names, 3 decimals) for
+    * BENCH_DETAIL.json — no window budget applies to a file.
+    */
+  def detailJson(results: Seq[(String, Double)], sfNum: String): String = {
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else f3(v))
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":$sfNum}"""
   }
 
   /** Best-of-`runs` seconds per query, in input order. A query that throws on

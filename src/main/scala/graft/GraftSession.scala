@@ -16,8 +16,26 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft defaults to any builder (used by Verify/Bench/tests). */
-  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+  /** Apply graft defaults to any builder (used by Verify/Bench/tests).
+    *
+    * Broadcast fuse: the Spark default (300 s) unless the caller passes
+    * `broadcastFuse` explicitly. Our own entry points (Bench/Verify/
+    * ScaleSmoke/StreamBench/local) pass [[longFuse]] — this box has
+    * intermittent multi-x degradation windows (SCALE.md round-11b) under
+    * which a broadcast build can blow 300 s and abort a whole run
+    * spuriously; their broadcast sides are all bounded by design,
+    * plan-gated. A library user's session keeps the stock 5-minute
+    * fail-fast: a genuinely hung broadcast should surface, not stall
+    * half an hour. GRAFT_BROADCAST_TIMEOUT overrides everywhere.
+    *
+    * The fuse is a PARAMETER (not a pre-set builder config) because
+    * builder configs are last-write-wins: a caller that set the key
+    * before handing the builder to tune() would be silently reverted to
+    * the default by tune's own write — exactly the bug that had all four
+    * drivers running on the stock 300 s fuse in round 12.
+    */
+  def tune(b: SparkSession.Builder,
+      broadcastFuse: String = broadcastTimeout): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -25,19 +43,11 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
-    // Broadcast fuse: the Spark default (300 s) unless overridden. The
-    // test/bench/verify entry points opt into a LONGER fuse (this box
-    // has intermittent multi-x degradation windows — SCALE.md round-11b —
-    // under which a broadcast build can blow 300 s and abort a whole run
-    // spuriously; their broadcast sides are all bounded by design,
-    // plan-gated). A library user's session keeps the stock 5-minute
-    // fail-fast: a genuinely hung broadcast should surface, not stall
-    // half an hour. GRAFT_BROADCAST_TIMEOUT overrides everywhere.
-    .config("spark.sql.broadcastTimeout", broadcastTimeout)
+    .config("spark.sql.broadcastTimeout", broadcastFuse)
 
   /** Seconds before an unfinished broadcast build aborts the query.
     * `longFuse` is what Bench/Verify/ScaleSmoke/StreamBench and the test
-    * JVMs pass explicitly (post-`tune` configs win). */
+    * JVMs pass as tune()'s `broadcastFuse` argument. */
   def broadcastTimeout: String =
     sys.env.getOrElse("GRAFT_BROADCAST_TIMEOUT", "300")
   def longFuse: String =
@@ -50,8 +60,8 @@ object GraftSession {
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
-        .config("spark.sql.shuffle.partitions", cores.toString)
-    ).config("spark.sql.broadcastTimeout", longFuse).getOrCreate()
+        .config("spark.sql.shuffle.partitions", cores.toString),
+      longFuse).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

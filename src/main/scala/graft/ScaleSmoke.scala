@@ -79,8 +79,8 @@ object ScaleSmoke {
     val parts = (cpus.toInt * math.max(1, rep / 8)).toString
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.broadcastTimeout", GraftSession.longFuse))
+      .config("spark.sql.shuffle.partitions", parts),
+      GraftSession.longFuse)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -436,8 +436,8 @@ object StreamBench {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(50000)
     val base = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.broadcastTimeout", GraftSession.longFuse))
+      .config("spark.sql.shuffle.partitions", cpus),
+      GraftSession.longFuse)
       .getOrCreate()
     base.sparkContext.setLogLevel("WARN")
     import base.implicits._

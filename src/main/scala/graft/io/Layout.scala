@@ -183,20 +183,23 @@ object Layout {
     // string ids (URLs, UUIDs) into nulls, and null keys never match in a
     // full-outer join, so every such row would double-report as one
     // 'added' + one 'removed': a silently wrong audit. Presence on a side
-    // is therefore detected via that side's id copy, NOT via digest
-    // nullity — a present row with a NULL text digests to the "" sentinel
-    // (md5 can never return ""), so null-text rows still diff correctly
-    // against each other and against real texts.
-    def digested(df: DataFrame, id: String, d: String, n: String) =
-      df.select(col(idCol).as(id),
+    // is an EXPLICIT lit(true) flag, not that side's id copy — a present
+    // row whose id is itself NULL also never matches in the join, and an
+    // id-based presence test would then classify the prev-side half
+    // 'added' instead of 'removed'. Digest nullity can't stand in either:
+    // a present row with a NULL text digests to the "" sentinel (md5 can
+    // never return ""), so null-text rows still diff correctly against
+    // each other and against real texts.
+    def digested(df: DataFrame, id: String, pres: String, d: String, n: String) =
+      df.select(col(idCol).as(id), lit(true).as(pres),
         coalesce(md5(col(textCol).cast("string")), lit("")).as(d),
         coalesce(length(col(textCol).cast("string")).cast("long"), lit(0L)).as(n))
-    val p = digested(prev, "__ip", "__dp", "__np")
-    val q = digested(next, "__in", "__dn", "__nn")
+    val p = digested(prev, "__ip", "__pp", "__dp", "__np")
+    val q = digested(next, "__in", "__pn", "__dn", "__nn")
     p.join(q, p("__ip") === q("__in"), "full_outer")
       .select(
-        when(col("__ip").isNull, "added")
-          .when(col("__in").isNull, "removed")
+        when(col("__pp").isNull, "added")
+          .when(col("__pn").isNull, "removed")
           .when(col("__dp") =!= col("__dn"), "changed")
           .otherwise("same").as("status"),
         coalesce(col("__nn"), col("__np")).as("n_chars"))

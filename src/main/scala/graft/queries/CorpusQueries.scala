@@ -513,22 +513,22 @@ object CorpusQueries extends QueryModule {
 
     "q156_corpus_diff" ->
       """WITH prev AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |  SELECT doc_id, TRUE AS pp, text FROM documents WHERE doc_id % 7 <> 0),
         |nxt AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, TRUE AS pn,
         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 0),
         |j AS (
-        |  SELECT p.doc_id AS ip, n.doc_id AS inx,
+        |  SELECT p.pp, n.pn,
         |    COALESCE(md5(p.text), '') AS dp, COALESCE(md5(n.text), '') AS dn,
-        |    CASE WHEN p.doc_id IS NULL THEN NULL
+        |    CASE WHEN p.pp IS NULL THEN NULL
         |         ELSE CAST(COALESCE(len(p.text), 0) AS BIGINT) END AS np,
-        |    CASE WHEN n.doc_id IS NULL THEN NULL
+        |    CASE WHEN n.pn IS NULL THEN NULL
         |         ELSE CAST(COALESCE(len(n.text), 0) AS BIGINT) END AS nn
         |  FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id)
         |SELECT
-        |  CASE WHEN ip IS NULL THEN 'added'
-        |       WHEN inx IS NULL THEN 'removed'
+        |  CASE WHEN pp IS NULL THEN 'added'
+        |       WHEN pn IS NULL THEN 'removed'
         |       WHEN dp <> dn THEN 'changed'
         |       ELSE 'same' END AS status,
         |  COUNT(*) AS n_docs,

@@ -41,29 +41,30 @@ object SharedLm {
   * ConcurrentHashMaps pinned one localCheckpoint per (app, dir) touched,
   * forever — fine for the one-dir verify driver, a slow leak for any
   * long-lived session sweeping many dirs. Access-ordered LRU capped at
-  * [[maxEntries]]: an evicted entry's reference is dropped (and its
-  * blocks unpersisted best-effort) so the ContextCleaner can free the
-  * checkpoint blocks; a later request simply recomputes.
+  * [[maxEntries]]: eviction drops the reference ONLY — it must NOT call
+  * release()/unpersist, because another thread may still be mid-query
+  * over the evicted localCheckpoint'd frame, and localCheckpoint
+  * truncates lineage, so removing its blocks fails that query
+  * unrecoverably. Dropping the reference is enough: the ContextCleaner
+  * frees the checkpoint blocks once the RDD is unreachable (i.e. after
+  * every in-flight consumer finishes). A later request simply recomputes.
   */
 object SharedFrames {
   private val maxEntries = 16
-  private final case class Entry(value: Any, release: () => Unit)
+  private final case class Entry(value: Any)
   private val cache = new java.util.LinkedHashMap[String, Entry](
     32, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[String, Entry]): Boolean = {
-      val evict = size() > maxEntries
-      if (evict) scala.util.Try(e.getValue.release())
-      evict
-    }
+        e: java.util.Map.Entry[String, Entry]): Boolean = size() > maxEntries
   }
 
   /** The cached value for (this session, tag, dir), built from `mk` on
-    * first request, released via `release` on LRU eviction. Keyed by
-    * applicationId so a stopped session's dead blocks are never reused.
-    * The build runs OUTSIDE the lock (it launches Spark jobs and must
-    * not serialize unrelated families); a lost build race is settled by
-    * releasing the loser and returning the winner.
+    * first request. Keyed by applicationId so a stopped session's dead
+    * blocks are never reused. The build runs OUTSIDE the lock (it
+    * launches Spark jobs and must not serialize unrelated families); a
+    * lost build race is settled by releasing the LOSER (safe — it was
+    * never handed to any caller) and returning the winner. Eviction, by
+    * contrast, never releases — see the class doc.
     */
   def cached[V](s: SparkSession, tag: String, dir: String)(
       mk: => V)(release: V => Unit): V = {
@@ -76,7 +77,7 @@ object SharedFrames {
           case Some(winner) =>
             scala.util.Try(release(built)); winner.value.asInstanceOf[V]
           case None =>
-            cache.put(key, Entry(built, () => release(built))); built
+            cache.put(key, Entry(built)); built
         }
       }
     }

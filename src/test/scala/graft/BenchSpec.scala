@@ -35,4 +35,26 @@ class BenchSpec extends SparkSpec {
     val out = Bench.measure(spark, "unused", Seq("q904_ok" -> ok), runs = 2).toMap
     assert(out("q904_ok") > 0.0)
   }
+
+  test("benchLine fits the driver's 2000-char stdout tail at the CURRENT query count") {
+    // the driver regex-parses the JSON line from the last 2000 stdout
+    // chars (sbt's success trailer eats ~75); worst-case per-query values
+    // ("999.99" = 6 chars) over every registered gate query must fit
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.99)
+    val line = Bench.benchLine(results, "0.1")
+    assert(line.length <= Bench.lineBudget,
+      s"bench line ${line.length} > budget ${Bench.lineBudget} at " +
+        s"${results.size} queries — shrink keys or rely on the fallback")
+    assert(line.contains("\"queries\":{"))
+  }
+
+  test("benchLine past the budget degrades to the sentinel, not an unparseable line") {
+    val many = (200 to 700).map(i => s"q${i}_synthetic" -> 999.99)
+    val results = ("q104_sentinel" -> 1.23) +: many
+    val line = Bench.benchLine(results, "0.1")
+    assert(line.length <= Bench.lineBudget)
+    assert(line.contains("\"104\":1.23"))      // sentinel survives
+    assert(!line.contains("\"200\":"))          // per-query map dropped
+    assert(line.contains("\"metric\":\"total\"") && line.contains("\"sf\":0.1"))
+  }
 }

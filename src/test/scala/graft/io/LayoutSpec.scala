@@ -194,4 +194,23 @@ class LayoutSpec extends SparkSpec {
       "same" -> ((2L, 2L)), "changed" -> ((1L, 0L)),
       "removed" -> ((1L, 0L)), "added" -> ((1L, 2L))))
   }
+
+  test("corpusDiff classifies NULL-id rows by side, not as added+added") {
+    import spark.implicits._
+    // A null id never matches in the full-outer join, so presence must
+    // come from each side's explicit flag: a prev row with a null id is
+    // 'removed' (it exists only in prev), a next row with a null id is
+    // 'added'. The old id-copy presence test read the prev-side half of
+    // the pair as 'added' too.
+    val prev = Seq((Option(1L), "aa"), (Option.empty[Long], "gone"))
+      .toDF("doc_id", "text")
+    val next = Seq((Option(1L), "aa"), (Option.empty[Long], "new!!"))
+      .toDF("doc_id", "text")
+    val got = graft.io.Layout.corpusDiff(prev, next, "doc_id", "text")
+      .select($"status", $"n_docs", $"chars")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "same" -> ((1L, 2L)), "removed" -> ((1L, 4L)), "added" -> ((1L, 5L))))
+  }
 }
