@@ -602,11 +602,20 @@ object ScaleSmoke {
       force = true)
     // rank-blend selection (q164): two rank windows + top-k, all on the
     // lang key — same caveat as winsorize_exact (per-language sorts); the
-    // signals ride the row, so the curve is the window sort cost
-    run("score_blend", graft.operators.Selection.blendByRank(
-      docs.select(col("doc_id"), col("lang"),
+    // signals ride the row, so the curve is the window sort cost.
+    // BOTH blend forms consume the SAME materialized signals frame (the
+    // production contract: blending runs over a persisted score table;
+    // without this the sketch form's two passes re-paid the fixture's
+    // replicate+repartition once per pass — a fixture recompute tax the
+    // exact form's single pass never sees, not operator cost)
+    // lazy + by-name run() args: the checkpoint only materializes when
+    // one of the two blend phases is actually selected
+    lazy val blendIn = docs.select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len_sig"),
-        (col("doc_id") % 997).cast("long").as("aux_sig")),
+        (col("doc_id") % 997).cast("long").as("aux_sig"))
+      .localCheckpoint()
+    run("score_blend", graft.operators.Selection.blendByRank(
+      blendIn,
       "doc_id", "lang", "len_sig", "aux_sig", k = 100), force = true)
     // rollup cube (q157): Expand(3x rows) + ONE map-side-combined agg —
     // the output is |sources|x|langs| bounded whatever the corpus size
@@ -622,6 +631,35 @@ object ScaleSmoke {
       docs.select(col("source"), length(col("text")).cast("long").as("x"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("y")),
       "source", "x", "y"), force = true)
+
+    // round-13 tier ------------------------------------------------
+    // q169's production blend (same synthetic signals as score_blend so
+    // the two rows compare head to head): per-signal histogram
+    // percentiles broadcast back, banded top-k — the curve must stay
+    // flat where score_blend's per-language window sorts grow
+    run("blend_sketch", graft.operators.Selection.blendByRankBySketch(
+      blendIn,
+      "doc_id", "lang", "len_sig", "aux_sig", k = 100,
+      loA = 0L, widthA = 1L, nHistA = 16384,
+      loB = 0L, widthB = 1L, nHistB = 1024,
+      blendWidth = 128L), force = true)
+    if (only.forall(s => s("score_blend") || s("blend_sketch")))
+      graft.operators.Checkpoints.free(blendIn)
+    // distinct-cardinality cube (q172), exact vs mergeable-HLL: the
+    // exact tier's shuffle carries every distinct (source, lang, key)
+    // triple (grows with the corpus); the HLL tier's carries one KB
+    // sketch per grouping-set cell (bounded) — the pair is the measured
+    // argument for sketches under ROLLUP
+    run("distinct_cube_exact", docs
+      .select(col("source"), col("lang"),
+        (col("doc_id") % 100000).as("k"))
+      .rollup(col("source"), col("lang"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        countDistinct(col("k")).as("d")), force = true)
+    run("distinct_cube_hll", graft.operators.Sketches.distinctRollup(
+      docs.select(col("source"), col("lang"),
+        (col("doc_id") % 100000).as("k")),
+      Seq("source", "lang"), "k"), force = true)
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

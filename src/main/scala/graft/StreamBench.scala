@@ -155,6 +155,27 @@ object StreamBench {
       finally q.stop()
     }
 
+    // 2b. streaming conversion funnel (the round-13 analytics twin): the
+    // reference's OrderTimeoutWithCEP followedBy-within shape over
+    // view→click→purchase per user with timeout extraction ON — unlike
+    // cep_nfa's consecutive-error pattern this carries MULTI-STEP
+    // partials across micro-batches and emits watermark flushes, so it
+    // measures the NFA's relaxed-continuity state path.
+    bench("funnel_cep")(events.size.toLong) { () =>
+      val ms = MemoryStream[Ev]
+      val src = ms.toDS()
+        .map(e => apps.FunnelEvent(e.user_id, e.event_type, e.ts))
+        .withWatermark("ts", "0 seconds")
+      val out = apps.StreamingApps.funnelStream(src,
+          withinMs = 3L * 86400000L)
+        .map(o => (o.userId, o.kind, o.stepsMatched))
+      val q = out.writeStream.format("memory").queryName(s"sb_${tag}_fn")
+        .outputMode("append").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
     // 3. keyed tumbling count windows of 10 (the reference demo's size)
     bench("count_window")(events.size.toLong) { () =>
       val ms = MemoryStream[Ev]
@@ -493,6 +514,7 @@ object StreamBench {
     val opOf = Map(
       "running_agg" -> "`StreamOps.runningAggregateWithTtl` (update mode)",
       "cep_nfa" -> "`Cep.detectStream` (3×error within 2d)",
+      "funnel_cep" -> "`StreamingApps.funnelStream` (view→click→purchase within 3d, timeouts on)",
       "count_window" -> "`CountWindows.tumblingStream` (size 10)",
       "interval_join" -> "`StreamJoins.intervalJoin` (±5 min)",
       "stream_dedup" -> s"`StreamDedup.nearDupCandidates` (LSH bands, ${docs.size} docs)",

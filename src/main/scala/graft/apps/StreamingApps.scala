@@ -140,6 +140,37 @@ object StreamingApps {
         if (r.kind == "match") "payed successfully" else "order timeout"))
   }
 
+  /** Streaming conversion funnel — the analytics tier's CEP twin of the
+    * q165/q171 batch funnels, and literally the reference's
+    * `followedBy ... within` + timeout-extraction shape
+    * (scala/.../demo/orderpaydetect/OrderTimeoutWithCEP.scala:38-56):
+    * view → click → purchase per user, the WHOLE chain within `withinMs`
+    * of its first event; partials past the deadline flush as
+    * kind="timeout" when the watermark passes — the abandoned-funnel
+    * stream a re-engagement pipeline consumes. Per-user NFA state rides
+    * flatMapGroupsWithState: one keyed shuffle, state = open partials
+    * per user, GC'd by the event-time timeout.
+    *
+    * Window semantics vs batch: CEP `within` bounds the chain from its
+    * FIRST event; the batch q171 bounds each STEP from the previous one
+    * (per-step deadlines can't be expressed as a single NFA `within` —
+    * StreamingAppsSpec pins where the two agree and differ). Caller
+    * supplies the watermark (the loginFailStream convention).
+    */
+  def funnelStream(events: Dataset[FunnelEvent],
+      withinMs: Long = 3L * 86400000L,
+      emitTimeouts: Boolean = true): Dataset[FunnelOutcome] = {
+    import events.sparkSession.implicits._
+    val pat = Cep.Pattern.begin[FunnelEvent]("view")(_.eventType == "view")
+      .followedBy("click")(_.eventType == "click")
+      .followedBy("purchase")(_.eventType == "purchase")
+      .within(withinMs)
+    Cep.detectStream(events)(_.userId.toString, _.ts.getTime, pat,
+        emitTimeouts = emitTimeouts)
+      .map(r => FunnelOutcome(r.key.toLong, r.kind, r.matchedSteps.size,
+        r.firstTs, r.lastTs))
+  }
+
   /** One side of the TxMatch union; payChannel = "" on the pay side,
     * orderId = -1 on the receipt side.
     */

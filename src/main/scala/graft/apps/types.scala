@@ -43,6 +43,18 @@ case class TxMatchOutcome(txId: String, kind: String, orderId: Long,
 case class UrlViewRank(windowEnd: Long, url: String, cnt: Long, rank: Int,
     amended: Boolean)
 
+/** Conversion-funnel event/outcome pair for the streaming funnel twin
+  * (the analytics tier's CEP form; batch per-step-window form:
+  * `graft.operators.Funnel`). `stepsMatched` counts the steps the chain
+  * completed before matching or timing out; kind = "match" for a full
+  * view->click->purchase conversion, "timeout" for an abandoned funnel
+  * flushed by the watermark (the reference's PatternTimeoutFunction side
+  * output, OrderTimeoutWithCEP.scala:50-56).
+  */
+case class FunnelEvent(userId: Long, eventType: String, ts: Timestamp)
+case class FunnelOutcome(userId: Long, kind: String, stepsMatched: Int,
+    firstTs: Long, lastTs: Long)
+
 // reference scala/.../demo/market/AdClickAnalysis.scala:55-60
 case class AdClickLog(userId: Long, adId: Long, province: String,
     city: String, ts: Timestamp)

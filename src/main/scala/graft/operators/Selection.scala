@@ -313,16 +313,8 @@ object Selection {
       val r = row_number().over(Window.partitionBy(col(partCol))
         .orderBy(col(c).asc, col(idCol)))
       val n = count(lit(1)).over(Window.partitionBy(col(partCol)))
-      // exact BIGINT floor-division (a div b): Column `/` is DOUBLE
-      // division, and the dividend (r-1)*1e6 can exceed 2^53 at corpus
-      // group sizes — strip the remainder with pmod FIRST (exact in
-      // long), then the double quotient is integer-valued with absolute
-      // error << 0.5, which +0.5/floor snaps away.
-      val a = (r.cast("long") - 1L) * 1000000L
-      val b = n - 1L
       when(n === 1L, lit(1000000L))
-        .otherwise(floor((a - pmod(a, b)).cast("double") / b.cast("double")
-          + 0.5).cast("long"))
+        .otherwise(longFloorDiv((r.cast("long") - 1L) * 1000000L, n - 1L))
     }
     df.withColumn("pct_a", pct(aCol))
       .withColumn("pct_b", pct(bCol))
@@ -330,5 +322,156 @@ object Selection {
       .withColumn("rk", row_number().over(Window.partitionBy(col(partCol))
         .orderBy(col("blend_u").desc, col(idCol))))
       .filter(col("rk") <= k)
+  }
+
+  /** Exact BIGINT floor division a div b (b > 0): Column `/` is DOUBLE
+    * division, and the dividend can exceed 2^53 at corpus group sizes —
+    * strip the remainder with pmod FIRST (exact in long), then the double
+    * quotient is integer-valued with absolute error << 0.5, which
+    * +0.5/floor snaps away.
+    */
+  private def longFloorDiv(a: Column, b: Column): Column =
+    floor((a - pmod(a, b)).cast("double") / b.cast("double") + 0.5).cast("long")
+
+  /** Equi-width integer bucket index over [lo, lo + nBuckets·width), edge
+    * clamped — `Sketches.histogramSketch`'s grid in pure integer
+    * arithmetic (the winsorizedStatsBySketch bucketization): the
+    * remainder strip is exact in BIGINT, the clamped numerator is an
+    * exact multiple of `width`, and the one double division scales it
+    * back to an integer-valued quotient ≤ nBuckets — no float drift for
+    * any engine to disagree over.
+    */
+  private def bucketIdx(v: Column, lo: Long, width: Long, nBuckets: Int)
+      : Column = {
+    val d = v.cast("long") - lit(lo)
+    val m = greatest(least(d - pmod(d, lit(width)),
+      lit((nBuckets - 1).toLong * width)), lit(0L))
+    floor(m / lit(width.toDouble) + lit(0.5)).cast("long")
+  }
+
+  /** The 100 TB form of [[blendByRank]]: per-signal percentiles from
+    * HISTOGRAM cumsums and the top-k from a THRESHOLDED candidate band —
+    * no per-group sort ever sees corpus-sized rows, so a low-cardinality
+    * `partCol` (a language over a 100 TB corpus) cannot funnel a
+    * partition-sized sort through one task the way the exact form's two
+    * rank windows do.
+    *
+    * Shape, start to finish (two corpus scans total, zero corpus sorts):
+    *   1. BOTH signals' histograms in ONE (part, signal, bucket)-keyed
+    *      aggregate (map-side combine caps task output at
+    *      |parts|·(nHistA+nHistB) rows), then the ASC-cumsum percentile
+    *      on the SKETCH rows only:
+    *      `pct = (minRankInBucket − 1)·1e6 div (n − 1)` — the exact
+    *      form's rank→micro-unit law applied to the bucket's first rank.
+    *      The percentile table localCheckpoints (bounded, sketch-sized —
+    *      the Retrieval.buildIndex discipline) and BROADCASTS back onto
+    *      the corpus as two map-side hash joins; rows join by their own
+    *      bucket index, so percentile assignment is row-local. (A
+    *      broadcast join, not a plan-literal map: at nHist = 16384 a
+    *      literal lookup is exactly the O(nHist²) dense-map probe that
+    *      measured 12× slower in [[perplexityBucketsBySketch]]'s history,
+    *      and the join carries the same zero-shuffle guarantee.)
+    *   2. Blend = wA·pct_a + wB·pct_b, row-local BIGINT.
+    *   3. Top-k via a bounded candidate band: one more histogram over
+    *      blend_u (corpus scan #1, at construction), DESC-cumsum on
+    *      sketch rows finds the bucket holding the k-th largest blend
+    *      per part, and only rows at-or-above that bucket's lower bound
+    *      (≤ k + one bucket's population per part) enter the final rank
+    *      window (corpus scan #2, the returned plan) — the window sorts
+    *      a BAND, not the corpus. Parts with < k rows keep everything
+    *      (threshold 0).
+    *
+    * Semantics vs [[blendByRank]]: rows in the same histogram bucket
+    * share the bucket's min-rank percentile, so assignments differ from
+    * the exact form only for (a) value ties — which a value-based rule
+    * cannot split by id — and (b) rows sharing a bucket with a different
+    * value (bucket wider than 1 value). On a unit-width grid with
+    * tie-free signals the two forms agree row for row (SelectionSpec
+    * pins both that equality and the tie divergence). Null signal values
+    * are dropped (the histogramSketch null-drop rule); the exact form
+    * sorts them first instead.
+    *
+    * All arithmetic is integer (bucket indices, rank cumsums, the
+    * micro-unit divisions) — any engine replays it bit for bit, which is
+    * what lets the q169 gate oracle recompute this end to end in SQL.
+    */
+  def blendByRankBySketch(df: DataFrame, idCol: String, partCol: String,
+      aCol: String, bCol: String, k: Int,
+      loA: Long, widthA: Long, nHistA: Int,
+      loB: Long, widthB: Long, nHistB: Int,
+      blendWidth: Long, wA: Long = 1L, wB: Long = 1L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(wA >= 0 && wB >= 0, s"weights must be non-negative: $wA/$wB")
+    require(widthA > 0 && nHistA > 1 && widthB > 0 && nHistB > 1,
+      s"bad sketch grids: $widthA/$nHistA, $widthB/$nHistB")
+    require(blendWidth > 0, s"bad blend grid: $blendWidth")
+    val base = df.select(col(idCol), col(partCol),
+        bucketIdx(col(aCol), loA, widthA, nHistA).as("__ba"),
+        bucketIdx(col(bCol), loB, widthB, nHistB).as("__bb"))
+      .filter(col("__ba").isNotNull && col("__bb").isNotNull)
+    // BOTH signals' histograms in ONE corpus pass: explode each row to
+    // (signal, bucket) and let the map-side combine cap the shuffle at
+    // |parts|·(nHistA + nHistB) rows, then the min-rank percentile law
+    // over sketch rows only. The pct table localCheckpoints — BOUNDED
+    // materialization (sketch-sized, the Retrieval.buildIndex
+    // discipline) — so the threshold job below and the returned plan
+    // both read the KB-scale checkpoint instead of re-scanning the
+    // corpus once per consumer (measured 3× the exact form's wall time
+    // on the lazy self-referencing plan before this).
+    val wCum = Window.partitionBy(col(partCol), col("__s"))
+      .orderBy(col("__k")).rowsBetween(Window.unboundedPreceding, 0)
+    val wCnt = Window.partitionBy(col(partCol), col("__s"))
+    val pct = base.select(col(partCol),
+        explode(map(lit("a"), col("__ba"), lit("b"), col("__bb")))
+          .as(Seq("__s", "__k")))
+      .groupBy(col(partCol), col("__s"), col("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wCnt))
+      .select(col(partCol), col("__s"), col("__k"),
+        when(col("__n") === 1L, lit(1000000L))
+          .otherwise(longFloorDiv((col("__cum") - col("__c")) * 1000000L,
+            col("__n") - 1L)).as("__pct"))
+      .localCheckpoint()
+    val pa = pct.filter(col("__s") === "a")
+      .select(col(partCol), col("__k").as("__ba"), col("__pct").as("pct_a"))
+    val pb = pct.filter(col("__s") === "b")
+      .select(col(partCol), col("__k").as("__bb"), col("__pct").as("pct_b"))
+    val scored = base
+      .join(broadcast(pa), Seq(partCol, "__ba"))
+      .join(broadcast(pb), Seq(partCol, "__bb"))
+      .withColumn("blend_u", lit(wA) * col("pct_a") + lit(wB) * col("pct_b"))
+    val nBlend = (((wA + wB) * 1000000L) / blendWidth + 1L).toInt
+    // The k-th-largest blend threshold per part, derived on SKETCH rows
+    // at CONSTRUCTION (the perplexityBucketsBySketch discipline): the
+    // result is |parts| rows of planning metadata, and collecting it
+    // keeps the returned plan to ONE scored pass — a lazy self-reference
+    // would plan the whole scored subtree twice.
+    val wDesc = Window.partitionBy(col("__p")).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thrMap: Map[String, Long] = scored
+      .select(col(partCol).cast("string").as("__p"),
+        bucketIdx(col("blend_u"), 0L, blendWidth, nBlend).as("__t"))
+      .groupBy(col("__p"), col("__t")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wDesc))
+      .filter(col("__cum") >= k && (col("__cum") - col("__c")) < k)
+      .select(col("__p"), (col("__t") * blendWidth).as("__thr"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // parts with < k rows have no threshold row: every row is a
+    // candidate there (and when NO part reaches k, skip the filter —
+    // an empty literal map has no key type for element_at to bind to)
+    val banded =
+      if (thrMap.isEmpty) scored
+      else {
+        val thrLit = map(thrMap.toSeq.sortBy(_._1).flatMap { case (p, t) =>
+          Seq(lit(p), lit(t)) }: _*)
+        scored.filter(col("blend_u") >= coalesce(
+          element_at(thrLit, col(partCol).cast("string")), lit(0L)))
+      }
+    banded
+      .withColumn("rk", row_number().over(Window.partitionBy(col(partCol))
+        .orderBy(col("blend_u").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .drop("__ba", "__bb")
   }
 }

@@ -62,6 +62,27 @@ object Sketches {
     estimate(sketches.agg(hll_union_agg(col("sketch")).as("sketch"),
       sum(col("n_rows")).as("n_rows")))
 
+  /** Distinct-cardinality ROLLUP cube: one HLL sketch per grouping set —
+    * the 100 TB twin of `COUNT(DISTINCT)` under ROLLUP (q172's exact
+    * tier). Mergeable sketches compose with Catalyst's Expand for free:
+    * the plan is ONE Expand + one map-side-combined aggregate whose
+    * shuffle rows are (grouping-set key, KB sketch) — the exact tier
+    * instead carries every distinct (dims…, key) combination through
+    * the shuffle to dedup it, which at corpus scale is the data itself.
+    * Subtotal rows are true distinct-union semantics (HLL registers max
+    * across the set), not sums of child counts. At test cardinalities
+    * the DataSketches HLL sits in exact coupon mode, so SketchesSpec
+    * pins the estimates EQUAL to the exact tier per grouping set.
+    */
+  def distinctRollup(df: DataFrame, dims: Seq[String], keyCol: String,
+      lgK: Int = 12): DataFrame =
+    df.rollup(dims.map(col): _*)
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(keyCol), lgK).as("sketch"))
+      .withColumn("distinct_est",
+        hll_sketch_estimate(col("sketch")).cast("long"))
+
   /** One micro-batch of streaming sketch maintenance: build the batch's
     * own per-group sketches and merge them into the parquet store at
     * `storePath` (read-merge-overwrite; the store is G KB-sized rows,

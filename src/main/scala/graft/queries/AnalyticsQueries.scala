@@ -5,14 +5,19 @@ import graft.operators.{Quality, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12 analytics-surface tier: the multi-dimensional reporting
-  * machinery a corpus dashboard sits on — ROLLUP cubes, pivot/unpivot
-  * reshaping, exact winsorized robust stats, RANGE-frame moving windows,
-  * and exact integer moment sums (the distributed half of correlation).
-  * All are Spark built-ins used declaratively (Catalyst expands rollup
-  * grouping sets and pivots into single-pass aggregates) — the point is
-  * the plan shape, not custom code: each query is one scan + one or two
-  * partial-aggregated shuffles at any scale.
+/** Analytics-surface tier (rounds 12–13): the multi-dimensional
+  * reporting machinery a corpus dashboard sits on — ROLLUP cubes
+  * (doc/token sums AND distinct-user cardinalities), pivot/unpivot
+  * reshaping, winsorized robust stats (exact + oracle-gated sketch
+  * tier), RANGE-frame moving windows, exact integer moment sums (the
+  * distributed half of correlation), funnels (greedy AND
+  * per-step-windowed), retention cohorts, and last-touch attribution —
+  * with the retention/attribution/cube queries doubled through the pure
+  * SQL-text catalog surface. Mostly Spark built-ins used declaratively
+  * (Catalyst expands rollup grouping sets and pivots into single-pass
+  * aggregates) — the point is the plan shape: one scan + one or two
+  * partial-aggregated shuffles at any scale, |users|-bounded
+  * intermediates for the event funnels.
   */
 object AnalyticsQueries extends QueryModule {
 
@@ -200,8 +205,148 @@ object AnalyticsQueries extends QueryModule {
               |    AS n_tokens
               |FROM documents GROUP BY ROLLUP(source, lang)
               |ORDER BY gid, source, lang""".stripMargin)
+    }),
+
+    // q160's winsorize in its 100 TB form, oracle-gated in its own
+    // right (the q137→q141 evidence precedent): thresholds from the
+    // per-source histogram (width-4 grid over [0, 16384) — deliberately
+    // NOT unit-width, so the gate exercises the sketch's own
+    // bucket-lower-bound semantics, not the exact order statistics),
+    // clamp+sum map-only. No corpus row is ever sorted.
+    "q170_winsorized_sketch" -> ((s, dir) => {
+      import s.implicits._
+      Relational.winsorizedStatsBySketch(Tables.documents(s, dir),
+        "source", "n_chars", pLoPct = 5, pHiPct = 95,
+        lo = 0L, width = 4L, nBuckets = 4096)
+        .orderBy($"source")
+    }),
+
+    // Windowed conversion funnel (view -> click -> purchase, each step
+    // within 3 days of a REACHING previous-step event): per-user valid-
+    // set reachability via Funnel.reachedSteps — greedy first-completion
+    // (q165's unwindowed shape) is wrong under a window, since a later
+    // step-1 event can convert where the earliest can't (FunnelSpec pins
+    // a divergence case). One user-keyed shuffle, |users| rows out, one
+    // pass to the 3-row report.
+    "q171_windowed_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Funnel.reachedSteps(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 259200L * 1000000L)
+        .agg(sum(when($"n_steps" >= 1, 1L).otherwise(0L)).as("s1"),
+          sum(when($"n_steps" >= 2, 1L).otherwise(0L)).as("s2"),
+          sum(when($"n_steps" >= 3, 1L).otherwise(0L)).as("s3"))
+        .selectExpr("stack(3, CAST(1 AS BIGINT), 'view', s1, " +
+          "CAST(2 AS BIGINT), 'click', s2, " +
+          "CAST(3 AS BIGINT), 'purchase', s3) AS (step, step_name, n_users)")
+        .orderBy($"step")
+    }),
+
+    // Distinct-cardinality ROLLUP cube: events by (event_type, day) with
+    // subtotal and grand-total rows counting DISTINCT users — the
+    // dashboard shape q157's doc/token sums can't give (distinct doesn't
+    // add across cells). This exact tier carries each distinct
+    // (type, day, user) triple through one Expand + dedup-aggregate;
+    // `Sketches.distinctRollup` is the shipped mergeable-HLL production
+    // twin (SketchesSpec pins estimate == exact per grouping set at
+    // test-scale coupon cardinalities).
+    "q172_distinct_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_type",
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("day_num"),
+          $"user_id")
+        .rollup($"event_type", $"day_num")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"gid", $"event_type", $"day_num")
+    }),
+
+    // q166's retention triangle through the PURE SQL-TEXT surface (the
+    // q168 discipline: registered views + one SQL string an analyst
+    // would actually type; same |users|-bounded plan).
+    "q173_retention_sql" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql("""WITH act AS (
+              |  SELECT DISTINCT user_id,
+              |    CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)
+              |      AS day
+              |  FROM events),
+              |cohort AS (
+              |  SELECT user_id, MIN(day) AS cohort_day FROM act
+              |  GROUP BY user_id)
+              |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+              |  COUNT(*) AS n_users
+              |FROM act a JOIN cohort c ON a.user_id = c.user_id
+              |WHERE a.day - c.cohort_day <= 7
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // q167's last-touch attribution as pure SQL text — the asOfJoin
+    // re-expressed as the running-max window every SQL engine plans the
+    // same way: clicks and purchases interleave per user ordered by
+    // (ts, clicks-first on ties, matching at-or-before), and the latest
+    // click at-or-before each purchase is the running MAX over the
+    // preceding frame. One user-keyed window shuffle, zero pair
+    // explosion — the same scale shape as the DataFrame form.
+    "q174_attribution_sql" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql("""WITH m AS (
+              |  SELECT user_id, ts, event_type,
+              |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+              |      PARTITION BY user_id
+              |      ORDER BY ts, CASE WHEN event_type = 'click' THEN 0
+              |                        ELSE 1 END
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS last_click
+              |  FROM events WHERE event_type IN ('click', 'purchase'))
+              |SELECT
+              |  CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)
+              |    AS day_num,
+              |  COUNT(*) AS n_purchases,
+              |  SUM(CASE WHEN last_click IS NOT NULL
+              |    AND CAST(ts AS BIGINT) - CAST(last_click AS BIGINT)
+              |      <= 259200 THEN 1 ELSE 0 END) AS n_attributed
+              |FROM m WHERE event_type = 'purchase'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
     })
   )
+
+  /** Shared by the DataFrame gate (q166/q167) and the SQL-text twins
+    * (q173/q174): identical semantics must gate against identical SQL.
+    */
+  private def retentionOracle: String =
+    s"""WITH ${Q.eventsUs},
+       |act AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT) AS day
+       |  FROM ev),
+       |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+       |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       |  COUNT(*) AS n_users
+       |FROM act a JOIN cohort c ON a.user_id = c.user_id
+       |WHERE a.day - c.cohort_day <= 7
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def attributionOracle: String =
+    s"""WITH ${Q.eventsUs},
+       |p AS (SELECT event_id, user_id, ts FROM ev
+       |      WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+       |la AS (
+       |  SELECT p.event_id, p.ts AS pts, MAX(c.ts) AS cts
+       |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  CAST(datediff('day', DATE '1970-01-01', CAST(pts AS DATE))
+       |    AS BIGINT) AS day_num,
+       |  COUNT(*) AS n_purchases,
+       |  CAST(SUM(CASE WHEN cts IS NOT NULL
+       |    AND date_diff('second', cts, pts) <= 259200 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_attributed
+       |FROM la GROUP BY 1 ORDER BY 1""".stripMargin
 
   override def oracles: Map[String, String] = Map(
 
@@ -301,37 +446,16 @@ object AnalyticsQueries extends QueryModule {
          |SELECT 3, 'purchase', COUNT(*) FROM t3
          |ORDER BY step""".stripMargin,
 
-    "q166_retention" ->
-      s"""WITH ${Q.eventsUs},
-         |act AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
-         |      AS BIGINT) AS day
-         |  FROM ev),
-         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
-         |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
-         |  COUNT(*) AS n_users
-         |FROM act a JOIN cohort c ON a.user_id = c.user_id
-         |WHERE a.day - c.cohort_day <= 7
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q166_retention" -> retentionOracle,
 
-    "q167_attribution" ->
-      s"""WITH ${Q.eventsUs},
-         |p AS (SELECT event_id, user_id, ts FROM ev
-         |      WHERE event_type = 'purchase'),
-         |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
-         |la AS (
-         |  SELECT p.event_id, p.ts AS pts, MAX(c.ts) AS cts
-         |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
-         |  GROUP BY 1, 2)
-         |SELECT
-         |  CAST(datediff('day', DATE '1970-01-01', CAST(pts AS DATE))
-         |    AS BIGINT) AS day_num,
-         |  COUNT(*) AS n_purchases,
-         |  CAST(SUM(CASE WHEN cts IS NOT NULL
-         |    AND date_diff('second', cts, pts) <= 259200 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_attributed
-         |FROM la GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q167_attribution" -> attributionOracle,
+
+    // The SQL-text twins gate against the SAME oracles as their
+    // DataFrame/asOfJoin counterparts — one semantics, two entry points
+    // (the q112/q113/q168 discipline).
+    "q173_retention_sql" -> retentionOracle,
+
+    "q174_attribution_sql" -> attributionOracle,
 
     "q168_cube_sql" ->
       """SELECT source, lang,
@@ -342,6 +466,82 @@ object AnalyticsQueries extends QueryModule {
         |FROM documents
         |GROUP BY ROLLUP(source, lang)
         |ORDER BY gid, source, lang""".stripMargin,
+
+    // Replays the sketch arithmetic itself (the q141/q169 discipline):
+    // width-4 bucket index, ASC cumsums on the sketch rows, threshold =
+    // lower bound of the bucket containing rank p·(n−1)//100 + 1, then
+    // the same clamp/sum tail as q160.
+    "q170_winsorized_sketch" ->
+      """WITH r AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |h AS (
+        |  SELECT source, LEAST(4095, GREATEST(0, v // 4)) AS b,
+        |    COUNT(*) AS c
+        |  FROM r GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, b, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |t AS (
+        |  SELECT source,
+        |    MIN(CASE WHEN cum >= 5 * (n - 1) // 100 + 1 THEN b * 4 END)
+        |      AS lo,
+        |    MIN(CASE WHEN cum >= 95 * (n - 1) // 100 + 1 THEN b * 4 END)
+        |      AS hi
+        |  FROM cum GROUP BY source),
+        |c AS (
+        |  SELECT r.source, r.v, GREATEST(LEAST(r.v, t.hi), t.lo) AS w
+        |  FROM r JOIN t USING (source))
+        |SELECT c.source, COUNT(*) AS n,
+        |  MIN(t.lo) AS lo, MIN(t.hi) AS hi,
+        |  CAST(SUM(v) AS BIGINT) AS sum_raw,
+        |  CAST(SUM(w) AS BIGINT) AS sum_winsorized,
+        |  CAST(SUM(CASE WHEN w <> v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped
+        |FROM c JOIN t USING (source)
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
+
+    // Valid-set reachability replayed as EXISTS chains: a click is
+    // funnel-valid iff some view precedes it within the window; a
+    // purchase converts iff some VALID click precedes it within the
+    // window. Timestamps compare at full µs; the window is an exact
+    // INTERVAL addition in both engines.
+    "q171_windowed_funnel" ->
+      s"""WITH ${Q.eventsUs},
+         |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+         |c0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+         |p0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
+         |vc AS (
+         |  SELECT DISTINCT c0.user_id, c0.ts
+         |  FROM c0 JOIN v ON v.user_id = c0.user_id
+         |    AND v.ts < c0.ts AND c0.ts <= v.ts + INTERVAL 3 DAY),
+         |vp AS (
+         |  SELECT DISTINCT p0.user_id
+         |  FROM p0 JOIN vc ON vc.user_id = p0.user_id
+         |    AND vc.ts < p0.ts AND p0.ts <= vc.ts + INTERVAL 3 DAY)
+         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+         |UNION ALL
+         |SELECT 2, 'click', COUNT(DISTINCT user_id) FROM vc
+         |UNION ALL
+         |SELECT 3, 'purchase', COUNT(*) FROM vp
+         |ORDER BY step""".stripMargin,
+
+    "q172_distinct_cube" ->
+      s"""WITH ${Q.eventsUs},
+         |d AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day_num,
+         |    user_id
+         |  FROM ev)
+         |SELECT event_type, day_num,
+         |  CAST(GROUPING(event_type, day_num) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM d GROUP BY ROLLUP(event_type, day_num)
+         |ORDER BY gid, event_type, day_num""".stripMargin,
 
     "q162_corr_moments" ->
       """WITH b AS (

@@ -202,6 +202,32 @@ object SelectionQueries extends QueryModule {
         .select($"doc_id", $"lang", $"pct_a", $"pct_b", $"blend_u",
           $"rk".cast("long").as("rk"))
         .orderBy($"doc_id")
+    }),
+
+    // q164's blend in its 100 TB form: per-signal histogram-cumsum
+    // percentiles (broadcast sketch joins, no per-language rank windows
+    // over the corpus) and the top-10 taken from a thresholded candidate
+    // band — the q137→q141 exact-vs-sketch surgery applied to the blend.
+    // Grids: avg_nano on q141's power-of-two grid [-2^33, 0)/16384
+    // (width 2^19 nano), n_chars on a UNIT-width grid [0, 16384) — so
+    // the length signal's percentiles are exactly the min-rank law and
+    // only fluency ties/bucket-mates can diverge from q164.
+    "q169_score_blend_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = SharedLm.scored(s, dir)
+        .join(docs.select($"doc_id", $"lang",
+          $"n_chars".cast("long").as("n_chars")), Seq("doc_id"))
+        .withColumn("avg_nano", floor($"lp_micro".cast("double") * 1e3 /
+          $"n_bigrams".cast("double") + 0.5).cast("long"))
+      Selection.blendByRankBySketch(scored, "doc_id", "lang",
+        "avg_nano", "n_chars", k = 10,
+        loA = -8589934592L, widthA = 524288L, nHistA = 16384,
+        loB = 0L, widthB = 1L, nHistB = 16384,
+        blendWidth = 128L)
+        .select($"doc_id", $"lang", $"pct_a", $"pct_b", $"blend_u",
+          $"rk".cast("long").as("rk"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -310,6 +336,69 @@ object SelectionQueries extends QueryModule {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
          |    ORDER BY blend_u DESC, doc_id) AS rk
          |  FROM blended)
+         |SELECT doc_id, lang, CAST(pct_a AS BIGINT) AS pct_a,
+         |  CAST(pct_b AS BIGINT) AS pct_b, CAST(blend_u AS BIGINT) AS blend_u,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM topk WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // The q169 sketch-blend replay: per-(lang, signal) equi-width
+    // histograms (avg_nano on the q141 power-of-two grid, n_chars on the
+    // unit grid), min-rank percentile per bucket via ASC cumsums
+    // ((cum − cnt)·1e6 floor-div (n−1)), integer blend, the DESC-cumsum
+    // candidate-band threshold at k = 10, and the rank window over the
+    // BAND only — every step pure BIGINT arithmetic.
+    "q169_score_blend_sketch" ->
+      s"""WITH $lmRankedCtes,
+         |base AS (
+         |  SELECT r.doc_id, r.lang, r.avg_nano,
+         |    CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM ranked r JOIN documents d ON r.doc_id = d.doc_id),
+         |bkt AS (
+         |  SELECT doc_id, lang,
+         |    LEAST(16383, GREATEST(0, CAST(floor(
+         |      (CAST(avg_nano AS DOUBLE) + 8589934592.0) / 524288.0)
+         |      AS BIGINT))) AS b_a,
+         |    LEAST(16383, GREATEST(0, n_chars)) AS b_b
+         |  FROM base),
+         |ha AS (SELECT lang, b_a, COUNT(*) AS c FROM bkt GROUP BY 1, 2),
+         |pa AS (
+         |  SELECT lang, b_a,
+         |    CASE WHEN SUM(c) OVER (PARTITION BY lang) = 1 THEN 1000000
+         |      ELSE (SUM(c) OVER (PARTITION BY lang ORDER BY b_a) - c)
+         |        * 1000000 // (SUM(c) OVER (PARTITION BY lang) - 1) END
+         |      AS pct_a
+         |  FROM ha),
+         |hb AS (SELECT lang, b_b, COUNT(*) AS c FROM bkt GROUP BY 1, 2),
+         |pb AS (
+         |  SELECT lang, b_b,
+         |    CASE WHEN SUM(c) OVER (PARTITION BY lang) = 1 THEN 1000000
+         |      ELSE (SUM(c) OVER (PARTITION BY lang ORDER BY b_b) - c)
+         |        * 1000000 // (SUM(c) OVER (PARTITION BY lang) - 1) END
+         |      AS pct_b
+         |  FROM hb),
+         |sc AS (
+         |  SELECT k.doc_id, k.lang, pa.pct_a, pb.pct_b,
+         |    pa.pct_a + pb.pct_b AS blend_u
+         |  FROM bkt k
+         |  JOIN pa ON k.lang = pa.lang AND k.b_a = pa.b_a
+         |  JOIN pb ON k.lang = pb.lang AND k.b_b = pb.b_b),
+         |bh AS (
+         |  SELECT lang, LEAST(15625, GREATEST(0, blend_u // 128)) AS t,
+         |    COUNT(*) AS c
+         |  FROM sc GROUP BY 1, 2),
+         |th AS (
+         |  SELECT lang, t * 128 AS thr FROM (
+         |    SELECT lang, t, c,
+         |      SUM(c) OVER (PARTITION BY lang ORDER BY t DESC) AS cum
+         |    FROM bh)
+         |  WHERE cum >= 10 AND cum - c < 10),
+         |cand AS (
+         |  SELECT sc.* FROM sc LEFT JOIN th USING (lang)
+         |  WHERE blend_u >= COALESCE(thr, 0)),
+         |topk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY blend_u DESC, doc_id) AS rk
+         |  FROM cand)
          |SELECT doc_id, lang, CAST(pct_a AS BIGINT) AS pct_a,
          |  CAST(pct_b AS BIGINT) AS pct_b, CAST(blend_u AS BIGINT) AS blend_u,
          |  CAST(rk AS BIGINT) AS rk

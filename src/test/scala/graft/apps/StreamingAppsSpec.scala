@@ -79,6 +79,64 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: conversions match; abandoned funnels flush as timeouts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[FunnelEvent]
+    val withWm = ms.toDS().withWatermark("ts", "0 seconds").as[FunnelEvent]
+    val out = StreamingApps.funnelStream(withWm, withinMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("fn_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        FunnelEvent(1, "view", t(10)), FunnelEvent(1, "click", t(20)),
+        FunnelEvent(2, "view", t(10)), FunnelEvent(2, "click", t(20)),
+        // user 3 never views: the funnel must never start
+        FunnelEvent(3, "click", t(5)), FunnelEvent(3, "purchase", t(6)))
+      q.processAllAvailable()
+      ms.addData(FunnelEvent(1, "purchase", t(30)))
+      q.processAllAvailable()
+      val mid = spark.table("fn_out").as[FunnelOutcome].collect()
+      assert(mid.toSeq == Seq(FunnelOutcome(1L, "match", 3, 10000L, 30000L)))
+      // watermark passes user 2's 70 s deadline: abandoned funnel flushes
+      ms.addData(FunnelEvent(99, "view", t(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("fn_out").as[FunnelOutcome].collect()
+      assert(rows.filter(_.kind == "timeout").toSeq ==
+        Seq(FunnelOutcome(2L, "timeout", 2, 10000L, 20000L)))
+      assert(!rows.exists(_.userId == 3L))
+    } finally q.stop()
+  }
+
+  test("funnelStream bounds the WHOLE chain (vs q171's per-step windows)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[FunnelEvent]
+    val withWm = ms.toDS().withWatermark("ts", "0 seconds").as[FunnelEvent]
+    val out = StreamingApps.funnelStream(withWm, withinMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("fn_out2")
+      .outputMode("append").start()
+    try {
+      // every step-to-step gap < 60 s (q171's per-step rule converts),
+      // but first→last = 70 s > within → the CEP chain times out
+      ms.addData(FunnelEvent(1, "view", t(10)), FunnelEvent(1, "click", t(60)))
+      q.processAllAvailable()
+      ms.addData(FunnelEvent(1, "purchase", t(80)))
+      q.processAllAvailable()
+      ms.addData(FunnelEvent(99, "view", t(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("fn_out2").as[FunnelOutcome].collect()
+      assert(rows.count(_.kind == "match") == 0)
+      assert(rows.filter(_.userId == 1L).map(_.kind).toSeq == Seq("timeout"))
+      // the batch per-step form converts the same user: pinned divergence
+      val batch = graft.operators.Funnel.reachedSteps(
+        Seq((1L, "view", t(10)), (1L, "click", t(60)), (1L, "purchase", t(80)))
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 60000000L)
+        .as[(Long, Long)].collect().toMap
+      assert(batch == Map(1L -> 3L))
+    } finally q.stop()
+  }
+
   test("adClickBlacklistStream warns once per day and resets on rollover") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[AdClickLog]

@@ -216,4 +216,59 @@ class SelectionSpec extends SparkSpec {
     assert(got(1L) == ((1L, 1000000L, 2)))
   }
 
+  private def blendCols(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id", $"pct_a", $"pct_b", $"blend_u", $"rk".cast("int"))
+      .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+
+  test("blendByRankBySketch equals blendByRank on unit-width tie-free grids") {
+    // distinct signal values inside unit-width buckets → every bucket's
+    // min-rank percentile IS the row's exact rank percentile, so the two
+    // forms agree bit for bit, top-k membership included
+    val df = ((1 to 17).map(i => (i.toLong, "en", (i * 3 % 17).toLong,
+      (i * 7 % 17).toLong)) ++
+      Seq((100L, "fr", 1L, 2L), (101L, "fr", 3L, 1L)))
+      .toDF("id", "lang", "a", "b")
+    val exact = blendCols(Selection.blendByRank(df, "id", "lang", "a", "b", k = 5))
+    val sketch = blendCols(Selection.blendByRankBySketch(df, "id", "lang",
+      "a", "b", k = 5, loA = 0L, widthA = 1L, nHistA = 32,
+      loB = 0L, widthB = 1L, nHistB = 32, blendWidth = 1L))
+    assert(sketch == exact)
+  }
+
+  test("blendByRankBySketch gives value ties the bucket's min-rank percentile") {
+    // a-signal tie at 5: exact splits ranks 2/3 by id (pcts 333333 and
+    // 666667); the value-based sketch gives BOTH the min-rank pct 333333
+    val df = Seq((1L, "en", 1L, 10L), (2L, "en", 5L, 20L),
+      (3L, "en", 5L, 30L), (4L, "en", 9L, 40L))
+      .toDF("id", "lang", "a", "b")
+    val exact = blendCols(Selection.blendByRank(df, "id", "lang", "a", "b", k = 4))
+    val sketch = blendCols(Selection.blendByRankBySketch(df, "id", "lang",
+      "a", "b", k = 4, loA = 0L, widthA = 1L, nHistA = 16,
+      loB = 0L, widthB = 1L, nHistB = 64, blendWidth = 1L))
+    assert(sketch(2L)._2 == sketch(3L)._2, "tied values must share pct_a")
+    assert(sketch(2L)._2 == math.min(exact(2L)._2, exact(3L)._2))
+    // the tie-free rows still match the exact form exactly
+    assert(sketch(1L)._2 == exact(1L)._2 && sketch(4L)._2 == exact(4L)._2)
+    assert(sketch(1L)._3 == exact(1L)._3 && sketch(4L)._3 == exact(4L)._3)
+  }
+
+  test("blendByRankBySketch keeps every row of a part smaller than k") {
+    val df = Seq((1L, "en", 1L, 1L), (2L, "en", 2L, 2L)).toDF("id", "lang", "a", "b")
+    val got = blendCols(Selection.blendByRankBySketch(df, "id", "lang",
+      "a", "b", k = 10, loA = 0L, widthA = 1L, nHistA = 8,
+      loB = 0L, widthB = 1L, nHistB = 8, blendWidth = 1L))
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(2L)._5 == 1 && got(1L)._5 == 2) // higher blend ranks first
+  }
+
+  test("q169 sketch blend tracks q164 exact blend on the documents table") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q164_score_blend")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val sk = graft.SparkEntry.queries("q169_score_blend_sketch")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sk.size == exact.size)
+    val overlap = (sk intersect exact).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"sketch/exact top-k overlap $overlap < 0.9")
+  }
 }

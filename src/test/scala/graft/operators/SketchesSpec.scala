@@ -170,4 +170,26 @@ class SketchesSpec extends SparkSpec {
       .select($"source", $"distinct_est").as[(String, Long)].collect().toSet
     assert(updated == base)
   }
+
+  test("distinctRollup: one HLL per grouping set, equal to exact COUNT(DISTINCT) at coupon scale") {
+    val df = (1 to 300).map { i =>
+      (s"t${i % 3}", (i % 5).toLong, (i % 40).toLong)
+    }.toDF("event_type", "day", "user")
+    val got = Sketches.distinctRollup(df, Seq("event_type", "day"), "user")
+      .select($"event_type", $"day", $"gid", $"n_rows", $"distinct_est")
+      .as[(Option[String], Option[Long], Long, Long, Long)]
+      .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    val exact = df.rollup($"event_type", $"day")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        countDistinct($"user").as("d"))
+      .select($"event_type", $"day", $"gid", $"n", $"d")
+      .as[(Option[String], Option[Long], Long, Long, Long)]
+      .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    assert(got.keySet == exact.keySet)
+    // detail cells, per-type subtotals AND the grand total all match the
+    // exact tier: true distinct-union semantics per grouping set (a sum
+    // of child cells would overcount 3x here)
+    assert(got == exact)
+    assert(got((None, None, 3L))._2 == 40L)
+  }
 }

@@ -54,7 +54,8 @@ class PlanGateSpec extends SparkSpec {
     "q151_pmi_pairs",      // 1-row matrix-total frame broadcast (q87 shape)
     "q154_word_subsample", // 1-row corpus-total frame broadcast (q87 shape)
     "q163_hard_negatives", // searchBm25's 1-row corpus-stats broadcast (q116)
-    "q164_score_blend"     // composes q134's bigram LM (1-row vocab frame)
+    "q164_score_blend",    // composes q134's bigram LM (1-row vocab frame)
+    "q169_score_blend_sketch" // same LM chain; pct tables broadcast by design
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -325,7 +326,23 @@ class PlanGateSpec extends SparkSpec {
     "q166_retention" -> 4,
     // asOfJoin's one keyed window shuffle + daily agg + sort
     "q167_attribution" -> 3,
-    "q168_cube_sql" -> 2)
+    "q168_cube_sql" -> 2,
+    // round-13 tier. q169: the fused histogram + percentile sketch runs
+    // at CONSTRUCTION into a bounded localCheckpoint and the blend
+    // threshold collects there too; the returned plan is scan +
+    // broadcast pct joins + band rank window + output sort — the corpus
+    // is never re-keyed.
+    "q169_score_blend_sketch" -> 2,
+    // histogram agg + sketch-row cum windows + final clamp agg + sort —
+    // no rank window over corpus rows anywhere
+    "q170_winsorized_sketch" -> 4,
+    // ONE user-keyed groupByKey shuffle + the 3-row stack's single agg
+    "q171_windowed_funnel" -> 2,
+    // one Expand + distinct-agg pair on the grouping-set key + sort
+    "q172_distinct_cube" -> 3,
+    // SQL-text twins: same plans as q166/q167's DataFrame forms
+    "q173_retention_sql" -> 4,
+    "q174_attribution_sql" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
