@@ -35,6 +35,20 @@ object Funnel {
     * `t <= s + INTERVAL` in any SQL engine).
     */
   def reachedSteps(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowUs: Long): DataFrame =
+    reachedTimes(events, userCol, typeCol, tsCol, steps, windowUs)
+      .select(col("user_id"), col("n_steps"))
+
+  /** [[reachedSteps]] plus the funnel's latency signal: `step_us(k)` is
+    * the EARLIEST VALID step-k time, min R_k — well-defined under the
+    * valid-set semantics (unlike greedy chains, where "first completion"
+    * depends on which earlier choice was taken), and the quantity
+    * conversion-latency reports are built from. The array has exactly
+    * `n_steps` entries; note min R_k can chain off a LATER previous-step
+    * event than min R_{k−1} (the reachability point), so consecutive
+    * entries need not be within one window of each other.
+    */
+  def reachedTimes(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
@@ -58,7 +72,8 @@ object Funnel {
         // ascending candidate t the qualifying window [t − W, t) over the
         // sorted previous-step valid times advances monotonically.
         var prev = perStep(0).toArray.sorted
-        var depth = if (prev.nonEmpty) 1 else 0
+        val firsts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        if (prev.nonEmpty) firsts += prev.head
         var k = 1
         while (k < nSteps && prev.nonEmpty) {
           val cand = perStep(k).toArray.sorted
@@ -69,11 +84,11 @@ object Funnel {
             if (i < prev.length && prev(i) < t) valid += t
           }
           prev = valid.toArray
-          if (prev.nonEmpty) depth = k + 1
+          if (prev.nonEmpty) firsts += prev.head
           k += 1
         }
-        (uid, depth.toLong)
+        (uid, firsts.length.toLong, firsts.toSeq)
       }
-      .toDF("user_id", "n_steps")
+      .toDF("user_id", "n_steps", "step_us")
   }
 }

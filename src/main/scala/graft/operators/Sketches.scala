@@ -83,6 +83,29 @@ object Sketches {
       .withColumn("distinct_est",
         hll_sketch_estimate(col("sketch")).cast("long"))
 
+  /** Merge two [[distinctRollup]] tables (yesterday's stored cube + a
+    * new batch's own cube): register-wise HLL union per (dims…, gid)
+    * cell, n_rows add — the incremental-dashboard maintenance step.
+    * Because every grouping-set cell is itself a mergeable sketch, the
+    * WHOLE cube updates without rescanning history: cost is the new
+    * batch's cube build plus a cells-sized merge, whatever the stored
+    * corpus size (the [[updateWith]] law lifted through ROLLUP's
+    * Expand). Both inputs must come from the same (dims, lgK)
+    * construction — positional gid values are meaningless across
+    * different dim lists, exactly like histogram grids.
+    */
+  def mergeDistinctRollups(a: DataFrame, b: DataFrame, dims: Seq[String])
+      : DataFrame = {
+    val keys = dims.map(col) :+ col("gid")
+    val cols = keys ++ Seq(col("sketch"), col("n_rows"))
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(keys: _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+      .withColumn("distinct_est",
+        hll_sketch_estimate(col("sketch")).cast("long"))
+  }
+
   /** One micro-batch of streaming sketch maintenance: build the batch's
     * own per-group sketches and merge them into the parquet store at
     * `storePath` (read-merge-overwrite; the store is G KB-sized rows,

@@ -153,19 +153,15 @@ object AnalyticsQueries extends QueryModule {
     // cell (cohort_day, offset) = distinct users active `offset` days
     // later (offsets 0-7). The (user, day) activity table is distinct
     // BEFORE anything joins, so the triangle aggregates |users|·|days|
-    // rows at most — never raw events.
+    // rows at most — never raw events. `Retention.maintainActivity` is
+    // the streaming twin: the monotone activity set accrues
+    // incrementally, the same `triangle` finisher runs over the store
+    // (StreamingAppsSpec pins store+finisher == this batch form).
     "q166_retention" -> ((s, dir) => {
       import s.implicits._
-      val act = Tables.events(s, dir)
-        .select($"user_id",
-          datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("day"))
-        .distinct()
-      val cohort = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-      act.join(cohort, Seq("user_id"))
-        .withColumn("day_offset", $"day" - $"cohort_day")
-        .filter($"day_offset" <= 7)
-        .groupBy($"cohort_day", $"day_offset")
-        .agg(count(lit(1)).as("n_users"))
+      graft.operators.Retention.triangle(
+        graft.operators.Retention.activity(
+          Tables.events(s, dir), "user_id", "ts"), maxOffset = 7)
         .orderBy($"cohort_day", $"day_offset")
     }),
 
@@ -281,6 +277,28 @@ object AnalyticsQueries extends QueryModule {
               |FROM act a JOIN cohort c ON a.user_id = c.user_id
               |WHERE a.day - c.cohort_day <= 7
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // Conversion latency per funnel step: for users reaching step k
+    // (windowed valid-set semantics, q171), time from their FIRST view
+    // to their EARLIEST VALID step-k event — the funnel's "how long does
+    // conversion take" report. min R_k is well-defined under valid-set
+    // reachability (greedy "first completion" isn't: it depends on which
+    // earlier choice was taken); exact BIGINT µs end to end.
+    "q175_funnel_latency" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Funnel.reachedTimes(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 259200L * 1000000L)
+        .filter($"n_steps" >= 2)
+        .withColumn("step", explode(sequence(lit(2L), $"n_steps")))
+        .withColumn("lat_us", element_at($"step_us", $"step".cast("int")) -
+          element_at($"step_us", lit(1)))
+        .groupBy($"step")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"lat_us").as("sum_latency_us"),
+          max($"lat_us").as("max_latency_us"))
+        .orderBy($"step")
     }),
 
     // q167's last-touch attribution as pure SQL text — the asOfJoin
@@ -526,6 +544,38 @@ object AnalyticsQueries extends QueryModule {
          |SELECT 2, 'click', COUNT(DISTINCT user_id) FROM vc
          |UNION ALL
          |SELECT 3, 'purchase', COUNT(*) FROM vp
+         |ORDER BY step""".stripMargin,
+
+    // q171's valid sets + MIN per user per step; latency = µs from the
+    // first view to the earliest valid step-k event (epoch_us diffs are
+    // exact BIGINT in both engines).
+    "q175_funnel_latency" ->
+      s"""WITH ${Q.eventsUs},
+         |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+         |c0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+         |p0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
+         |vc AS (
+         |  SELECT DISTINCT c0.user_id, c0.ts
+         |  FROM c0 JOIN v ON v.user_id = c0.user_id
+         |    AND v.ts < c0.ts AND c0.ts <= v.ts + INTERVAL 3 DAY),
+         |vp AS (
+         |  SELECT DISTINCT p0.user_id, p0.ts
+         |  FROM p0 JOIN vc ON vc.user_id = p0.user_id
+         |    AND vc.ts < p0.ts AND p0.ts <= vc.ts + INTERVAL 3 DAY),
+         |t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM v GROUP BY 1),
+         |t2 AS (SELECT user_id, MIN(ts) AS ts2 FROM vc GROUP BY 1),
+         |t3 AS (SELECT user_id, MIN(ts) AS ts3 FROM vp GROUP BY 1)
+         |SELECT CAST(2 AS BIGINT) AS step, COUNT(*) AS n_users,
+         |  CAST(SUM(epoch_us(ts2) - epoch_us(ts1)) AS BIGINT)
+         |    AS sum_latency_us,
+         |  CAST(MAX(epoch_us(ts2) - epoch_us(ts1)) AS BIGINT)
+         |    AS max_latency_us
+         |FROM t2 JOIN t1 USING (user_id)
+         |UNION ALL
+         |SELECT 3, COUNT(*),
+         |  CAST(SUM(epoch_us(ts3) - epoch_us(ts1)) AS BIGINT),
+         |  CAST(MAX(epoch_us(ts3) - epoch_us(ts1)) AS BIGINT)
+         |FROM t3 JOIN t1 USING (user_id)
          |ORDER BY step""".stripMargin,
 
     "q172_distinct_cube" ->

@@ -137,6 +137,45 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retention streaming twin: maintained activity store + triangle == the batch form") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("retention").toString
+    val ms = MemoryStream[FunnelEvent]
+    // wmDelay covers the cross-batch out-of-orderness below (batch 2
+    // carries events behind batch 1's max time; at 0s delay they'd be
+    // dropped as late before the dedup ever saw them)
+    val q = graft.operators.Retention.maintainActivity(ms.toDF(),
+        "userId", "ts", s"$dir/store", s"$dir/ledger", wmDelay = "10 days")
+      .option("checkpointLocation", s"$dir/cp").start()
+    // start at day 1: an event at epoch second 0 equals the INITIAL
+    // watermark and is dropped as late (the orderTimeoutStream note)
+    val day = 86400L
+    val rows = Seq(
+      (1L, 1L * day), (1L, 2L * day), (1L, 4L * day),  // cohort 1, offsets 0/1/3
+      (2L, 2L * day), (2L, 2L * day + 60L),            // same-day duplicate
+      (2L, 3L * day),                                  // cohort 2, offset 1
+      (3L, 3L * day))                                  // cohort 3, offset 0
+    try {
+      val (b1, b2) = rows.splitAt(4)
+      ms.addData(b1.map { case (u, sec) => FunnelEvent(u, "view", t(sec)) })
+      q.processAllAvailable()
+      ms.addData(b2.map { case (u, sec) => FunnelEvent(u, "view", t(sec)) })
+      q.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.select($"cohort_day", $"day_offset", $"n_users")
+          .as[(Long, Long, Long)].collect().toSet
+      val streamed = cells(graft.operators.Retention.triangle(
+        spark.read.parquet(s"$dir/store")))
+      val batch = cells(graft.operators.Retention.triangle(
+        graft.operators.Retention.activity(
+          rows.map { case (u, sec) => (u, t(sec)) }.toDF("userId", "ts"),
+          "userId", "ts")))
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 0L, 1L), (1L, 1L, 1L), (1L, 3L, 1L),
+        (2L, 0L, 1L), (2L, 1L, 1L), (3L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("adClickBlacklistStream warns once per day and resets on rollover") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[AdClickLog]

@@ -62,6 +62,51 @@ class FunnelSpec extends SparkSpec {
     assert(got2 == Map(1L -> 3L))
   }
 
+  test("reachedTimes returns the EARLIEST VALID time per step, min of the valid set") {
+    // clicks at 3 and 8, views at 0 and 6, W = 5: valid clicks {3, 8};
+    // purchase@12 chains off click@8 (12-8=4 <= 5) but NOT click@3 —
+    // min R_3 = 12 even though the chain runs through the LATER click
+    val got = Funnel.reachedTimes(ev(
+      (1L, "view", 0L), (1L, "view", 6L), (1L, "click", 3L),
+      (1L, "click", 8L), (1L, "purchase", 12L)),
+      "user_id", "event_type", "ts", steps, windowUs = 5000000L)
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(got.toSeq == Seq((1L, 3L,
+      Seq(0L, 3000000L, 12000000L))))
+    // and a user stopping mid-funnel gets exactly n_steps entries
+    val got2 = Funnel.reachedTimes(ev((2L, "view", 7L), (2L, "click", 9L)),
+      "user_id", "event_type", "ts", steps, windowUs = 5000000L)
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(got2.toSeq == Seq((2L, 2L, Seq(7000000L, 9000000L))))
+  }
+
+  test("two-pointer reachability equals brute-force EXISTS chains on random event sets") {
+    // the sweep's window bookkeeping is the fiddly part — check it
+    // against the definition directly: R_k = { t : exists s in R_{k-1},
+    // s < t <= s + W }, computed O(n^2) per user
+    val rnd = new scala.util.Random(13)
+    val types = steps
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(12).toLong, types(rnd.nextInt(3)), rnd.nextInt(40).toLong)
+    }
+    val wSec = 7L
+    val got = reached(ev(rows: _*), windowSec = wSec)
+    val want = rows.groupBy(_._1).map { case (u, evs) =>
+      val byStep = types.map(t =>
+        evs.filter(_._2 == t).map(_._3 * 1000000L).sorted)
+      var prev = byStep.head
+      var depth = if (prev.nonEmpty) 1 else 0
+      (1 until types.length).foreach { k =>
+        val valid = byStep(k).filter(t =>
+          prev.exists(s => s < t && t <= s + wSec * 1000000L))
+        prev = valid
+        if (valid.nonEmpty) depth = k + 1
+      }
+      u -> depth.toLong
+    }
+    assert(got == want)
+  }
+
   test("q171 counts step reach over the events table, monotone non-increasing") {
     val out = graft.SparkEntry.queries("q171_windowed_funnel")(
       spark, "/root/testdata/sf0.001")

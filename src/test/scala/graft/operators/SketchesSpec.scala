@@ -192,4 +192,31 @@ class SketchesSpec extends SparkSpec {
     assert(got == exact)
     assert(got((None, None, 3L))._2 == 40L)
   }
+
+  test("mergeDistinctRollups: split halves merge to the whole cube, per grouping set") {
+    val df = (1 to 300).map { i =>
+      (s"t${i % 3}", (i % 5).toLong, (i % 40).toLong)
+    }.toDF("event_type", "day", "user")
+    def key(r: (Option[String], Option[Long], Long, Long, Long)) =
+      (r._1, r._2, r._3) -> ((r._4, r._5))
+    val whole = Sketches.distinctRollup(df, Seq("event_type", "day"), "user")
+      .select($"event_type", $"day", $"gid", $"n_rows", $"distinct_est")
+      .as[(Option[String], Option[Long], Long, Long, Long)]
+      .collect().map(key).toMap
+    // split on the row index so users OVERLAP across halves (user u
+    // recurs at idx u+40k, and 40 % 3 != 0 spreads its occurrences over
+    // both sides): the merge must distinct-union registers, not add
+    val idxed = (1 to 300).map { i =>
+      (i.toLong, s"t${i % 3}", (i % 5).toLong, (i % 40).toLong)
+    }.toDF("idx", "event_type", "day", "user")
+    val a = Sketches.distinctRollup(
+      idxed.filter($"idx" % 3 === 0), Seq("event_type", "day"), "user")
+    val b = Sketches.distinctRollup(
+      idxed.filter($"idx" % 3 =!= 0), Seq("event_type", "day"), "user")
+    val merged = Sketches.mergeDistinctRollups(a, b, Seq("event_type", "day"))
+      .select($"event_type", $"day", $"gid", $"n_rows", $"distinct_est")
+      .as[(Option[String], Option[Long], Long, Long, Long)]
+      .collect().map(key).toMap
+    assert(merged == whole)
+  }
 }

@@ -342,7 +342,9 @@ class PlanGateSpec extends SparkSpec {
     "q172_distinct_cube" -> 3,
     // SQL-text twins: same plans as q166/q167's DataFrame forms
     "q173_retention_sql" -> 4,
-    "q174_attribution_sql" -> 3)
+    "q174_attribution_sql" -> 3,
+    // q171's user-keyed fold + per-step explode agg + sort
+    "q175_funnel_latency" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
