@@ -320,4 +320,37 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(b(id)._2 - 2 * au) <= 64, s"auth($id): ${b(id)._2} vs 2*$au")
     }
   }
+
+  test("blendByRankBySketch == blendByRank on random tie-free data over unit grids") {
+    // the sketch's min-rank percentile equals the exact rank percentile
+    // whenever every value sits alone in its bucket — random DISTINCT
+    // signal values on unit-width grids must reproduce the exact form
+    // bit for bit, top-k membership and rank order included
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    (1 to 3).foreach { trial =>
+      val parts = Seq("en", "fr", "zh")
+      val rows = parts.flatMap { p =>
+        val n = 3 + rnd.nextInt(40)
+        val as = rnd.shuffle((0 until 200).toList).take(n)
+        val bs = rnd.shuffle((0 until 200).toList).take(n)
+        (0 until n).map(i => (trial * 1000L + as(i) * 7L + bs(i),
+          p, as(i).toLong, bs(i).toLong))
+      }
+      // ids must be unique for deterministic tie-break comparison
+      val df = rows.groupBy(_._1).map(_._2.head).toSeq
+        .toDF("id", "part", "a", "b")
+      val k = 1 + rnd.nextInt(8)
+      def cols(d: org.apache.spark.sql.DataFrame) =
+        d.select($"id", $"pct_a", $"pct_b", $"blend_u", $"rk".cast("long"))
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val exact = cols(graft.operators.Selection.blendByRank(
+        df, "id", "part", "a", "b", k))
+      val sketch = cols(graft.operators.Selection.blendByRankBySketch(
+        df, "id", "part", "a", "b", k,
+        loA = 0L, widthA = 1L, nHistA = 256,
+        loB = 0L, widthB = 1L, nHistB = 256, blendWidth = 64L))
+      assert(sketch == exact, s"trial $trial k=$k")
+    }
+  }
 }
