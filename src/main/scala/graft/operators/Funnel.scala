@@ -65,18 +65,22 @@ object Funnel {
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .mapGroups { (uid, it) =>
+        // TreeSet per step: R_k are SETS, so duplicate instants carry no
+        // reachability information — deduping at ingestion caps a bot
+        // burst's per-user memory at DISTINCT (step, µs) pairs, and the
+        // sweep gets its sorted order for free
         val perStep = Array.fill(nSteps)(
-          scala.collection.mutable.ArrayBuffer.empty[Long])
+          scala.collection.mutable.TreeSet.empty[Long])
         it.foreach { case (_, t, us) => perStep(stepIdx(t)) += us }
         // R_1 = all step-1 times; R_k via a two-pointer sweep: for
         // ascending candidate t the qualifying window [t − W, t) over the
         // sorted previous-step valid times advances monotonically.
-        var prev = perStep(0).toArray.sorted
+        var prev = perStep(0).toArray
         val firsts = scala.collection.mutable.ArrayBuffer.empty[Long]
         if (prev.nonEmpty) firsts += prev.head
         var k = 1
         while (k < nSteps && prev.nonEmpty) {
-          val cand = perStep(k).toArray.sorted
+          val cand = perStep(k).toArray
           val valid = scala.collection.mutable.ArrayBuffer.empty[Long]
           var i = 0
           cand.foreach { t =>
