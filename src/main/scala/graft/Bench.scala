@@ -83,9 +83,11 @@ object Bench {
 
   /** The one-line driver contract JSON. If the per-query map would push
     * the line past [[lineBudget]] (the surface passes ~190 queries), it
-    * degrades to totals + errs + the q104 sentinel only — the full map is
-    * always in BENCH_DETAIL.json. A truncated-but-parseable line beats a
-    * complete line the driver records as parsed=null.
+    * degrades to totals + errs + as many of the SLOWEST queries as fit
+    * (sentinel q104 always included) — the slow tail is where the
+    * round-over-round signal lives, and the full map is always in
+    * BENCH_DETAIL.json. A truncated-but-parseable line beats a complete
+    * line the driver records as parsed=null.
     */
   def benchLine(results: Seq[(String, Double)], sfNum: String): String = {
     val shortKeys = results.map(r => shortKey(r._1))
@@ -104,7 +106,16 @@ object Bench {
     }
     val full = line(results)
     if (full.length <= lineBudget) full
-    else line(results.filter(r => shortKey(r._1) == "104"))
+    else {
+      // sentinel first, then slowest-to-fastest; grow while the line fits
+      val ordered = results.filter(r => shortKey(r._1) == "104") ++
+        results.filter(r => shortKey(r._1) != "104").sortBy(-_._2)
+      var kept = Vector.empty[(String, Double)]
+      ordered.foreach { r =>
+        if (line(kept :+ r).length <= lineBudget) kept = kept :+ r
+      }
+      line(kept)
+    }
   }
 
   /** Full-fidelity per-query JSON (full names, 3 decimals) for

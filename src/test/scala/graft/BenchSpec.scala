@@ -48,13 +48,21 @@ class BenchSpec extends SparkSpec {
     assert(line.contains("\"queries\":{"))
   }
 
-  test("benchLine past the budget degrades to the sentinel, not an unparseable line") {
-    val many = (200 to 700).map(i => s"q${i}_synthetic" -> 999.99)
+  test("benchLine past the budget keeps the sentinel + slowest queries, still parseable") {
+    // 500 synthetic queries at mixed speeds: the full map cannot fit, so
+    // the fallback must keep q104 and prefer the SLOW tail over the fast
+    val many = (200 to 700).map(i => s"q${i}_synthetic" -> (if (i % 10 == 0) 90.0 + i / 100.0 else 0.11))
     val results = ("q104_sentinel" -> 1.23) +: many
     val line = Bench.benchLine(results, "0.1")
     assert(line.length <= Bench.lineBudget)
-    assert(line.contains("\"104\":1.23"))      // sentinel survives
-    assert(!line.contains("\"200\":"))          // per-query map dropped
+    assert(line.contains("\"104\":1.23"))                 // sentinel survives
+    assert(line.contains("\"700\":97"))                   // slowest kept
+    assert((200 to 700).count(i => line.contains("\"" + i + "\":")) < 180)
     assert(line.contains("\"metric\":\"total\"") && line.contains("\"sf\":0.1"))
+    // every slow query the budget can hold beats any fast one it kept
+    val kept = (200 to 700).filter(i => line.contains("\"" + i + "\":"))
+    val slowKept = kept.count(_ % 10 == 0)
+    assert(slowKept == (200 to 700).count(_ % 10 == 0),
+      "all slow-tail queries must survive before any fast one")
   }
 }
