@@ -36,6 +36,24 @@ object SharedLm {
         graft.Tables.documents(s, dir), "doc_id", "text"))
 }
 
+/** One DSIR importance table per (session, sf dir), shared by the q136
+  * scoring gate and the q139 selection gate — the SharedLm discipline:
+  * both gates compose the SAME labeled-table construction (the fused
+  * feature-distribution aggregate over the whole corpus), and each
+  * rebuilding it from scratch doubled the family's construction cost.
+  * The table is ≤ `buckets` rows, so the checkpoint is bounded
+  * planning metadata.
+  */
+object SharedDsir {
+  val buckets = 64
+  def table(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.get(s, "dsir", dir)(
+      graft.operators.Selection.dsirTableLabeled(
+        graft.Tables.documents(s, dir)
+          .withColumn("is_tgt", col("lang") === "en"),
+        "text", "is_tgt", buckets))
+}
+
 /** Bounded per-session materialization cache behind the Shared* frame
   * families (LM scoring, span dedup). The old per-family unbounded
   * ConcurrentHashMaps pinned one localCheckpoint per (app, dir) touched,

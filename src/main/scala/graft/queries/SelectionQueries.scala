@@ -25,9 +25,10 @@ object SelectionQueries extends QueryModule {
     // metadata, Classifier-weights discipline).
     "q136_dsir" -> ((s, dir) => {
       import s.implicits._
-      Selection.dsirScores(
-        Tables.documents(s, dir).withColumn("is_tgt", $"lang" === "en"),
-        "doc_id", "text", "is_tgt", buckets = 64)
+      // the λ table is the session-shared SharedDsir frame (q139
+      // consumes the same construction — the SharedLm discipline)
+      Selection.scoreWith(Tables.documents(s, dir), "doc_id", "text",
+        SharedDsir.table(s, dir), SharedDsir.buckets)
         .select($"doc_id", $"n_feats", $"lw_micro")
         .orderBy($"doc_id")
     }),
@@ -73,9 +74,8 @@ object SelectionQueries extends QueryModule {
     // of magnitude can't overflow. The paper's full selection loop.
     "q139_dsir_select" -> ((s, dir) => {
       import s.implicits._
-      val scored = Selection.dsirScores(
-        Tables.documents(s, dir).withColumn("is_tgt", $"lang" === "en"),
-        "doc_id", "text", "is_tgt", buckets = 64)
+      val scored = Selection.scoreWith(Tables.documents(s, dir),
+        "doc_id", "text", SharedDsir.table(s, dir), SharedDsir.buckets)
         .filter($"n_feats" > 0)
       Sampling.weightedSampleByLogWeight(scored, "doc_id", "avg_lw",
         k = 100, seed = 7)
