@@ -301,6 +301,97 @@ object AnalyticsQueries extends QueryModule {
         .orderBy($"step")
     }),
 
+    // A/B experiment report: population = users with a signup; variant =
+    // parity of the k prop on the user's FIRST signup (min ts, event_id
+    // tie-break — the deterministic assignment record); converted =
+    // some purchase strictly after that signup. Per variant: users,
+    // conversions, exact micro-unit conversion rate. Everything after
+    // the first-signup reduction is |users|-bounded.
+    "q176_ab_report" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val first = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id", $"props")).as("f"))
+        .select($"user_id", $"f.ts".as("s_ts"),
+          (regexp_extract($"f.props", "([0-9]+)", 1).cast("long") % 2)
+            .as("variant"))
+      val conv = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"))
+        .join(first, Seq("user_id"))
+        .filter($"p_ts" > $"s_ts")
+        .select($"user_id").distinct()
+        .withColumn("converted", lit(1L))
+      first.join(conv, Seq("user_id"), "left")
+        .groupBy($"variant")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce($"converted", lit(0L))).as("n_converted"))
+        .withColumn("conv_micro", {
+          // exact BIGINT floor division (Column `/` is double division)
+          val a = $"n_converted" * 1000000L
+          floor((a - pmod(a, $"n_users")).cast("double") /
+            $"n_users".cast("double") + 0.5).cast("long")
+        })
+        .orderBy($"variant")
+    }),
+
+    // Daily anomaly flags per event type: today's count vs the TRAILING
+    // 7 days (RANGE frame -7..-1 over day numbers — calendar-gap-correct
+    // and never self-including), flagged when |n − mean| > 2σ. The
+    // whole test is ONE integer inequality — (7n − Σx)² > 4(7Σx² − (Σx)²)
+    // clears both /7 and the sqrt — so the flag is engine-exact with no
+    // float σ anywhere. Rows with fewer than 7 trailing days carry no
+    // verdict (flag null): a z-test against a partial week is noise.
+    "q177_daily_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day_num")
+        .rangeBetween(-7, -1)
+      Tables.events(s, dir)
+        .select($"event_type",
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("day_num"))
+        .groupBy($"event_type", $"day_num")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("d7", count(lit(1)).over(w))
+        .withColumn("s7", sum($"n").over(w))
+        .withColumn("q7", sum($"n" * $"n").over(w))
+        .withColumn("is_anomaly", when($"d7" === 7L,
+          (lit(7L) * $"n" - $"s7") * (lit(7L) * $"n" - $"s7") >
+            lit(4L) * (lit(7L) * $"q7" - $"s7" * $"s7")))
+        .select($"event_type", $"day_num", $"n", $"d7", $"s7", $"q7",
+          $"is_anomaly")
+        .orderBy($"event_type", $"day_num")
+    }),
+
+    // Lag-gap sessionization (the batch mirror of the q14/q57 session
+    // windows): a user's events split where the gap to the previous
+    // event exceeds 30 min; report sessions and exact total duration by
+    // session size. Two windows + the rollups, ALL partitioned by user
+    // then session — nothing global, µs-exact arithmetic.
+    "q178_session_stats" -> ((s, dir) => {
+      import s.implicits._
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us", $"event_id")
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        .withColumn("new_s",
+          when(lag($"us", 1).over(wOrd).isNull ||
+            $"us" - lag($"us", 1).over(wOrd) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"new_s").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"us", $"event_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      ev.groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max($"us") - min($"us")).as("dur_us"))
+        .groupBy($"n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"dur_us").as("sum_dur_us"))
+        .orderBy($"n_events")
+    }),
+
     // q167's last-touch attribution as pure SQL text — the asOfJoin
     // re-expressed as the running-max window every SQL engine plans the
     // same way: clicks and purchases interleave per user ordered by
@@ -545,6 +636,80 @@ object AnalyticsQueries extends QueryModule {
          |UNION ALL
          |SELECT 3, 'purchase', COUNT(*) FROM vp
          |ORDER BY step""".stripMargin,
+
+    // First signup via the same (ts, event_id) order as min(struct) —
+    // event_id is unique, so the struct's props tail never decides.
+    "q176_ab_report" ->
+      s"""WITH ${Q.eventsUs},
+         |f AS (
+         |  SELECT user_id, ts AS s_ts,
+         |    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 2
+         |      AS variant
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS rn
+         |        FROM ev WHERE event_type = 'signup')
+         |  WHERE rn = 1),
+         |c AS (
+         |  SELECT DISTINCT p.user_id
+         |  FROM ev p JOIN f ON p.user_id = f.user_id
+         |  WHERE p.event_type = 'purchase' AND p.ts > f.s_ts),
+         |g AS (
+         |  SELECT f.variant, COUNT(*) AS n_users,
+         |    CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_converted
+         |  FROM f LEFT JOIN c ON f.user_id = c.user_id
+         |  GROUP BY 1)
+         |SELECT variant, n_users, n_converted,
+         |  CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_micro
+         |FROM g ORDER BY variant""".stripMargin,
+
+    // The integer z-test replayed verbatim: trailing-week sums off the
+    // same RANGE frame, the squared inequality in BIGINTs.
+    "q177_daily_anomaly" ->
+      s"""WITH ${Q.eventsUs},
+         |d AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day_num,
+         |    COUNT(*) AS n
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT event_type, day_num, n,
+         |  COUNT(*) OVER w AS d7,
+         |  CAST(SUM(n) OVER w AS BIGINT) AS s7,
+         |  CAST(SUM(n * n) OVER w AS BIGINT) AS q7,
+         |  CASE WHEN COUNT(*) OVER w = 7 THEN
+         |    (7 * n - SUM(n) OVER w) * (7 * n - SUM(n) OVER w)
+         |      > 4 * (7 * SUM(n * n) OVER w - SUM(n) OVER w * SUM(n) OVER w)
+         |  END AS is_anomaly
+         |FROM d
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+         |  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+         |ORDER BY event_type, day_num""".stripMargin,
+
+    // LAG gap flags + running session ids + the two rollups, all in the
+    // same (us, event_id) order; µs arithmetic exact in both engines.
+    "q178_session_stats" ->
+      s"""WITH ${Q.eventsUs},
+         |e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM ev),
+         |g AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN LAG(us) OVER w IS NULL
+         |           OR us - LAG(us) OVER w > 1800000000 THEN 1
+         |         ELSE 0 END AS new_s
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT user_id, us,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g),
+         |per AS (
+         |  SELECT user_id, sid, COUNT(*) AS n_events,
+         |    MAX(us) - MIN(us) AS dur_us
+         |  FROM s GROUP BY 1, 2)
+         |SELECT n_events, COUNT(*) AS n_sessions,
+         |  CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q171's valid sets + MIN per user per step; latency = µs from the
     // first view to the earliest valid step-k event (epoch_us diffs are

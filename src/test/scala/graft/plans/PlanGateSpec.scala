@@ -344,7 +344,16 @@ class PlanGateSpec extends SparkSpec {
     "q173_retention_sql" -> 4,
     "q174_attribution_sql" -> 3,
     // q171's user-keyed fold + per-step explode agg + sort
-    "q175_funnel_latency" -> 3)
+    "q175_funnel_latency" -> 3,
+    // first-signup agg + converted semi-chain joins + variant agg —
+    // every stage |users|-bounded after the first reduction
+    "q176_ab_report" -> 5,
+    // daily rollup + the trailing-week RANGE window on event_type +
+    // output sort; the z-test itself is row-local integer arithmetic
+    "q177_daily_anomaly" -> 3,
+    // user-keyed lag/sid windows share ONE shuffle; session + size
+    // rollups add the rest
+    "q178_session_stats" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
