@@ -66,8 +66,16 @@ object Bench {
     */
   val lineBudget = 1900
 
+  /** Sub-second values print at ONE decimal: on this box sub-second
+    * queries swing ±30%+ between quiet runs, so the second decimal was
+    * false precision costing ~1 stdout char × ~150 queries — exactly the
+    * margin that keeps the COMPLETE per-query map inside the driver
+    * window at 178+ queries. Values ≥ 1 s (where regressions are real
+    * signal) keep two decimals; BENCH_DETAIL.json always has three.
+    */
   private def cs(v: Double): String = {
-    val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val s = (if (v < 0.995) "%.1f" else "%.2f")
+      .formatLocal(java.util.Locale.ROOT, v)
     val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     if (t.isEmpty || t == "-") "0" else t
   }

@@ -36,16 +36,25 @@ class BenchSpec extends SparkSpec {
     assert(out("q904_ok") > 0.0)
   }
 
-  test("benchLine fits the driver's 2000-char stdout tail at the CURRENT query count") {
+  test("benchLine carries the COMPLETE map at the CURRENT query count under typical values") {
     // the driver regex-parses the JSON line from the last 2000 stdout
-    // chars (sbt's success trailer eats ~75); worst-case per-query values
-    // ("999.99" = 6 chars) over every registered gate query must fit
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.99)
+    // chars (sbt's success trailer eats ~75). With the typical value mix
+    // (sub-second majority at 1 decimal, a slow tail at 2) EVERY
+    // registered gate query must make it onto the line — if this fails,
+    // the surface outgrew the window and the slowest-first fallback is
+    // now the steady state: update BASELINE.md to say so.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 12 == 0) 12.34 else 0.56) // ~8% slow tail, like sf0.1
+    }
     val line = Bench.benchLine(results, "0.1")
     assert(line.length <= Bench.lineBudget,
       s"bench line ${line.length} > budget ${Bench.lineBudget} at " +
-        s"${results.size} queries — shrink keys or rely on the fallback")
-    assert(line.contains("\"queries\":{"))
+        s"${results.size} queries")
+    names.foreach { n =>
+      val k = "\"" + n.split("_")(0).stripPrefix("q") + "\":"
+      assert(line.contains(k), s"query $n missing from the bench line")
+    }
   }
 
   test("benchLine past the budget keeps the sentinel + slowest queries, still parseable") {
