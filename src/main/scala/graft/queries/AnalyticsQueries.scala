@@ -301,6 +301,52 @@ object AnalyticsQueries extends QueryModule {
         .orderBy($"step")
     }),
 
+    // The q172 cube's SHIPPED production tier, oracle-gated in its own
+    // right (the q141/q170 sketch-gate discipline): mergeable HLL per
+    // grouping set. At the gate's cardinalities (≤ |users| distinct per
+    // cell) the DataSketches HLL sits in exact coupon mode, so DuckDB's
+    // exact COUNT(DISTINCT) IS the oracle — the q125/q126 coupon-
+    // exactness precedent lifted through ROLLUP's Expand.
+    "q179_distinct_cube_hll" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sketches.distinctRollup(
+        Tables.events(s, dir)
+          .select($"event_type",
+            datediff(to_date($"ts"), lit("1970-01-01")).cast("long")
+              .as("day_num"),
+            $"user_id"),
+        Seq("event_type", "day_num"), "user_id")
+        .select($"event_type", $"day_num", $"gid", $"n_rows",
+          $"distinct_est")
+        .orderBy($"gid", $"event_type", $"day_num")
+    }),
+
+    // Incremental cube maintenance gated end to end: the corpus splits
+    // into two event batches (id parity), each builds ITS OWN cube, and
+    // `mergeDistinctRollups` unions them register-wise per grouping set
+    // — the oracle recomputes the whole cube exactly over ALL events, so
+    // the gate proves merge(batch cubes) == cube(union) with users
+    // OVERLAPPING across batches (counts may NOT add; distincts must
+    // union). This is the dashboard's nightly update contract.
+    "q180_cube_merge" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"event_type",
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long")
+            .as("day_num"),
+          $"user_id")
+      def cube(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Sketches.distinctRollup(df,
+          Seq("event_type", "day_num"), "user_id")
+      graft.operators.Sketches.mergeDistinctRollups(
+        cube(ev.filter($"event_id" % 2 === 0)),
+        cube(ev.filter($"event_id" % 2 =!= 0)),
+        Seq("event_type", "day_num"))
+        .select($"event_type", $"day_num", $"gid", $"n_rows",
+          $"distinct_est")
+        .orderBy($"gid", $"event_type", $"day_num")
+    }),
+
     // A/B experiment report: population = users with a signup; variant =
     // parity of the k prop on the user's FIRST signup (min ts, event_id
     // tie-break — the deterministic assignment record); converted =
@@ -457,7 +503,31 @@ object AnalyticsQueries extends QueryModule {
        |    AS BIGINT) AS n_attributed
        |FROM la GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact distinct-user cube over ALL events — the oracle for BOTH the
+    * one-shot HLL cube (q179) and the merged-batch cube (q180): at gate
+    * cardinalities the sketches are coupon-exact, so the two must
+    * reproduce the exact cube cell for cell.
+    */
+  private def distinctCubeOracle: String =
+    s"""WITH ${Q.eventsUs},
+       |d AS (
+       |  SELECT event_type,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT) AS day_num,
+       |    user_id
+       |  FROM ev)
+       |SELECT event_type, day_num,
+       |  CAST(GROUPING(event_type, day_num) AS BIGINT) AS gid,
+       |  COUNT(*) AS n_rows,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_est
+       |FROM d GROUP BY ROLLUP(event_type, day_num)
+       |ORDER BY gid, event_type, day_num""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+
+    "q179_distinct_cube_hll" -> distinctCubeOracle,
+
+    "q180_cube_merge" -> distinctCubeOracle,
 
     "q157_token_cube" ->
       """SELECT source, lang,

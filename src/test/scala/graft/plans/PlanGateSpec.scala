@@ -353,7 +353,14 @@ class PlanGateSpec extends SparkSpec {
     "q177_daily_anomaly" -> 3,
     // user-keyed lag/sid windows share ONE shuffle; session + size
     // rollups add the rest
-    "q178_session_stats" -> 3)
+    "q178_session_stats" -> 3,
+    // one Expand + map-side-combined HLL agg (shuffle rows = grouping-set
+    // key + KB sketch) + output sort — the exact q172 tier's
+    // distinct-triple traffic is gone
+    "q179_distinct_cube_hll" -> 2,
+    // two batch cubes (Expand+agg each share the parity-filtered scan
+    // exchanges via AQE) + the cells-sized union-merge agg + sort
+    "q180_cube_merge" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
