@@ -57,9 +57,15 @@ object Retention {
     * Cross-horizon repeats of a (user, day) may re-append — the store
     * is an at-least-once distinct set, which [[triangle]]'s own
     * distinct absorbs.
+    *
+    * `wmDelay` is REQUIRED (no default): it bounds how out-of-order an
+    * event may arrive across micro-batches before the watermark drops
+    * it as late — a zero delay silently undercounts the store vs the
+    * batch twin on any cross-batch disorder, so the caller must state
+    * the lateness contract explicitly.
     */
   def maintainActivity(events: DataFrame, userCol: String, tsCol: String,
-      storePath: String, ledgerDir: String, wmDelay: String = "0 seconds")
+      storePath: String, ledgerDir: String, wmDelay: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     val act = events

@@ -343,6 +343,12 @@ object Selection {
     */
   private def bucketIdx(v: Column, lo: Long, width: Long, nBuckets: Int)
       : Column = {
+    // exactness precondition: the clamped multiple m must be exactly
+    // representable as a double, or the one double division drifts —
+    // fail loudly on a grid that overflows 2^53 (mirrors the documented
+    // care in longFloorDiv) rather than returning off-by-one buckets.
+    require((nBuckets - 1).toLong * width < (1L << 53),
+      s"histogram grid overflows double exactness: ($nBuckets-1)*$width >= 2^53")
     val d = v.cast("long") - lit(lo)
     val m = greatest(least(d - pmod(d, lit(width)),
       lit((nBuckets - 1).toLong * width)), lit(0L))
@@ -405,10 +411,17 @@ object Selection {
     require(widthA > 0 && nHistA > 1 && widthB > 0 && nHistB > 1,
       s"bad sketch grids: $widthA/$nHistA, $widthB/$nHistB")
     require(blendWidth > 0, s"bad blend grid: $blendWidth")
+    // NULL-part rows are dropped EXPLICITLY here (the histogramSketch
+    // null-drop rule extended to the partition key): the scored
+    // equi-joins below would silently drop them anyway (null keys never
+    // match), and a null key would NPE the threshold-map sort — the
+    // exact form instead keeps nulls as their own rank partition, a
+    // documented delta SelectionSpec pins.
     val base = df.select(col(idCol), col(partCol),
         bucketIdx(col(aCol), loA, widthA, nHistA).as("__ba"),
         bucketIdx(col(bCol), loB, widthB, nHistB).as("__bb"))
-      .filter(col("__ba").isNotNull && col("__bb").isNotNull)
+      .filter(col(partCol).isNotNull &&
+        col("__ba").isNotNull && col("__bb").isNotNull)
     // BOTH signals' histograms in ONE corpus pass: explode each row to
     // (signal, bucket) and let the map-side combine cap the shuffle at
     // |parts|·(nHistA + nHistB) rows, then the min-rank percentile law
@@ -449,14 +462,29 @@ object Selection {
     // would plan the whole scored subtree twice.
     val wDesc = Window.partitionBy(col("__p")).orderBy(col("__t").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val thrMap: Map[String, Long] = scored
+    // NULL parts carry no threshold row (element_at's null key already
+    // coalesces to band-everything below, which row_number then caps at
+    // k — correct, just unpruned), and the low-cardinality partCol
+    // assumption is ENFORCED, not assumed: the collect is bounded by
+    // take(cap+1) so a high-cardinality part column fails loudly
+    // instead of silently becoming an unbounded driver collect + giant
+    // plan literal.
+    val maxParts = 65536
+    val thrRows = scored
       .select(col(partCol).cast("string").as("__p"),
         bucketIdx(col("blend_u"), 0L, blendWidth, nBlend).as("__t"))
+      .filter(col("__p").isNotNull)
       .groupBy(col("__p"), col("__t")).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(wDesc))
       .filter(col("__cum") >= k && (col("__cum") - col("__c")) < k)
       .select(col("__p"), (col("__t") * blendWidth).as("__thr"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .take(maxParts + 1)
+    require(thrRows.length <= maxParts,
+      s"blendByRankBySketch: partCol '$partCol' exceeds $maxParts distinct " +
+        "values — the per-part threshold map is driver-side planning " +
+        "metadata and assumes a low-cardinality partition column")
+    val thrMap: Map[String, Long] =
+      thrRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     // parts with < k rows have no threshold row: every row is a
     // candidate there (and when NO part reaches k, skip the filter —
     // an empty literal map has no key type for element_at to bind to)

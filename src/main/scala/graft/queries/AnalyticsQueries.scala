@@ -284,10 +284,13 @@ object AnalyticsQueries extends QueryModule {
     // to their EARLIEST VALID step-k event — the funnel's "how long does
     // conversion take" report. min R_k is well-defined under valid-set
     // reachability (greedy "first completion" isn't: it depends on which
-    // earlier choice was taken); exact BIGINT µs end to end.
+    // earlier choice was taken); exact BIGINT µs end to end. Every step
+    // emits a row even with ZERO reaching users (n_users=0, NULL sums) —
+    // the oracle's scalar aggregates always produce one row per step, so
+    // the groupBy left-joins onto the literal step frame to match.
     "q175_funnel_latency" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Funnel.reachedTimes(Tables.events(s, dir),
+      val agg = graft.operators.Funnel.reachedTimes(Tables.events(s, dir),
         "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), windowUs = 259200L * 1000000L)
         .filter($"n_steps" >= 2)
@@ -298,6 +301,10 @@ object AnalyticsQueries extends QueryModule {
         .agg(count(lit(1)).as("n_users"),
           sum($"lat_us").as("sum_latency_us"),
           max($"lat_us").as("max_latency_us"))
+      s.range(2, 4).select($"id".as("step"))
+        .join(agg, Seq("step"), "left")
+        .select($"step", coalesce($"n_users", lit(0L)).as("n_users"),
+          $"sum_latency_us", $"max_latency_us")
         .orderBy($"step")
     }),
 

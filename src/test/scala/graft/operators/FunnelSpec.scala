@@ -121,4 +121,17 @@ class FunnelSpec extends SparkSpec {
       .sortBy(_._1)
     assert(out(0)._2 == greedy(0)._2) // step 1 has no window to apply
   }
+
+  test("q175 emits a row per step even with ZERO conversions (oracle parity)") {
+    // the DuckDB oracle's scalar aggregates always emit one row per step
+    // (n_users=0, NULL sums); the Spark side left-joins onto the literal
+    // step frame to match — pinned on a views-only corpus
+    val dir = java.nio.file.Files.createTempDirectory("funnel175").toString
+    ev((1L, "view", 0L), (2L, "view", 60L))
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q175_funnel_latency")(spark, dir)
+      .select($"step", $"n_users", $"sum_latency_us", $"max_latency_us")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 0L, None, None), (3L, 0L, None, None)))
+  }
 }

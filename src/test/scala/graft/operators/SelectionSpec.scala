@@ -252,6 +252,30 @@ class SelectionSpec extends SparkSpec {
     assert(sketch(1L)._3 == exact(1L)._3 && sketch(4L)._3 == exact(4L)._3)
   }
 
+  test("blendByRankBySketch drops NULL-part rows (documented delta) without NPE") {
+    // the exact form keeps nulls as their own rank partition; the sketch
+    // form drops them at ingestion (equi-join null semantics + the
+    // threshold map's non-null key contract) — pinned here so the
+    // divergence stays deliberate
+    val df = Seq((1L, Option("en"), 1L, 1L), (2L, Option("en"), 2L, 2L),
+      (3L, Option.empty[String], 9L, 9L))
+      .toDF("id", "lang", "a", "b")
+    val got = blendCols(Selection.blendByRankBySketch(df, "id", "lang",
+      "a", "b", k = 10, loA = 0L, widthA = 1L, nHistA = 16,
+      loB = 0L, widthB = 1L, nHistB = 16, blendWidth = 1L))
+    assert(got.keySet == Set(1L, 2L), "null-part row must be dropped, not NPE")
+  }
+
+  test("blendByRankBySketch rejects a histogram grid that overflows 2^53") {
+    val df = Seq((1L, "en", 1L, 1L)).toDF("id", "lang", "a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Selection.blendByRankBySketch(df, "id", "lang", "a", "b", k = 1,
+        loA = 0L, widthA = 1L << 50, nHistA = 16,
+        loB = 0L, widthB = 1L, nHistB = 16, blendWidth = 1L)
+    }
+    assert(e.getMessage.contains("2^53"))
+  }
+
   test("blendByRankBySketch keeps every row of a part smaller than k") {
     val df = Seq((1L, "en", 1L, 1L), (2L, "en", 2L, 2L)).toDF("id", "lang", "a", "b")
     val got = blendCols(Selection.blendByRankBySketch(df, "id", "lang",

@@ -344,7 +344,7 @@ class PlanGateSpec extends SparkSpec {
     "q173_retention_sql" -> 4,
     "q174_attribution_sql" -> 3,
     // q171's user-keyed fold + per-step explode agg + sort
-    "q175_funnel_latency" -> 3,
+    "q175_funnel_latency" -> 2,
     // first-signup agg + converted semi-chain joins + variant agg —
     // every stage |users|-bounded after the first reduction
     "q176_ab_report" -> 5,
