@@ -430,6 +430,30 @@ object StreamBench {
       finally q.stop()
     }
 
+    // 12b. streaming ROLLUP-cube maintenance — q179/q180's live form:
+    // each micro-batch builds its own HLL cube over (event_type, day)
+    // and merges register-wise into the parquet cube store under the
+    // exactly-once ledger (Sketches.maintainDistinctRollup). Zero state
+    // operators by design — the |cells|-row store IS the state; cost
+    // per batch is the batch's cube build plus a cells-sized merge,
+    // independent of how much history the store summarizes.
+    bench("distinct_cube")(events.size.toLong) { () =>
+      val cubeDir = java.nio.file.Files
+        .createTempDirectory(s"sb_cube_$tag").toString
+      val ms = MemoryStream[Ev]
+      val src = ms.toDF().select($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long")
+          .as("day_num"),
+        $"user_id")
+      val q = operators.Sketches.maintainDistinctRollup(src,
+          Seq("event_type", "day_num"), "user_id",
+          s"$cubeDir/store", s"$cubeDir/ledger")
+        .option("checkpointLocation", s"$cubeDir/ckpt").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
     // 13. transformWithState running count — the Spark-4 native state
     // API. Requires the RocksDB provider (transformWithState contract),
     // so it only runs in that pass; the memory column stays "-".
@@ -526,6 +550,7 @@ object StreamBench {
       "url_dedup" -> "`Urls.dedupStream` (3 spellings/page, canonical keep-first, 1h horizon)",
       "skipgram_count" -> "`Cooccurrence.pairIter` flatMap + update-mode count (streaming WordCount shape)",
       "exactsubstr_batch" -> "`Dedup.dedupSpansIncrementalWith` per micro-batch vs a checkpointed digest table (foreachBatch)",
+      "distinct_cube" -> "`Sketches.maintainDistinctRollup` (HLL ROLLUP cube merged into the parquet store per micro-batch, exactly-once ledger)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")

@@ -147,6 +147,50 @@ object Sketches {
       mergeBatchIntoStore(b, groupCol, keyCol, storePath, lgK)
     }
 
+  /** One micro-batch of ROLLUP-cube maintenance: the batch builds ITS
+    * OWN cube ([[distinctRollup]]) and merges register-wise into the
+    * stored cube ([[mergeDistinctRollups]] — the q180-gated law:
+    * merge(batch cubes) == cube(union) even with users overlapping
+    * across batches). History is never rescanned: cost is the batch's
+    * cube build plus a cells-sized merge, whatever the stored corpus
+    * size. The merged frame is eagerly materialized BEFORE the
+    * overwrite — Spark cannot lazily read a path it is replacing.
+    * Exposed separately from [[maintainDistinctRollup]] so
+    * restart/replay semantics are directly testable.
+    */
+  def mergeRollupIntoStore(batch: DataFrame, dims: Seq[String],
+      keyCol: String, storePath: String, lgK: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    val newCube = distinctRollup(batch, dims, keyCol, lgK)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(p))
+        mergeDistinctRollups(spark.read.parquet(storePath), newCube, dims)
+      else newCube
+    val pinned = merged.localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(storePath)
+    Checkpoints.free(pinned)
+  }
+
+  /** Streaming ROLLUP-cube maintenance — the live form of the
+    * q179/q180 dashboard: every micro-batch merges its own cube into
+    * the parquet cube store under the exactly-once batch ledger
+    * ([[graft.io.Sinks.runIdempotent]]), so a checkpoint-replayed batch
+    * can't double-count `n_rows` (HLL re-insertion is a register-max
+    * no-op, but row counts are not idempotent). The store is one
+    * KB-sketch row per grouping-set cell — |cells| rows whatever the
+    * event volume — and serves `distinct_est` per cell at any time.
+    * Start the returned writer with a checkpointLocation.
+    */
+  def maintainDistinctRollup(stream: DataFrame, dims: Seq[String],
+      keyCol: String, storePath: String, ledgerDir: String,
+      lgK: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
+      mergeRollupIntoStore(b, dims, keyCol, storePath, lgK)
+    }
+
   /** Mergeable equi-width histogram sketch of `valueCol` over
     * [lo, hi): (groupCol, n, counts Array(nBuckets)). The quantile
     * counterpart of the HLL tier — bucket counts are exact integers, so

@@ -95,6 +95,47 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ROLLUP-cube maintenance: store == whole-corpus cube; replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cube_stream").toString
+    val store = s"$base/store"; val ledger = s"$base/ledger"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val q = Sketches.maintainDistinctRollup(
+        ms.toDF().toDF("et", "day", "user"), Seq("et", "day"), "user",
+        store, ledger)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    // users OVERLAP across batches and days: subtotal cells must be
+    // distinct unions, never sums of per-batch counts
+    val all = Seq(
+      ("view", 1L, 10L), ("view", 1L, 11L), ("view", 2L, 10L),
+      ("click", 1L, 10L), ("click", 2L, 12L),
+      ("view", 2L, 11L), ("view", 1L, 10L), ("click", 1L, 11L),
+      ("click", 2L, 10L), ("view", 2L, 13L))
+    try {
+      val (b1, b2) = all.splitAt(5)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.select($"et", $"day", $"gid", $"n_rows", $"distinct_est")
+          .as[(Option[String], Option[Long], Long, Long, Long)]
+          .collect().toSet
+      val got = cells(spark.read.parquet(store))
+      // exact whole-corpus reference: coupon-mode HLL == COUNT(DISTINCT)
+      val exact = cells(all.toDF("et", "day", "user")
+        .rollup($"et", $"day")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          countDistinct($"user").as("distinct_est")))
+      assert(got == exact, "maintained cube must equal the whole-corpus cube")
+      // ledger: re-running an already-committed batchId changes nothing
+      graft.io.Sinks.runIdempotent(b1.toDF("et", "day", "user"), 0L, ledger) {
+        (b, _) => Sketches.mergeRollupIntoStore(b, Seq("et", "day"), "user", store)
+      }
+      assert(cells(spark.read.parquet(store)) == got,
+        "replayed batch must be a no-op")
+    } finally q.stop()
+  }
+
   test("histogram sketch: exact bucket counts, clamped edges") {
     val df = Seq(("a", -5.0), ("a", 0.0), ("a", 63.9), ("a", 64.0),
       ("a", 500.0), ("a", 2000.0), ("b", 100.0))
