@@ -301,4 +301,20 @@ object Relational {
         sum(col("__w")).as("sum_winsorized"),
         sum(when(col("__w") =!= col("__v"), 1L).otherwise(0L)).as("n_clamped"))
   }
+
+  /** [[winsorizedStatsBySketch]] with the grid DISCOVERED instead of
+    * supplied ([[Sketches.discoverGrid]]'s one min/max pass) — the
+    * production entry point for a corpus whose value range nobody
+    * knows up front. Costs one extra bounded-aggregate scan at
+    * construction; the returned plan is unchanged. With a span ≤
+    * nBuckets the discovered width is 1 and the thresholds EQUAL the
+    * exact form's order statistics (the manual-grid guarantee, now
+    * automatic — RelationalSpec pins both).
+    */
+  def winsorizedStatsBySketchAuto(df: DataFrame, keyCol: String,
+      valCol: String, pLoPct: Int, pHiPct: Int, nBuckets: Int): DataFrame = {
+    val g = Sketches.discoverGrid(df, valCol, nBuckets)
+    winsorizedStatsBySketch(df, keyCol, valCol, pLoPct, pHiPct,
+      g.lo, g.width, g.nBuckets)
+  }
 }

@@ -191,6 +191,79 @@ object Sketches {
       mergeRollupIntoStore(b, dims, keyCol, storePath, lgK)
     }
 
+  /** An integer equi-width grid: bucket i covers
+    * [lo + i·width, lo + (i+1)·width), width a power of two, lo a
+    * width multiple. The power-of-two convention (q141's grid made a
+    * type) buys two exactness properties: (a) the double division
+    * `(v − lo) / width` is EXACT for any |operand| < 2^53 (dividing by
+    * a power of two only changes the exponent), so double-path and
+    * integer-path bucketization agree bit for bit in every engine; and
+    * (b) two independently discovered grids are refinable — the
+    * narrower width divides the wider, and width-aligned los mean the
+    * coarser grid's boundaries are a subset of the finer's, so
+    * re-bucketing coarser merges exactly.
+    */
+  final case class Grid(lo: Long, width: Long, nBuckets: Int) {
+    require(width > 0 && java.lang.Long.bitCount(width) == 1,
+      s"width must be a positive power of two: $width")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(lo % width == 0, s"lo must be a width multiple: $lo % $width")
+    def hi: Long = lo + width * nBuckets
+  }
+
+  /** Range-discovery construction pass for a caller who does NOT know
+    * the value range (the production gap behind every manual
+    * (lo, width, n) grid in the sketch tier): ONE min/max aggregate —
+    * a 1-row bounded collect, the perplexityBucketsBySketch
+    * construction-metadata discipline — fitted to the smallest
+    * power-of-two [[Grid]] with `nBuckets` buckets that covers
+    * [min, max] (lo = min aligned DOWN to a width multiple, max
+    * strictly below hi). Values are read as BIGINT (the micro-unit
+    * convention: scale floats to integer units FIRST, the way every
+    * gate signal already does). Deterministic for a given input set,
+    * so two engines replay the same grid. Fails loudly on an all-null
+    * input and on grids that would overflow 2^53 exactness.
+    */
+  def discoverGrid(df: DataFrame, valueCol: String, nBuckets: Int)
+      : Grid = {
+    require(nBuckets > 1, s"need at least 2 buckets: $nBuckets")
+    val r = df.agg(min(col(valueCol).cast("long")).as("mn"),
+      max(col(valueCol).cast("long")).as("mx")).head()
+    require(!r.isNullAt(0),
+      s"discoverGrid: no non-null values in '$valueCol'")
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    // ±2^52 keeps every (v − lo) difference and the coverage arithmetic
+    // below inside exact-double territory with no Long overflow; real
+    // micro/nano-unit signals sit far inside this window
+    require(mn >= -(1L << 52) && mx < (1L << 52),
+      s"values outside the ±2^52 exactness window: [$mn, $mx]")
+    def alignDown(v: Long, w: Long): Long = v - java.lang.Math.floorMod(v, w)
+    var width = 1L
+    var lo = alignDown(mn, width)
+    // covered when max falls strictly below lo + width·nBuckets; each
+    // doubling at least doubles coverage, so this terminates
+    while (mx - lo >= width * nBuckets) {
+      width *= 2L
+      lo = alignDown(mn, width)
+    }
+    require((nBuckets - 1).toLong * width < (1L << 53),
+      s"discovered grid overflows double exactness: ($nBuckets-1)*$width")
+    Grid(lo, width, nBuckets)
+  }
+
+  /** [[histogramSketch]] with the grid discovered rather than supplied:
+    * returns the sketch table AND the [[Grid]] so every downstream
+    * consumer (quantile estimates, merges, winsorize thresholds)
+    * replays the same bucketization — a grid is positional metadata
+    * and must travel with its counts.
+    */
+  def histogramSketchAuto(df: DataFrame, groupCol: String,
+      valueCol: String, nBuckets: Int): (DataFrame, Grid) = {
+    val g = discoverGrid(df, valueCol, nBuckets)
+    (histogramSketch(df, groupCol, valueCol, g.lo.toDouble,
+      g.hi.toDouble, g.nBuckets), g)
+  }
+
   /** Mergeable equi-width histogram sketch of `valueCol` over
     * [lo, hi): (groupCol, n, counts Array(nBuckets)). The quantile
     * counterpart of the HLL tier — bucket counts are exact integers, so

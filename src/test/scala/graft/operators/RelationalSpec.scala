@@ -160,6 +160,43 @@ class RelationalSpec extends SparkSpec {
     assert(sk == exact)
   }
 
+  test("winsorizedStatsBySketchAuto: discovered unit grid reproduces the exact form") {
+    // span (0..63) fits 64 buckets at width 1, so the discovered grid
+    // IS the unit grid and the auto form inherits the exact-equality
+    // guarantee without anyone supplying (lo, width, n)
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 400L).map(i => (if (i % 3 == 0) "a" else "b",
+      rnd.nextInt(64).toLong, i)).toDF("src", "len", "id")
+    val cols = Seq($"src", $"n", $"lo", $"hi", $"sum_raw",
+      $"sum_winsorized", $"n_clamped")
+    val exact = Relational.winsorizedStats(df, "src", "len", "id", 5, 95)
+      .select(cols: _*)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val auto = Relational.winsorizedStatsBySketchAuto(df, "src", "len",
+      5, 95, nBuckets = 64)
+      .select(cols: _*)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(auto == exact)
+  }
+
+  test("winsorizedStatsBySketchAuto on the q170 gate input == the manual call with the discovered grid") {
+    // the automation contract: what a caller who KNEW the range would
+    // have written by hand, produced by the one min/max pass instead
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val g = graft.operators.Sketches.discoverGrid(docs, "n_chars", 4096)
+    val cols = Seq($"source", $"n", $"lo", $"hi", $"sum_raw",
+      $"sum_winsorized", $"n_clamped")
+    val auto = Relational.winsorizedStatsBySketchAuto(docs, "source",
+      "n_chars", 5, 95, nBuckets = 4096)
+      .select(cols: _*)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val manual = Relational.winsorizedStatsBySketch(docs, "source",
+      "n_chars", 5, 95, g.lo, g.width, g.nBuckets)
+      .select(cols: _*)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(auto == manual && auto.nonEmpty)
+  }
+
   test("winsorizedStatsBySketch thresholds are bucket lower bounds") {
     // values 0..99, width 10: p10 rank = floor(10*99/100)+1 = 10 -> value 9
     // -> bucket [0,10) lower bound 0; p90 rank 90 -> value 89 -> bound 80.

@@ -136,6 +136,35 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("discoverGrid fits the minimal covering power-of-two grid, width-aligned") {
+    val g = Sketches.discoverGrid(Seq(-5L, 3L, 100L).toDF("v"), "v", 8)
+    assert(g == Sketches.Grid(-16L, 16L, 8))
+    // minimality: the next-narrower power of two cannot cover from its
+    // own aligned lo (alignDown(-5, 8) = -8; 100 - (-8) = 108 >= 64)
+    assert(100L - (-8L) >= 8L * 8L)
+    // degenerate single value: unit width anchored at the value
+    assert(Sketches.discoverGrid(Seq(7L).toDF("v"), "v", 4) ==
+      Sketches.Grid(7L, 1L, 4))
+    // all-null input fails loudly instead of inventing a grid
+    intercept[IllegalArgumentException] {
+      Sketches.discoverGrid(Seq(Option.empty[Long]).toDF("v"), "v", 4)
+    }
+  }
+
+  test("histogramSketchAuto == histogramSketch given the grid it discovered") {
+    val df = Seq(("a", -5L), ("a", 3L), ("a", 100L), ("b", 40L), ("b", 99L))
+      .toDF("g", "v")
+    val (auto, g) = Sketches.histogramSketchAuto(df, "g", "v", 8)
+    val manual = Sketches.histogramSketch(df, "g", "v",
+      g.lo.toDouble, g.hi.toDouble, g.nBuckets)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"g", $"n", $"counts").as[(String, Long, Seq[Long])]
+        .collect().toSet
+    assert(rows(auto) == rows(manual))
+    // every value inside the grid: counts account for all rows
+    assert(rows(auto).toSeq.map(_._2).sum == 5L)
+  }
+
   test("histogram sketch: exact bucket counts, clamped edges") {
     val df = Seq(("a", -5.0), ("a", 0.0), ("a", 63.9), ("a", 64.0),
       ("a", 500.0), ("a", 2000.0), ("b", 100.0))
