@@ -472,8 +472,68 @@ object AnalyticsQueries extends QueryModule {
               |      <= 259200 THEN 1 ELSE 0 END) AS n_attributed
               |FROM m WHERE event_type = 'purchase'
               |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // q171's windowed valid-set funnel through the PURE SQL-TEXT
+    // surface (the q173/q174 discipline) — analysts type funnels in
+    // SQL, and the valid-set semantics is directly expressible as
+    // EXISTS chains: a click is funnel-valid iff SOME view precedes it
+    // within the window, a purchase converts iff SOME VALID click does.
+    // Catalyst plans each EXISTS as a user-keyed left-semi join that
+    // stops at the first match — no pair set is ever materialized, and
+    // nothing here is per-user quadratic in output. Gates against the
+    // SAME oracle as q171: one semantics, two entry points.
+    "q181_funnel_sql" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql("""WITH v AS (
+              |  SELECT user_id, ts FROM events WHERE event_type = 'view'),
+              |vc AS (
+              |  SELECT DISTINCT user_id, ts FROM events c
+              |  WHERE event_type = 'click' AND EXISTS (
+              |    SELECT 1 FROM v WHERE v.user_id = c.user_id
+              |      AND v.ts < c.ts AND c.ts <= v.ts + INTERVAL 3 DAY)),
+              |vp AS (
+              |  SELECT DISTINCT user_id FROM events p
+              |  WHERE event_type = 'purchase' AND EXISTS (
+              |    SELECT 1 FROM vc WHERE vc.user_id = p.user_id
+              |      AND vc.ts < p.ts AND p.ts <= vc.ts + INTERVAL 3 DAY))
+              |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+              |UNION ALL
+              |SELECT 2, 'click', COUNT(DISTINCT user_id) FROM vc
+              |UNION ALL
+              |SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM vp
+              |ORDER BY step""".stripMargin)
     })
   )
+
+  /** Valid-set reachability replayed as EXISTS chains: a click is
+    * funnel-valid iff some view precedes it within the window; a
+    * purchase converts iff some VALID click precedes it within the
+    * window. Timestamps compare at full µs; the window is an exact
+    * INTERVAL addition in both engines. Shared by the operator gate
+    * (q171) and the SQL-text twin (q181).
+    */
+  private def windowedFunnelOracle: String =
+    s"""WITH ${Q.eventsUs},
+       |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+       |c0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+       |p0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
+       |vc AS (
+       |  SELECT DISTINCT c0.user_id, c0.ts
+       |  FROM c0 JOIN v ON v.user_id = c0.user_id
+       |    AND v.ts < c0.ts AND c0.ts <= v.ts + INTERVAL 3 DAY),
+       |vp AS (
+       |  SELECT DISTINCT p0.user_id
+       |  FROM p0 JOIN vc ON vc.user_id = p0.user_id
+       |    AND vc.ts < p0.ts AND p0.ts <= vc.ts + INTERVAL 3 DAY)
+       |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+       |UNION ALL
+       |SELECT 2, 'click', COUNT(DISTINCT user_id) FROM vc
+       |UNION ALL
+       |SELECT 3, 'purchase', COUNT(*) FROM vp
+       |ORDER BY step""".stripMargin
 
   /** Shared by the DataFrame gate (q166/q167) and the SQL-text twins
     * (q173/q174): identical semantics must gate against identical SQL.
@@ -688,31 +748,11 @@ object AnalyticsQueries extends QueryModule {
         |FROM c JOIN t USING (source)
         |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
-    // Valid-set reachability replayed as EXISTS chains: a click is
-    // funnel-valid iff some view precedes it within the window; a
-    // purchase converts iff some VALID click precedes it within the
-    // window. Timestamps compare at full µs; the window is an exact
-    // INTERVAL addition in both engines.
-    "q171_windowed_funnel" ->
-      s"""WITH ${Q.eventsUs},
-         |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
-         |c0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
-         |p0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
-         |vc AS (
-         |  SELECT DISTINCT c0.user_id, c0.ts
-         |  FROM c0 JOIN v ON v.user_id = c0.user_id
-         |    AND v.ts < c0.ts AND c0.ts <= v.ts + INTERVAL 3 DAY),
-         |vp AS (
-         |  SELECT DISTINCT p0.user_id
-         |  FROM p0 JOIN vc ON vc.user_id = p0.user_id
-         |    AND vc.ts < p0.ts AND p0.ts <= vc.ts + INTERVAL 3 DAY)
-         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v
-         |UNION ALL
-         |SELECT 2, 'click', COUNT(DISTINCT user_id) FROM vc
-         |UNION ALL
-         |SELECT 3, 'purchase', COUNT(*) FROM vp
-         |ORDER BY step""".stripMargin,
+    "q171_windowed_funnel" -> windowedFunnelOracle,
+
+    // Same oracle as q171 — one semantics, two entry points (the
+    // retention/attribution twin discipline above).
+    "q181_funnel_sql" -> windowedFunnelOracle,
 
     // First signup via the same (ts, event_id) order as min(struct) —
     // event_id is unique, so the struct's props tail never decides.

@@ -122,6 +122,14 @@ class FunnelSpec extends SparkSpec {
     assert(out(0)._2 == greedy(0)._2) // step 1 has no window to apply
   }
 
+  test("q181 SQL-text funnel equals the q171 operator form row for row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      .select($"step", $"step_name", $"n_users")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows("q181_funnel_sql") == rows("q171_windowed_funnel"))
+  }
+
   test("q175 emits a row per step even with ZERO conversions (oracle parity)") {
     // the DuckDB oracle's scalar aggregates always emit one row per step
     // (n_users=0, NULL sums); the Spark side left-joins onto the literal

@@ -360,7 +360,10 @@ class PlanGateSpec extends SparkSpec {
     "q179_distinct_cube_hll" -> 2,
     // two batch cubes (Expand+agg each share the parity-filtered scan
     // exchanges via AQE) + the cells-sized union-merge agg + sort
-    "q180_cube_merge" -> 3)
+    "q180_cube_merge" -> 3,
+    // SQL-text funnel: two user-keyed EXISTS semi joins (broadcast at
+    // test scale), a distinct per step, three scalar-agg branches
+    "q181_funnel_sql" -> 7)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
