@@ -360,32 +360,16 @@ object AnalyticsQueries extends QueryModule {
     // some purchase strictly after that signup. Per variant: users,
     // conversions, exact micro-unit conversion rate. Everything after
     // the first-signup reduction is |users|-bounded.
+    // Operator form (`Experiment`): per-user CRDT aggregates — min
+    // first-signup struct, max purchase time — then the report
+    // finisher; `converted = p_max > s_ts` is exactly "some purchase
+    // strictly after the first signup". Same decomposition the
+    // streaming twin maintains incrementally (StreamingAppsSpec pins
+    // the twin equality, late re-assigning signups included).
     "q176_ab_report" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir)
-      val first = ev.filter($"event_type" === "signup")
-        .groupBy($"user_id")
-        .agg(min(struct($"ts", $"event_id", $"props")).as("f"))
-        .select($"user_id", $"f.ts".as("s_ts"),
-          (regexp_extract($"f.props", "([0-9]+)", 1).cast("long") % 2)
-            .as("variant"))
-      val conv = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts".as("p_ts"))
-        .join(first, Seq("user_id"))
-        .filter($"p_ts" > $"s_ts")
-        .select($"user_id").distinct()
-        .withColumn("converted", lit(1L))
-      first.join(conv, Seq("user_id"), "left")
-        .groupBy($"variant")
-        .agg(count(lit(1)).as("n_users"),
-          sum(coalesce($"converted", lit(0L))).as("n_converted"))
-        .withColumn("conv_micro", {
-          // exact BIGINT floor division (Column `/` is double division)
-          val a = $"n_converted" * 1000000L
-          floor((a - pmod(a, $"n_users")).cast("double") /
-            $"n_users".cast("double") + 0.5).cast("long")
-        })
-        .orderBy($"variant")
+      graft.operators.Experiment.abReport(
+        graft.operators.Experiment.userAggregates(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", "props"))
     }),
 
     // Daily anomaly flags per event type: today's count vs the TRAILING
@@ -395,24 +379,15 @@ object AnalyticsQueries extends QueryModule {
     // clears both /7 and the sqrt — so the flag is engine-exact with no
     // float σ anywhere. Rows with fewer than 7 trailing days carry no
     // verdict (flag null): a z-test against a partial week is noise.
+    // Operator form (`Anomaly`): the daily rollup + the z-test
+    // finisher — the same decomposition whose streaming twin maintains
+    // the additive count store and re-derives flags on demand
+    // (StreamingAppsSpec pins the twin equality under late events).
     "q177_daily_anomaly" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"event_type").orderBy($"day_num")
-        .rangeBetween(-7, -1)
-      Tables.events(s, dir)
-        .select($"event_type",
-          datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("day_num"))
-        .groupBy($"event_type", $"day_num")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("d7", count(lit(1)).over(w))
-        .withColumn("s7", sum($"n").over(w))
-        .withColumn("q7", sum($"n" * $"n").over(w))
-        .withColumn("is_anomaly", when($"d7" === 7L,
-          (lit(7L) * $"n" - $"s7") * (lit(7L) * $"n" - $"s7") >
-            lit(4L) * (lit(7L) * $"q7" - $"s7" * $"s7")))
-        .select($"event_type", $"day_num", $"n", $"d7", $"s7", $"q7",
-          $"is_anomaly")
+      graft.operators.Anomaly.anomalyFlags(
+        graft.operators.Anomaly.dailyCounts(Tables.events(s, dir),
+          "event_type", "ts"))
         .orderBy($"event_type", $"day_num")
     }),
 

@@ -176,6 +176,88 @@ class StreamingAppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A/B streaming twin: min-merge store re-bases a late earlier signup; report == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("abtwin").toString
+    val ms = MemoryStream[(Long, String, Timestamp, Long, String)]
+    val q = graft.operators.Experiment.maintainUserAggregates(
+        ms.toDF().toDF("userId", "eventType", "ts", "eventId", "props"),
+        "userId", "eventType", "ts", "eventId", "props",
+        s"$dir/store", s"$dir/ledger")
+      .option("checkpointLocation", s"$dir/cp").start()
+    val b1 = Seq(
+      (1L, "signup", t(100), 10L, "k=1"),   // u1 variant 1 (for now)
+      (1L, "purchase", t(50), 11L, ""),     // BEFORE u1's signup — no conv
+      (2L, "signup", t(200), 12L, "k=2"),   // u2 variant 0
+      (2L, "purchase", t(300), 13L, ""),    // converted
+      (3L, "signup", t(400), 14L, "7"))     // u3 variant 1, no purchase
+    // a LATE, EARLIER signup: re-bases u1 to variant 0 AND makes the
+    // t(50) purchase count — frozen append-mode assignment state could
+    // never retract either change; the min-merge store absorbs both
+    val b2 = Seq((1L, "signup", t(10), 15L, "k=2"))
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.select($"variant", $"n_users", $"n_converted", $"conv_micro")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      val mid = report(graft.operators.Experiment.abReport(
+        spark.read.parquet(s"$dir/store")))
+      assert(mid == Set((0L, 1L, 1L, 1000000L), (1L, 2L, 0L, 0L)))
+      ms.addData(b2); q.processAllAvailable()
+      val fin = report(graft.operators.Experiment.abReport(
+        spark.read.parquet(s"$dir/store")))
+      assert(fin == Set((0L, 2L, 2L, 1000000L), (1L, 1L, 0L, 0L)))
+      // twin equality: the maintained store finishes to the batch report
+      val batch = report(graft.operators.Experiment.abReport(
+        graft.operators.Experiment.userAggregates(
+          (b1 ++ b2).toDF("userId", "eventType", "ts", "eventId", "props"),
+          "userId", "eventType", "ts", "eventId", "props")))
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
+  test("anomaly streaming twin: additive count store absorbs late days; flags == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("anomtwin").toString
+    val day = 86400L
+    val ms = MemoryStream[(String, Timestamp)]
+    val q = graft.operators.Anomaly.maintainDailyCounts(
+        ms.toDF().toDF("etype", "ts"), "etype", "ts",
+        s"$dir/store", s"$dir/ledger")
+      .option("checkpointLocation", s"$dir/cp").start()
+    // days 1..7 one view each, day 8 spikes to 11 (σ=0 week → anomaly)
+    val b1 = (1L to 7L).map(d => ("view", t(d * day))) ++
+      (1 to 11).map(i => ("view", t(8 * day + i)))
+    // LATE events land on day 3 — no watermark drops them, the additive
+    // merge just raises the cell; every downstream window re-derives
+    val b2 = (1 to 5).map(i => ("view", t(3 * day + 100 + i)))
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_type", $"day_num", $"n", $"is_anomaly")
+        .as[(String, Long, Long, Option[Boolean])].collect().toSet
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val store = spark.read.parquet(s"$dir/store")
+      assert(store.filter($"day_num" === 3L).select($"n")
+        .as[Long].head() == 6L, "late events must add into day 3")
+      val streamed = flags(graft.operators.Anomaly.anomalyFlags(store))
+      val batch = flags(graft.operators.Anomaly.anomalyFlags(
+        graft.operators.Anomaly.dailyCounts(
+          (b1 ++ b2).toDF("etype", "ts"), "etype", "ts")))
+      assert(streamed == batch)
+      assert(streamed.exists { case (_, d, n, f) =>
+        d == 8L && n == 11L && f.contains(true) }, "day-8 spike must flag")
+      // ledger: replaying a committed batch adds nothing twice
+      graft.io.Sinks.runIdempotent(b2.toDF("etype", "ts"), 1L,
+        s"$dir/ledger") { (b, _) =>
+        graft.operators.Anomaly.mergeCountsIntoStore(b, "etype", "ts",
+          s"$dir/store")
+      }
+      assert(flags(graft.operators.Anomaly.anomalyFlags(
+        spark.read.parquet(s"$dir/store"))) == streamed)
+    } finally q.stop()
+  }
+
   test("adClickBlacklistStream warns once per day and resets on rollover") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[AdClickLog]

@@ -345,9 +345,10 @@ class PlanGateSpec extends SparkSpec {
     "q174_attribution_sql" -> 3,
     // q171's user-keyed fold + per-step explode agg + sort
     "q175_funnel_latency" -> 2,
-    // first-signup agg + converted semi-chain joins + variant agg —
-    // every stage |users|-bounded after the first reduction
-    "q176_ab_report" -> 5,
+    // one user-keyed CRDT aggregate + the variant report agg + sort
+    // (the Experiment operator dropped the old converted-join chain:
+    // 5 → 3 exchanges, every stage |users|-bounded after the first)
+    "q176_ab_report" -> 3,
     // daily rollup + the trailing-week RANGE window on event_type +
     // output sort; the z-test itself is row-local integer arithmetic
     "q177_daily_anomaly" -> 3,
