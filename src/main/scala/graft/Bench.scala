@@ -89,13 +89,22 @@ object Bench {
   private def shortKey(name: String): String =
     name.split("_")(0).stripPrefix("q")
 
-  /** The one-line driver contract JSON. If the per-query map would push
-    * the line past [[lineBudget]] (the surface passes ~190 queries), it
-    * degrades to totals + errs + as many of the SLOWEST queries as fit
-    * (sentinel q104 always included) — the slow tail is where the
-    * round-over-round signal lives, and the full map is always in
-    * BENCH_DETAIL.json. A truncated-but-parseable line beats a complete
-    * line the driver records as parsed=null.
+  /** Queries carried on the stdout line besides the q104 sentinel: the
+    * SLOWEST N — the slow tail is where the round-over-round signal
+    * lives, and a fixed count can never hit the window cliff however
+    * large the surface grows (the pre-round-14 full map was ~100 chars
+    * from overflowing at ~195 queries).
+    */
+  val stdoutSlowest = 20
+
+  /** The one-line driver contract JSON — the round-14 END-STATE
+    * (BASELINE.md documents it for the driver/judge): stdout carries
+    * total + errs + sf + the q104 sentinel + the [[stdoutSlowest]]
+    * slowest queries, and **`BENCH_DETAIL.json` is the CANONICAL
+    * per-query record** (full names, 3 decimals, every query, written
+    * on every run). `value` remains the sum over ALL non-failed
+    * queries, not just the printed ones; `errs` lists every failed
+    * query whether or not its timing made the line.
     */
   def benchLine(results: Seq[(String, Double)], sfNum: String): String = {
     val shortKeys = results.map(r => shortKey(r._1))
@@ -112,18 +121,14 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":$sfNum}"""
     }
-    val full = line(results)
-    if (full.length <= lineBudget) full
-    else {
-      // sentinel first, then slowest-to-fastest; grow while the line fits
-      val ordered = results.filter(r => shortKey(r._1) == "104") ++
-        results.filter(r => shortKey(r._1) != "104").sortBy(-_._2)
-      var kept = Vector.empty[(String, Double)]
-      ordered.foreach { r =>
-        if (line(kept :+ r).length <= lineBudget) kept = kept :+ r
-      }
-      line(kept)
-    }
+    // sentinel first, then slowest-to-fastest; the window budget is a
+    // safety net that cannot trigger at sentinel + 20 entries
+    var kept = results.filter(r => shortKey(r._1) == "104") ++
+      results.filter(r => shortKey(r._1) != "104").sortBy(-_._2)
+        .take(stdoutSlowest)
+    while (line(kept).length > lineBudget && kept.nonEmpty)
+      kept = kept.init
+    line(kept)
   }
 
   /** Full-fidelity per-query JSON (full names, 3 decimals) for

@@ -36,42 +36,56 @@ class BenchSpec extends SparkSpec {
     assert(out("q904_ok") > 0.0)
   }
 
-  test("benchLine carries the COMPLETE map at the CURRENT query count under typical values") {
-    // the driver regex-parses the JSON line from the last 2000 stdout
-    // chars (sbt's success trailer eats ~75). With the typical value mix
-    // (sub-second majority at 1 decimal, a slow tail at 2) EVERY
-    // registered gate query must make it onto the line — if this fails,
-    // the surface outgrew the window and the slowest-first fallback is
-    // now the steady state: update BASELINE.md to say so.
+  test("benchLine end-state: totals + sentinel + the 20 slowest over the REAL surface") {
+    // the round-14 driver contract (BASELINE.md): stdout is a fixed-size
+    // summary that can never hit the 2000-char tail window however large
+    // the surface grows; BENCH_DETAIL.json is the canonical per-query map
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 12 == 0) 12.34 else 0.56) // ~8% slow tail, like sf0.1
     }
     val line = Bench.benchLine(results, "0.1")
-    assert(line.length <= Bench.lineBudget,
-      s"bench line ${line.length} > budget ${Bench.lineBudget} at " +
-        s"${results.size} queries")
-    names.foreach { n =>
+    assert(line.length <= Bench.lineBudget)
+    assert(line.contains("\"104\":"), "sentinel must always be printed")
+    val nKeys = "\"[0-9]+\":".r.findAllIn(line).size
+    assert(nKeys == Bench.stdoutSlowest + 1,
+      s"expected sentinel + ${Bench.stdoutSlowest} slowest, got $nKeys")
+    // every slow-tail query is among the printed ones (the tail is the
+    // round-over-round signal) and total still sums over ALL queries
+    results.filter(_._2 > 1.0).foreach { case (n, _) =>
       val k = "\"" + n.split("_")(0).stripPrefix("q") + "\":"
-      assert(line.contains(k), s"query $n missing from the bench line")
+      assert(line.contains(k), s"slow query $n missing from the line")
     }
+    val want = results.map(_._2).sum
+    val got = """"value":([0-9.]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble).getOrElse(-1.0)
+    assert(math.abs(got - want) < 0.01, s"total $got != sum-over-all $want")
+    assert(line.contains("\"metric\":\"total\"") && line.contains("\"sf\":0.1"))
   }
 
-  test("benchLine past the budget keeps the sentinel + slowest queries, still parseable") {
-    // 500 synthetic queries at mixed speeds: the full map cannot fit, so
-    // the fallback must keep q104 and prefer the SLOW tail over the fast
-    val many = (200 to 700).map(i => s"q${i}_synthetic" -> (if (i % 10 == 0) 90.0 + i / 100.0 else 0.11))
-    val results = ("q104_sentinel" -> 1.23) +: many
+  test("benchLine end-state: failed queries stay in errs even off the printed map") {
+    // hundreds of fast queries + one failure: the -1 entry sorts last
+    // and may drop off the printed 20, but errs must still carry it
+    val many = (200 to 700).map(i =>
+      s"q${i}_synthetic" -> (if (i % 10 == 0) 90.0 + i / 100.0 else 0.11))
+    val results = ("q104_sentinel" -> 1.23) +:
+      ("q901_boom" -> -1.0) +: many
     val line = Bench.benchLine(results, "0.1")
     assert(line.length <= Bench.lineBudget)
-    assert(line.contains("\"104\":1.23"))                 // sentinel survives
-    assert(line.contains("\"700\":97"))                   // slowest kept
-    assert((200 to 700).count(i => line.contains("\"" + i + "\":")) < 180)
-    assert(line.contains("\"metric\":\"total\"") && line.contains("\"sf\":0.1"))
-    // every slow query the budget can hold beats any fast one it kept
+    assert(line.contains("\"104\":1.23"))   // sentinel survives
+    assert(line.contains("\"700\":97"))     // slowest kept
+    assert(line.contains("\"errs\":[\"901\"]"))
+    val nKeys = "\"[0-9]+\":".r.findAllIn(line).size
+    assert(nKeys == Bench.stdoutSlowest + 1)
+    // the printed tail is exactly the slowest 20 (all ≥ 90 s here)
     val kept = (200 to 700).filter(i => line.contains("\"" + i + "\":"))
-    val slowKept = kept.count(_ % 10 == 0)
-    assert(slowKept == (200 to 700).count(_ % 10 == 0),
-      "all slow-tail queries must survive before any fast one")
+    assert(kept.size == Bench.stdoutSlowest && kept.forall(_ % 10 == 0))
+  }
+
+  test("benchLine with fewer queries than the cap prints them all") {
+    val results = Seq("q104_sentinel" -> 1.23, "q01_a" -> 0.5, "q02_b" -> 2.0)
+    val line = Bench.benchLine(results, "0.001")
+    Seq("\"104\":1.23", "\"01\":0.5", "\"02\":2").foreach(k =>
+      assert(line.contains(k), s"$k missing"))
   }
 }
