@@ -74,6 +74,44 @@ object Experiment {
       .orderBy(col("variant"))
   }
 
+  /** Two-proportion z-test verdict over the [[abReport]] (the q177
+    * integer-inequality discipline extended to two samples): pooled
+    * z² > 1.96² is equivalent to
+    * `625·(c0·n1 − c1·n0)²·N > 2401·n0·n1·C·(N−C)` with N = n0+n1,
+    * C = c0+c1 — 1.96² = 9604/2500 = 2401/625 is exactly rational, so
+    * the whole test is one integer inequality with no float SE
+    * anywhere. Intermediates reach ~(c·n)²·N·625 (≈10^27 at 10^5-user
+    * scale), past BIGINT but far inside DECIMAL(38,0), which Spark
+    * evaluates exactly and a 128-bit engine (DuckDB HUGEINT) replays
+    * bit for bit. Null verdict when either arm is empty or the pooled
+    * rate is 0 or 1 — SE = 0 makes the test undefined, not
+    * "significant". One row out: both arms' counts, the micro-unit
+    * rate difference, and the flag.
+    */
+  def significance(report: DataFrame): DataFrame = {
+    def arm(v: Int, c: String) =
+      max(when(col("variant") === v, col(c)))
+    val one = report.agg(
+      coalesce(arm(0, "n_users"), lit(0L)).as("n0"),
+      coalesce(arm(0, "n_converted"), lit(0L)).as("c0"),
+      coalesce(arm(0, "conv_micro"), lit(0L)).as("r0"),
+      coalesce(arm(1, "n_users"), lit(0L)).as("n1"),
+      coalesce(arm(1, "n_converted"), lit(0L)).as("c1"),
+      coalesce(arm(1, "conv_micro"), lit(0L)).as("r1"))
+    def d(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val bigN = col("n0") + col("n1")
+    val bigC = col("c0") + col("c1")
+    val diff = d(col("c0")) * d(col("n1")) - d(col("c1")) * d(col("n0"))
+    val num = d(lit(625L)) * diff * diff * d(bigN)
+    val den = d(lit(2401L)) * d(col("n0")) * d(col("n1")) *
+      d(bigC) * d(bigN - bigC)
+    one.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      (col("r0") - col("r1")).as("rate_diff_micro"),
+      when(col("n0") > 0L && col("n1") > 0L &&
+        bigC > 0L && bigC < bigN, num > den).as("significant"))
+  }
+
   /** One micro-batch of assignment/conversion-store maintenance: the
     * batch's own per-user aggregates merged into the parquet store
     * (read-merge-overwrite over ≤ |users| rows, eagerly materialized

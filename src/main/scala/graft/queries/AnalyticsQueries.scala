@@ -479,8 +479,51 @@ object AnalyticsQueries extends QueryModule {
               |UNION ALL
               |SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM vp
               |ORDER BY step""".stripMargin)
+    }),
+
+    // Two-proportion z-test verdict over the A/B report — the q177
+    // integer-inequality discipline extended to two samples:
+    // z² > 1.96² ⟺ 625·(c0·n1−c1·n0)²·N > 2401·n0·n1·C·(N−C), all
+    // integer (1.96² = 2401/625 exactly), evaluated in DECIMAL(38,0)
+    // and replayed by the oracle in HUGEINT. SE=0 edges (empty arm,
+    // pooled rate 0 or 1) carry a null verdict. One row out, row-local
+    // after q176's |users|-bounded report.
+    "q182_ab_significance" -> ((s, dir) => {
+      graft.operators.Experiment.significance(
+        graft.operators.Experiment.abReport(
+          graft.operators.Experiment.userAggregates(Tables.events(s, dir),
+            "user_id", "event_type", "ts", "event_id", "props")))
     })
   )
+
+  /** The A/B arm CTEs shared by the report gate (q176) and the
+    * significance gate (q182): first-signup assignment, converted
+    * users, per-variant counts, exact floor-division micro rate.
+    */
+  private def abArmsOracle: String =
+    s"""WITH ${Q.eventsUs},
+       |f AS (
+       |  SELECT user_id, ts AS s_ts,
+       |    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 2
+       |      AS variant
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS rn
+       |        FROM ev WHERE event_type = 'signup')
+       |  WHERE rn = 1),
+       |c AS (
+       |  SELECT DISTINCT p.user_id
+       |  FROM ev p JOIN f ON p.user_id = f.user_id
+       |  WHERE p.event_type = 'purchase' AND p.ts > f.s_ts),
+       |g AS (
+       |  SELECT f.variant, COUNT(*) AS n_users,
+       |    CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_converted
+       |  FROM f LEFT JOIN c ON f.user_id = c.user_id
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT variant, n_users, n_converted,
+       |    CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_micro
+       |  FROM g)""".stripMargin
 
   /** Valid-set reachability replayed as EXISTS chains: a click is
     * funnel-valid iff some view precedes it within the window; a
@@ -732,28 +775,32 @@ object AnalyticsQueries extends QueryModule {
     // First signup via the same (ts, event_id) order as min(struct) —
     // event_id is unique, so the struct's props tail never decides.
     "q176_ab_report" ->
-      s"""WITH ${Q.eventsUs},
-         |f AS (
-         |  SELECT user_id, ts AS s_ts,
-         |    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 2
-         |      AS variant
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-         |          ORDER BY ts, event_id) AS rn
-         |        FROM ev WHERE event_type = 'signup')
-         |  WHERE rn = 1),
-         |c AS (
-         |  SELECT DISTINCT p.user_id
-         |  FROM ev p JOIN f ON p.user_id = f.user_id
-         |  WHERE p.event_type = 'purchase' AND p.ts > f.s_ts),
-         |g AS (
-         |  SELECT f.variant, COUNT(*) AS n_users,
-         |    CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_converted
-         |  FROM f LEFT JOIN c ON f.user_id = c.user_id
-         |  GROUP BY 1)
-         |SELECT variant, n_users, n_converted,
-         |  CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_micro
-         |FROM g ORDER BY variant""".stripMargin,
+      s"""$abArmsOracle
+         |SELECT variant, n_users, n_converted, conv_micro
+         |FROM r ORDER BY variant""".stripMargin,
+
+    // HUGEINT replays the DECIMAL(38,0) integer z² inequality exactly;
+    // same arm CTEs as q176 — one semantics, one more derived verdict.
+    "q182_ab_significance" ->
+      s"""$abArmsOracle,
+         |p AS (
+         |  SELECT
+         |    COALESCE(MAX(CASE WHEN variant = 0 THEN n_users END), 0) AS n0,
+         |    COALESCE(MAX(CASE WHEN variant = 0 THEN n_converted END), 0) AS c0,
+         |    COALESCE(MAX(CASE WHEN variant = 0 THEN conv_micro END), 0) AS r0,
+         |    COALESCE(MAX(CASE WHEN variant = 1 THEN n_users END), 0) AS n1,
+         |    COALESCE(MAX(CASE WHEN variant = 1 THEN n_converted END), 0) AS c1,
+         |    COALESCE(MAX(CASE WHEN variant = 1 THEN conv_micro END), 0) AS r1
+         |  FROM r)
+         |SELECT n0, c0, n1, c1,
+         |  CAST(r0 - r1 AS BIGINT) AS rate_diff_micro,
+         |  CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+         |    THEN 625 * CAST(c0 * n1 - c1 * n0 AS HUGEINT)
+         |           * CAST(c0 * n1 - c1 * n0 AS HUGEINT) * (n0 + n1)
+         |      > 2401 * CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+         |           * (n0 + n1 - c0 - c1)
+         |  END AS significant
+         |FROM p""".stripMargin,
 
     // The integer z-test replayed verbatim: trailing-week sums off the
     // same RANGE frame, the squared inequality in BIGINTs.

@@ -364,7 +364,10 @@ class PlanGateSpec extends SparkSpec {
     "q180_cube_merge" -> 3,
     // SQL-text funnel: two user-keyed EXISTS semi joins (broadcast at
     // test scale), a distinct per step, three scalar-agg branches
-    "q181_funnel_sql" -> 7)
+    "q181_funnel_sql" -> 7,
+    // q176's user aggregate + report agg + the 1-row pivot; the z² test
+    // itself is row-local DECIMAL(38,0) arithmetic
+    "q182_ab_significance" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
