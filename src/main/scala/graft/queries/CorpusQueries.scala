@@ -457,6 +457,24 @@ object CorpusQueries extends QueryModule {
       graft.operators.Sketches.quantilesFromHistogram(sk, "source",
         0.0, 1024.0, 16, Seq(0.5, 0.9))
         .orderBy($"source", $"q")
+    }),
+
+    // q126 with NOBODY supplying the grid: `Sketches.discoverGrid`'s
+    // one min/max pass fits the minimal covering power-of-two grid and
+    // the oracle REPLAYS THE DISCOVERY ITSELF (min width from a
+    // generated power table, floorMod-aligned lo — all integer), then
+    // the same bucket/cumsum/interpolation law as q126. The returned
+    // grid travels in the output (grid_lo, grid_width), so the gate
+    // pins the fit, not just the estimates.
+    "q183_auto_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val (sk, g) = graft.operators.Sketches.histogramSketchAuto(
+        Tables.documents(s, dir), "source", "n_chars", nBuckets = 16)
+      graft.operators.Sketches.quantilesFromHistogram(sk, "source",
+        g.lo.toDouble, g.hi.toDouble, g.nBuckets, Seq(0.25, 0.5, 0.9))
+        .withColumn("grid_lo", lit(g.lo))
+        .withColumn("grid_width", lit(g.width))
+        .orderBy($"source", $"q")
     })
   )
 
@@ -900,6 +918,43 @@ object CorpusQueries extends QueryModule {
         |  0.0 + 64.0 * (bucket +
         |    CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) AS est
         |FROM e WHERE cum >= t AND (cum - cnt) < t
+        |ORDER BY source, q""".stripMargin,
+
+    // The discovery replay: min/max → the SMALLEST power-of-two width
+    // whose 16 width-aligned buckets cover [mn, mx] (floorMod alignment
+    // matches java.lang.Math.floorMod; power(2,g) casts exactly to
+    // BIGINT through 2^53), then q126's bucket/cumsum/interpolation law
+    // verbatim on the discovered (lo, width).
+    "q183_auto_quantiles" ->
+      """WITH mm AS (
+        |  SELECT MIN(CAST(n_chars AS BIGINT)) AS mn,
+        |         MAX(CAST(n_chars AS BIGINT)) AS mx
+        |  FROM documents),
+        |grid AS (
+        |  SELECT w, mn - ((mn % w + w) % w) AS lo
+        |  FROM mm, (SELECT CAST(power(2, g) AS BIGINT) AS w
+        |            FROM generate_series(0, 53) t(g))
+        |  WHERE mx - (mn - ((mn % w + w) % w)) < w * 16
+        |  ORDER BY w LIMIT 1),
+        |b AS (
+        |  SELECT source,
+        |    LEAST(15, GREATEST(0, CAST(floor(
+        |      (CAST(n_chars AS DOUBLE) - CAST(lo AS DOUBLE))
+        |        / CAST(w AS DOUBLE)) AS INTEGER))) AS bucket
+        |  FROM documents, grid),
+        |c AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY 1),
+        |qq AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q),
+        |e AS (
+        |  SELECT c.source, q, tot.n, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY c.source, q ORDER BY bucket) AS cum,
+        |    CEIL(q * CAST(tot.n AS DOUBLE)) AS t
+        |  FROM c JOIN tot USING (source) CROSS JOIN qq)
+        |SELECT source, q, CAST(n AS BIGINT) AS n,
+        |  CAST(lo AS DOUBLE) + CAST(w AS DOUBLE) * (bucket +
+        |    CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) AS est,
+        |  CAST(lo AS BIGINT) AS grid_lo, CAST(w AS BIGINT) AS grid_width
+        |FROM e, grid WHERE cum >= t AND (cum - cnt) < t
         |ORDER BY source, q""".stripMargin
   )
 }

@@ -367,7 +367,10 @@ class PlanGateSpec extends SparkSpec {
     "q181_funnel_sql" -> 7,
     // q176's user aggregate + report agg + the 1-row pivot; the z² test
     // itself is row-local DECIMAL(38,0) arithmetic
-    "q182_ab_significance" -> 3)
+    "q182_ab_significance" -> 3,
+    // q126's two keyed aggregates + sort; the discovery pass is one
+    // bounded min/max aggregate at CONSTRUCTION (not in the returned plan)
+    "q183_auto_quantiles" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
