@@ -191,6 +191,32 @@ object Sketches {
       mergeRollupIntoStore(b, dims, keyCol, storePath, lgK)
     }
 
+  /** Sliding distinct-UNION over daily sketches: for every observed
+    * day, the register-wise union of the trailing `window` days'
+    * sketches — the mergeable-sketch operation a COUNT window cannot do
+    * by addition (the same user active on 5 of 7 days must count once).
+    * Input: one row per day from [[distinctSketch]] grouped by the day
+    * column. Each day's KB sketch explodes to its `window` target days
+    * (sketch-sized rows ONLY — raw membership never reappears after the
+    * daily aggregate), target days prune to observed days, one keyed
+    * union-aggregate. At 100 TB the whole computation after the daily
+    * build touches |days|·window KB rows.
+    */
+  def slidingDistinctUnion(daily: DataFrame, dayCol: String, window: Int)
+      : DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val contrib = daily.select(
+      explode(sequence(col(dayCol), col(dayCol) + (window - 1)))
+        .as(dayCol),
+      col("sketch"))
+    contrib
+      .join(daily.select(col(dayCol)).distinct(), Seq(dayCol))
+      .groupBy(col(dayCol))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+      .withColumn("window_est",
+        hll_sketch_estimate(col("sketch")).cast("long"))
+  }
+
   /** An integer equi-width grid: bucket i covers
     * [lo + i·width, lo + (i+1)·width), width a power of two, lo a
     * width multiple. The power-of-two convention (q141's grid made a

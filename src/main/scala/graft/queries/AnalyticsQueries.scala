@@ -493,8 +493,89 @@ object AnalyticsQueries extends QueryModule {
         graft.operators.Experiment.abReport(
           graft.operators.Experiment.userAggregates(Tables.events(s, dir),
             "user_id", "event_type", "ts", "event_id", "props")))
+    }),
+
+    // DAU/WAU stickiness, exact tier: per observed day, distinct active
+    // users that day vs the trailing 7 days (a user active on 5 of the
+    // 7 counts ONCE — distinct union, which no additive window can
+    // give), stickiness = dau/wau in exact micro units. The trailing
+    // union is the contribution trick: each activity row explodes to
+    // the ≤7 target days it serves, pruned to observed days — bounded
+    // by 7·|activity| (≤ 7·|users|·|days|), never by event volume.
+    // q185 is the mergeable-HLL production twin.
+    "q184_dau_wau" -> ((s, dir) => {
+      import s.implicits._
+      val act = Tables.events(s, dir)
+        .select($"user_id",
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long")
+            .as("day_num"))
+        .distinct()
+      val days = act.select($"day_num").distinct()
+      val dau = act.groupBy($"day_num").agg(count(lit(1)).as("dau"))
+      val wau = act
+        .select($"user_id",
+          explode(sequence($"day_num", $"day_num" + 6L)).as("day_num"))
+        .join(days, Seq("day_num"))
+        .distinct()
+        .groupBy($"day_num").agg(count(lit(1)).as("wau"))
+      val a = $"dau" * 1000000L
+      dau.join(wau, Seq("day_num"))
+        .withColumn("stickiness_micro",
+          floor((a - pmod(a, $"wau")).cast("double") /
+            $"wau".cast("double") + 0.5).cast("long"))
+        .orderBy($"day_num")
+    }),
+
+    // q184's 100 TB form: daily HLL sketches once, then the trailing
+    // window is a register-wise UNION over |days|·7 KB-sized sketch
+    // rows (`Sketches.slidingDistinctUnion`) — raw membership never
+    // reappears after the daily aggregate, so the dashboard recomputes
+    // from sketches whatever the event volume. Coupon-exact at gate
+    // cardinalities (the q179 discipline on the same user domain), so
+    // the exact oracle gates it cell for cell.
+    "q185_dau_wau_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val byDay = Tables.events(s, dir)
+        .select(datediff(to_date($"ts"), lit("1970-01-01")).cast("long")
+          .as("day_num"), $"user_id")
+      val daily = graft.operators.Sketches.distinctSketch(
+        byDay, "day_num", "user_id")
+      val dau = graft.operators.Sketches.estimate(daily)
+        .select($"day_num", $"distinct_est".cast("long").as("dau"))
+      val wau = graft.operators.Sketches.slidingDistinctUnion(
+          daily, "day_num", window = 7)
+        .select($"day_num", $"window_est".as("wau"))
+      val a = $"dau" * 1000000L
+      dau.join(wau, Seq("day_num"))
+        .withColumn("stickiness_micro",
+          floor((a - pmod(a, $"wau")).cast("double") /
+            $"wau".cast("double") + 0.5).cast("long"))
+        .orderBy($"day_num")
     })
   )
+
+  /** Exact DAU/WAU per observed day: trailing-7-day DISTINCT union via
+    * a range join over the activity set, floor-division micro
+    * stickiness. Gates both the exact tier (q184) and the HLL sliding
+    * union (q185).
+    */
+  private def dauWauOracle: String =
+    s"""WITH ${Q.eventsUs},
+       |act AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT) AS day_num
+       |  FROM ev),
+       |days AS (SELECT DISTINCT day_num FROM act),
+       |dau AS (SELECT day_num, COUNT(*) AS dau FROM act GROUP BY 1),
+       |wau AS (
+       |  SELECT d.day_num, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+       |  FROM days d JOIN act a
+       |    ON a.day_num BETWEEN d.day_num - 6 AND d.day_num
+       |  GROUP BY 1)
+       |SELECT day_num, dau, wau,
+       |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
+       |FROM dau JOIN wau USING (day_num) ORDER BY day_num""".stripMargin
 
   /** The A/B arm CTEs shared by the report gate (q176) and the
     * significance gate (q182): first-signup assignment, converted
@@ -767,6 +848,13 @@ object AnalyticsQueries extends QueryModule {
         |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
     "q171_windowed_funnel" -> windowedFunnelOracle,
+
+    // Shared by the exact tier and the coupon-exact HLL tier — the
+    // q179 discipline: same user domain, so the sketches sit in exact
+    // coupon mode at gate cardinalities and COUNT(DISTINCT) IS the
+    // oracle for both.
+    "q184_dau_wau" -> dauWauOracle,
+    "q185_dau_wau_sketch" -> dauWauOracle,
 
     // Same oracle as q171 — one semantics, two entry points (the
     // retention/attribution twin discipline above).

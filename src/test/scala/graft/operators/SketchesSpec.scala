@@ -136,6 +136,20 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingDistinctUnion is a UNION over the window, never a sum") {
+    // user 1 active every day 1..3, user 2 only day 3: window-3 distinct
+    // at day 3 is 2 (sum of daily distincts would say 4); gap day 5
+    // (day 4 unobserved) unions in-window day 3's {1,2} with its own {3}
+    val act = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 5L))
+      .toDF("user", "day")
+    val daily = Sketches.distinctSketch(act, "day", "user")
+    val got = Sketches.slidingDistinctUnion(daily, "day", window = 3)
+      .select($"day", $"window_est").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 5L -> 3L))
+    // only observed days emit rows (day 4 pruned)
+    assert(!got.contains(4L))
+  }
+
   test("discoverGrid fits the minimal covering power-of-two grid, width-aligned") {
     val g = Sketches.discoverGrid(Seq(-5L, 3L, 100L).toDF("v"), "v", 8)
     assert(g == Sketches.Grid(-16L, 16L, 8))

@@ -370,7 +370,14 @@ class PlanGateSpec extends SparkSpec {
     "q182_ab_significance" -> 3,
     // q126's two keyed aggregates + sort; the discovery pass is one
     // bounded min/max aggregate at CONSTRUCTION (not in the returned plan)
-    "q183_auto_quantiles" -> 3)
+    "q183_auto_quantiles" -> 3,
+    // exact tier: activity distinct + days + dau agg + the 7-day
+    // contribution explode/join/distinct/agg + report join/sort —
+    // every stage activity-bounded (≤ |users|·|days|), never event-bounded
+    "q184_dau_wau" -> 7,
+    // production tier: ONE daily sketch aggregate touches events; the
+    // window union + report run over |days|·7 KB sketch rows
+    "q185_dau_wau_sketch" -> 5)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
