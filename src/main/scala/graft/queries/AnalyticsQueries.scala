@@ -551,6 +551,33 @@ object AnalyticsQueries extends QueryModule {
           floor((a - pmod(a, $"wau")).cast("double") /
             $"wau".cast("double") + 0.5).cast("long"))
         .orderBy($"day_num")
+    }),
+
+    // Markov next-event transition matrix (the product-analytics "what
+    // do users do after X" view): per user in (ts, event_id) order,
+    // count (prev → next) steps and the per-prev transition probability
+    // in exact floor-division micro units. One user-keyed window (LAG)
+    // + one pair aggregate — nothing global, the matrix is
+    // |types|²-bounded however many events feed it.
+    "q186_transition_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val steps = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(wOrd))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("next"))
+        .agg(count(lit(1)).as("n"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy($"prev")
+      val a = $"n" * 1000000L
+      steps
+        .withColumn("n_from", sum($"n").over(wPrev))
+        .withColumn("p_micro",
+          floor((a - pmod(a, $"n_from")).cast("double") /
+            $"n_from".cast("double") + 0.5).cast("long"))
+        .orderBy($"prev", $"next")
     })
   )
 
@@ -855,6 +882,24 @@ object AnalyticsQueries extends QueryModule {
     // oracle for both.
     "q184_dau_wau" -> dauWauOracle,
     "q185_dau_wau_sketch" -> dauWauOracle,
+
+    // LAG in the same (us, event_id) order as the Spark window; the
+    // probability is the exact BIGINT floor division both engines share.
+    "q186_transition_matrix" ->
+      s"""WITH ${Q.eventsUs},
+         |g AS (
+         |  SELECT user_id, event_type,
+         |    LAG(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM ev),
+         |c AS (
+         |  SELECT prev, event_type AS next, COUNT(*) AS n
+         |  FROM g WHERE prev IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev, next, n,
+         |  CAST(SUM(n) OVER (PARTITION BY prev) AS BIGINT) AS n_from,
+         |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev)
+         |    AS BIGINT) AS p_micro
+         |FROM c ORDER BY prev, next""".stripMargin,
 
     // Same oracle as q171 — one semantics, two entry points (the
     // retention/attribution twin discipline above).

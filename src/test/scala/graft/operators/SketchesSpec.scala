@@ -150,6 +150,35 @@ class SketchesSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("DAU/WAU live: maintained daily sketches feed slidingDistinctUnion, late days included") {
+    // the q185 dashboard's streaming story needs NO new operator: the
+    // day-keyed maintainDistinctSketches store IS the daily-sketch
+    // table, and the window union is a batch finisher over it; a LATE
+    // (day 1, user 2) in batch 2 re-unions into day 1's stored sketch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("dauwau").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = Sketches.maintainDistinctSketches(
+        ms.toDF().toDF("day", "user"), "day", "user",
+        s"$base/store", s"$base/ledger")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    val b1 = Seq((1L, 1L), (2L, 1L), (3L, 1L), (3L, 2L))
+    val b2 = Seq((5L, 3L), (1L, 2L)) // day-1 row arrives a batch late
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      def wau(daily: org.apache.spark.sql.DataFrame) =
+        Sketches.slidingDistinctUnion(daily, "day", window = 3)
+          .select($"day", $"window_est").as[(Long, Long)].collect().toMap
+      val streamed = wau(spark.read.parquet(s"$base/store"))
+      val batch = wau(Sketches.distinctSketch(
+        (b1 ++ b2).toDF("day", "user"), "day", "user"))
+      assert(streamed == batch)
+      assert(streamed == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 5L -> 3L))
+    } finally q.stop()
+  }
+
   test("discoverGrid fits the minimal covering power-of-two grid, width-aligned") {
     val g = Sketches.discoverGrid(Seq(-5L, 3L, 100L).toDF("v"), "v", 8)
     assert(g == Sketches.Grid(-16L, 16L, 8))

@@ -377,7 +377,10 @@ class PlanGateSpec extends SparkSpec {
     "q184_dau_wau" -> 7,
     // production tier: ONE daily sketch aggregate touches events; the
     // window union + report run over |days|·7 KB sketch rows
-    "q185_dau_wau_sketch" -> 5)
+    "q185_dau_wau_sketch" -> 5,
+    // user-keyed LAG window + the pair aggregate + the prev-keyed
+    // probability window (|types|²-bounded rows) + sort
+    "q186_transition_matrix" -> 4)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
