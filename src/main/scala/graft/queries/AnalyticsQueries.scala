@@ -578,6 +578,76 @@ object AnalyticsQueries extends QueryModule {
           floor((a - pmod(a, $"n_from")).cast("double") /
             $"n_from".cast("double") + 0.5).cast("long"))
         .orderBy($"prev", $"next")
+    }),
+
+    // q175's latency report through the PURE SQL-TEXT surface (the
+    // q181 discipline): valid-set CTEs + per-user MIN step times +
+    // scalar aggregates per step — unix_micros is DuckDB's epoch_us,
+    // so the µs arithmetic is shared verbatim. Same oracle as q175.
+    "q187_funnel_latency_sql" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerTables(s, dir)
+      s.sql("""WITH v AS (
+              |  SELECT user_id, ts FROM events WHERE event_type = 'view'),
+              |vc AS (
+              |  SELECT DISTINCT user_id, ts FROM events c
+              |  WHERE event_type = 'click' AND EXISTS (
+              |    SELECT 1 FROM v WHERE v.user_id = c.user_id
+              |      AND v.ts < c.ts AND c.ts <= v.ts + INTERVAL 3 DAY)),
+              |vp AS (
+              |  SELECT DISTINCT user_id, ts FROM events p
+              |  WHERE event_type = 'purchase' AND EXISTS (
+              |    SELECT 1 FROM vc WHERE vc.user_id = p.user_id
+              |      AND vc.ts < p.ts AND p.ts <= vc.ts + INTERVAL 3 DAY)),
+              |t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM v GROUP BY 1),
+              |t2 AS (SELECT user_id, MIN(ts) AS ts2 FROM vc GROUP BY 1),
+              |t3 AS (SELECT user_id, MIN(ts) AS ts3 FROM vp GROUP BY 1)
+              |SELECT CAST(2 AS BIGINT) AS step, COUNT(*) AS n_users,
+              |  CAST(SUM(unix_micros(ts2) - unix_micros(ts1)) AS BIGINT)
+              |    AS sum_latency_us,
+              |  CAST(MAX(unix_micros(ts2) - unix_micros(ts1)) AS BIGINT)
+              |    AS max_latency_us
+              |FROM t2 JOIN t1 USING (user_id)
+              |UNION ALL
+              |SELECT 3, COUNT(*),
+              |  CAST(SUM(unix_micros(ts3) - unix_micros(ts1)) AS BIGINT),
+              |  CAST(MAX(unix_micros(ts3) - unix_micros(ts1)) AS BIGINT)
+              |FROM t3 JOIN t1 USING (user_id)
+              |ORDER BY step""".stripMargin)
+    }),
+
+    // Linear (multi-touch) attribution — q167's last-touch complement:
+    // EVERY click within the 3-day lookback at-or-before a purchase
+    // shares the purchase's credit equally (1e6 // k micro units, exact
+    // floor division), reported by the CLICK's day — the marketing view
+    // of which day's clicks earned conversions. The user-keyed pair
+    // join is bounded by per-user clicks×purchases inside the lookback
+    // (inherent to multi-touch semantics — last-touch avoids it via
+    // asOfJoin, which is exactly why both tiers exist); everything
+    // after is |pairs|-bounded.
+    "q188_linear_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"),
+          unix_micros($"ts").as("p_us"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), unix_micros($"ts").as("c_us"))
+      val pairs = p.join(c, Seq("user_id"))
+        .filter($"c_us" <= $"p_us" &&
+          $"p_us" - $"c_us" <= 259200L * 1000000L)
+      val wP = org.apache.spark.sql.expressions.Window.partitionBy($"p_id")
+      val a = lit(1000000L)
+      pairs
+        .withColumn("k", count(lit(1)).over(wP))
+        .withColumn("credit_micro",
+          floor((a - pmod(a, $"k")).cast("double") /
+            $"k".cast("double") + 0.5).cast("long"))
+        .groupBy(datediff(to_date($"c_ts"), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+        .agg(count(lit(1)).as("n_clicks_credited"),
+          countDistinct($"p_id").as("n_purchases_touched"),
+          sum($"credit_micro").as("sum_credit_micro"))
+        .orderBy($"day_num")
     })
   )
 
@@ -632,6 +702,40 @@ object AnalyticsQueries extends QueryModule {
        |  SELECT variant, n_users, n_converted,
        |    CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_micro
        |  FROM g)""".stripMargin
+
+  /** q171's valid sets + MIN per user per step; latency = µs from the
+    * first view to the earliest valid step-k event (epoch_us diffs are
+    * exact BIGINT in both engines). Shared by the operator gate (q175)
+    * and the SQL-text twin (q187).
+    */
+  private def funnelLatencyOracle: String =
+    s"""WITH ${Q.eventsUs},
+       |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+       |c0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+       |p0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
+       |vc AS (
+       |  SELECT DISTINCT c0.user_id, c0.ts
+       |  FROM c0 JOIN v ON v.user_id = c0.user_id
+       |    AND v.ts < c0.ts AND c0.ts <= v.ts + INTERVAL 3 DAY),
+       |vp AS (
+       |  SELECT DISTINCT p0.user_id, p0.ts
+       |  FROM p0 JOIN vc ON vc.user_id = p0.user_id
+       |    AND vc.ts < p0.ts AND p0.ts <= vc.ts + INTERVAL 3 DAY),
+       |t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM v GROUP BY 1),
+       |t2 AS (SELECT user_id, MIN(ts) AS ts2 FROM vc GROUP BY 1),
+       |t3 AS (SELECT user_id, MIN(ts) AS ts3 FROM vp GROUP BY 1)
+       |SELECT CAST(2 AS BIGINT) AS step, COUNT(*) AS n_users,
+       |  CAST(SUM(epoch_us(ts2) - epoch_us(ts1)) AS BIGINT)
+       |    AS sum_latency_us,
+       |  CAST(MAX(epoch_us(ts2) - epoch_us(ts1)) AS BIGINT)
+       |    AS max_latency_us
+       |FROM t2 JOIN t1 USING (user_id)
+       |UNION ALL
+       |SELECT 3, COUNT(*),
+       |  CAST(SUM(epoch_us(ts3) - epoch_us(ts1)) AS BIGINT),
+       |  CAST(MAX(epoch_us(ts3) - epoch_us(ts1)) AS BIGINT)
+       |FROM t3 JOIN t1 USING (user_id)
+       |ORDER BY step""".stripMargin
 
   /** Valid-set reachability replayed as EXISTS chains: a click is
     * funnel-valid iff some view precedes it within the window; a
@@ -883,6 +987,33 @@ object AnalyticsQueries extends QueryModule {
     "q184_dau_wau" -> dauWauOracle,
     "q185_dau_wau_sketch" -> dauWauOracle,
 
+    // Every qualifying (purchase, click) pair, per-purchase fan-out k,
+    // exact 1e6 // k credit, grouped by the click's day — the same µs
+    // lookback arithmetic as the last-touch oracle.
+    "q188_linear_attribution" ->
+      s"""WITH ${Q.eventsUs},
+         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts AS c_ts FROM ev
+         |      WHERE event_type = 'click'),
+         |pr AS (
+         |  SELECT p.p_id, c.c_ts
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND c.c_ts <= p.p_ts
+         |    AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= 259200000000),
+         |k AS (SELECT p_id, COUNT(*) AS k FROM pr GROUP BY 1),
+         |cr AS (
+         |  SELECT pr.c_ts, pr.p_id, CAST(1000000 // k.k AS BIGINT)
+         |    AS credit_micro
+         |  FROM pr JOIN k USING (p_id))
+         |SELECT
+         |  CAST(datediff('day', DATE '1970-01-01', CAST(c_ts AS DATE))
+         |    AS BIGINT) AS day_num,
+         |  COUNT(*) AS n_clicks_credited,
+         |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+         |  CAST(SUM(credit_micro) AS BIGINT) AS sum_credit_micro
+         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // LAG in the same (us, event_id) order as the Spark window; the
     // probability is the exact BIGINT floor division both engines share.
     "q186_transition_matrix" ->
@@ -983,37 +1114,11 @@ object AnalyticsQueries extends QueryModule {
          |  CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us
          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // q171's valid sets + MIN per user per step; latency = µs from the
-    // first view to the earliest valid step-k event (epoch_us diffs are
-    // exact BIGINT in both engines).
-    "q175_funnel_latency" ->
-      s"""WITH ${Q.eventsUs},
-         |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
-         |c0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
-         |p0 AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
-         |vc AS (
-         |  SELECT DISTINCT c0.user_id, c0.ts
-         |  FROM c0 JOIN v ON v.user_id = c0.user_id
-         |    AND v.ts < c0.ts AND c0.ts <= v.ts + INTERVAL 3 DAY),
-         |vp AS (
-         |  SELECT DISTINCT p0.user_id, p0.ts
-         |  FROM p0 JOIN vc ON vc.user_id = p0.user_id
-         |    AND vc.ts < p0.ts AND p0.ts <= vc.ts + INTERVAL 3 DAY),
-         |t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM v GROUP BY 1),
-         |t2 AS (SELECT user_id, MIN(ts) AS ts2 FROM vc GROUP BY 1),
-         |t3 AS (SELECT user_id, MIN(ts) AS ts3 FROM vp GROUP BY 1)
-         |SELECT CAST(2 AS BIGINT) AS step, COUNT(*) AS n_users,
-         |  CAST(SUM(epoch_us(ts2) - epoch_us(ts1)) AS BIGINT)
-         |    AS sum_latency_us,
-         |  CAST(MAX(epoch_us(ts2) - epoch_us(ts1)) AS BIGINT)
-         |    AS max_latency_us
-         |FROM t2 JOIN t1 USING (user_id)
-         |UNION ALL
-         |SELECT 3, COUNT(*),
-         |  CAST(SUM(epoch_us(ts3) - epoch_us(ts1)) AS BIGINT),
-         |  CAST(MAX(epoch_us(ts3) - epoch_us(ts1)) AS BIGINT)
-         |FROM t3 JOIN t1 USING (user_id)
-         |ORDER BY step""".stripMargin,
+    "q175_funnel_latency" -> funnelLatencyOracle,
+
+    // Same oracle as q175 — the q171/q181 twin discipline applied to
+    // the latency report.
+    "q187_funnel_latency_sql" -> funnelLatencyOracle,
 
     "q172_distinct_cube" ->
       s"""WITH ${Q.eventsUs},

@@ -380,7 +380,12 @@ class PlanGateSpec extends SparkSpec {
     "q185_dau_wau_sketch" -> 5,
     // user-keyed LAG window + the pair aggregate + the prev-keyed
     // probability window (|types|²-bounded rows) + sort
-    "q186_transition_matrix" -> 4)
+    "q186_transition_matrix" -> 4,
+    // q181's EXISTS semi-join shape + per-user MIN aggregates + the
+    // two scalar-agg step branches
+    "q187_funnel_latency_sql" -> 7,
+    // one user-keyed pair join + the p_id credit window + the day rollup
+    "q188_linear_attribution" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
