@@ -317,4 +317,43 @@ object Relational {
     winsorizedStatsBySketch(df, keyCol, valCol, pLoPct, pHiPct,
       g.lo, g.width, g.nBuckets)
   }
+
+  /** Join-skew diagnostics over a key column — the report to run
+    * BEFORE a big join to decide whether (and how hard) to salt
+    * ([[saltedJoin]]/[[saltedAgg]] are the remedies): the top-k
+    * hottest keys with their exact integer share of all rows
+    * (`share_micro` = n·1e6 div total) and skew factor vs a uniform
+    * key (`skew_micro` = n·|keys|·1e6 div total — 1e6 means perfectly
+    * uniform; the salt factor to consider is ≈ skew_micro/1e6). One
+    * map-side-combined count aggregate over the data; the totals are
+    * a 1-row broadcast; the rank window runs over the k retained rows
+    * only (the bounded-table window pattern — Quality/Packing
+    * precedent). `skew_micro`'s product runs in DECIMAL(38,0) so
+    * n·|keys|·1e6 cannot overflow at any real scale; the result fits
+    * BIGINT because skew ≤ |keys|·1e6.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("nkeys"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(k)
+    def dec(c: Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val shareNum = col("n") * 1000000L
+    val skewNum = dec(col("n")) * dec(col("nkeys")) * dec(lit(1000000L))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key"))))
+      .select(col("rank"), col("key"), col("n"),
+        floor((shareNum - pmod(shareNum, col("total"))).cast("double") /
+          col("total").cast("double") + 0.5).cast("long").as("share_micro"),
+        // remainder-strip BEFORE dividing: decimal division rounds at
+        // scale 6, which is only safe when the quotient is exact
+        ((skewNum - pmod(skewNum, dec(col("total")))) / dec(col("total")))
+          .cast("long").as("skew_micro"))
+      .orderBy(col("rank"))
+  }
 }

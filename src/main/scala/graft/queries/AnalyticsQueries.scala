@@ -648,6 +648,17 @@ object AnalyticsQueries extends QueryModule {
           countDistinct($"p_id").as("n_purchases_touched"),
           sum($"credit_micro").as("sum_credit_micro"))
         .orderBy($"day_num")
+    }),
+
+    // Join-skew diagnostics (`Relational.skewReport`) — the report to
+    // run BEFORE a big join to size salting: top-5 hottest documents
+    // languages with exact integer share and uniform-skew factors
+    // (skew_micro = n·|keys|·1e6 div total; 1e6 = perfectly uniform).
+    // One count aggregate over the data; totals are a 1-row broadcast;
+    // the rank window sees only the k retained rows.
+    "q189_skew_report" -> ((s, dir) => {
+      graft.operators.Relational.skewReport(
+        Tables.documents(s, dir), "lang", k = 5)
     })
   )
 
@@ -1013,6 +1024,23 @@ object AnalyticsQueries extends QueryModule {
          |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
          |  CAST(SUM(credit_micro) AS BIGINT) AS sum_credit_micro
          |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // HUGEINT replays the DECIMAL(38,0) skew product; (n DESC, key)
+    // tiebreak makes the top-5 deterministic in both engines.
+    "q189_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS key, COUNT(*) AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c),
+        |top AS (
+        |  SELECT key, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
+        |  FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, key, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+        |  CAST(CAST(n AS HUGEINT) * nkeys * 1000000 // total AS BIGINT)
+        |    AS skew_micro
+        |FROM top, t WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     // LAG in the same (us, event_id) order as the Spark window; the
     // probability is the exact BIGINT floor division both engines share.

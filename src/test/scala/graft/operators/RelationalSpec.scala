@@ -197,6 +197,16 @@ class RelationalSpec extends SparkSpec {
     assert(auto == manual && auto.nonEmpty)
   }
 
+  test("skewReport ranks hot keys with exact share and uniform-skew factors") {
+    val df = (Seq.fill(8)("a") ++ Seq("b", "c")).toDF("k")
+    val got = Relational.skewReport(df, "k", k = 2)
+      .select($"rank", $"key", $"n", $"share_micro", $"skew_micro")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    // total 10, 3 keys: a holds 80% and runs 2.4x a uniform key
+    assert(got == Seq((1, "a", 8L, 800000L, 2400000L),
+      (2, "b", 1L, 100000L, 300000L)))
+  }
+
   test("winsorizedStatsBySketch thresholds are bucket lower bounds") {
     // values 0..99, width 10: p10 rank = floor(10*99/100)+1 = 10 -> value 9
     // -> bucket [0,10) lower bound 0; p90 rank 90 -> value 89 -> bound 80.

@@ -55,7 +55,8 @@ class PlanGateSpec extends SparkSpec {
     "q154_word_subsample", // 1-row corpus-total frame broadcast (q87 shape)
     "q163_hard_negatives", // searchBm25's 1-row corpus-stats broadcast (q116)
     "q164_score_blend",    // composes q134's bigram LM (1-row vocab frame)
-    "q169_score_blend_sketch" // same LM chain; pct tables broadcast by design
+    "q169_score_blend_sketch", // same LM chain; pct tables broadcast by design
+    "q189_skew_report"     // 1-row totals frame broadcast (q84/q87 shape)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -385,7 +386,10 @@ class PlanGateSpec extends SparkSpec {
     // two scalar-agg step branches
     "q187_funnel_latency_sql" -> 7,
     // one user-keyed pair join + the p_id credit window + the day rollup
-    "q188_linear_attribution" -> 3)
+    "q188_linear_attribution" -> 3,
+    // one count aggregate + the top-k limit exchanges; totals broadcast,
+    // rank window over the k retained rows only
+    "q189_skew_report" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
