@@ -21,7 +21,8 @@ object SparkEntry {
     CurationQueries,
     SignalQueries,
     SelectionQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    ScaleQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -454,6 +454,25 @@ object StreamBench {
       finally q.stop()
     }
 
+    bench("hist_quantiles")(events.size.toLong) { () =>
+      val histDir = java.nio.file.Files
+        .createTempDirectory(s"sb_hist_$tag").toString
+      val ms = MemoryStream[Ev]
+      // value-distribution monitoring per event type: micro-unit values
+      // into a fixed power-of-two grid (the q192/maintainHistograms shape)
+      val src = ms.toDF().select($"event_type",
+        (col("value") * 1000000L).cast("long").as("v_micro"))
+      val q = operators.Sketches.maintainHistograms(src,
+          "event_type", "v_micro",
+          // values are 0..~500 → micro 0..5·10^8; 32 × 2^24 covers 5.4·10^8
+          operators.Sketches.Grid(lo = 0L, width = 1L << 24, nBuckets = 32),
+          s"$histDir/store", s"$histDir/ledger")
+        .option("checkpointLocation", s"$histDir/ckpt").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
     // 13. transformWithState running count — the Spark-4 native state
     // API. Requires the RocksDB provider (transformWithState contract),
     // so it only runs in that pass; the memory column stays "-".
@@ -551,6 +570,7 @@ object StreamBench {
       "skipgram_count" -> "`Cooccurrence.pairIter` flatMap + update-mode count (streaming WordCount shape)",
       "exactsubstr_batch" -> "`Dedup.dedupSpansIncrementalWith` per micro-batch vs a checkpointed digest table (foreachBatch)",
       "distinct_cube" -> "`Sketches.maintainDistinctRollup` (HLL ROLLUP cube merged into the parquet store per micro-batch, exactly-once ledger)",
+      "hist_quantiles" -> "`Sketches.maintainHistograms` (fixed-grid value histograms per event type merged into the parquet store per micro-batch, exactly-once ledger)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")

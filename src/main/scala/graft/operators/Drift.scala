@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift reports between two corpus snapshots — the
+  * monitoring layer a continuously-refreshed training corpus needs: "did
+  * this week's crawl shift the length/quality/score distribution per
+  * language?" is a question about two SKETCH tables, never about raw
+  * rows.
+  *
+  * Metric: Population Stability Index over a shared fixed histogram
+  * grid, PSI = Σ_buckets (p_a − p_b)·ln(p_a / p_b) with add-one (Laplace)
+  * smoothing so empty buckets stay finite. PSI is symmetric in direction
+  * of drift, zero iff the smoothed distributions agree, and the industry
+  * rule-of-thumb thresholds (0.1 watch / 0.25 act) travel with it.
+  *
+  * Determinism contract (the gate's): per-bucket smoothed proportions
+  * are single IEEE divisions of exact integers, and each bucket's term
+  * rounds to 1e-6 units through the house `floor(x·1e6 + 0.5)`
+  * convention before the BIGINT sum — the same ln-micro discipline the
+  * LM tier gates (Quality.unigramLogprob), so DuckDB replays `psi_micro`
+  * bit for bit.
+  *
+  * Scale shape: each snapshot collapses to a |groups|-row histogram
+  * sketch in one partial-aggregated pass ([[Sketches.histogramSketch]]);
+  * the PSI itself is a zip_with over two nBuckets arrays on joined
+  * sketch rows — sketch-sized compute, corpus-sized never.
+  */
+object Drift {
+
+  /** PSI per group between snapshots `a` and `b` over the FIXED `grid`
+    * (both histograms must share it — bucket indices are positional).
+    * Groups present in only one snapshot are reported with an all-empty
+    * histogram on the missing side (full-outer semantics): appearing or
+    * vanishing wholesale is the loudest drift there is, and smoothing
+    * keeps the terms finite.
+    *
+    * Output: (group, n_a, n_b, psi_micro) — psi_micro = PSI in 1e-6
+    * units as BIGINT, one row per group in either snapshot.
+    */
+  def psiReport(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, grid: Sketches.Grid): DataFrame = {
+    val nB = grid.nBuckets
+    val ha = Sketches.histogramSketch(a, groupCol, valueCol,
+      grid.lo.toDouble, grid.hi.toDouble, nB)
+      .select(col(groupCol), col("n").as("n_a"), col("counts").as("ca"))
+    val hb = Sketches.histogramSketch(b, groupCol, valueCol,
+      grid.lo.toDouble, grid.hi.toDouble, nB)
+      .select(col(groupCol), col("n").as("n_b"), col("counts").as("cb"))
+    val empty = array_repeat(lit(0L), nB)
+    val joined = ha.join(hb, Seq(groupCol), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("ca", coalesce(col("ca"), empty))
+      .withColumn("cb", coalesce(col("cb"), empty))
+    // smoothed proportions: p = (cnt + 1) / (n + nBuckets) — exact
+    // integer numerator/denominator, one correctly-rounded division per
+    // side, so both engines see identical doubles entering ln
+    def p(cnt: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (cnt + lit(1L)).cast("double") / (n + lit(nB.toLong)).cast("double")
+    joined
+      .withColumn("psi_micro",
+        aggregate(
+          zip_with(col("ca"), col("cb"), (x, y) => {
+            val pa = p(x, col("n_a"))
+            val pb = p(y, col("n_b"))
+            floor((pa - pb) * log(pa / pb) * lit(1e6) + lit(0.5))
+              .cast("long")
+          }),
+          lit(0L), (acc, t) => acc + t))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("psi_micro"))
+  }
+
+  /** [[psiReport]] with the shared grid discovered over BOTH snapshots'
+    * values (one min/max pass on the unioned value column) — the grid is
+    * returned because it is positional metadata every re-report against
+    * either snapshot must reuse.
+    */
+  def psiReportAuto(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, nBuckets: Int): (DataFrame, Sketches.Grid) = {
+    val values = a.select(col(valueCol)).unionByName(b.select(col(valueCol)))
+    val g = Sketches.discoverGrid(values, valueCol, nBuckets)
+    (psiReport(a, b, groupCol, valueCol, g), g)
+  }
+}

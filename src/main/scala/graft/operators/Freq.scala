@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable heavy-hitter (frequent-item) summaries — Misra-Gries — and
+  * the two-pass EXACT top-k they make affordable at corpus scale.
+  *
+  * Why not `groupBy(item).count.orderBy.limit(k)`: that shuffles one row
+  * per DISTINCT item. Over a 100 TB token/URL/key column the distinct set
+  * is itself enormous (billions), so the "simple" top-k pays a
+  * vocabulary-sized shuffle to keep k rows. The Misra-Gries summary caps
+  * what leaves each partition at `capacity` rows regardless of the
+  * distinct count, with the classical guarantee (Misra & Gries 1982;
+  * mergeability: Agarwal et al., "Mergeable Summaries", PODS'12):
+  *
+  *   - undercount only: est(x) <= true(x)
+  *   - bounded error:   true(x) - est(x) <= N / (capacity + 1)
+  *   - therefore every item with true(x) > N/(capacity+1) SURVIVES.
+  *
+  * Summing per-partition summaries preserves both properties (each
+  * partition undercounts by at most N_p/(cap+1); the sums telescope to
+  * N/(cap+1)), so the union of partition summaries is a correct global
+  * candidate set — the shuffle carries at most capacity·|partitions|
+  * rows, independent of the data's distinct cardinality.
+  *
+  * `exactTopK` is then the standard two-pass discipline: pass 1 finds the
+  * candidate superset (guaranteed to contain every possible top-k member
+  * once the k-th count clears N/(cap+1)); pass 2 re-counts ONLY candidate
+  * rows exactly (broadcast semi-join keeps the filter map-side) and ranks
+  * with a deterministic tie-break. Exactness precondition documented on
+  * the method.
+  *
+  * Reference analog: the reference's Top-N jobs buffer whole windows in
+  * ListState and sort (`scala/.../demo/hotitems/HotItems.scala:97-136`) —
+  * fine per window-pane, but its global/batch form is the
+  * vocabulary-shuffle this operator avoids.
+  */
+object Freq {
+
+  /** Per-partition Misra-Gries with `capacity` counters. Classic loop:
+    * hit → increment; miss with room → insert at 1; miss when full →
+    * decrement ALL (dropping zeros), which also discards the arriving
+    * item. Each decrement round destroys capacity+1 units of count, so
+    * rounds <= N/(capacity+1) — that is the undercount bound and the
+    * amortized O(1) argument at once.
+    */
+  /** One Misra-Gries step on a counter map of `capacity` slots. */
+  private def mgStep(m: java.util.HashMap[String, Long], v: String,
+      capacity: Int): Unit = {
+    val cur = m.getOrDefault(v, 0L)
+    if (cur > 0L) m.put(v, cur + 1L)
+    else if (m.size < capacity) m.put(v, 1L)
+    else {
+      val e = m.entrySet.iterator
+      while (e.hasNext) {
+        val en = e.next()
+        if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
+      }
+    }
+  }
+
+  private[operators] def mgPartition(capacity: Int)(
+      it: Iterator[String]): Iterator[(String, Long)] = {
+    val m = new java.util.HashMap[String, Long](capacity * 2)
+    while (it.hasNext) mgStep(m, it.next(), capacity)
+    val out = Vector.newBuilder[(String, Long)]
+    m.forEach((k, v) => out += ((k, v)))
+    out.result().iterator
+  }
+
+  /** Per-(partition, group) Misra-Gries: one `capacity`-slot counter map
+    * per group seen in the partition — task memory is
+    * |groups-in-partition|·capacity, so this tier is for LOW-cardinality
+    * groups over HIGH-cardinality items (top URLs per language, top
+    * tokens per source), the regime where the exact
+    * groupBy(group, item) shuffle is the thing to avoid.
+    */
+  private[operators] def mgPartitionByGroup(capacity: Int)(
+      it: Iterator[(String, String)]): Iterator[(String, String, Long)] = {
+    val byGroup = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    while (it.hasNext) {
+      val (g, v) = it.next()
+      var m = byGroup.get(g)
+      if (m == null) {
+        m = new java.util.HashMap[String, Long](capacity * 2)
+        byGroup.put(g, m)
+      }
+      mgStep(m, v, capacity)
+    }
+    val out = Vector.newBuilder[(String, String, Long)]
+    byGroup.forEach((g, m) => m.forEach((k, v) => out += ((g, k, v))))
+    out.result().iterator
+  }
+
+  /** Global candidate summary: (item, est) with est <= true count <=
+    * est + N/(capacity+1), containing every item whose true count
+    * exceeds N/(capacity+1). NULL items are ignored (they are not a
+    * frequency question). Plan: one scan, zero-shuffle partition
+    * summaries, then a groupBy over <= capacity·|partitions| summary
+    * rows — metadata-scale at any corpus size.
+    */
+  def mgCandidates(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items: Dataset[String] =
+      df.filter(col(itemCol).isNotNull).select(col(itemCol).cast("string"))
+        .as[String]
+    items.mapPartitions(mgPartition(capacity))
+      .toDF("item", "est")
+      .groupBy(col("item")).agg(sum(col("est")).as("est"))
+  }
+
+  /** Merge two Misra-Gries summaries back to `capacity` counters
+    * (Agarwal et al. §3): sum matching counters, then subtract the
+    * (capacity+1)-th largest summed value from every counter and drop
+    * the non-positive ones. The subtraction is what re-bounds the state;
+    * it adds at most (n_a+n_b)/(capacity+1) CUMULATIVE undercount, so a
+    * chain of store+batch merges keeps the global guarantee. All inputs
+    * here are summary tables (<= capacity rows each) — the unpartitioned
+    * window below ranks a bounded table, the Packing.scala:14 convention.
+    */
+  def mergeMg(a: DataFrame, b: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val summed = a.select(col("item"), col("est"))
+      .unionByName(b.select(col("item"), col("est")))
+      .groupBy(col("item")).agg(sum(col("est")).as("est"))
+    val w = Window.orderBy(col("est").desc, col("item"))
+    val ranked = summed.withColumn("__r", row_number().over(w))
+    val sub = ranked.filter(col("__r") === capacity + 1)
+      .agg(coalesce(max(col("est")), lit(0L)).as("__sub"))
+    ranked.crossJoin(broadcast(sub))
+      .filter(col("est") > col("__sub"))
+      .select(col("item"), (col("est") - col("__sub")).as("est"))
+  }
+
+  /** EXACT top-k (count desc, item asc tie-break) in two passes.
+    *
+    * Exact whenever the true k-th count exceeds N/(capacity+1) — then
+    * every top-k member (and every tie contender at the boundary) is in
+    * the candidate set, and pass 2 counts candidates exactly. Size the
+    * capacity from the expected frequency floor: top-k URLs at >=0.01%
+    * of traffic need capacity >= 10^4.
+    *
+    * Pass 2 keeps the ORIGINAL column type (the semi-join probes on a
+    * string cast; the output groups the raw column). The candidate
+    * broadcast is <= capacity·|partitions| rows of (string) keys —
+    * driver-bounded planning metadata, not corpus data.
+    */
+  /** Grouped candidate summary: (group, item, est) with the
+    * [[mgCandidates]] guarantees holding PER GROUP (each group's
+    * summaries see only its own rows, so est <= true and
+    * true - est <= N_group/(capacity+1)). NULL groups and items are
+    * ignored. Shuffle: <= |groups|·capacity·|partitions| summary rows.
+    */
+  def mgCandidatesByGroup(df: DataFrame, groupCol: String, itemCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(mgPartitionByGroup(capacity))
+      .toDF("group", "item", "est")
+      .groupBy(col("group"), col("item")).agg(sum(col("est")).as("est"))
+  }
+
+  /** EXACT top-k per group (count desc, item asc tie-break) — the
+    * sketch-assisted form of a per-group Top-N: candidates from
+    * [[mgCandidatesByGroup]], exact re-count of candidate (group, item)
+    * pairs behind a broadcast semi-join, then a rank window that sees
+    * ONLY candidate-count rows (bounded by the candidate set, never by
+    * the item vocabulary). Exact whenever each group's k-th count
+    * exceeds N_group/(capacity+1). Output: (group, item, cnt) with the
+    * original column names/types.
+    */
+  def exactTopKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int, capacity: Int): DataFrame = {
+    val cand = mgCandidatesByGroup(df, groupCol, itemCol, capacity)
+      .select(col("group").as("__mg_g"), col("item").as("__mg_i"))
+    val fact = df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(itemCol))
+    fact.join(broadcast(cand),
+        fact(groupCol).cast("string") === cand("__mg_g") &&
+          fact(itemCol).cast("string") === cand("__mg_i"), "left_semi")
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .drop("__r")
+  }
+
+  def exactTopK(df: DataFrame, itemCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    // candidate column renamed + DataFrame-qualified probe so an input
+    // column named "item" can't make the join condition ambiguous
+    val cand = mgCandidates(df, itemCol, capacity)
+      .select(col("item").as("__mg_cand"))
+    val fact = df.filter(col(itemCol).isNotNull)
+    fact.join(broadcast(cand),
+        fact(itemCol).cast("string") === cand("__mg_cand"), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(itemCol))
+      .limit(k)
+  }
+}

@@ -188,6 +188,43 @@ object Relational {
     saltedFact.join(explodedDim, keyCols :+ "__salt").drop("__salt")
   }
 
+  /** Bloom-prefiltered equi-join: build a Bloom filter over the DIM
+    * side's join keys (distributed build, driver-held bitmap), drop the
+    * FACT rows that cannot match BEFORE they reach the join's shuffle,
+    * then run the plain equi-join. The result is EXACTLY the plain
+    * join's — the bloom admits false positives (eliminated by the real
+    * join) and never false negatives — which is what the oracle gate
+    * asserts.
+    *
+    * When it pays: the dim side is too big to BROADCAST as rows but its
+    * KEY SET fits a bitmap (n keys ≈ n·9.6 bits at 1% fpp: 10M keys ≈
+    * 12 MB, 100M ≈ 120 MB — beyond that, prefer [[saltedJoin]]/plain
+    * shuffle), and the fact side is join-selective — at 100 TB, every
+    * pruned fact row is a row that never enters the exchange. Spark's
+    * own runtime bloom injection
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled) covers the case
+    * where the planner can SEE a selective scan filter on the dim side;
+    * this operator is the explicit form for selectivity the planner
+    * can't estimate — a dim produced by a prior pipeline stage (dedup
+    * survivors, sampled users, flagged documents).
+    *
+    * Composite keys probe on `xxhash64(keys)` — hash collisions fold
+    * into the fpp, and exactness is unaffected since the real join
+    * re-checks the raw keys.
+    */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+      keyCols: Seq[String], expectedKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(keyCols.nonEmpty, "at least one join key required")
+    require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
+    require(0 < fpp && fpp < 1, s"fpp must be in (0,1): $fpp")
+    def keyHash(df: DataFrame) = xxhash64(keyCols.map(df(_)): _*)
+    val bf = dim.select(keyHash(dim).as("__k"))
+      .stat.bloomFilter("__k", expectedKeys, fpp)
+    val mightMatch = udf((h: Long) => bf.mightContain(h))
+    fact.filter(mightMatch(keyHash(fact))).join(dim, keyCols)
+  }
+
   /** Per-group winsorized statistics over an integer measure: exact
     * order-statistic thresholds at `pLo`/`pHi` (percentile_disc lower
     * semantics — the value at 1-based rank floor(p*(n-1))+1 in

@@ -337,6 +337,54 @@ object Sketches {
         transform(array_sort(collect_list(struct(col("bucket"), col("cnt")))),
           s => s.getField("cnt")).as("counts"))
 
+  /** One micro-batch of histogram-store maintenance: build the batch's
+    * own histogram sketches on the FIXED caller grid and merge them into
+    * the parquet store by element-wise addition ([[mergeHistograms]]).
+    * The grid must be pinned for the store's lifetime — bucket indices
+    * are positional, so a per-batch rediscovered grid would merge
+    * silently wrong (use [[discoverGrid]] once at store creation, or a
+    * domain-known grid). Unlike HLL registers, ADDITION IS NOT
+    * IDEMPOTENT: a replayed batch would double every count, which is
+    * exactly why the streaming form runs under the batch ledger. The
+    * merged frame is eagerly materialized BEFORE the overwrite — Spark
+    * cannot lazily read a path it is replacing. Exposed separately from
+    * [[maintainHistograms]] so restart/replay semantics are directly
+    * testable.
+    */
+  def mergeHistogramsIntoStore(batch: DataFrame, groupCol: String,
+      valueCol: String, grid: Grid, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val newSk = histogramSketch(batch, groupCol, valueCol,
+      grid.lo.toDouble, grid.hi.toDouble, grid.nBuckets)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(p))
+        mergeHistograms(spark.read.parquet(storePath), newSk, groupCol)
+      else newSk
+    val pinned = merged.localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(storePath)
+    Checkpoints.free(pinned)
+  }
+
+  /** Streaming histogram maintenance — the quantile-tier counterpart of
+    * [[maintainDistinctSketches]]: every micro-batch merges its own
+    * fixed-grid histogram into the parquet store under the exactly-once
+    * batch ledger ([[graft.io.Sinks.runIdempotent]]) — mandatory here,
+    * since histogram counts ADD and a checkpoint-replayed batch would
+    * double-count (HLL's register-max forgiveness does not apply). The
+    * store is |groups| rows of nBuckets longs whatever the event volume;
+    * serve live quantiles with [[quantilesFromHistogram]] at any time.
+    * Start the returned writer with a checkpointLocation.
+    */
+  def maintainHistograms(stream: DataFrame, groupCol: String,
+      valueCol: String, grid: Grid, storePath: String, ledgerDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
+      mergeHistogramsIntoStore(b, groupCol, valueCol, grid, storePath)
+    }
+
   /** Interpolated quantile estimates from a histogram sketch: one row
     * per (group, q) with the textbook law
     * `est = lo + width * (bucket + (t - cumBefore) / cnt)` at rank

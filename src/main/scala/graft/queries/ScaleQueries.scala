@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Drift, Freq, Relational, Sketches}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 scale-ops tier: the operators whose whole point is what they
+  * REFUSE to shuffle at 100 TB —
+  *  - mergeable Misra-Gries heavy-hitter summaries and the two-pass
+  *    exact top-k they make affordable (capacity·|partitions| summary
+  *    rows instead of a vocabulary-sized shuffle),
+  *  - bloom-prefiltered joins (fact rows that cannot match die before
+  *    the exchange; result provably identical to the plain join),
+  *  - PSI distribution-drift reports between corpus snapshots (two
+  *    |groups|-row histogram sketches and a zip_with, never raw rows).
+  * Each gate pins the EXACT result against a DuckDB replay — the
+  * approximation machinery is internal; what ships is exact or
+  * integer-micro deterministic.
+  */
+object ScaleQueries extends QueryModule {
+  import Q._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact top-10 hottest part keys via the Misra-Gries two-pass —
+    // the frequent-items complement of q93's count-min gate (CMS:
+    // overcount-only POINT estimates; MG: undercount-only summaries
+    // whose candidate set provably contains every heavy item): the
+    // candidate summary leaves each partition capped at `capacity` rows,
+    // pass 2 re-counts candidates exactly behind a broadcast semi-join.
+    // Exactness precondition (k-th count > N/(capacity+1)) holds with
+    // slack at every sf: |parts| ≈ N/30 distinct keys, so counts ≈ 30
+    // vs a bound of N/4097. Tie-break (cnt desc, key asc) matches the
+    // oracle's ORDER BY.
+    "q190_heavy_hitters" -> ((s, dir) =>
+      Freq.exactTopK(Tables.lineitem(s, dir), "l_partkey", k = 10,
+        capacity = 4096)),
+
+    // Bloom-prefiltered fact×dim join — the gate is result IDENTITY with
+    // the plain join (false positives are re-checked by the join; false
+    // negatives are impossible), aggregated per priority for a stable
+    // row count. The dim (F-status orders) is key-set-sized in the
+    // bloom: ~9.6 bits per key at 1% fpp vs full rows in a broadcast.
+    "q191_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val fact = Tables.lineitem(s, dir)
+      val dim = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      Relational.bloomPrefilteredJoin(fact, dim, Seq("l_orderkey"),
+          expectedKeys = 100000L, fpp = 0.01)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Per-group exact Top-N through the grouped MG tier: top-5 tokens
+    // per language without ever shuffling the full (lang, token) count
+    // table — candidates leave each partition capped per (group,
+    // partition), the rank window sees candidate counts only. The
+    // per-group guarantee holds at EVERY sf here: the token vocabulary
+    // is finite, so per-partition maps never decrement and candidates
+    // are complete (and when vocab outgrows capacity, exactness still
+    // only needs each lang's 5th token count > N_lang/(capacity+1)).
+    "q193_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+        .filter(length($"tok") > 0)
+      Freq.exactTopKPerGroup(toks, "lang", "tok", k = 5, capacity = 4096)
+        .orderBy($"lang", $"cnt".desc, $"tok")
+    }),
+
+    // PSI drift between two corpus snapshots (even/odd doc_id halves —
+    // a deterministic stand-in for week N vs week N+1) of the n_chars
+    // distribution per language, on the q126 fixed grid [0,1024)/16.
+    // psi_micro is the ln-micro BIGINT the LM tier already gates.
+    "q192_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Drift.psiReport(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 === 1),
+          "lang", "n_chars", Sketches.Grid(lo = 0L, width = 64L, nBuckets = 16))
+        .orderBy($"lang")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    "q190_heavy_hitters" ->
+      """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
+
+    "q191_bloom_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${oSum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q193_topk_per_group" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, tok, COUNT(*) AS cnt FROM t
+        |  WHERE len(tok) > 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, tok, cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY cnt DESC, tok) AS rn
+        |  FROM c)
+        |SELECT lang, tok, cnt FROM r WHERE rn <= 5
+        |ORDER BY lang, cnt DESC, tok""".stripMargin,
+
+    // The PSI replay: dense 16-bucket grid per language (zero-count
+    // buckets still carry smoothed mass), add-one proportions as single
+    // double divisions, per-bucket term floor-rounded to 1e-6 units
+    // BEFORE the sum — mirrors Drift.psiReport bit for bit.
+    "q192_psi_drift" ->
+      """WITH va AS (
+        |  SELECT lang, LEAST(15, GREATEST(0, CAST(floor(
+        |    CAST(n_chars AS DOUBLE) / 64.0) AS INTEGER))) AS bucket
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |vb AS (
+        |  SELECT lang, LEAST(15, GREATEST(0, CAST(floor(
+        |    CAST(n_chars AS DOUBLE) / 64.0) AS INTEGER))) AS bucket
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT lang, bucket, COUNT(*) AS cnt FROM va GROUP BY 1, 2),
+        |cb AS (SELECT lang, bucket, COUNT(*) AS cnt FROM vb GROUP BY 1, 2),
+        |na AS (SELECT lang, COUNT(*) AS n_a FROM va GROUP BY 1),
+        |nb AS (SELECT lang, COUNT(*) AS n_b FROM vb GROUP BY 1),
+        |grid AS (
+        |  SELECT lang, g AS bucket
+        |  FROM (SELECT DISTINCT lang FROM documents), generate_series(0, 15) t(g)),
+        |terms AS (
+        |  SELECT grid.lang,
+        |    COALESCE(na.n_a, 0) AS n_a, COALESCE(nb.n_b, 0) AS n_b,
+        |    CAST(COALESCE(ca.cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(na.n_a, 0) + 16 AS DOUBLE) AS pa,
+        |    CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(nb.n_b, 0) + 16 AS DOUBLE) AS pb
+        |  FROM grid
+        |  LEFT JOIN ca ON grid.lang = ca.lang AND grid.bucket = ca.bucket
+        |  LEFT JOIN cb ON grid.lang = cb.lang AND grid.bucket = cb.bucket
+        |  LEFT JOIN na ON grid.lang = na.lang
+        |  LEFT JOIN nb ON grid.lang = nb.lang)
+        |SELECT lang, n_a, n_b,
+        |  CAST(SUM(CAST(floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val grid = Sketches.Grid(lo = 0L, width = 8L, nBuckets = 8)
+
+  /** Reference PSI in plain Scala doubles — same smoothing, same
+    * per-term micro rounding — for brute-force comparison.
+    */
+  private def psiMicroRef(a: Seq[Long], b: Seq[Long], g: Sketches.Grid): Long = {
+    def hist(xs: Seq[Long]): Array[Long] = {
+      val h = new Array[Long](g.nBuckets)
+      xs.foreach { v =>
+        val i = math.min(g.nBuckets - 1,
+          math.max(0, ((v - g.lo).toDouble / g.width).toInt))
+        h(i) += 1
+      }
+      h
+    }
+    val (ha, hb) = (hist(a), hist(b))
+    (0 until g.nBuckets).map { i =>
+      val pa = (ha(i) + 1).toDouble / (a.size + g.nBuckets)
+      val pb = (hb(i) + 1).toDouble / (b.size + g.nBuckets)
+      math.floor((pa - pb) * math.log(pa / pb) * 1e6 + 0.5).toLong
+    }.sum
+  }
+
+  test("identical snapshots have PSI exactly zero") {
+    val xs = Seq(1L, 5L, 9L, 17L, 33L, 60L).map(("g", _)).toDF("g", "v")
+    val got = Drift.psiReport(xs, xs, "g", "v", grid)
+      .select($"g", $"n_a", $"n_b", $"psi_micro")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g", 6L, 6L, 0L)))
+  }
+
+  test("psi matches the double-precision reference per group") {
+    val a = Seq(0L, 1L, 2L, 3L, 9L, 10L, 17L, 25L, 26L, 40L)
+    val b = Seq(30L, 33L, 35L, 40L, 41L, 42L, 50L, 60L, 61L, 63L, 5L)
+    val df = (a.map(("ga", _)) ++ b.map(("gb", _))).toDF("g", "v")
+    val got = Drift.psiReport(
+        df.filter($"g" === "ga").select(lit("x").as("g"), $"v"),
+        df.filter($"g" === "gb").select(lit("x").as("g"), $"v"),
+        "g", "v", grid)
+      .select($"psi_micro").as[Long].head()
+    assert(got == psiMicroRef(a, b, grid))
+    assert(got > 0L, "disjoint-ish distributions must register drift")
+  }
+
+  test("a group present in only one snapshot drifts against the empty histogram") {
+    val a = Seq(("only_a", 3L), ("both", 5L)).toDF("g", "v")
+    val b = Seq(("both", 5L), ("only_b", 60L)).toDF("g", "v")
+    val got = Drift.psiReport(a, b, "g", "v", grid)
+      .select($"g", $"n_a", $"n_b", $"psi_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set("only_a", "both", "only_b"))
+    assert(got("both") == ((1L, 1L, 0L)))
+    val (na, nb, psiA) = got("only_a")
+    assert(na == 1L && nb == 0L && psiA == psiMicroRef(Seq(3L), Seq(), grid))
+    assert(psiA > 0L)
+  }
+
+  test("psiReportAuto discovers the union grid and equals the manual call") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val (auto, g) = Drift.psiReportAuto(a, b, "lang", "n_chars", nBuckets = 16)
+    val wantGrid = Sketches.discoverGrid(
+      a.select($"n_chars").unionByName(b.select($"n_chars")), "n_chars", 16)
+    assert(g == wantGrid)
+    val gotRows = auto.select($"lang", $"n_a", $"n_b", $"psi_micro")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val manual = Drift.psiReport(a, b, "lang", "n_chars", g)
+      .select($"lang", $"n_a", $"n_b", $"psi_micro")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(gotRows == manual)
+    // even/odd halves of the same corpus: drift should be small but the
+    // report must still emit one finite row per language
+    assert(gotRows.nonEmpty && gotRows.forall(_._4 >= 0L))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class FreqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Skewed synthetic stream: a few heavy items + a long uniform tail,
+    * shuffled deterministically. Distinct count far exceeds any capacity
+    * used below, so the decrement path runs for real.
+    */
+  private def skewed(seed: Int, n: Int): Seq[String] = {
+    val rnd = new Random(seed)
+    val heavy = Seq.fill(n / 4)("h1") ++ Seq.fill(n / 8)("h2") ++
+      Seq.fill(n / 16)("h3")
+    val tail = Seq.fill(n - heavy.size)(s"t${rnd.nextInt(n)}")
+    rnd.shuffle(heavy ++ tail)
+  }
+
+  private def exactCounts(xs: Seq[String]): Map[String, Long] =
+    xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("mgPartition: undercount-only, bounded error, heavy items survive") {
+    for (seed <- 1 to 5) {
+      val xs = skewed(seed, 4000)
+      val cap = 32
+      val est = Freq.mgPartition(cap)(xs.iterator).toMap
+      val exact = exactCounts(xs)
+      val bound = xs.size.toLong / (cap + 1)
+      assert(est.size <= cap)
+      est.foreach { case (k, e) =>
+        assert(e <= exact(k), s"overcount for $k")
+        assert(exact(k) - e <= bound, s"error beyond N/(cap+1) for $k")
+      }
+      exact.filter(_._2 > bound).keys.foreach { k =>
+        assert(est.contains(k), s"heavy item $k lost (seed=$seed)")
+      }
+    }
+  }
+
+  test("mgCandidates: distributed summary keeps the per-item guarantee") {
+    val xs = skewed(7, 8000)
+    val cap = 64
+    val df = spark.createDataset(xs).toDF("item").repartition(8)
+    val got = Freq.mgCandidates(df, "item", cap)
+      .as[(String, Long)].collect().toMap
+    val exact = exactCounts(xs)
+    val bound = xs.size.toLong / (cap + 1)
+    got.foreach { case (k, e) => assert(e <= exact(k)) }
+    exact.filter(_._2 > bound).keys.foreach { k =>
+      assert(got.contains(k), s"heavy item $k lost across partitions")
+      assert(exact(k) - got(k) <= bound, s"summed undercount beyond bound for $k")
+    }
+  }
+
+  test("exactTopK equals brute force when the k-th count clears the bound") {
+    for (seed <- 11 to 13) {
+      val xs = skewed(seed, 6000)
+      val df = spark.createDataset(xs).toDF("item").repartition(8)
+      val k = 3 // h1/h2/h3 all clear N/(cap+1) by construction
+      val got = Freq.exactTopK(df, "item", k, capacity = 32)
+        .as[(String, Long)].collect().toSeq
+      val want = exactCounts(xs).toSeq
+        .sortBy { case (item, cnt) => (-cnt, item) }.take(k)
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("exactTopK keeps the original column type and breaks ties on item asc") {
+    val df = Seq(5L, 5L, 3L, 3L, 9L, 9L, 1L).toDF("key")
+    val got = Freq.exactTopK(df, "key", k = 2, capacity = 16)
+      .as[(Long, Long)].collect().toSeq
+    // 5, 3 and 9 all have count 2 — tie-break takes keys 3 then 5
+    assert(got == Seq((3L, 2L), (5L, 2L)))
+  }
+
+  test("mergeMg: re-bounded state, cumulative error, heavy survival") {
+    val xs = skewed(21, 5000)
+    val ys = skewed(22, 5000)
+    val cap = 32
+    val da = spark.createDataset(xs).toDF("item").repartition(4)
+    val db = spark.createDataset(ys).toDF("item").repartition(4)
+    val merged = Freq.mergeMg(
+      Freq.mgCandidates(da, "item", cap),
+      Freq.mgCandidates(db, "item", cap), cap)
+      .as[(String, Long)].collect().toMap
+    val exact = exactCounts(xs ++ ys)
+    val bound = (xs.size + ys.size).toLong / (cap + 1)
+    assert(merged.size <= cap)
+    merged.foreach { case (k, e) =>
+      assert(e <= exact(k), s"overcount for $k after merge")
+      assert(exact(k) - e <= bound, s"merge error beyond bound for $k")
+    }
+    exact.filter(_._2 > bound).keys.foreach { k =>
+      assert(merged.contains(k), s"heavy item $k lost in merge")
+    }
+  }
+
+  test("mgCandidates ignores NULL items") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b"), None)
+      .toDF("item")
+    val got = Freq.mgCandidates(df, "item", 8)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("mgCandidatesByGroup keeps the guarantee independently per group") {
+    // group A is large and skewed, group B small and uniform — B's bound
+    // must come from ITS OWN size, not the partition's total
+    val a = skewed(31, 6000).map(("A", _))
+    val rndB = new Random(32)
+    val b = Seq.fill(300)(("B", s"b${rndB.nextInt(40)}"))
+    val df = spark.createDataset(rndB.shuffle(a ++ b)).toDF("g", "item")
+      .repartition(6)
+    val cap = 32
+    val got = Freq.mgCandidatesByGroup(df, "g", "item", cap)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map(r => r._2 -> r._3).toMap
+      }
+    val exactA = exactCounts(a.map(_._2))
+    val exactB = exactCounts(b.map(_._2))
+    val boundA = a.size.toLong / (cap + 1)
+    val boundB = b.size.toLong / (cap + 1)
+    got("A").foreach { case (k, e) => assert(e <= exactA(k)) }
+    exactA.filter(_._2 > boundA).keys.foreach { k =>
+      assert(got("A").contains(k) && exactA(k) - got("A")(k) <= boundA)
+    }
+    exactB.filter(_._2 > boundB).keys.foreach { k =>
+      assert(got("B").contains(k) && exactB(k) - got("B")(k) <= boundB)
+    }
+  }
+
+  test("exactTopKPerGroup equals brute force per group") {
+    val rows = skewed(41, 4000).map(("A", _)) ++
+      skewed(42, 4000).map(("B", _)) ++ Seq(("C", "only"), ("C", "only"))
+    val rnd = new Random(43)
+    val df = spark.createDataset(rnd.shuffle(rows)).toDF("g", "item")
+      .repartition(8)
+    val got = Freq.exactTopKPerGroup(df, "g", "item", k = 3, capacity = 32)
+      .as[(String, String, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      exactCounts(rs.map(_._2)).toSeq
+        .sortBy { case (item, cnt) => (-cnt, item) }.take(3)
+        .map { case (item, cnt) => (g, item, cnt) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("exactTopK on real data matches the vocabulary-shuffle form") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = Freq.exactTopK(li, "l_partkey", k = 10, capacity = 4096)
+      .as[(Long, Long)].collect().toSeq
+    val want = li.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"l_partkey").limit(10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+}

@@ -217,4 +217,44 @@ class RelationalSpec extends SparkSpec {
     assert(got.toList == List((0L, 80L, 19L))) // 81..99 clamp to 80
   }
 
+  test("bloomPrefilteredJoin equals the plain equi-join (multiset)") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity".cast("long")).as("q"))
+        .as[(String, Long, Long)].collect().toSet
+    val got = agg(Relational.bloomPrefilteredJoin(fact, dim,
+      Seq("l_orderkey"), expectedKeys = 10000L))
+    assert(got == agg(fact.join(dim, Seq("l_orderkey"))))
+  }
+
+  test("bloomPrefilteredJoin stays exact under a deliberately tiny bloom") {
+    // undersized expectedKeys → high real fpp → many false positives
+    // sail through the prefilter; the join must still discard them all
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "payload")
+    val dim = Seq((2L, "x"), (4L, "y")).toDF("k", "dimv")
+    val got = Relational.bloomPrefilteredJoin(fact, dim, Seq("k"),
+        expectedKeys = 1L, fpp = 0.5)
+      .select($"k", $"payload", $"dimv")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((2L, "b", "x"), (4L, "d", "y")))
+  }
+
+  test("bloomPrefilteredJoin composite keys and null keys match the plain join") {
+    val fact = Seq((Some(1L), "p", 10L), (None, "p", 20L), (Some(1L), "q", 30L))
+      .toDF("k1", "k2", "v")
+    val dim = Seq((Some(1L), "p", "d1"), (None, "p", "d2")).toDF("k1", "k2", "d")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"v", $"d").as[(Long, String)].collect().toSet
+    val got = rows(Relational.bloomPrefilteredJoin(fact, dim,
+      Seq("k1", "k2"), expectedKeys = 100L))
+    // null keys never join (SQL equality), with or without the prefilter
+    assert(got == rows(fact.join(dim, Seq("k1", "k2"))))
+    assert(got == Set((10L, "d1")))
+  }
+
 }

@@ -332,4 +332,54 @@ class SketchesSpec extends SparkSpec {
       .collect().map(key).toMap
     assert(merged == whole)
   }
+
+  test("streaming histogram maintenance: store == full-corpus histogram; replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("hist_stream").toString
+    val store = s"$base/store"; val ledger = s"$base/ledger"
+    val grid = Sketches.Grid(lo = 0L, width = 64L, nBuckets = 16)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"source", $"n_chars")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = Sketches.maintainHistograms(
+        ms.toDF().toDF("source", "n_chars"), "source", "n_chars", grid,
+        store, ledger)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      val rows = docs.as[(String, Long)].collect().toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select($"source", $"n", $"counts")
+          .as[(String, Long, Seq[Long])].collect().toSet
+      val got = rowsOf(spark.read.parquet(store))
+      val want = rowsOf(Sketches.histogramSketch(docs, "source", "n_chars",
+        grid.lo.toDouble, grid.hi.toDouble, grid.nBuckets))
+      assert(got == want, "store must equal a full-corpus build after 2 batches")
+      // histogram counts ADD — without the ledger a replayed batch would
+      // double them; with it, nothing changes
+      graft.io.Sinks.runIdempotent(h1.toDF("source", "n_chars"), 0L, ledger) {
+        (b, _) => Sketches.mergeHistogramsIntoStore(b, "source", "n_chars",
+          grid, store)
+      }
+      assert(rowsOf(spark.read.parquet(store)) == got,
+        "replayed batch must be a no-op")
+      // the maintained store serves the same quantiles as the batch build
+      val qGot = Sketches.quantilesFromHistogram(spark.read.parquet(store),
+          "source", grid.lo.toDouble, grid.hi.toDouble, grid.nBuckets,
+          Seq(0.5, 0.9))
+        .select($"source", $"q", $"est").as[(String, Double, Double)]
+        .collect().toSet
+      val qWant = Sketches.quantilesFromHistogram(
+          Sketches.histogramSketch(docs, "source", "n_chars",
+            grid.lo.toDouble, grid.hi.toDouble, grid.nBuckets),
+          "source", grid.lo.toDouble, grid.hi.toDouble, grid.nBuckets,
+          Seq(0.5, 0.9))
+        .select($"source", $"q", $"est").as[(String, Double, Double)]
+        .collect().toSet
+      assert(qGot == qWant)
+    } finally q.stop()
+  }
 }

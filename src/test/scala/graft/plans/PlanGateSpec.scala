@@ -389,7 +389,20 @@ class PlanGateSpec extends SparkSpec {
     "q188_linear_attribution" -> 3,
     // one count aggregate + the top-k limit exchanges; totals broadcast,
     // rank window over the k retained rows only
-    "q189_skew_report" -> 3)
+    "q189_skew_report" -> 3,
+    // MG two-pass: capacity·|partitions| summary rows shuffle once, then
+    // the candidate-only exact count — never a vocabulary-sized exchange
+    "q190_heavy_hitters" -> 2,
+    // bloom prefilter is scan-side (no exchange); the join's dim side
+    // broadcasts at this sf, leaving the priority agg + sort
+    "q191_bloom_join" -> 2,
+    // two fixed-grid histogram builds (2 partial-agg exchanges each);
+    // the full-outer sketch join reuses the lang partitioning; + sort
+    "q192_psi_drift" -> 5,
+    // grouped MG candidates + candidate-only exact count + the rank
+    // window over candidate rows + sort — the (lang, token) vocabulary
+    // itself never crosses the network unsummarized
+    "q193_topk_per_group" -> 4)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
