@@ -136,6 +136,54 @@ object Freq {
       .select(col("item"), (col("est") - col("__sub")).as("est"))
   }
 
+  /** One micro-batch of heavy-hitter store maintenance: summarize the
+    * batch ([[mgCandidates]]) and [[mergeMg]] it into the parquet store
+    * — the mergeable-summaries law live, so the store stays ≤ capacity
+    * rows with cumulative error ≤ n_total/(capacity+1) whatever the
+    * stream length. The store carries (item, est) plus a constant
+    * `n_total` column (total rows summarized) so any reader can state
+    * the bound — and prune to GUARANTEED hitters (est > n_total/(cap+1)
+    * − est is the undercount certificate) without consulting anything
+    * else. The merged frame is eagerly materialized BEFORE the
+    * overwrite; exposed separately from [[maintainTopHitters]] so
+    * restart/replay semantics are directly testable.
+    */
+  def mergeBatchIntoHitterStore(batch: DataFrame, itemCol: String,
+      capacity: Int, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val batchN = batch.filter(col(itemCol).isNotNull).count()
+    val newSk = mgCandidates(batch, itemCol, capacity)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (merged, total) =
+      if (fs.exists(p)) {
+        val stored = spark.read.parquet(storePath)
+        val prevN = stored.agg(coalesce(max(col("n_total")), lit(0L)))
+          .head().getLong(0)
+        (mergeMg(stored, newSk, capacity), prevN + batchN)
+      } else (newSk, batchN)
+    val pinned = merged.withColumn("n_total", lit(total))
+      .localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(storePath)
+    Checkpoints.free(pinned)
+  }
+
+  /** Streaming heavy-hitter maintenance — live "top tokens/URLs so far"
+    * over an unbounded stream in ≤ capacity rows of state: every
+    * micro-batch merges its own Misra-Gries summary into the parquet
+    * store under the exactly-once batch ledger
+    * ([[graft.io.Sinks.runIdempotent]]) — mandatory, since MG counters
+    * ADD on merge and a checkpoint-replayed batch would double-count.
+    * Start the returned writer with a checkpointLocation.
+    */
+  def maintainTopHitters(stream: DataFrame, itemCol: String, capacity: Int,
+      storePath: String, ledgerDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
+      mergeBatchIntoHitterStore(b, itemCol, capacity, storePath)
+    }
+
   /** EXACT top-k (count desc, item asc tie-break) in two passes.
     *
     * Exact whenever the true k-th count exceeds N/(capacity+1) — then

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Drift, Freq, Relational, Sketches}
+import graft.operators.{Drift, Freq, Relational, Scd, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,10 +83,37 @@ object ScaleQueries extends QueryModule {
           docs.filter($"doc_id" % 2 === 1),
           "lang", "n_chars", Sketches.Grid(lo = 0L, width = 64L, nBuckets = 16))
         .orderBy($"lang")
+    }),
+
+    // SCD2 version table from the event history: each user's event_type
+    // chain becomes [valid_from, valid_to) versions (NULL = current),
+    // ties broken by event_id — the dimension table asOfJoin probes.
+    // The incremental/streaming forms (applyBatch/maintainScd2 — only
+    // affected keys re-derive, late changes exact) are law-pinned in
+    // ScdSpec against this same fromHistory reference.
+    "q194_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+      Scd.fromHistory(ev, Seq("user_id"), "ts", "event_id")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"valid_from").as("valid_from_us"),
+          unix_micros($"valid_to").as("valid_to_us"))
+        .orderBy($"user_id", $"valid_from_us", $"event_id")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+
+    // Spark's unix_micros is DuckDB's epoch_us — same µs integers
+    "q194_scd2" ->
+      s"""WITH ${Q.eventsUs}
+         |SELECT user_id, event_id, event_type,
+         |  epoch_us(ts) AS valid_from_us,
+         |  epoch_us(lead(ts) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+         |FROM ev
+         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     "q190_heavy_hitters" ->
       """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem

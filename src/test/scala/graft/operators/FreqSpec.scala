@@ -150,6 +150,48 @@ class FreqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming hitter maintenance: store keeps the MG law; replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("mg_stream").toString
+    val store = s"$base/store"; val ledger = s"$base/ledger"
+    val cap = 32
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Freq.maintainTopHitters(ms.toDF().toDF("item"), "item", cap,
+        store, ledger)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    val b1 = skewed(51, 3000)
+    val b2 = skewed(52, 3000)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val rows = spark.read.parquet(store)
+        .select($"item", $"est", $"n_total")
+        .as[(String, Long, Long)].collect()
+      val exact = exactCounts(b1 ++ b2)
+      val n = rows.head._3
+      assert(n == (b1.size + b2.size).toLong, "n_total tracks the stream")
+      val bound = n / (cap + 1)
+      assert(rows.length <= cap)
+      rows.foreach { case (k, e, _) =>
+        assert(e <= exact(k), s"overcount for $k in the store")
+        assert(exact(k) - e <= bound, s"store error beyond bound for $k")
+      }
+      exact.filter(_._2 > bound).keys.foreach { k =>
+        assert(rows.exists(_._1 == k), s"heavy item $k lost by the store")
+      }
+      // MG counters ADD on merge — replaying a committed batch must be
+      // absorbed by the ledger, not double the store
+      graft.io.Sinks.runIdempotent(b1.toDF("item"), 0L, ledger) { (b, _) =>
+        Freq.mergeBatchIntoHitterStore(b, "item", cap, store)
+      }
+      val after = spark.read.parquet(store)
+        .select($"item", $"est", $"n_total")
+        .as[(String, Long, Long)].collect().toSet
+      assert(after == rows.toSet, "replayed batch must be a no-op")
+    } finally q.stop()
+  }
+
   test("exactTopK on real data matches the vocabulary-shuffle form") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val got = Freq.exactTopK(li, "l_partkey", k = 10, capacity = 4096)

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  // change history: (key, attr, ts, id) — id is the unique tie/identity
+  private val history = Seq(
+    ("u1", "free", 10L, 1L), ("u1", "pro", 20L, 2L), ("u1", "free", 30L, 3L),
+    ("u2", "pro", 15L, 4L),
+    ("u3", "free", 10L, 5L), ("u3", "pro", 10L, 6L) // same-ts tie on u3
+  )
+
+  private def versions(df: org.apache.spark.sql.DataFrame) =
+    df.select($"key", $"attr", $"valid_from", $"valid_to", $"id")
+      .as[(String, String, Long, Option[Long], Long)].collect().toSet
+
+  test("fromHistory chains versions per key with deterministic ties") {
+    val got = versions(Scd.fromHistory(
+      history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+    assert(got == Set(
+      ("u1", "free", 10L, Some(20L), 1L),
+      ("u1", "pro", 20L, Some(30L), 2L),
+      ("u1", "free", 30L, None, 3L),
+      ("u2", "pro", 15L, None, 4L),
+      // tie at ts=10 resolves by id: version 5 closed by version 6
+      ("u3", "free", 10L, Some(10L), 5L),
+      ("u3", "pro", 10L, None, 6L)))
+  }
+
+  test("applyBatch folded over any split == fromHistory of the whole, incl. late changes") {
+    val rnd = new Random(7)
+    val big = (1 to 200).map { i =>
+      (s"u${i % 9}", s"a${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i.toLong)
+    }
+    val want = versions(Scd.fromHistory(
+      big.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+    // shuffle THEN split: later batches carry earlier timestamps (late
+    // changes), which pure close-out SCD2 would get wrong
+    val shuffled = rnd.shuffle(big)
+    val batches = shuffled.grouped(70).toSeq
+    val store0 = Scd.fromHistory(
+      batches.head.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id")
+    val folded = batches.tail.foldLeft(store0) { (store, b) =>
+      Scd.applyBatch(store, b.toDF("key", "attr", "ts", "id"),
+        Seq("key"), "ts", "id")
+    }
+    assert(versions(folded) == want)
+  }
+
+  test("applyBatch leaves unaffected keys' rows untouched") {
+    val store = Scd.fromHistory(
+      history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id")
+    val out = Scd.applyBatch(store, Seq(("u2", "free", 40L, 7L))
+      .toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id")
+    val got = versions(out)
+    // u1/u3 exactly as before; u2's open version closed at 40
+    assert(got.filter(v => v._1 != "u2") ==
+      versions(store).filter(v => v._1 != "u2"))
+    assert(got.filter(_._1 == "u2") == Set(
+      ("u2", "pro", 15L, Some(40L), 4L),
+      ("u2", "free", 40L, None, 7L)))
+  }
+
+  test("streaming SCD2 maintenance: store == fromHistory; replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("scd_stream").toString
+    val store = s"$base/store"; val ledger = s"$base/ledger"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, Long)]
+    val q = Scd.maintainScd2(ms.toDF().toDF("key", "attr", "ts", "id"),
+        Seq("key"), "ts", "id", store, ledger)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      val (b1, b2) = history.splitAt(3) // u3's tie pair arrives in batch 2
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = versions(spark.read.parquet(store))
+      val want = versions(Scd.fromHistory(
+        history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+      assert(got == want)
+      // replay: the dedup identity already absorbs re-applied changes;
+      // the ledger additionally skips the rewrite — either way, no-op
+      graft.io.Sinks.runIdempotent(b1.toDF("key", "attr", "ts", "id"), 0L,
+        ledger) { (b, _) =>
+        Scd.mergeBatchIntoScdStore(b, Seq("key"), "ts", "id", store)
+      }
+      assert(versions(spark.read.parquet(store)) == got)
+      // the live store serves current-dimension reads
+      val current = spark.read.parquet(store).filter($"valid_to".isNull)
+        .select($"key", $"attr").as[(String, String)].collect().toSet
+      assert(current == Set(("u1", "free"), ("u2", "pro"), ("u3", "pro")))
+    } finally q.stop()
+  }
+
+  test("asOfJoin probes the version table correctly (the SCD2 consumer)") {
+    val dim = Scd.fromHistory(
+      history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id")
+      .select($"key", $"valid_from".as("t"), $"attr")
+    val facts = Seq(("u1", 25L, "f1"), ("u1", 5L, "f2"), ("u2", 99L, "f3"))
+      .toDF("key", "t", "fact_id")
+    val got = Relational.asOfJoin(facts, dim, Seq("key"), "t", "t")
+      .select($"fact_id", $"asof.attr".as("attr"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got("f1").contains("pro"))  // u1 at t=25 → version from 20
+    assert(got("f2").isEmpty)          // before u1's first version
+    assert(got("f3").contains("pro"))  // u2 current
+  }
+}

@@ -402,7 +402,10 @@ class PlanGateSpec extends SparkSpec {
     // grouped MG candidates + candidate-only exact count + the rank
     // window over candidate rows + sort — the (lang, token) vocabulary
     // itself never crosses the network unsummarized
-    "q193_topk_per_group" -> 4)
+    "q193_topk_per_group" -> 4,
+    // one user-keyed lead window (+ dedup reusing its partitioning) +
+    // sort; the incremental applyBatch form touches batch keys only
+    "q194_scd2" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
