@@ -40,14 +40,27 @@ object Drift {
     * units as BIGINT, one row per group in either snapshot.
     */
   def psiReport(a: DataFrame, b: DataFrame, groupCol: String,
-      valueCol: String, grid: Sketches.Grid): DataFrame = {
-    val nB = grid.nBuckets
-    val ha = Sketches.histogramSketch(a, groupCol, valueCol,
-      grid.lo.toDouble, grid.hi.toDouble, nB)
-      .select(col(groupCol), col("n").as("n_a"), col("counts").as("ca"))
-    val hb = Sketches.histogramSketch(b, groupCol, valueCol,
-      grid.lo.toDouble, grid.hi.toDouble, nB)
-      .select(col(groupCol), col("n").as("n_b"), col("counts").as("cb"))
+      valueCol: String, grid: Sketches.Grid): DataFrame =
+    psiFromHistograms(
+      Sketches.histogramSketch(a, groupCol, valueCol,
+        grid.lo.toDouble, grid.hi.toDouble, grid.nBuckets),
+      Sketches.histogramSketch(b, groupCol, valueCol,
+        grid.lo.toDouble, grid.hi.toDouble, grid.nBuckets),
+      groupCol, grid.nBuckets)
+
+  /** PSI from two PREBUILT histogram-sketch tables (the
+    * [[Sketches.histogramSketch]] / [[Sketches.maintainHistograms]]
+    * layout: (group, n, counts)) sharing the same grid — this is the
+    * form a live drift monitor calls: this week's MAINTAINED store vs a
+    * frozen reference store, no corpus rescans at report time. Both
+    * sides must share the bucketization; indices are positional.
+    */
+  def psiFromHistograms(ha0: DataFrame, hb0: DataFrame, groupCol: String,
+      nB: Int): DataFrame = {
+    val ha = ha0.select(col(groupCol), col("n").as("n_a"),
+      col("counts").as("ca"))
+    val hb = hb0.select(col(groupCol), col("n").as("n_b"),
+      col("counts").as("cb"))
     val empty = array_repeat(lit(0L), nB)
     val joined = ha.join(hb, Seq(groupCol), "full_outer")
       .withColumn("n_a", coalesce(col("n_a"), lit(0L)))

@@ -650,6 +650,41 @@ object AnalyticsQueries extends QueryModule {
         .orderBy($"day_num")
     }),
 
+    // Time-DECAY multi-touch attribution (q188's third tier, closing
+    // the marketing trio: last-touch q168 / linear q188 / decay here):
+    // a click d full days before its purchase weighs 2^(3−d) — halving
+    // per day over the 3-day lookback — and the weights are EXACT
+    // INTEGERS (1,2,4,8), so each click's credit is the exact floor
+    // division 1e6·w // W with W the purchase's weight sum. Same pair
+    // bound as q188; everything after is |pairs|-bounded.
+    "q195_decay_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"),
+          unix_micros($"ts").as("p_us"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), unix_micros($"ts").as("c_us"))
+      val pairs = p.join(c, Seq("user_id"))
+        .filter($"c_us" <= $"p_us" &&
+          $"p_us" - $"c_us" <= 259200L * 1000000L)
+      val wP = org.apache.spark.sql.expressions.Window.partitionBy($"p_id")
+      pairs
+        .withColumn("d", expr("(p_us - c_us) div 86400000000"))
+        .withColumn("w", expr("shiftleft(1L, cast(3 - d as int))"))
+        .withColumn("wsum", sum($"w").over(wP))
+        .withColumn("num", $"w" * lit(1000000L))
+        .withColumn("credit_micro",
+          floor(($"num" - pmod($"num", $"wsum")).cast("double") /
+            $"wsum".cast("double") + 0.5).cast("long"))
+        .groupBy(datediff(to_date($"c_ts"), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+        .agg(count(lit(1)).as("n_clicks_credited"),
+          countDistinct($"p_id").as("n_purchases_touched"),
+          sum($"credit_micro").as("sum_credit_micro"))
+        .orderBy($"day_num")
+    }),
+
     // Join-skew diagnostics (`Relational.skewReport`) — the report to
     // run BEFORE a big join to size salting: top-5 hottest documents
     // languages with exact integer share and uniform-skew factors
@@ -1016,6 +1051,34 @@ object AnalyticsQueries extends QueryModule {
          |cr AS (
          |  SELECT pr.c_ts, pr.p_id, CAST(1000000 // k.k AS BIGINT)
          |    AS credit_micro
+         |  FROM pr JOIN k USING (p_id))
+         |SELECT
+         |  CAST(datediff('day', DATE '1970-01-01', CAST(c_ts AS DATE))
+         |    AS BIGINT) AS day_num,
+         |  COUNT(*) AS n_clicks_credited,
+         |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+         |  CAST(SUM(credit_micro) AS BIGINT) AS sum_credit_micro
+         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact integer weights 2^(3-d) and floor-division credits — `//`
+    // is DuckDB's integral divide, `div` Spark's; identical BIGINTs
+    "q195_decay_attribution" ->
+      s"""WITH ${Q.eventsUs},
+         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts AS c_ts FROM ev
+         |      WHERE event_type = 'click'),
+         |pr AS (
+         |  SELECT p.p_id, c.c_ts,
+         |    (1 << CAST(3 - (epoch_us(p.p_ts) - epoch_us(c.c_ts))
+         |       // 86400000000 AS INTEGER)) AS w
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND c.c_ts <= p.p_ts
+         |    AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= 259200000000),
+         |k AS (SELECT p_id, SUM(w) AS wsum FROM pr GROUP BY 1),
+         |cr AS (
+         |  SELECT pr.c_ts, pr.p_id,
+         |    CAST((pr.w * 1000000) // k.wsum AS BIGINT) AS credit_micro
          |  FROM pr JOIN k USING (p_id))
          |SELECT
          |  CAST(datediff('day', DATE '1970-01-01', CAST(c_ts AS DATE))

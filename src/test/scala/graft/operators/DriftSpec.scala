@@ -64,6 +64,37 @@ class DriftSpec extends SparkSpec {
     assert(psiA > 0L)
   }
 
+  test("live drift: PSI between two MAINTAINED histogram stores == batch psiReport") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("psi_live").toString
+    val a = Seq(0L, 1L, 2L, 9L, 17L, 25L, 40L).map(("g", _))
+    val b = Seq(30L, 33L, 40L, 50L, 60L, 61L).map(("g", _))
+    def maintain(rows: Seq[(String, Long)], tag: String): String = {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val q = Sketches.maintainHistograms(ms.toDF().toDF("g", "v"), "g", "v",
+          grid, s"$base/$tag/store", s"$base/$tag/ledger")
+        .option("checkpointLocation", s"$base/$tag/ckpt").start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.size / 2)
+        ms.addData(h1); q.processAllAvailable()
+        ms.addData(h2); q.processAllAvailable()
+      } finally q.stop()
+      s"$base/$tag/store"
+    }
+    val (sa, sb) = (maintain(a, "a"), maintain(b, "b"))
+    val live = Drift.psiFromHistograms(spark.read.parquet(sa),
+        spark.read.parquet(sb), "g", grid.nBuckets)
+      .select($"g", $"n_a", $"n_b", $"psi_micro")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = Drift.psiReport(a.toDF("g", "v"), b.toDF("g", "v"),
+        "g", "v", grid)
+      .select($"g", $"n_a", $"n_b", $"psi_micro")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(live == batch)
+    assert(live.head._4 == psiMicroRef(a.map(_._2), b.map(_._2), grid))
+  }
+
   test("psiReportAuto discovers the union grid and equals the manual call") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.filter($"doc_id" % 2 === 0)

@@ -405,7 +405,10 @@ class PlanGateSpec extends SparkSpec {
     "q193_topk_per_group" -> 4,
     // one user-keyed lead window (+ dedup reusing its partitioning) +
     // sort; the incremental applyBatch form touches batch keys only
-    "q194_scd2" -> 3)
+    "q194_scd2" -> 3,
+    // q188's pair join + the p_id weight window + the day rollup —
+    // same bound, decay weights are row-local integers
+    "q195_decay_attribution" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
