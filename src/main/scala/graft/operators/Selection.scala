@@ -324,6 +324,40 @@ object Selection {
       .filter(col("rk") <= k)
   }
 
+  /** Per-row percentile normalization WITHOUT a rank window — the
+    * reusable surface of the [[blendByRankBySketch]] machinery: each
+    * row's `valCol` maps to `pct_micro = cum(≤ v)·1e6 div n` within its
+    * `partCol` group, where cum comes from a histogram-bucket cumsum
+    * instead of sorting corpus rows. On a UNIT-width grid the result is
+    * EXACTLY the cumulative-count percentile (bucket ≡ value); on a
+    * coarser grid it is the bucket-resolution approximation (values
+    * outside [lo, lo+width·nBuckets) clamp into the edge buckets, so
+    * edge percentiles coarsen first).
+    *
+    * Scale shape: one partial-aggregated histogram pass, a cumsum
+    * window over |parts|·nBuckets SKETCH rows, and a broadcast join
+    * back onto the corpus — no per-group sort ever sees corpus-sized
+    * rows, which is what makes percentile normalization of a
+    * low-cardinality-keyed 100 TB corpus feasible (the
+    * [[blendByRank]] CAVEAT made a public operator).
+    */
+  def percentileBySketch(df: DataFrame, partCol: String, valCol: String,
+      lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    val sk = Sketches.histogramSketch(df, partCol, valCol,
+      lo.toDouble, (lo + width * nBuckets).toDouble, nBuckets)
+    val wB = Window.partitionBy(col(partCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sk.select(col(partCol), col("n").as("__n"),
+        posexplode(col("counts")).as(Seq("__b", "__c")))
+      .withColumn("__cum", sum(col("__c")).over(wB))
+      .select(col(partCol), col("__b"), col("__n"), col("__cum"))
+    df.withColumn("__b", bucketIdx(col(valCol), lo, width, nBuckets))
+      .join(broadcast(cum), Seq(partCol, "__b"))
+      .withColumn("pct_micro",
+        longFloorDiv(col("__cum") * 1000000L, col("__n")))
+      .drop("__b", "__n", "__cum")
+  }
+
   /** Exact BIGINT floor division a div b (b > 0): Column `/` is DOUBLE
     * division, and the dividend can exceed 2^53 at corpus group sizes —
     * strip the remainder with pmod FIRST (exact in long), then the double

@@ -189,6 +189,20 @@ object SelectionQueries extends QueryModule {
     // integer curation score, per-language top 10. All windows share
     // the language partitioning (one shuffle); the signals ride the
     // same row, nothing joins after the LM scoring pass.
+    // Per-row percentile normalization from histogram cumsums — no
+    // rank window ever sees corpus rows. UNIT grid (n_chars < 1024 at
+    // every sf) makes the sketch form EXACTLY the cumulative-count
+    // percentile, so the oracle is the plain COUNT(*) OVER cumulative
+    // window and the gate pins sketch == exact (the q164 caveat's
+    // production path in its own right).
+    "q196_pct_normalize" -> ((s, dir) => {
+      import s.implicits._
+      Selection.percentileBySketch(
+          Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars"),
+          "lang", "n_chars", lo = 0L, width = 1L, nBuckets = 1024)
+        .orderBy($"doc_id")
+    }),
+
     "q164_score_blend" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -263,6 +277,17 @@ object SelectionQueries extends QueryModule {
       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+
+    // cumulative-count percentile: the default RANGE frame includes
+    // ties, so cum = rows <= v; `//` is the exact integral divide
+    "q196_pct_normalize" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |        COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+        |      FROM documents)
+        |SELECT c.doc_id, c.lang, c.n_chars,
+        |  CAST((cum * 1000000) // n.n AS BIGINT) AS pct_micro
+        |FROM c JOIN n USING (lang) ORDER BY c.doc_id""".stripMargin,
 
     // Replays the hashed feature space (md5-prefix buckets, the q133
     // replay), the Laplace-smoothed per-bucket log-ratios quantized at

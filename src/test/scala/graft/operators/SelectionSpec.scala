@@ -285,6 +285,35 @@ class SelectionSpec extends SparkSpec {
     assert(got(2L)._5 == 1 && got(1L)._5 == 2) // higher blend ranks first
   }
 
+  test("percentileBySketch on a unit grid == the cumulative-count percentile") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 400).map(i => (i.toLong, s"g${i % 3}", rnd.nextInt(64).toLong))
+    val df = rows.toDF("id", "g", "v").repartition(5)
+    val got = Selection.percentileBySketch(df, "g", "v",
+        lo = 0L, width = 1L, nBuckets = 64)
+      .select($"id", $"pct_micro").as[(Long, Long)].collect().toMap
+    // brute force: cum(<= v) * 1e6 div n per group
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val n = rs.size.toLong
+      rs.map { case (id, _, v) =>
+        id -> rs.count(_._3 <= v).toLong * 1000000L / n
+      }
+    }
+    assert(got == want)
+  }
+
+  test("percentileBySketch keeps order on a coarse grid and clamps edges") {
+    val df = Seq((1L, "g", -5L), (2L, "g", 10L), (3L, "g", 900L),
+      (4L, "g", 1500L), (5L, "g", 2000L)).toDF("id", "g", "v")
+    val got = Selection.percentileBySketch(df, "g", "v",
+        lo = 0L, width = 64L, nBuckets = 16)
+      .select($"id", $"pct_micro").as[(Long, Long)].collect().toMap
+    // -5 clamps into bucket 0 with 10; 1500 and 2000 clamp into the top
+    // bucket with nothing between them and 900's bucket left distinct
+    assert(got(1L) == got(2L) && got(4L) == got(5L))
+    assert(got(1L) < got(3L) && got(3L) < got(4L) && got(5L) == 1000000L)
+  }
+
   test("q169 sketch blend tracks q164 exact blend on the documents table") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.SparkEntry.queries("q164_score_blend")(spark, dir)

@@ -408,7 +408,10 @@ class PlanGateSpec extends SparkSpec {
     "q194_scd2" -> 3,
     // q188's pair join + the p_id weight window + the day rollup —
     // same bound, decay weights are row-local integers
-    "q195_decay_attribution" -> 3)
+    "q195_decay_attribution" -> 3,
+    // histogram build (2 partial-agg exchanges; the cumsum window rides
+    // the second's partitioning) + sort; the cum table broadcasts back
+    "q196_pct_normalize" -> 3)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
