@@ -162,7 +162,17 @@ object Freq {
           .head().getLong(0)
         (mergeMg(stored, newSk, capacity), prevN + batchN)
       } else (newSk, batchN)
-    val pinned = merged.withColumn("n_total", lit(total))
+    // An adversarial batch can decrement a summary to ZERO rows (cap=1
+    // over alternating items); n_total rides on rows, so an empty store
+    // would silently reset the error bound — carry a null-item marker
+    // row instead. mergeMg drops it on the next merge (est 0 never
+    // exceeds the subtrahend) and hitter readers filter items anyway.
+    import spark.implicits._
+    val withMarker =
+      if (merged.isEmpty && total > 0L)
+        Seq((Option.empty[String], 0L)).toDF("item", "est")
+      else merged
+    val pinned = withMarker.withColumn("n_total", lit(total))
       .localCheckpoint(true)
     pinned.write.mode("overwrite").parquet(storePath)
     Checkpoints.free(pinned)

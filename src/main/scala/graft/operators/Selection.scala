@@ -340,6 +340,10 @@ object Selection {
     * rows, which is what makes percentile normalization of a
     * low-cardinality-keyed 100 TB corpus feasible (the
     * [[blendByRank]] CAVEAT made a public operator).
+    *
+    * Rows with a null/NaN `valCol` carry no rank position and are
+    * DROPPED from the output (they also never entered the histogram),
+    * mirroring [[Sketches.histogramSketch]]'s null policy.
     */
   def percentileBySketch(df: DataFrame, partCol: String, valCol: String,
       lo: Long, width: Long, nBuckets: Int): DataFrame = {
@@ -356,6 +360,18 @@ object Selection {
       .withColumn("pct_micro",
         longFloorDiv(col("__cum") * 1000000L, col("__n")))
       .drop("__b", "__n", "__cum")
+  }
+
+  /** [[percentileBySketch]] with the grid discovered
+    * ([[Sketches.discoverGrid]]): returns the normalized frame AND the
+    * grid, since the grid decides the resolution every re-use must
+    * share. A range ≤ nBuckets discovers a UNIT grid, making the result
+    * exact (the q196 gate's regime).
+    */
+  def percentileBySketchAuto(df: DataFrame, partCol: String,
+      valCol: String, nBuckets: Int): (DataFrame, Sketches.Grid) = {
+    val g = Sketches.discoverGrid(df, valCol, nBuckets)
+    (percentileBySketch(df, partCol, valCol, g.lo, g.width, g.nBuckets), g)
   }
 
   /** Exact BIGINT floor division a div b (b > 0): Column `/` is DOUBLE

@@ -192,6 +192,27 @@ class FreqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hitter store survives an adversarially emptied summary without losing n_total") {
+    val base = java.nio.file.Files.createTempDirectory("mg_empty").toString
+    val store = s"$base/store"
+    // capacity 1 over strict a/b alternation: every insert of `a` is
+    // cancelled by the following `b` (decrement-all) — the partition
+    // summary ends EMPTY although 10 rows were summarized
+    val b1 = (1 to 5).flatMap(_ => Seq("a", "b")).toDF("item").repartition(1)
+    Freq.mergeBatchIntoHitterStore(b1, "item", capacity = 1, store)
+    val s1 = spark.read.parquet(store)
+      .select($"item", $"est", $"n_total")
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(s1 == Seq((None, 0L, 10L)), s"marker row must carry n_total: $s1")
+    // the next batch merges cleanly past the marker and keeps the bound
+    val b2 = Seq.fill(5)("c").toDF("item")
+    Freq.mergeBatchIntoHitterStore(b2, "item", capacity = 1, store)
+    val s2 = spark.read.parquet(store)
+      .select($"item", $"est", $"n_total")
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(s2 == Seq((Some("c"), 5L, 15L)))
+  }
+
   test("exactTopK on real data matches the vocabulary-shuffle form") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val got = Freq.exactTopK(li, "l_partkey", k = 10, capacity = 4096)

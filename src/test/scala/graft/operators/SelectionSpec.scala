@@ -314,6 +314,21 @@ class SelectionSpec extends SparkSpec {
     assert(got(1L) < got(3L) && got(3L) < got(4L) && got(5L) == 1000000L)
   }
 
+  test("percentileBySketchAuto discovers a unit grid on a small range and equals the manual call") {
+    val df = Seq((1L, "g", 3L), (2L, "g", 9L), (3L, "g", 9L), (4L, "g", 30L))
+      .toDF("id", "g", "v")
+    val (auto, grid) = Selection.percentileBySketchAuto(df, "g", "v", 32)
+    assert(grid.width == 1L, s"range 27 <= 32 buckets must fit a unit grid: $grid")
+    val manual = Selection.percentileBySketch(df, "g", "v",
+      grid.lo, grid.width, grid.nBuckets)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"pct_micro").as[(Long, Long)].collect().toSet
+    assert(rows(auto) == rows(manual))
+    // unit grid == exact cumulative percentile: ties share, max hits 1e6
+    assert(rows(auto) == Set((1L, 250000L), (2L, 750000L), (3L, 750000L),
+      (4L, 1000000L)))
+  }
+
   test("q169 sketch blend tracks q164 exact blend on the documents table") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.SparkEntry.queries("q164_score_blend")(spark, dir)
