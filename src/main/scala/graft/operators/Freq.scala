@@ -136,6 +136,27 @@ object Freq {
       .select(col("item"), (col("est") - col("__sub")).as("est"))
   }
 
+  /** [[mergeMg]] per group: counters sum within (group, item), and each
+    * GROUP re-bounds independently by its own (capacity+1)-th largest
+    * counter. Windows run over summary rows partitioned by group —
+    * sketch-sized, never data-sized.
+    */
+  def mergeMgByGroup(a: DataFrame, b: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val cols = Seq(col("group"), col("item"), col("est"))
+    val summed = a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col("group"), col("item")).agg(sum(col("est")).as("est"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("est").desc, col("item"))
+    val ranked = summed.withColumn("__r", row_number().over(w))
+    val subs = ranked.filter(col("__r") === capacity + 1)
+      .select(col("group"), col("est").as("__sub"))
+    ranked.join(broadcast(subs), Seq("group"), "left_outer")
+      .withColumn("__sub", coalesce(col("__sub"), lit(0L)))
+      .filter(col("est") > col("__sub"))
+      .select(col("group"), col("item"), (col("est") - col("__sub")).as("est"))
+  }
+
   /** One micro-batch of heavy-hitter store maintenance: summarize the
     * batch ([[mgCandidates]]) and [[mergeMg]] it into the parquet store
     * — the mergeable-summaries law live, so the store stays ≤ capacity
@@ -192,6 +213,55 @@ object Freq {
       org.apache.spark.sql.Row] =
     graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
       mergeBatchIntoHitterStore(b, itemCol, capacity, storePath)
+    }
+
+  /** Grouped twin of [[mergeBatchIntoHitterStore]]: per-group summaries
+    * merged with per-group re-bounding; `n_total` counts all summarized
+    * rows (group-level totals are recoverable from per-group marker
+    * bookkeeping only if needed — the global figure bounds every
+    * group's error from above, which is the conservative certificate).
+    * Empty-summary batches keep their marker row exactly as the global
+    * store does.
+    */
+  def mergeBatchIntoGroupHitterStore(batch: DataFrame, groupCol: String,
+      itemCol: String, capacity: Int, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val batchN = batch
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull).count()
+    val newSk = mgCandidatesByGroup(batch, groupCol, itemCol, capacity)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (merged, total) =
+      if (fs.exists(p)) {
+        val stored = spark.read.parquet(storePath)
+        val prevN = stored.agg(coalesce(max(col("n_total")), lit(0L)))
+          .head().getLong(0)
+        (mergeMgByGroup(stored, newSk, capacity), prevN + batchN)
+      } else (newSk, batchN)
+    import spark.implicits._
+    val withMarker =
+      if (merged.isEmpty && total > 0L)
+        Seq((Option.empty[String], Option.empty[String], 0L))
+          .toDF("group", "item", "est")
+      else merged
+    val pinned = withMarker.withColumn("n_total", lit(total))
+      .localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(storePath)
+    Checkpoints.free(pinned)
+  }
+
+  /** Streaming per-group heavy-hitter maintenance — live "top items per
+    * group so far" in ≤ |groups|·capacity rows of state, under the
+    * exactly-once ledger (MG counters ADD on merge; replays must not
+    * double-count).
+    */
+  def maintainTopHittersByGroup(stream: DataFrame, groupCol: String,
+      itemCol: String, capacity: Int, storePath: String, ledgerDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
+      mergeBatchIntoGroupHitterStore(b, groupCol, itemCol, capacity,
+        storePath)
     }
 
   /** EXACT top-k (count desc, item asc tie-break) in two passes.

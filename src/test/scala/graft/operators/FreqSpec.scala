@@ -192,6 +192,77 @@ class FreqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeMgByGroup re-bounds each group by its OWN (cap+1)-th counter") {
+    val xs = skewed(61, 4000).map(("A", _))
+    val ys = skewed(62, 4000).map(("A", _))
+    val small = Seq.fill(60)(("B", "hot")) ++ (1 to 50).map(i => ("B", s"b$i"))
+    val cap = 16
+    def sk(rows: Seq[(String, String)]) = Freq.mgCandidatesByGroup(
+      spark.createDataset(rows).toDF("g", "item").repartition(4),
+      "g", "item", cap)
+      .select($"group", $"item", $"est")
+    val merged = Freq.mergeMgByGroup(sk(xs ++ small), sk(ys), cap)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => r._2 -> r._3).toMap }
+    val exactA = exactCounts((xs ++ ys).map(_._2))
+    val boundA = (xs.size + ys.size).toLong / (cap + 1)
+    assert(merged("A").size <= cap)
+    merged("A").foreach { case (k, e) =>
+      assert(e <= exactA(k) && exactA(k) - e <= boundA)
+    }
+    exactA.filter(_._2 > boundA).keys.foreach { k =>
+      assert(merged("A").contains(k), s"heavy $k lost in group A")
+    }
+    // B only appeared on one side: its bound is ITS OWN 110 rows, not
+    // the 8000-row A traffic — "hot" (60/110) must survive with error
+    // bounded by 110/(cap+1), which group-blind re-bounding would break
+    val exactB = exactCounts(small.map(_._2))
+    val boundB = small.size.toLong / (cap + 1)
+    assert(merged("B").contains("hot"))
+    assert(exactB("hot") - merged("B")("hot") <= boundB)
+  }
+
+  test("streaming per-group hitter maintenance keeps per-group laws; replay is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("mgg_stream").toString
+    val store = s"$base/store"; val ledger = s"$base/ledger"
+    val cap = 32
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = Freq.maintainTopHittersByGroup(ms.toDF().toDF("g", "item"),
+        "g", "item", cap, store, ledger)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    val b1 = skewed(71, 2000).map(("A", _)) ++ skewed(72, 1500).map(("B", _))
+    val b2 = skewed(73, 2000).map(("A", _))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val rows = spark.read.parquet(store)
+        .select($"group", $"item", $"est", $"n_total")
+        .as[(String, String, Long, Long)].collect()
+      assert(rows.head._4 == (b1.size + b2.size).toLong)
+      val byG = rows.groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(r => r._2 -> r._3).toMap }
+      val exactA = exactCounts((b1.filter(_._1 == "A") ++ b2).map(_._2))
+      val nA = (b1.count(_._1 == "A") + b2.size).toLong
+      byG("A").foreach { case (k, e) =>
+        assert(e <= exactA(k) && exactA(k) - e <= nA / (cap + 1))
+      }
+      exactA.filter(_._2 > nA / (cap + 1)).keys.foreach { k =>
+        assert(byG("A").contains(k))
+      }
+      graft.io.Sinks.runIdempotent(b1.toDF("g", "item"), 0L, ledger) {
+        (b, _) => Freq.mergeBatchIntoGroupHitterStore(b, "g", "item", cap,
+          store)
+      }
+      val after = spark.read.parquet(store)
+        .select($"group", $"item", $"est", $"n_total")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(after == rows.toSet, "replayed batch must be a no-op")
+    } finally q.stop()
+  }
+
   test("hitter store survives an adversarially emptied summary without losing n_total") {
     val base = java.nio.file.Files.createTempDirectory("mg_empty").toString
     val store = s"$base/store"
