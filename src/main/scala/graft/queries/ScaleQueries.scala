@@ -85,6 +85,26 @@ object ScaleQueries extends QueryModule {
         .orderBy($"lang")
     }),
 
+    // EMBEDDING drift probe: per-label PSI of a coordinate MARGINAL
+    // (dimension 0 in exact 1e-6 micro units — float→double cast and
+    // the micro floor are bit-exact in any engine, no sum-order
+    // sensitivity) between the even/odd vec_id halves. Norms are
+    // useless on unit-normalized embeddings (all ≈ 1.0); coordinate
+    // marginals are the standard cheap probe — at 100 TB this is two
+    // |labels|-row histogram sketches over a zero-shuffle map pass, the
+    // q192 shape applied to vectors.
+    "q197_embedding_drift" -> ((s, dir) => {
+      import s.implicits._
+      val vm = Tables.embeddings(s, dir).select($"vec_id", $"label",
+        floor(element_at($"embedding", 1).cast("double") * 1e6 + 0.5)
+          .cast("long").as("v_micro"))
+      Drift.psiReport(
+          vm.filter($"vec_id" % 2 === 0), vm.filter($"vec_id" % 2 === 1),
+          "label", "v_micro",
+          Sketches.Grid(lo = -524288L, width = 65536L, nBuckets = 16))
+        .orderBy($"label")
+    }),
+
     // SCD2 version table from the event history: each user's event_type
     // chain becomes [valid_from, valid_to) versions (NULL = current),
     // ties broken by event_id — the dimension table asOfJoin probes.
@@ -140,6 +160,45 @@ object ScaleQueries extends QueryModule {
         |  FROM c)
         |SELECT lang, tok, cnt FROM r WHERE rn <= 5
         |ORDER BY lang, cnt DESC, tok""".stripMargin,
+
+    // the q192 replay on the vector marginal: embedding[1] is DuckDB's
+    // 1-based list index = Spark's element_at(_, 1); grid [-2^19, 2^19)
+    // in 2^16-micro buckets
+    "q197_embedding_drift" ->
+      """WITH vm AS (
+        |  SELECT vec_id, label,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |      AS v
+        |  FROM embeddings),
+        |va AS (SELECT label, LEAST(15, GREATEST(0, CAST(floor(
+        |    (CAST(v AS DOUBLE) + 524288.0) / 65536.0) AS INTEGER))) AS bucket
+        |  FROM vm WHERE vec_id % 2 = 0),
+        |vb AS (SELECT label, LEAST(15, GREATEST(0, CAST(floor(
+        |    (CAST(v AS DOUBLE) + 524288.0) / 65536.0) AS INTEGER))) AS bucket
+        |  FROM vm WHERE vec_id % 2 = 1),
+        |ca AS (SELECT label, bucket, COUNT(*) AS cnt FROM va GROUP BY 1, 2),
+        |cb AS (SELECT label, bucket, COUNT(*) AS cnt FROM vb GROUP BY 1, 2),
+        |na AS (SELECT label, COUNT(*) AS n_a FROM va GROUP BY 1),
+        |nb AS (SELECT label, COUNT(*) AS n_b FROM vb GROUP BY 1),
+        |grid AS (
+        |  SELECT label, g AS bucket
+        |  FROM (SELECT DISTINCT label FROM embeddings), generate_series(0, 15) t(g)),
+        |terms AS (
+        |  SELECT grid.label,
+        |    COALESCE(na.n_a, 0) AS n_a, COALESCE(nb.n_b, 0) AS n_b,
+        |    CAST(COALESCE(ca.cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(na.n_a, 0) + 16 AS DOUBLE) AS pa,
+        |    CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(nb.n_b, 0) + 16 AS DOUBLE) AS pb
+        |  FROM grid
+        |  LEFT JOIN ca ON grid.label = ca.label AND grid.bucket = ca.bucket
+        |  LEFT JOIN cb ON grid.label = cb.label AND grid.bucket = cb.bucket
+        |  LEFT JOIN na ON grid.label = na.label
+        |  LEFT JOIN nb ON grid.label = nb.label)
+        |SELECT label, n_a, n_b,
+        |  CAST(SUM(CAST(floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY label""".stripMargin,
 
     // The PSI replay: dense 16-bucket grid per language (zero-count
     // buckets still carry smoothed mass), add-one proportions as single

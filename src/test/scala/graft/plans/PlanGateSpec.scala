@@ -411,7 +411,10 @@ class PlanGateSpec extends SparkSpec {
     "q195_decay_attribution" -> 3,
     // histogram build (2 partial-agg exchanges; the cumsum window rides
     // the second's partitioning) + sort; the cum table broadcasts back
-    "q196_pct_normalize" -> 3)
+    "q196_pct_normalize" -> 3,
+    // q192's shape on the vector marginal: two histogram builds + the
+    // label-keyed sketch join + sort
+    "q197_embedding_drift" -> 5)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
