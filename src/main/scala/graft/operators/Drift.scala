@@ -56,13 +56,21 @@ object Drift {
     * sides must share the bucketization; indices are positional.
     */
   def psiFromHistograms(ha0: DataFrame, hb0: DataFrame, groupCol: String,
-      nB: Int): DataFrame = {
-    val ha = ha0.select(col(groupCol), col("n").as("n_a"),
-      col("counts").as("ca"))
-    val hb = hb0.select(col(groupCol), col("n").as("n_b"),
-      col("counts").as("cb"))
+      nB: Int): DataFrame =
+    psiFromHistogramsBy(ha0, hb0, Seq(groupCol), nB)
+
+  /** [[psiFromHistograms]] with a COMPOSITE group key (the
+    * [[Sketches.histogramSketchBy]] layout). */
+  def psiFromHistogramsBy(ha0: DataFrame, hb0: DataFrame,
+      groupCols: Seq[String], nB: Int): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val keys = groupCols.map(col)
+    val ha = ha0.select(keys :+ col("n").as("n_a") :+
+      col("counts").as("ca"): _*)
+    val hb = hb0.select(keys :+ col("n").as("n_b") :+
+      col("counts").as("cb"): _*)
     val empty = array_repeat(lit(0L), nB)
-    val joined = ha.join(hb, Seq(groupCol), "full_outer")
+    val joined = ha.join(hb, groupCols, "full_outer")
       .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
       .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
       .withColumn("ca", coalesce(col("ca"), empty))
@@ -83,7 +91,33 @@ object Drift {
               .cast("long")
           }),
           lit(0L), (acc, t) => acc + t))
-      .select(col(groupCol), col("n_a"), col("n_b"), col("psi_micro"))
+      .select(keys :+ col("n_a") :+ col("n_b") :+ col("psi_micro"): _*)
+  }
+
+  /** Per-DIMENSION vector drift: each embedding coordinate becomes a
+    * marginal distribution in exact micro units (float→double cast ·
+    * 1e6, floor — no sums, so no order sensitivity), and every
+    * (group, dim) pair gets its own PSI between the two snapshots. The
+    * actionable embedding-drift report — "the encoder moved dims 3 and
+    * 17 for language X" — in |groups|·dims sketch rows: one zero-shuffle
+    * posexplode pass per snapshot, then the histogram aggregates.
+    * All dims share `grid` (marginals of a normalized embedding live in
+    * the same numeric range; pick it to cover ±max|coordinate|).
+    */
+  def psiByDimension(a: DataFrame, b: DataFrame, groupCol: String,
+      vecCol: String, grid: Sketches.Grid): DataFrame = {
+    def marginals(df: DataFrame): DataFrame =
+      df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+        .withColumn("dim", col("dim").cast("long"))
+        .withColumn("v_micro",
+          floor(col("__x").cast("double") * 1e6 + 0.5).cast("long"))
+    val nB = grid.nBuckets
+    psiFromHistogramsBy(
+      Sketches.histogramSketchBy(marginals(a), Seq(groupCol, "dim"),
+        "v_micro", grid.lo.toDouble, grid.hi.toDouble, nB),
+      Sketches.histogramSketchBy(marginals(b), Seq(groupCol, "dim"),
+        "v_micro", grid.lo.toDouble, grid.hi.toDouble, nB),
+      Seq(groupCol, "dim"), nB)
   }
 
   /** [[psiReport]] with the shared grid discovered over BOTH snapshots'

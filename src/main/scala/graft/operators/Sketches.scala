@@ -300,7 +300,16 @@ object Sketches {
     * survives the first.
     */
   def histogramSketch(df: DataFrame, groupCol: String, valueCol: String,
-      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+      lo: Double, hi: Double, nBuckets: Int): DataFrame =
+    histogramSketchBy(df, Seq(groupCol), valueCol, lo, hi, nBuckets)
+
+  /** [[histogramSketch]] with a COMPOSITE group key — one histogram per
+    * distinct groupCols tuple (e.g. (label, dimension) for per-dimension
+    * vector drift). Same two-aggregate shape and null policy.
+    */
+  def histogramSketchBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     require(hi > lo, s"need hi > lo: [$lo, $hi)")
     val width = (hi - lo) / nBuckets
@@ -310,9 +319,9 @@ object Sketches {
     // null/NaN values carry no position — dropped, not clamped (a null
     // bucket key would also break the dense-array rebuild)
     df.filter(v.isNotNull && !isnan(v))
-      .groupBy(col(groupCol), b.as("bucket"))
+      .groupBy(groupCols.map(col) :+ b.as("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col(groupCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("n"),
         map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
           .as("m"))

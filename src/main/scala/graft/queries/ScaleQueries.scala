@@ -105,6 +105,20 @@ object ScaleQueries extends QueryModule {
         .orderBy($"label")
     }),
 
+    // Per-DIMENSION vector drift: q197 widened to every coordinate —
+    // the actionable report ("which dims moved for which label"),
+    // |labels|·64 sketch rows end to end. Zero-shuffle posexplode
+    // passes feed composite-keyed histogram aggregates.
+    "q198_vector_drift" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      Drift.psiByDimension(
+          e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1),
+          "label", "embedding",
+          Sketches.Grid(lo = -524288L, width = 65536L, nBuckets = 16))
+        .orderBy($"label", $"dim")
+    }),
+
     // SCD2 version table from the event history: each user's event_type
     // chain becomes [valid_from, valid_to) versions (NULL = current),
     // ties broken by event_id — the dimension table asOfJoin probes.
@@ -160,6 +174,47 @@ object ScaleQueries extends QueryModule {
         |  FROM c)
         |SELECT lang, tok, cnt FROM r WHERE rn <= 5
         |ORDER BY lang, cnt DESC, tok""".stripMargin,
+
+    // q197's replay per dimension: DuckDB zips parallel unnests, so
+    // unnest(range(len)) is Spark's 0-based posexplode ordinal
+    "q198_vector_drift" ->
+      """WITH vm AS (
+        |  SELECT vec_id, label,
+        |    unnest(range(len(embedding))) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS v
+        |  FROM embeddings),
+        |va AS (SELECT label, dim, LEAST(15, GREATEST(0, CAST(floor(
+        |    (CAST(v AS DOUBLE) + 524288.0) / 65536.0) AS INTEGER))) AS bucket
+        |  FROM vm WHERE vec_id % 2 = 0),
+        |vb AS (SELECT label, dim, LEAST(15, GREATEST(0, CAST(floor(
+        |    (CAST(v AS DOUBLE) + 524288.0) / 65536.0) AS INTEGER))) AS bucket
+        |  FROM vm WHERE vec_id % 2 = 1),
+        |ca AS (SELECT label, dim, bucket, COUNT(*) AS cnt FROM va GROUP BY 1, 2, 3),
+        |cb AS (SELECT label, dim, bucket, COUNT(*) AS cnt FROM vb GROUP BY 1, 2, 3),
+        |na AS (SELECT label, dim, COUNT(*) AS n_a FROM va GROUP BY 1, 2),
+        |nb AS (SELECT label, dim, COUNT(*) AS n_b FROM vb GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT label, dim, g AS bucket
+        |  FROM (SELECT DISTINCT label, dim FROM vm), generate_series(0, 15) t(g)),
+        |terms AS (
+        |  SELECT grid.label, grid.dim,
+        |    COALESCE(na.n_a, 0) AS n_a, COALESCE(nb.n_b, 0) AS n_b,
+        |    CAST(COALESCE(ca.cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(na.n_a, 0) + 16 AS DOUBLE) AS pa,
+        |    CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(nb.n_b, 0) + 16 AS DOUBLE) AS pb
+        |  FROM grid
+        |  LEFT JOIN ca ON grid.label = ca.label AND grid.dim = ca.dim
+        |    AND grid.bucket = ca.bucket
+        |  LEFT JOIN cb ON grid.label = cb.label AND grid.dim = cb.dim
+        |    AND grid.bucket = cb.bucket
+        |  LEFT JOIN na ON grid.label = na.label AND grid.dim = na.dim
+        |  LEFT JOIN nb ON grid.label = nb.label AND grid.dim = nb.dim)
+        |SELECT label, dim, n_a, n_b,
+        |  CAST(SUM(CAST(floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY label, dim""".stripMargin,
 
     // the q192 replay on the vector marginal: embedding[1] is DuckDB's
     // 1-based list index = Spark's element_at(_, 1); grid [-2^19, 2^19)

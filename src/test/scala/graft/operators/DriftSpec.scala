@@ -95,6 +95,31 @@ class DriftSpec extends SparkSpec {
     assert(live.head._4 == psiMicroRef(a.map(_._2), b.map(_._2), grid))
   }
 
+  test("psiByDimension isolates the drifted coordinate") {
+    // dim 0 identical across snapshots, dim 1 shifted wholesale
+    val a = Seq(("g", Seq(0.1f, 0.1f)), ("g", Seq(0.2f, 0.15f)),
+      ("g", Seq(0.3f, 0.2f)))
+    val b = Seq(("g", Seq(0.1f, 0.5f)), ("g", Seq(0.2f, 0.55f)),
+      ("g", Seq(0.3f, 0.6f)))
+    val grid = Sketches.Grid(lo = 0L, width = 65536L, nBuckets = 16)
+    val got = Drift.psiByDimension(a.toDF("g", "v"), b.toDF("g", "v"),
+        "g", "v", grid)
+      .select($"dim", $"n_a", $"n_b", $"psi_micro")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == 0L, "identical marginal must read zero drift")
+    assert(got(1L) > 0L, "shifted marginal must register")
+    // and each dimension's PSI equals the scalar psiReport on that slice
+    def slice(rows: Seq[(String, Seq[Float])], d: Int) =
+      rows.map { case (g, v) =>
+        (g, math.floor(v(d).toDouble * 1e6 + 0.5).toLong)
+      }.toDF("g", "vm")
+    val scalar1 = Drift.psiReport(slice(a, 1), slice(b, 1), "g", "vm", grid)
+      .select($"psi_micro").as[Long].head()
+    assert(got(1L) == scalar1)
+  }
+
   test("psiReportAuto discovers the union grid and equals the manual call") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.filter($"doc_id" % 2 === 0)

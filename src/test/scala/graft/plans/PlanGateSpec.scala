@@ -414,7 +414,10 @@ class PlanGateSpec extends SparkSpec {
     "q196_pct_normalize" -> 3,
     // q192's shape on the vector marginal: two histogram builds + the
     // label-keyed sketch join + sort
-    "q197_embedding_drift" -> 5)
+    "q197_embedding_drift" -> 5,
+    // same shape with (label, dim) composite keys; the posexplode
+    // passes are zero-shuffle map work before the partial aggregates
+    "q198_vector_drift" -> 5)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
