@@ -369,6 +369,49 @@ object Relational {
     * n·|keys|·1e6 cannot overflow at any real scale; the result fits
     * BIGINT because skew ≤ |keys|·1e6.
     */
+  /** Pre-join fanout report — the row-EXPLOSION guard to run before a
+    * non-unique-key join (the [[skewReport]] sibling for pairs): per
+    * join key, the output contribution is cnt_left·cnt_right, so the
+    * report ranks the top-k contributing keys with exact pair counts
+    * and micro-unit shares of the total output size. Products and the
+    * total ride DECIMAL(38,0) (pair counts overflow BIGINT at corpus
+    * key cardinalities — 1e12·1e12 = 1e24); the emitted `pairs` column
+    * stays decimal for the same reason. One count aggregate per side,
+    * a key-join of two |keys|-row count tables, a 1-row totals
+    * broadcast, and a rank window over the k retained rows.
+    *
+    * Reading it: `total_pairs` >> max(|L|, |R|) means the join
+    * multiplies; a top key holding most of `share_micro` means
+    * [[saltedJoin]] (or dropping/bucketing that key) before the join.
+    */
+  def joinFanoutReport(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def dec(c: Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val ca = left.groupBy(col(leftKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt_left"))
+    val cb = right.groupBy(col(rightKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt_right"))
+    val prod = ca.join(cb, Seq("key"))
+      .withColumn("pairs", dec(col("cnt_left")) * dec(col("cnt_right")))
+    val totals = prod.agg(sum(col("pairs")).as("total_pairs"))
+    val top = prod.orderBy(col("pairs").desc, col("key")).limit(k)
+    val shareNum = col("pairs") * dec(lit(1000000L))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pairs").desc, col("key"))))
+      .select(col("rank"), col("key"), col("cnt_left"), col("cnt_right"),
+        col("pairs"), col("total_pairs"),
+        // remainder-strip BEFORE dividing (the skewReport discipline):
+        // decimal division rounds at scale 6, only safe on an exact
+        // quotient
+        ((shareNum - pmod(shareNum, col("total_pairs"))) /
+          col("total_pairs")).cast("long").as("share_micro"))
+      .orderBy(col("rank"))
+  }
+
   def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))

@@ -119,6 +119,24 @@ object ScaleQueries extends QueryModule {
         .orderBy($"label", $"dim")
     }),
 
+    // Pre-join fanout guard (`Relational.joinFanoutReport`): the
+    // clicks×purchases-per-user join that attribution (q188/q195) pays
+    // for, sized BEFORE running it — top-5 exploding users with exact
+    // pair counts and micro shares. The operator's products ride
+    // DECIMAL(38,0) for corpus cardinalities; the gate casts to BIGINT
+    // (exact at every test sf) so both engines emit one dtype.
+    "q199_join_fanout" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      Relational.joinFanoutReport(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"),
+          "user_id", "user_id", k = 5)
+        .select($"rank".cast("long").as("rank"), $"key",
+          $"cnt_left", $"cnt_right", $"pairs".cast("long").as("pairs"),
+          $"total_pairs".cast("long").as("total_pairs"), $"share_micro")
+    }),
+
     // SCD2 version table from the event history: each user's event_type
     // chain becomes [valid_from, valid_to) versions (NULL = current),
     // ties broken by event_id — the dimension table asOfJoin probes.
@@ -174,6 +192,28 @@ object ScaleQueries extends QueryModule {
         |  FROM c)
         |SELECT lang, tok, cnt FROM r WHERE rn <= 5
         |ORDER BY lang, cnt DESC, tok""".stripMargin,
+
+    // HUGEINT replays the DECIMAL(38,0) product (the q189 discipline);
+    // // is the exact integral divide for the micro share
+    "q199_join_fanout" ->
+      s"""WITH ${Q.eventsUs},
+         |ca AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt_left
+         |       FROM ev WHERE event_type = 'click' GROUP BY 1),
+         |cb AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt_right
+         |       FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+         |p AS (SELECT key, cnt_left, cnt_right,
+         |        CAST(cnt_left AS HUGEINT) * CAST(cnt_right AS HUGEINT)
+         |          AS pairs
+         |      FROM ca JOIN cb USING (key)),
+         |t AS (SELECT SUM(pairs) AS total_pairs FROM p),
+         |top AS (
+         |  SELECT *, row_number() OVER (ORDER BY pairs DESC, key) AS rank
+         |  FROM p ORDER BY pairs DESC, key LIMIT 5)
+         |SELECT CAST(rank AS BIGINT) AS rank, key, cnt_left, cnt_right,
+         |  CAST(pairs AS BIGINT) AS pairs,
+         |  CAST(total_pairs AS BIGINT) AS total_pairs,
+         |  CAST((pairs * 1000000) // total_pairs AS BIGINT) AS share_micro
+         |FROM top, t ORDER BY rank""".stripMargin,
 
     // q197's replay per dimension: DuckDB zips parallel unnests, so
     // unnest(range(len)) is Spark's 0-based posexplode ordinal

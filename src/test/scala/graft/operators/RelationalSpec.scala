@@ -217,6 +217,20 @@ class RelationalSpec extends SparkSpec {
     assert(got.toList == List((0L, 80L, 19L))) // 81..99 clamp to 80
   }
 
+  test("joinFanoutReport ranks exploding keys with exact pair math") {
+    val left = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val right = (Seq.fill(4)("a") ++ Seq("b") ++ Seq.fill(5)("d")).toDF("k")
+    val got = Relational.joinFanoutReport(left, right, "k", "k", k = 2)
+      .select($"rank", $"key", $"cnt_left", $"cnt_right",
+        $"pairs".cast("long"), $"total_pairs".cast("long"), $"share_micro")
+      .as[(Int, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // only keys on BOTH sides contribute: a 3·4=12, b 2·1=2, total 14;
+    // c and d never pair. shares are exact floor divisions of 1e6
+    assert(got == Seq(
+      (1, "a", 3L, 4L, 12L, 14L, 857142L),
+      (2, "b", 2L, 1L, 2L, 14L, 142857L)))
+  }
+
   test("bloomPrefilteredJoin equals the plain equi-join (multiset)") {
     val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

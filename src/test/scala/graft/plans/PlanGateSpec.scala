@@ -417,7 +417,10 @@ class PlanGateSpec extends SparkSpec {
     "q197_embedding_drift" -> 5,
     // same shape with (label, dim) composite keys; the posexplode
     // passes are zero-shuffle map work before the partial aggregates
-    "q198_vector_drift" -> 5)
+    "q198_vector_drift" -> 5,
+    // two per-side count aggregates + the |keys|-row count join + the
+    // top-k limit exchange; totals broadcast, rank over k rows
+    "q199_join_fanout" -> 5)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
