@@ -56,7 +56,8 @@ class PlanGateSpec extends SparkSpec {
     "q163_hard_negatives", // searchBm25's 1-row corpus-stats broadcast (q116)
     "q164_score_blend",    // composes q134's bigram LM (1-row vocab frame)
     "q169_score_blend_sketch", // same LM chain; pct tables broadcast by design
-    "q189_skew_report"     // 1-row totals frame broadcast (q84/q87 shape)
+    "q189_skew_report",    // 1-row totals frame broadcast (q84/q87 shape)
+    "q199_join_fanout"     // same 1-row totals broadcast (q189 shape)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
