@@ -152,10 +152,54 @@ object ScaleQueries extends QueryModule {
           unix_micros($"valid_from").as("valid_from_us"),
           unix_micros($"valid_to").as("valid_to_us"))
         .orderBy($"user_id", $"valid_from_us", $"event_id")
+    }),
+
+    // Corpus-ADAPTIVE stopword signal — the q190 machinery composed
+    // into curation: the exact top-10 corpus tokens (two-pass MG, ties
+    // by token asc) become the stoplist, and each document reports its
+    // stopword ratio in exact micro units. Fixed stoplists (the q21
+    // signal) mistune on domain corpora; discovering the list from the
+    // corpus itself is the standard fix, and it costs one summary pass
+    // + one broadcast semi-join more than the fixed-list signal.
+    "q200_adaptive_stopwords" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+        .filter(length($"tok") > 0)
+      val stop = Freq.exactTopK(toks, "tok", k = 10, capacity = 4096)
+        .select($"tok".as("__stop"))
+      val perDoc = toks
+        .join(broadcast(stop), $"tok" === $"__stop", "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count($"__stop").as("n_stop"))
+      val num = $"n_stop" * lit(1000000L)
+      perDoc.withColumn("stop_ratio_micro",
+          floor((num - pmod(num, $"n_tokens")).cast("double") /
+            $"n_tokens".cast("double") + 0.5).cast("long"))
+        .orderBy($"doc_id")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+
+    "q200_adaptive_stopwords" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0),
+        |stop AS (
+        |  SELECT tok FROM tt GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok LIMIT 10),
+        |d AS (
+        |  SELECT tt.doc_id, COUNT(*) AS n_tokens,
+        |    COUNT(stop.tok) AS n_stop
+        |  FROM tt LEFT JOIN stop ON tt.tok = stop.tok
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  CAST((n_stop * 1000000) // n_tokens AS BIGINT)
+        |    AS stop_ratio_micro
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Spark's unix_micros is DuckDB's epoch_us — same µs integers
     "q194_scd2" ->

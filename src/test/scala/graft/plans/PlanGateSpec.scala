@@ -421,7 +421,10 @@ class PlanGateSpec extends SparkSpec {
     "q198_vector_drift" -> 5,
     // two per-side count aggregates + the |keys|-row count join + the
     // top-k limit exchange; totals broadcast, rank over k rows
-    "q199_join_fanout" -> 5)
+    "q199_join_fanout" -> 5,
+    // q190's two MG passes + the per-doc aggregate + sort; the
+    // discovered stoplist broadcasts into the signal join
+    "q200_adaptive_stopwords" -> 4)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
