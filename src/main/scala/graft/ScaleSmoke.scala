@@ -661,6 +661,39 @@ object ScaleSmoke {
         (col("doc_id") % 100000).as("k")),
       Seq("source", "lang"), "k"), force = true)
 
+    // heavy hitters (q190), naive vs two-pass MG: a 10%-heavy / 90%-
+    // near-unique item space (the URL/user-agent shape) makes the
+    // asymmetry measurable — the naive top-k shuffles one row per
+    // DISTINCT item (grows with the corpus), the MG pass shuffles at
+    // most capacity·|partitions| summary rows plus the candidate-only
+    // recount. The printed volumes are the 100 TB argument even where
+    // local seconds tie.
+    val hhToks = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(when(pmod(col("pos"), lit(10)) === 0, col("tok"))
+        .otherwise(concat(col("tok"), lit("_"), col("doc_id"), lit("_"),
+          col("pos"))).as("item"))
+    run("topk_vocab_shuffle", hhToks.groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(10), force = true)
+    run("topk_mg_twopass", graft.operators.Freq.exactTopK(
+      hhToks, "item", k = 10, capacity = 4096), force = true)
+    if (only.forall(s => s("topk_vocab_shuffle") || s("topk_mg_twopass"))) {
+      val naive = hhToks.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("item")).limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val mg = graft.operators.Freq.exactTopK(hhToks, "item", 10, 4096)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(naive == mg, s"MG two-pass diverged from the exact top-k")
+      val vocab = hhToks.select(col("item")).distinct().count()
+      val cand = graft.operators.Freq.mgCandidates(hhToks, "item", 4096)
+        .count()
+      println(s"SCALE topk shuffle volume: naive carries $vocab distinct " +
+        s"items, MG carries $cand candidate rows (equal top-10 verified)")
+    }
+
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
     // former CcProbe scratch main, folded in behind this flag)
