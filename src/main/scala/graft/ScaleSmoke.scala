@@ -694,6 +694,40 @@ object ScaleSmoke {
         s"items, MG carries $cand candidate rows (equal top-10 verified)")
     }
 
+    // SCD2 (q194), full rebuild vs incremental apply: the batch is HALF
+    // the events of 1% of users (so affected keys re-derive from a real
+    // store+batch interleave — late changes exercised — while 99% of
+    // keys pass through untouched). applyBatch splits the store on the
+    // BATCH's key set — its cost is the affected keys' version chains
+    // plus the passthrough, not a rescan-and-resort of all history.
+    val evScd = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(explode(sequence(lit(0), lit(rep - 1))).as("r"),
+        col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .select((col("r") * Off + col("event_id")).as("event_id"),
+        (col("r") * Off + col("user_id")).as("user_id"),
+        col("event_type"), col("ts"))
+    val inBatch = pmod(col("user_id"), lit(100)) === 0 &&
+      pmod(col("event_id"), lit(2)) === 0
+    val scdBatch = evScd.filter(inBatch)
+    val scdRest = evScd.filter(!inBatch)
+    run("scd2_rebuild", graft.operators.Scd.fromHistory(
+      evScd, Seq("user_id"), "ts", "event_id"), force = true)
+    if (only.forall(s => s("scd2_rebuild") || s("scd2_apply_batch"))) {
+      val store = graft.operators.Scd.fromHistory(
+        scdRest, Seq("user_id"), "ts", "event_id").localCheckpoint(true)
+      run("scd2_apply_batch", graft.operators.Scd.applyBatch(
+        store, scdBatch, Seq("user_id"), "ts", "event_id"), force = true)
+      val applied = graft.operators.Scd.applyBatch(
+        store, scdBatch, Seq("user_id"), "ts", "event_id")
+      val nApplied = applied.count()
+      val nRebuilt = graft.operators.Scd.fromHistory(
+        evScd, Seq("user_id"), "ts", "event_id").count()
+      require(nApplied == nRebuilt,
+        s"incremental SCD2 diverged: $nApplied vs $nRebuilt versions")
+      println(s"SCALE scd2 incremental == rebuild ($nRebuilt versions)")
+      graft.operators.Checkpoints.free(store)
+    }
+
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the
     // former CcProbe scratch main, folded in behind this flag)
