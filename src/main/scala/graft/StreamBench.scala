@@ -454,6 +454,23 @@ object StreamBench {
       finally q.stop()
     }
 
+    bench("scd2_versions")(events.size.toLong) { () =>
+      val scdDir = java.nio.file.Files
+        .createTempDirectory(s"sb_scd_$tag").toString
+      val ms = MemoryStream[Ev]
+      // live dimension versioning: each event is a change record keyed
+      // by user; affected keys re-derive per micro-batch (q194's
+      // applyBatch under the ledger)
+      val src = ms.toDF().select($"user_id", $"event_type", $"ts",
+        $"event_id")
+      val q = operators.Scd.maintainScd2(src, Seq("user_id"), "ts",
+          "event_id", s"$scdDir/store", s"$scdDir/ledger")
+        .option("checkpointLocation", s"$scdDir/ckpt").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
     bench("hist_quantiles")(events.size.toLong) { () =>
       val histDir = java.nio.file.Files
         .createTempDirectory(s"sb_hist_$tag").toString
@@ -571,6 +588,7 @@ object StreamBench {
       "exactsubstr_batch" -> "`Dedup.dedupSpansIncrementalWith` per micro-batch vs a checkpointed digest table (foreachBatch)",
       "distinct_cube" -> "`Sketches.maintainDistinctRollup` (HLL ROLLUP cube merged into the parquet store per micro-batch, exactly-once ledger)",
       "hist_quantiles" -> "`Sketches.maintainHistograms` (fixed-grid value histograms per event type merged into the parquet store per micro-batch, exactly-once ledger)",
+      "scd2_versions" -> "`Scd.maintainScd2` (live user-dimension versioning: affected keys re-derive per micro-batch, exactly-once ledger)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")
