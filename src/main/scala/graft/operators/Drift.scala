@@ -65,12 +65,24 @@ object Drift {
       groupCols: Seq[String], nB: Int): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     val keys = groupCols.map(col)
+    // explicit aliases: both sides can share lineage (drift of a frame
+    // against itself, or two filters of one parquet read), which makes
+    // unqualified refs ambiguous under DetectAmbiguousSelfJoin
     val ha = ha0.select(keys :+ col("n").as("n_a") :+
-      col("counts").as("ca"): _*)
+      col("counts").as("ca"): _*).alias("__ha")
     val hb = hb0.select(keys :+ col("n").as("n_b") :+
-      col("counts").as("cb"): _*)
+      col("counts").as("cb"): _*).alias("__hb")
     val empty = array_repeat(lit(0L), nB)
-    val joined = ha.join(hb, groupCols, "full_outer")
+    // NULL-SAFE key equality (<=>): histogramSketch keeps a null-group
+    // sketch row, and plain full-outer equality would split it into two
+    // spurious "appeared"/"vanished" rows — a false maximal-drift alarm
+    // for a group whose distribution may be identical across snapshots
+    val cond = groupCols
+      .map(c => col(s"__ha.$c") <=> col(s"__hb.$c")).reduce(_ && _)
+    val joined = ha.join(hb, cond, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(s"__ha.$c"), col(s"__hb.$c")).as(c)) ++
+        Seq(col("n_a"), col("n_b"), col("ca"), col("cb")): _*)
       .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
       .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
       .withColumn("ca", coalesce(col("ca"), empty))
@@ -102,7 +114,10 @@ object Drift {
     * 17 for language X" — in |groups|·dims sketch rows: one zero-shuffle
     * posexplode pass per snapshot, then the histogram aggregates.
     * All dims share `grid` (marginals of a normalized embedding live in
-    * the same numeric range; pick it to cover ±max|coordinate|).
+    * the same numeric range). The grid is in MICRO units — values are
+    * scaled by 1e6 before sketching — so size it to cover
+    * ±max|coordinate|·1e6 (a raw-unit grid would clamp everything into
+    * the edge buckets and silently read zero drift).
     */
   def psiByDimension(a: DataFrame, b: DataFrame, groupCol: String,
       vecCol: String, grid: Sketches.Grid): DataFrame = {

@@ -39,14 +39,13 @@ import org.apache.spark.sql.functions._
   */
 object Freq {
 
-  /** Per-partition Misra-Gries with `capacity` counters. Classic loop:
-    * hit → increment; miss with room → insert at 1; miss when full →
-    * decrement ALL (dropping zeros), which also discards the arriving
-    * item. Each decrement round destroys capacity+1 units of count, so
-    * rounds <= N/(capacity+1) — that is the undercount bound and the
-    * amortized O(1) argument at once.
+  /** One Misra-Gries step on a counter map of `capacity` slots. Classic
+    * loop: hit → increment; miss with room → insert at 1; miss when
+    * full → decrement ALL (dropping zeros), which also discards the
+    * arriving item. Each decrement round destroys capacity+1 units of
+    * count, so rounds <= N/(capacity+1) — that is the undercount bound
+    * and the amortized O(1) argument at once.
     */
-  /** One Misra-Gries step on a counter map of `capacity` slots. */
   private def mgStep(m: java.util.HashMap[String, Long], v: String,
       capacity: Int): Unit = {
     val cur = m.getOrDefault(v, 0L)
@@ -165,9 +164,11 @@ object Freq {
     * `n_total` column (total rows summarized) so any reader can state
     * the bound — and prune to GUARANTEED hitters (est > n_total/(cap+1)
     * − est is the undercount certificate) without consulting anything
-    * else. The merged frame is eagerly materialized BEFORE the
-    * overwrite; exposed separately from [[maintainTopHitters]] so
-    * restart/replay semantics are directly testable.
+    * else. Tracking n_total costs one extra COUNT pass over the batch
+    * (batch-sized, never store-sized). The merged frame is eagerly
+    * materialized BEFORE the overwrite; exposed separately from
+    * [[maintainTopHitters]] so restart/replay semantics are directly
+    * testable.
     */
   def mergeBatchIntoHitterStore(batch: DataFrame, itemCol: String,
       capacity: Int, storePath: String): Unit = {
@@ -188,14 +189,17 @@ object Freq {
     // would silently reset the error bound — carry a null-item marker
     // row instead. mergeMg drops it on the next merge (est 0 never
     // exceeds the subtrahend) and hitter readers filter items anyway.
+    // Pin the merge ONCE and probe emptiness on the pinned frame:
+    // isEmpty on the raw plan would execute the whole merge a second
+    // time ahead of the localCheckpoint.
     import spark.implicits._
-    val withMarker =
-      if (merged.isEmpty && total > 0L)
-        Seq((Option.empty[String], 0L)).toDF("item", "est")
-      else merged
-    val pinned = withMarker.withColumn("n_total", lit(total))
+    val pinned = merged.withColumn("n_total", lit(total))
       .localCheckpoint(true)
-    pinned.write.mode("overwrite").parquet(storePath)
+    val out =
+      if (total > 0L && pinned.isEmpty)
+        Seq((Option.empty[String], 0L, total)).toDF("item", "est", "n_total")
+      else pinned
+    out.write.mode("overwrite").parquet(storePath)
     Checkpoints.free(pinned)
   }
 
@@ -238,15 +242,17 @@ object Freq {
           .head().getLong(0)
         (mergeMgByGroup(stored, newSk, capacity), prevN + batchN)
       } else (newSk, batchN)
+    // pin once, probe emptiness on the pinned frame (see the global
+    // store's comment)
     import spark.implicits._
-    val withMarker =
-      if (merged.isEmpty && total > 0L)
-        Seq((Option.empty[String], Option.empty[String], 0L))
-          .toDF("group", "item", "est")
-      else merged
-    val pinned = withMarker.withColumn("n_total", lit(total))
+    val pinned = merged.withColumn("n_total", lit(total))
       .localCheckpoint(true)
-    pinned.write.mode("overwrite").parquet(storePath)
+    val out =
+      if (total > 0L && pinned.isEmpty)
+        Seq((Option.empty[String], Option.empty[String], 0L, total))
+          .toDF("group", "item", "est", "n_total")
+      else pinned
+    out.write.mode("overwrite").parquet(storePath)
     Checkpoints.free(pinned)
   }
 
@@ -264,19 +270,6 @@ object Freq {
         storePath)
     }
 
-  /** EXACT top-k (count desc, item asc tie-break) in two passes.
-    *
-    * Exact whenever the true k-th count exceeds N/(capacity+1) — then
-    * every top-k member (and every tie contender at the boundary) is in
-    * the candidate set, and pass 2 counts candidates exactly. Size the
-    * capacity from the expected frequency floor: top-k URLs at >=0.01%
-    * of traffic need capacity >= 10^4.
-    *
-    * Pass 2 keeps the ORIGINAL column type (the semi-join probes on a
-    * string cast; the output groups the raw column). The candidate
-    * broadcast is <= capacity·|partitions| rows of (string) keys —
-    * driver-bounded planning metadata, not corpus data.
-    */
   /** Grouped candidate summary: (group, item, est) with the
     * [[mgCandidates]] guarantees holding PER GROUP (each group's
     * summaries see only its own rows, so est <= true and
@@ -322,6 +315,19 @@ object Freq {
       .drop("__r")
   }
 
+  /** EXACT top-k (count desc, item asc tie-break) in two passes.
+    *
+    * Exact whenever the true k-th count exceeds N/(capacity+1) — then
+    * every top-k member (and every tie contender at the boundary) is in
+    * the candidate set, and pass 2 counts candidates exactly. Size the
+    * capacity from the expected frequency floor: top-k URLs at >=0.01%
+    * of traffic need capacity >= 10^4.
+    *
+    * Pass 2 keeps the ORIGINAL column type (the semi-join probes on a
+    * string cast; the output groups the raw column). The candidate
+    * broadcast is <= capacity·|partitions| rows of (string) keys —
+    * driver-bounded planning metadata, not corpus data.
+    */
   def exactTopK(df: DataFrame, itemCol: String, k: Int,
       capacity: Int): DataFrame = {
     // candidate column renamed + DataFrame-qualified probe so an input

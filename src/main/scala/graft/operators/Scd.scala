@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * windows are per key — no global sort); [[applyBatch]] re-versions
   * ONLY the keys present in the batch (a broadcast-semi split of the
   * store) and unions the untouched majority back unread — incremental
-  * cost is proportional to the CHANGED keys' version counts, never to
-  * the stored dimension, and out-of-order (late) changes are handled
+  * COMPUTE is proportional to the CHANGED keys' version counts, never
+  * to the stored dimension (the plain-parquet maintenance path still
+  * rewrites the store's files each batch — see
+  * [[mergeBatchIntoScdStore]]'s I/O caveat), and out-of-order (late)
+  * changes are handled
   * exactly because affected keys re-derive from their full change set
   * rather than trusting append order.
   */
@@ -30,6 +33,12 @@ object Scd {
   /** Version table from a full change history: per key ordered by
     * (tsCol, tieCol), `valid_from` = the change's ts and `valid_to` =
     * the NEXT change's ts (NULL on the last = current version).
+    *
+    * NULL-keyed changes are DROPPED: a null key names no entity, and
+    * keeping them would silently corrupt [[applyBatch]] — its
+    * anti/semi split uses SQL equality, which never matches nulls, so
+    * stored null-key versions would be passed through AND re-derived,
+    * leaving overlapping "current" rows.
     */
   def fromHistory(changes: DataFrame, keyCols: Seq[String], tsCol: String,
       tieCol: String): DataFrame = {
@@ -37,6 +46,7 @@ object Scd {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     changes
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .dropDuplicates(keyCols :+ tsCol :+ tieCol)
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
@@ -67,6 +77,13 @@ object Scd {
     * is ALREADY a no-op by the dedup identity (its changes are in the
     * store, dropDuplicates absorbs them), but the ledger still skips
     * the wasted rewrite.
+    *
+    * I/O caveat: the COMPUTE is proportional to the changed keys, but
+    * this plain-parquet maintenance path rewrites the WHOLE store file
+    * set each batch. For an unbounded dimension with a trickle of
+    * changes, store the versions key-bucket-partitioned and use dynamic
+    * partition overwrite so the rewrite touches only affected buckets —
+    * the operator composes unchanged; only the write mode differs.
     */
   def mergeBatchIntoScdStore(batch: DataFrame, keyCols: Seq[String],
       tsCol: String, tieCol: String, storePath: String): Unit = {

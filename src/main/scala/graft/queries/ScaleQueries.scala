@@ -8,12 +8,22 @@ import org.apache.spark.sql.functions._
 /** Round-14 scale-ops tier: the operators whose whole point is what they
   * REFUSE to shuffle at 100 TB —
   *  - mergeable Misra-Gries heavy-hitter summaries and the two-pass
-  *    exact top-k they make affordable (capacity·|partitions| summary
-  *    rows instead of a vocabulary-sized shuffle),
-  *  - bloom-prefiltered joins (fact rows that cannot match die before
-  *    the exchange; result provably identical to the plain join),
-  *  - PSI distribution-drift reports between corpus snapshots (two
-  *    |groups|-row histogram sketches and a zip_with, never raw rows).
+  *    exact top-k they make affordable, global (q190) and per-group
+  *    (q193): capacity·|partitions| summary rows instead of a
+  *    vocabulary-sized shuffle — plus the q200 composition, where the
+  *    discovered top-k becomes a corpus-adaptive stoplist feeding a
+  *    per-document signal;
+  *  - bloom-prefiltered joins (q191: fact rows that cannot match die
+  *    before the exchange; result provably identical to the plain
+  *    join) and the pre-join fanout guard (q199: per-key pair products
+  *    in DECIMAL(38,0), the row-explosion sizing report);
+  *  - PSI distribution-drift reports between corpus snapshots — scalar
+  *    signals (q192), embedding coordinate marginals (q197), and
+  *    per-dimension vector drift (q198): |groups|(·dims)-row histogram
+  *    sketches and a zip_with, never raw rows;
+  *  - SCD2 dimension versioning (q194: the key-partitioned lead-window
+  *    reference whose incremental/streaming forms are law-pinned in
+  *    ScdSpec).
   * Each gate pins the EXACT result against a DuckDB replay — the
   * approximation machinery is internal; what ships is exact or
   * integer-micro deterministic.

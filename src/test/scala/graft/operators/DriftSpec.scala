@@ -95,6 +95,18 @@ class DriftSpec extends SparkSpec {
     assert(live.head._4 == psiMicroRef(a.map(_._2), b.map(_._2), grid))
   }
 
+  test("a NULL group matches itself across snapshots (null-safe join, no false alarm)") {
+    // histogramSketch keeps a null-group sketch row; a plain full-outer
+    // equality join would split it into two spurious appear/vanish rows
+    val a = Seq((Option.empty[String], 5L), (Some("g"), 5L),
+      (Option.empty[String], 9L)).toDF("g", "v")
+    val got = Drift.psiReport(a, a, "g", "v", grid)
+      .select($"g", $"n_a", $"n_b", $"psi_micro")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got == Set((None, 2L, 2L, 0L), (Some("g"), 1L, 1L, 0L)),
+      s"null group must be ONE zero-drift row: $got")
+  }
+
   test("psiByDimension isolates the drifted coordinate") {
     // dim 0 identical across snapshots, dim 1 shifted wholesale
     val a = Seq(("g", Seq(0.1f, 0.1f)), ("g", Seq(0.2f, 0.15f)),

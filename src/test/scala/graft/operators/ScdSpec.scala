@@ -66,6 +66,25 @@ class ScdSpec extends SparkSpec {
       ("u2", "free", 40L, None, 7L)))
   }
 
+  test("null-keyed changes are dropped, not versioned — applyBatch stays consistent") {
+    // a null key names no entity; if fromHistory kept it, applyBatch's
+    // equality-based anti/semi split would BOTH pass the stored null
+    // rows through AND re-derive the batch's null rows from scratch,
+    // leaving overlapping "current" versions
+    val withNulls = Seq((Some("u1"), "a", 1L, 1L), (None, "x", 2L, 2L))
+      .toDF("key", "attr", "ts", "id")
+    val store = Scd.fromHistory(withNulls, Seq("key"), "ts", "id")
+    assert(versions(store).map(_._1) == Set("u1"))
+    val out = Scd.applyBatch(store,
+      Seq((Option.empty[String], "y", 3L, 3L), (Some("u1"), "b", 5L, 4L))
+        .toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id")
+    val got = versions(out)
+    assert(got.map(_._1) == Set("u1"))
+    // exactly one current version per key — the invariant null keys
+    // would have broken
+    assert(got.count(v => v._1 == "u1" && v._4.isEmpty) == 1)
+  }
+
   test("streaming SCD2 maintenance: store == fromHistory; replayed batch is a no-op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("scd_stream").toString

@@ -397,9 +397,13 @@ class PlanGateSpec extends SparkSpec {
     // bloom prefilter is scan-side (no exchange); the join's dim side
     // broadcasts at this sf, leaving the priority agg + sort
     "q191_bloom_join" -> 2,
-    // two fixed-grid histogram builds (2 partial-agg exchanges each);
-    // the full-outer sketch join reuses the lang partitioning; + sort
-    "q192_psi_drift" -> 5,
+    // two fixed-grid histogram builds (2 partial-agg exchanges each) +
+    // the NULL-SAFE full-outer sketch join (EqualNullSafe keys cannot
+    // reuse the aggregates' hash partitioning, so the join re-exchanges
+    // BOTH sides — but over |groups|·nBuckets SKETCH rows, metadata-
+    // scale; the null-group false-alarm fix is worth two tiny
+    // exchanges) + sort
+    "q192_psi_drift" -> 7,
     // grouped MG candidates + candidate-only exact count + the rank
     // window over candidate rows + sort — the (lang, token) vocabulary
     // itself never crosses the network unsummarized
@@ -413,12 +417,12 @@ class PlanGateSpec extends SparkSpec {
     // histogram build (2 partial-agg exchanges; the cumsum window rides
     // the second's partitioning) + sort; the cum table broadcasts back
     "q196_pct_normalize" -> 3,
-    // q192's shape on the vector marginal: two histogram builds + the
-    // label-keyed sketch join + sort
-    "q197_embedding_drift" -> 5,
+    // q192's shape on the vector marginal (incl. its null-safe
+    // sketch-row join exchanges)
+    "q197_embedding_drift" -> 7,
     // same shape with (label, dim) composite keys; the posexplode
     // passes are zero-shuffle map work before the partial aggregates
-    "q198_vector_drift" -> 5,
+    "q198_vector_drift" -> 7,
     // two per-side count aggregates + the |keys|-row count join + the
     // top-k limit exchange; totals broadcast, rank over k rows
     "q199_join_fanout" -> 5,
