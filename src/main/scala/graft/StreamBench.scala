@@ -454,6 +454,21 @@ object StreamBench {
       finally q.stop()
     }
 
+    bench("top_hitters")(events.size.toLong) { () =>
+      val mgDir = java.nio.file.Files
+        .createTempDirectory(s"sb_mg_$tag").toString
+      val ms = MemoryStream[Ev]
+      // live "hottest keys so far": user_id stream into a capacity-
+      // bounded Misra-Gries store (q190's summary under the ledger)
+      val src = ms.toDF().select($"user_id".cast("string").as("item"))
+      val q = operators.Freq.maintainTopHitters(src, "item",
+          capacity = 256, s"$mgDir/store", s"$mgDir/ledger")
+        .option("checkpointLocation", s"$mgDir/ckpt").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
     bench("scd2_versions")(events.size.toLong) { () =>
       val scdDir = java.nio.file.Files
         .createTempDirectory(s"sb_scd_$tag").toString
@@ -589,6 +604,7 @@ object StreamBench {
       "distinct_cube" -> "`Sketches.maintainDistinctRollup` (HLL ROLLUP cube merged into the parquet store per micro-batch, exactly-once ledger)",
       "hist_quantiles" -> "`Sketches.maintainHistograms` (fixed-grid value histograms per event type merged into the parquet store per micro-batch, exactly-once ledger)",
       "scd2_versions" -> "`Scd.maintainScd2` (live user-dimension versioning: affected keys re-derive per micro-batch, exactly-once ledger)",
+      "top_hitters" -> "`Freq.maintainTopHitters` (capacity-bounded Misra-Gries store merged per micro-batch, exactly-once ledger)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")
