@@ -135,6 +135,42 @@ object Drift {
       Seq(groupCol, "dim"), nB)
   }
 
+  /** Corpus-diversity report over one categorical dimension: group
+    * counts → Shannon entropy in the house ln-micro convention plus the
+    * top group's share — the "is the corpus collapsing onto one
+    * source/language?" dashboard numbers. Per-group terms
+    * `floor(−p·ln(p)·1e6 + 0.5)` sum as exact BIGINTs (p is one
+    * correctly-rounded division of exact integers, the lpu discipline),
+    * so any engine replays `entropy_micro` bit for bit. Uniform over G
+    * groups reads ln(G)·1e6; a single group reads 0.
+    *
+    * Scale shape: one partial-aggregated count per group, then
+    * |groups|-row arithmetic under a 1-row totals broadcast.
+    * Output: (dim, n_groups, n_rows, entropy_micro, top_share_micro).
+    */
+  def diversityReport(df: DataFrame, dimCol: String): DataFrame = {
+    val counts = df.filter(col(dimCol).isNotNull)
+      .groupBy(col(dimCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+    val p = col("n").cast("double") / col("total").cast("double")
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .withColumn("term",
+        floor(-p * log(p) * lit(1e6) + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n")).as("n_rows"),
+        sum(col("term")).as("entropy_micro"),
+        max(col("n")).as("__top"),
+        first(col("total")).as("__t"))
+      .withColumn("top_share_micro", {
+        val num = col("__top") * 1000000L
+        floor((num - pmod(num, col("__t"))).cast("double") /
+          col("__t").cast("double") + 0.5).cast("long")
+      })
+      .select(lit(dimCol).as("dim"), col("n_groups"), col("n_rows"),
+        col("entropy_micro"), col("top_share_micro"))
+  }
+
   /** [[psiReport]] with the shared grid discovered over BOTH snapshots'
     * values (one min/max pass on the unioned value column) — the grid is
     * returned because it is positional metadata every re-report against

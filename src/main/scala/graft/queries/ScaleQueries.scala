@@ -164,6 +164,17 @@ object ScaleQueries extends QueryModule {
         .orderBy($"user_id", $"valid_from_us", $"event_id")
     }),
 
+    // Corpus-diversity dashboard: Shannon entropy + top-group share
+    // for the language AND source dimensions in one report — the
+    // "collapsing onto one source?" numbers, ln-micro deterministic.
+    "q201_diversity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Drift.diversityReport(docs, "lang")
+        .unionByName(Drift.diversityReport(docs, "source"))
+        .orderBy($"dim")
+    }),
+
     // Corpus-ADAPTIVE stopword signal — the q190 machinery composed
     // into curation: the exact top-10 corpus tokens (two-pass MG, ties
     // by token asc) become the stoplist, and each document reports its
@@ -192,6 +203,34 @@ object ScaleQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+
+    // the ln-micro entropy replay, one CTE pair per dimension
+    "q201_diversity" ->
+      """WITH cl AS (SELECT CAST(lang AS VARCHAR) AS g, COUNT(*) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |tl AS (SELECT SUM(n) AS total FROM cl),
+        |el AS (
+        |  SELECT 'lang' AS dim, COUNT(*) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS entropy_micro,
+        |    CAST((MAX(n) * 1000000) // MAX(total) AS BIGINT)
+        |      AS top_share_micro
+        |  FROM cl, tl),
+        |cs AS (SELECT CAST(source AS VARCHAR) AS g, COUNT(*) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |ts AS (SELECT SUM(n) AS total FROM cs),
+        |es AS (
+        |  SELECT 'source' AS dim, COUNT(*) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS entropy_micro,
+        |    CAST((MAX(n) * 1000000) // MAX(total) AS BIGINT)
+        |      AS top_share_micro
+        |  FROM cs, ts)
+        |SELECT * FROM el UNION ALL SELECT * FROM es ORDER BY dim""".stripMargin,
 
     "q200_adaptive_stopwords" ->
       """WITH t AS (

@@ -107,6 +107,24 @@ class DriftSpec extends SparkSpec {
       s"null group must be ONE zero-drift row: $got")
   }
 
+  test("diversityReport: ln-micro entropy, top share, degenerate single group") {
+    def entMicro(counts: Seq[Long]): Long = {
+      val t = counts.sum.toDouble
+      counts.map(n => math.floor(-(n / t) * math.log(n / t) * 1e6 + 0.5).toLong).sum
+    }
+    val df = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++
+      Seq("d") ++ Seq(null.asInstanceOf[String])).toDF("g")
+    val got = Drift.diversityReport(df, "g")
+      .select($"dim", $"n_groups", $"n_rows", $"entropy_micro",
+        $"top_share_micro")
+      .as[(String, Long, Long, Long, Long)].head()
+    // nulls dropped: 10 rows over 4 groups; top share = 4e6 div 10
+    assert(got == (("g", 4L, 10L, entMicro(Seq(4L, 3L, 2L, 1L)), 400000L)))
+    val single = Drift.diversityReport(Seq("x", "x").toDF("g"), "g")
+      .select($"entropy_micro", $"top_share_micro").as[(Long, Long)].head()
+    assert(single == ((0L, 1000000L)), "one group: zero entropy, full share")
+  }
+
   test("psiByDimension isolates the drifted coordinate") {
     // dim 0 identical across snapshots, dim 1 shifted wholesale
     val a = Seq(("g", Seq(0.1f, 0.1f)), ("g", Seq(0.2f, 0.15f)),
