@@ -148,26 +148,41 @@ object Drift {
     * |groups|-row arithmetic under a 1-row totals broadcast.
     * Output: (dim, n_groups, n_rows, entropy_micro, top_share_micro).
     */
-  def diversityReport(df: DataFrame, dimCol: String): DataFrame = {
-    val counts = df.filter(col(dimCol).isNotNull)
-      .groupBy(col(dimCol).cast("string").as("g"))
+  def diversityReport(df: DataFrame, dimCol: String): DataFrame =
+    diversityReportMulti(df, Seq(dimCol))
+
+  /** [[diversityReport]] for SEVERAL dimensions in ONE corpus pass
+    * (the blendByRankBySketch both-signals-one-pass discipline): each
+    * row explodes to one (dim, value) pair per requested dimension,
+    * one partial-aggregated count shuffle covers them all, and
+    * everything after is |dims|·|groups|-row arithmetic. Output: one
+    * row per dimension.
+    */
+  def diversityReportMulti(df: DataFrame, dimCols: Seq[String]): DataFrame = {
+    require(dimCols.nonEmpty, "at least one dimension required")
+    val pairs = df.select(explode(array(dimCols.map(d =>
+        struct(lit(d).as("dim"), col(d).cast("string").as("g"))): _*))
+        .as("p"))
+      .select(col("p.dim").as("dim"), col("p.g").as("g"))
+      .filter(col("g").isNotNull)
+    val counts = pairs.groupBy(col("dim"), col("g"))
       .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("dim"))
+      .agg(sum(col("n")).as("total"))
     val p = col("n").cast("double") / col("total").cast("double")
     counts
-      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .join(broadcast(totals), Seq("dim"))
       .withColumn("term",
         floor(-p * log(p) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("dim"))
       .agg(count(lit(1)).as("n_groups"),
         sum(col("n")).as("n_rows"),
         sum(col("term")).as("entropy_micro"),
         max(col("n")).as("__top"),
         first(col("total")).as("__t"))
-      .withColumn("top_share_micro", {
-        val num = col("__top") * 1000000L
-        floor((num - pmod(num, col("__t"))).cast("double") /
-          col("__t").cast("double") + 0.5).cast("long")
-      })
-      .select(lit(dimCol).as("dim"), col("n_groups"), col("n_rows"),
+      .withColumn("top_share_micro",
+        Num.longFloorDiv(col("__top") * 1000000L, col("__t")))
+      .select(col("dim"), col("n_groups"), col("n_rows"),
         col("entropy_micro"), col("top_share_micro"))
   }
 

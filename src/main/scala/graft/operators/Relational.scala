@@ -428,8 +428,7 @@ object Relational {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("key"))))
       .select(col("rank"), col("key"), col("n"),
-        floor((shareNum - pmod(shareNum, col("total"))).cast("double") /
-          col("total").cast("double") + 0.5).cast("long").as("share_micro"),
+        Num.longFloorDiv(shareNum, col("total")).as("share_micro"),
         // remainder-strip BEFORE dividing: decimal division rounds at
         // scale 6, which is only safe when the quotient is exact
         ((skewNum - pmod(skewNum, dec(col("total")))) / dec(col("total")))

@@ -374,14 +374,9 @@ object Selection {
     (percentileBySketch(df, partCol, valCol, g.lo, g.width, g.nBuckets), g)
   }
 
-  /** Exact BIGINT floor division a div b (b > 0): Column `/` is DOUBLE
-    * division, and the dividend can exceed 2^53 at corpus group sizes —
-    * strip the remainder with pmod FIRST (exact in long), then the double
-    * quotient is integer-valued with absolute error << 0.5, which
-    * +0.5/floor snaps away.
-    */
+  /** See [[Num.longFloorDiv]] — the shared exact-BIGINT floor division. */
   private def longFloorDiv(a: Column, b: Column): Column =
-    floor((a - pmod(a, b)).cast("double") / b.cast("double") + 0.5).cast("long")
+    Num.longFloorDiv(a, b)
 
   /** Equi-width integer bucket index over [lo, lo + nBuckets·width), edge
     * clamped — `Sketches.histogramSketch`'s grid in pure integer

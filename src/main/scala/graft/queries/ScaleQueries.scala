@@ -165,13 +165,12 @@ object ScaleQueries extends QueryModule {
     }),
 
     // Corpus-diversity dashboard: Shannon entropy + top-group share
-    // for the language AND source dimensions in one report — the
+    // for the language AND source dimensions in ONE corpus pass — the
     // "collapsing onto one source?" numbers, ln-micro deterministic.
     "q201_diversity" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      Drift.diversityReport(docs, "lang")
-        .unionByName(Drift.diversityReport(docs, "source"))
+      Drift.diversityReportMulti(Tables.documents(s, dir),
+          Seq("lang", "source"))
         .orderBy($"dim")
     }),
 

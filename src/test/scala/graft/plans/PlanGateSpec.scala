@@ -58,7 +58,6 @@ class PlanGateSpec extends SparkSpec {
     "q169_score_blend_sketch", // same LM chain; pct tables broadcast by design
     "q189_skew_report",    // 1-row totals frame broadcast (q84/q87 shape)
     "q199_join_fanout",    // same 1-row totals broadcast (q189 shape)
-    "q201_diversity"       // same 1-row totals broadcast, one per dim
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -430,10 +429,10 @@ class PlanGateSpec extends SparkSpec {
     // q190's two MG passes + the per-doc aggregate + sort; the
     // discovered stoplist broadcasts into the signal join
     "q200_adaptive_stopwords" -> 4,
-    // per dimension: group-count agg + 1-row totals agg + the global
-    // report agg, twice + the union sort — every exchange is
-    // |groups|- or 1-row-sized
-    "q201_diversity" -> 8)
+    // ONE (dim, value)-pair count shuffle for all dimensions + the
+    // |dims|-row totals agg + the per-dim report agg + sort — every
+    // exchange |dims|·|groups|-sized or smaller
+    "q201_diversity" -> 5)
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
