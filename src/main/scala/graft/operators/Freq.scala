@@ -203,6 +203,21 @@ object Freq {
     Checkpoints.free(pinned)
   }
 
+  /** The certified read of a hitter store ([[mergeBatchIntoHitterStore]]
+    * layout): items whose UNDERCOUNT-ONLY estimate already clears the
+    * store's error bound `n_total/(capacity+1)` — for these, true count
+    * > bound is a theorem, not an estimate (est <= true always). Items
+    * below the line may or may not be heavy (the summary can't say);
+    * re-count candidates exactly if the distinction matters (the
+    * [[exactTopK]] pass-2 discipline). Marker rows (null item) are
+    * excluded.
+    */
+  def guaranteedHitters(store: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    store.filter(col("item").isNotNull &&
+      col("est") * (capacity + 1).toLong > col("n_total"))
+  }
+
   /** Streaming heavy-hitter maintenance — live "top tokens/URLs so far"
     * over an unbounded stream in ≤ capacity rows of state: every
     * micro-batch merges its own Misra-Gries summary into the parquet

@@ -107,6 +107,23 @@ class DriftSpec extends SparkSpec {
       s"null group must be ONE zero-drift row: $got")
   }
 
+  test("PSI properties on random snapshots: symmetric, non-negative, zero iff identical") {
+    val rnd = new scala.util.Random(17)
+    for (round <- 1 to 3) {
+      val a = Seq.fill(200)(("g", rnd.nextInt(64).toLong))
+      val b = Seq.fill(150)(("g", rnd.nextInt(64).toLong))
+      def psi(x: Seq[(String, Long)], y: Seq[(String, Long)]): Long =
+        Drift.psiReport(x.toDF("g", "v"), y.toDF("g", "v"), "g", "v", grid)
+          .select($"psi_micro").as[Long].head()
+      val ab = psi(a, b)
+      // every term (pa-pb)·ln(pa/pb) is non-negative, and the formula
+      // is invariant under swapping the snapshots
+      assert(ab >= 0L, s"round $round: negative PSI $ab")
+      assert(ab == psi(b, a), s"round $round: PSI not symmetric")
+      assert(psi(a, a) == 0L, s"round $round: identical snapshots drift")
+    }
+  }
+
   test("diversityReport: ln-micro entropy, top share, degenerate single group") {
     def entMicro(counts: Seq[Long]): Long = {
       val t = counts.sum.toDouble

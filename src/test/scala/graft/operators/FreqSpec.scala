@@ -263,6 +263,26 @@ class FreqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("guaranteedHitters certifies only items provably above the bound") {
+    val base = java.nio.file.Files.createTempDirectory("mg_cert").toString
+    val store = s"$base/store"
+    val cap = 32
+    val xs = skewed(81, 5000)
+    Freq.mergeBatchIntoHitterStore(
+      spark.createDataset(xs).toDF("item").repartition(4), "item", cap, store)
+    val cert = Freq.guaranteedHitters(spark.read.parquet(store), cap)
+      .select($"item", $"est").as[(String, Long)].collect().toMap
+    val exact = exactCounts(xs)
+    val bound = xs.size.toLong / (cap + 1)
+    // soundness: every certified item's TRUE count clears the bound
+    cert.keys.foreach { k =>
+      assert(exact(k) > bound, s"certified $k is not actually heavy")
+    }
+    // usefulness: the constructed heavies certify (their est stays far
+    // above the bound: true - est <= bound and true >= 2*bound+est slack)
+    assert(cert.contains("h1") && cert.contains("h2"))
+  }
+
   test("hitter store survives an adversarially emptied summary without losing n_total") {
     val base = java.nio.file.Files.createTempDirectory("mg_empty").toString
     val store = s"$base/store"

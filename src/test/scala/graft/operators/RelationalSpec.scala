@@ -258,6 +258,22 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((2L, "b", "x"), (4L, "d", "y")))
   }
 
+  test("bloomPrefilteredJoin equals the plain join on random data across fpp settings") {
+    val rnd = new scala.util.Random(23)
+    for (fpp <- Seq(0.5, 0.05, 0.005)) {
+      val fact = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(9)))
+        .toDF("k", "v")
+      val dim = Seq.fill(40)((rnd.nextInt(120).toLong, rnd.nextInt(9)))
+        .distinct.toDF("k", "d")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"k", $"v", $"d").as[(Long, Int, Int)].collect()
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val got = rows(Relational.bloomPrefilteredJoin(fact, dim, Seq("k"),
+        expectedKeys = 64L, fpp = fpp))
+      assert(got == rows(fact.join(dim, Seq("k"))), s"fpp=$fpp diverged")
+    }
+  }
+
   test("bloomPrefilteredJoin composite keys and null keys match the plain join") {
     val fact = Seq((Some(1L), "p", 10L), (None, "p", 20L), (Some(1L), "q", 30L))
       .toDF("k1", "k2", "v")
