@@ -234,41 +234,54 @@ object Freq {
       mergeBatchIntoHitterStore(b, itemCol, capacity, storePath)
     }
 
-  /** Grouped twin of [[mergeBatchIntoHitterStore]]: per-group summaries
-    * merged with per-group re-bounding; `n_total` counts all summarized
-    * rows (group-level totals are recoverable from per-group marker
-    * bookkeeping only if needed — the global figure bounds every
-    * group's error from above, which is the conservative certificate).
-    * Empty-summary batches keep their marker row exactly as the global
-    * store does.
+  /** Grouped twin of [[mergeBatchIntoHitterStore]] with PER-GROUP
+    * totals: `n_total` on each row is ITS GROUP's summarized row count,
+    * so [[guaranteedHittersByGroup]] certifies against each group's own
+    * bound (a global figure would dilute a small group's certificate
+    * under big-group traffic, exactly like a group-blind merge would
+    * dilute its counters). The summary right-joins the totals table, so
+    * a group whose summary was decremented empty keeps a natural
+    * (group, null-item, 0) marker row carrying its total — no separate
+    * marker machinery.
     */
   def mergeBatchIntoGroupHitterStore(batch: DataFrame, groupCol: String,
       itemCol: String, capacity: Int, storePath: String): Unit = {
     val spark = batch.sparkSession
-    val batchN = batch
-      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull).count()
+    val batchTotals = batch
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n_total"))
     val newSk = mgCandidatesByGroup(batch, groupCol, itemCol, capacity)
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (merged, total) =
+    val (merged, totals) =
       if (fs.exists(p)) {
         val stored = spark.read.parquet(storePath)
-        val prevN = stored.agg(coalesce(max(col("n_total")), lit(0L)))
-          .head().getLong(0)
-        (mergeMgByGroup(stored, newSk, capacity), prevN + batchN)
-      } else (newSk, batchN)
-    // pin once, probe emptiness on the pinned frame (see the global
-    // store's comment)
-    import spark.implicits._
-    val pinned = merged.withColumn("n_total", lit(total))
+        val prevTotals = stored.select(col("group"), col("n_total"))
+          .distinct()
+        val summed = prevTotals.unionByName(batchTotals)
+          .groupBy(col("group")).agg(sum(col("n_total")).as("n_total"))
+        (mergeMgByGroup(stored.filter(col("item").isNotNull), newSk,
+          capacity), summed)
+      } else (newSk, batchTotals)
+    val pinned = merged
+      .join(totals, Seq("group"), "right_outer")
+      .withColumn("est", coalesce(col("est"), lit(0L)))
+      .select(col("group"), col("item"), col("est"), col("n_total"))
       .localCheckpoint(true)
-    val out =
-      if (total > 0L && pinned.isEmpty)
-        Seq((Option.empty[String], Option.empty[String], 0L, total))
-          .toDF("group", "item", "est", "n_total")
-      else pinned
-    out.write.mode("overwrite").parquet(storePath)
+    pinned.write.mode("overwrite").parquet(storePath)
     Checkpoints.free(pinned)
+  }
+
+  /** Certified read of a grouped hitter store: items whose estimate
+    * clears THEIR OWN group's bound `n_total_group/(capacity+1)` —
+    * heaviness within the group is a theorem (see
+    * [[guaranteedHitters]]). Marker rows are excluded.
+    */
+  def guaranteedHittersByGroup(store: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    store.filter(col("item").isNotNull &&
+      col("est") * (capacity + 1).toLong > col("n_total"))
   }
 
   /** Streaming per-group heavy-hitter maintenance — live "top items per

@@ -241,17 +241,29 @@ class FreqSpec extends SparkSpec {
       val rows = spark.read.parquet(store)
         .select($"group", $"item", $"est", $"n_total")
         .as[(String, String, Long, Long)].collect()
-      assert(rows.head._4 == (b1.size + b2.size).toLong)
+      // n_total is PER GROUP — each group certifies against its own
+      // traffic, not the stream's
+      val nA = (b1.count(_._1 == "A") + b2.size).toLong
+      val nB = b1.count(_._1 == "B").toLong
+      assert(rows.filter(_._1 == "A").forall(_._4 == nA))
+      assert(rows.filter(_._1 == "B").forall(_._4 == nB))
       val byG = rows.groupBy(_._1)
         .map { case (g, rs) => g -> rs.map(r => r._2 -> r._3).toMap }
       val exactA = exactCounts((b1.filter(_._1 == "A") ++ b2).map(_._2))
-      val nA = (b1.count(_._1 == "A") + b2.size).toLong
       byG("A").foreach { case (k, e) =>
         assert(e <= exactA(k) && exactA(k) - e <= nA / (cap + 1))
       }
       exactA.filter(_._2 > nA / (cap + 1)).keys.foreach { k =>
         assert(byG("A").contains(k))
       }
+      // certified read: per-group soundness against exact counts
+      val exactB = exactCounts(b1.filter(_._1 == "B").map(_._2))
+      Freq.guaranteedHittersByGroup(spark.read.parquet(store), cap)
+        .select($"group", $"item").as[(String, String)].collect()
+        .foreach { case (g, k) =>
+          val (ex, n) = if (g == "A") (exactA, nA) else (exactB, nB)
+          assert(ex(k) > n / (cap + 1), s"certified $g/$k not heavy")
+        }
       graft.io.Sinks.runIdempotent(b1.toDF("g", "item"), 0L, ledger) {
         (b, _) => Freq.mergeBatchIntoGroupHitterStore(b, "g", "item", cap,
           store)
