@@ -68,6 +68,49 @@ object Relational {
       .select(col("__lrow.*"), col("__asof").as("asof"))
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` on the same key — the other temporal half of
+    * [[asOfJoin]] ("next maintenance after the failure",
+    * "time-to-next-error after a purchase"). Same single-shuffle
+    * union-and-window shape, time-mirrored: ordering DESCENDS, so
+    * "latest previous in descending order" IS the earliest following
+    * row; right rows sort before left rows at an equal timestamp so a
+    * same-instant right row matches (>= semantics). Left rows with no
+    * following right row keep a null `asof`.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val rightPayload = struct(right.columns.map(col): _*)
+    val leftPayload = struct(left.columns.map(col): _*)
+    val tb = tieBreak.filterNot(keyCols.contains)
+    val r = right.select(
+      keyCols.map(col) ++ tb.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          rightPayload.as("__payload"),
+          lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields))
+            .as("__lrow")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++ tb.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(org.apache.spark.sql.types.StructType(right.schema.fields))
+            .as("__payload"),
+          leftPayload.as("__lrow")): _*)
+    // DESC time, right-before-left within an instant, tie-break ASC so
+    // among equal-ts right rows the LAST in descending scan order (= the
+    // first in tieBreak order) wins — mirroring asOfJoin's "later row in
+    // tieBreak order" via the reversed traversal
+    val ordering: Seq[Column] =
+      col("__ts").desc +: col("__side") +: tieBreak.map(col(_).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(lTagged)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*"), col("__asof").as("asof"))
+  }
+
   /** Range join WITHOUT an equality key: one output row per (left, right)
     * pair with `left.leftTs` in `[right.loCol, right.hiCol]`. Naive Spark
     * plans this as BroadcastNestedLoopJoin / cartesian — O(|L|·|R|)

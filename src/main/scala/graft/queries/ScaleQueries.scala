@@ -164,6 +164,25 @@ object ScaleQueries extends QueryModule {
         .orderBy($"user_id", $"valid_from_us", $"event_id")
     }),
 
+    // Time-to-next-error after each purchase — the FORWARD as-of join
+    // (`Relational.asOfJoinForward`): earliest error at-or-after the
+    // purchase per user, one keyed shuffle, zero joins, null gap when
+    // no error follows. The temporal mirror of the q-gated backward
+    // asOfJoin the SCD2 store serves.
+    "q202_time_to_next_error" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"ts")
+      val e = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts")
+      Relational.asOfJoinForward(p, e, Seq("user_id"), "ts", "ts")
+        .select($"p_id", $"user_id", unix_micros($"ts").as("p_us"),
+          unix_micros($"asof.ts").as("next_err_us"))
+        .withColumn("gap_us", $"next_err_us" - $"p_us")
+        .orderBy($"p_id")
+    }),
+
     // Corpus-diversity dashboard: Shannon entropy + top-group share
     // for the language AND source dimensions in ONE corpus pass — the
     // "collapsing onto one source?" numbers, ln-micro deterministic.
@@ -202,6 +221,20 @@ object ScaleQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+
+    // correlated MIN-over-following replay of the forward as-of
+    "q202_time_to_next_error" ->
+      s"""WITH ${Q.eventsUs},
+         |p AS (SELECT user_id, event_id AS p_id, ts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |er AS (SELECT user_id, ts FROM ev WHERE event_type = 'error')
+         |SELECT p.p_id, p.user_id, epoch_us(p.ts) AS p_us,
+         |  (SELECT MIN(epoch_us(er.ts)) FROM er
+         |   WHERE er.user_id = p.user_id AND er.ts >= p.ts) AS next_err_us,
+         |  (SELECT MIN(epoch_us(er.ts)) FROM er
+         |   WHERE er.user_id = p.user_id AND er.ts >= p.ts)
+         |    - epoch_us(p.ts) AS gap_us
+         |FROM p ORDER BY p_id""".stripMargin,
 
     // the ln-micro entropy replay, one CTE pair per dimension
     "q201_diversity" ->

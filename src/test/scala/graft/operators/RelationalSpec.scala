@@ -30,6 +30,34 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getAs[Any]("asof") == null)
   }
 
+  test("asOfJoinForward picks the earliest right row at-or-after each left row") {
+    val trades = Seq(
+      ("A", 1L, 10L), ("A", 2L, 25L), ("A", 3L, 30L), ("A", 4L, 31L),
+      ("B", 5L, 10L)
+    ).toDF("sym", "trade_id", "t")
+    val quotes = Seq(
+      ("A", 5L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0), ("B", 50L, 9.0)
+    ).toDF("sym", "t", "px")
+    val out = Relational.asOfJoinForward(trades, quotes, Seq("sym"), "t", "t")
+      .select($"trade_id", $"asof.px".as("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(2.0)) // quote@20 is the next at-or-after t=10
+    assert(out(2L).contains(3.0)) // quote@30 >= 25
+    assert(out(3L).contains(3.0)) // same-instant quote matches (>=)
+    assert(out(4L).isEmpty)       // nothing after t=31 for A
+    assert(out(5L).contains(9.0)) // B's only quote is ahead
+  }
+
+  test("asOfJoinForward equal-ts right rows resolve to the first in tieBreak order") {
+    val l = Seq(("k", 10L, 0L)).toDF("k", "t", "seq")
+    val r = Seq(("k", 10L, 2L, "second"), ("k", 10L, 1L, "first"))
+      .toDF("k", "t", "seq", "v")
+    val got = Relational.asOfJoinForward(l, r, Seq("k"), "t", "t",
+        tieBreak = Seq("seq"))
+      .select($"asof.v").as[String].head()
+    assert(got == "first")
+  }
+
   test("rangeJoin equals the naive cross-filter and never plans a cartesian") {
     val left = Seq.tabulate(200)(i => (i.toLong, i.toLong * 7 % 500))
       .toDF("lid", "t")

@@ -429,6 +429,9 @@ class PlanGateSpec extends SparkSpec {
     // q190's two MG passes + the per-doc aggregate + sort; the
     // discovered stoplist broadcasts into the signal join
     "q200_adaptive_stopwords" -> 4,
+    // one user-keyed window shuffle (the asOfJoin single-shuffle
+    // shape, time-mirrored) + the output sort
+    "q202_time_to_next_error" -> 2,
     // ONE (dim, value)-pair count shuffle for all dimensions + the
     // |dims|-row totals agg + the per-dim report agg + sort — every
     // exchange |dims|·|groups|-sized or smaller
