@@ -232,12 +232,20 @@ object Relational {
   }
 
   /** Bloom-prefiltered equi-join: build a Bloom filter over the DIM
-    * side's join keys (distributed build, driver-held bitmap), drop the
-    * FACT rows that cannot match BEFORE they reach the join's shuffle,
-    * then run the plain equi-join. The result is EXACTLY the plain
-    * join's — the bloom admits false positives (eliminated by the real
-    * join) and never false negatives — which is what the oracle gate
-    * asserts.
+    * side's join keys, drop the FACT rows that cannot match BEFORE they
+    * reach the join's shuffle, then run the plain equi-join. The result
+    * is EXACTLY the plain join's — the bloom admits false positives
+    * (eliminated by the real join) and never false negatives — which is
+    * what the oracle gate asserts.
+    *
+    * Mechanics are PLAN-NATIVE (Spark 3.3+'s own runtime-filter
+    * expressions): the dim aggregates through `bloom_filter_agg` into a
+    * scalar subquery, and the fact side probes with a
+    * `BloomFilterMightContain` predicate over that subquery — the same
+    * shape `InjectRuntimeFilter` emits. The filter bytes live in the
+    * plan (computed once as a subquery result, codegen'd probe), not in
+    * a driver round-trip re-shipped inside every task closure; this is
+    * deliberately the engine's zero `udf(` call count.
     *
     * When it pays: the dim side is too big to BROADCAST as rows but its
     * KEY SET fits a bitmap (n keys ≈ n·9.6 bits at 1% fpp: 10M keys ≈
@@ -253,7 +261,11 @@ object Relational {
     *
     * Composite keys probe on `xxhash64(keys)` — hash collisions fold
     * into the fpp, and exactness is unaffected since the real join
-    * re-checks the raw keys.
+    * re-checks the raw keys. Because `xxhash64` is DTYPE-sensitive
+    * (int 5, long 5 and "5" hash differently) while SQL equi-joins
+    * type-coerce, each key column's dtype must MATCH on the two sides —
+    * enforced loudly here, since a coerced-but-differently-typed key
+    * would bloom-miss rows the join would have matched.
     */
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
       keyCols: Seq[String], expectedKeys: Long,
@@ -261,11 +273,32 @@ object Relational {
     require(keyCols.nonEmpty, "at least one join key required")
     require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
     require(0 < fpp && fpp < 1, s"fpp must be in (0,1): $fpp")
+    keyCols.foreach { k =>
+      val ft = fact.schema(k).dataType
+      val dt = dim.schema(k).dataType
+      require(ft == dt, s"bloomPrefilteredJoin key '$k' dtype mismatch: " +
+        s"fact=$ft dim=$dt — xxhash64 is dtype-sensitive while the " +
+        "equi-join coerces, so a mismatch silently drops matching rows; " +
+        "cast both sides to one type first")
+    }
     def keyHash(df: DataFrame) = xxhash64(keyCols.map(df(_)): _*)
-    val bf = dim.select(keyHash(dim).as("__k"))
-      .stat.bloomFilter("__k", expectedKeys, fpp)
-    val mightMatch = udf((h: Long) => bf.mightContain(h))
-    fact.filter(mightMatch(keyHash(fact))).join(dim, keyCols)
+    val spark = fact.sparkSession
+    // BloomFilterAggregate clamps its sizing to these session caps; lift
+    // them to the documented ceiling of this operator so expectedKeys is
+    // honored rather than silently degraded to a higher fpp.
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
+        expectedKeys, fpp)
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedKeys,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .foreach { case (key, need) =>
+        if (spark.conf.get(key).toLong < need)
+          spark.conf.set(key, need.toString)
+      }
+    val probe = org.apache.spark.sql.graftexec.ExprBridge.bloomMightContain(
+      dim.select(keyHash(dim).as("__k")), expectedKeys, numBits,
+      keyHash(fact))
+    fact.filter(probe).join(dim, keyCols)
   }
 
   /** Per-group winsorized statistics over an integer measure: exact

@@ -315,4 +315,34 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((10L, "d1")))
   }
 
+  test("bloomPrefilteredJoin rejects dtype-mismatched keys loudly") {
+    // int 5 and long 5 equi-join fine under coercion but xxhash64
+    // differently — the operator must refuse rather than drop rows
+    val fact = Seq((5, "a")).toDF("k", "v")          // IntegerType key
+    val dim = Seq((5L, "d")).toDF("k", "d")          // LongType key
+    val e = intercept[IllegalArgumentException] {
+      Relational.bloomPrefilteredJoin(fact, dim, Seq("k"),
+        expectedKeys = 10L)
+    }
+    assert(e.getMessage.contains("dtype mismatch"))
+    // and the cast-first spelling works and matches the plain join
+    val got = Relational.bloomPrefilteredJoin(
+        fact.withColumn("k", $"k".cast("long")), dim, Seq("k"),
+        expectedKeys = 10L)
+      .select($"v", $"d").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "d")))
+  }
+
+  test("bloomPrefilteredJoin probe is plan-native (subquery, no UDF)") {
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim = Seq((2L, "d")).toDF("k", "d")
+    val plan = Relational.bloomPrefilteredJoin(fact, dim, Seq("k"),
+      expectedKeys = 10L).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"bloom not a subquery in:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"UDF leaked into:\n$plan")
+  }
+
 }

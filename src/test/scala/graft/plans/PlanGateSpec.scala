@@ -394,9 +394,11 @@ class PlanGateSpec extends SparkSpec {
     // MG two-pass: capacity·|partitions| summary rows shuffle once, then
     // the candidate-only exact count — never a vocabulary-sized exchange
     "q190_heavy_hitters" -> 2,
-    // bloom prefilter is scan-side (no exchange); the join's dim side
-    // broadcasts at this sf, leaving the priority agg + sort
-    "q191_bloom_join" -> 2,
+    // bloom prefilter probes a SCALAR SUBQUERY (plan-native
+    // bloom_filter_agg: +1 single-partition exchange over dim hashes,
+    // subquery-local); the join's dim side broadcasts at this sf,
+    // leaving the priority agg + sort
+    "q191_bloom_join" -> 3,
     // two fixed-grid histogram builds (2 partial-agg exchanges each) +
     // the NULL-SAFE full-outer sketch join (EqualNullSafe keys cannot
     // reuse the aggregates' hash partitioning, so the join re-exchanges
