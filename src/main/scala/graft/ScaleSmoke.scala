@@ -727,6 +727,48 @@ object ScaleSmoke {
       println(s"SCALE scd2 incremental == rebuild ($nRebuilt versions)")
       graft.operators.Checkpoints.free(store)
     }
+    // store-I/O proportionality: the bucketed store rewrites files in
+    // AFFECTED buckets only, while the plain path rewrites the whole
+    // store per batch whatever the batch size. Measured directly off
+    // the filesystem: seed the store with everything except one small
+    // key slice, then merge that slice and count which bucket dirs'
+    // parquet file sets changed.
+    if (only.forall(_("scd2_bucketed_io"))) {
+      val base = java.nio.file.Files
+        .createTempDirectory("scale_scd_bucketed").toString
+      val storeDir = s"$base/store"
+      val nBuckets = 64
+      val tinyBatch = evScd.filter(pmod(col("user_id"), lit(1000)) === 7)
+      val seed = evScd.filter(pmod(col("user_id"), lit(1000)) =!= 7)
+      graft.operators.Scd.mergeBatchIntoBucketedScdStore(seed,
+        Seq("user_id"), "ts", "event_id", storeDir, nBuckets)
+      def filesByBucket: Map[String, Set[String]] = {
+        val root = new java.io.File(storeDir)
+        root.listFiles
+          .filter(_.getName.startsWith(s"${graft.operators.Scd.BucketCol}="))
+          .map(d => d.getName -> d.listFiles.map(_.getName)
+            .filter(_.endsWith(".parquet")).toSet).toMap
+      }
+      val before = filesByBucket
+      val affected = tinyBatch
+        .select(graft.operators.Scd.bucketOf(Seq("user_id"), nBuckets))
+        .distinct().count()
+      val t0 = System.nanoTime()
+      graft.operators.Scd.mergeBatchIntoBucketedScdStore(tinyBatch,
+        Seq("user_id"), "ts", "event_id", storeDir, nBuckets)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = filesByBucket
+      val rewritten = before.keySet.count(d => after(d) != before(d)) +
+        (after.keySet -- before.keySet).size
+      require(rewritten <= affected,
+        s"bucketed SCD2 rewrote $rewritten bucket dirs > $affected affected")
+      val untouched = before.keySet.intersect(after.keySet)
+        .count(d => after(d) == before(d))
+      println(f"SCALE scd2_bucketed_io      $sec%8.2f sec  " +
+        s"rewrote $rewritten/$nBuckets buckets (affected=$affected, " +
+        s"untouched=$untouched) — plain path rewrites all files every batch")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
 
     println("SCALE plan_checks PASS")
     // SPARK_GRAFT_SCALE_CC_PROBE=1: per-round CC cost diagnostic (the

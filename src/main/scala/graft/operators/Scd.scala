@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   * [[mergeBatchIntoScdStore]]'s I/O caveat), and out-of-order (late)
   * changes are handled
   * exactly because affected keys re-derive from their full change set
-  * rather than trusting append order.
+  * rather than trusting append order. The maintenance I/O tiers split
+  * the same way: [[mergeBatchIntoScdStore]] (flat store, whole-file
+  * rewrite — bounded dimensions) vs [[mergeBatchIntoBucketedScdStore]]
+  * (hash-bucket-partitioned + dynamic partition overwrite — unbounded
+  * dimensions at trickle change rates).
   */
 object Scd {
 
@@ -80,10 +84,11 @@ object Scd {
     *
     * I/O caveat: the COMPUTE is proportional to the changed keys, but
     * this plain-parquet maintenance path rewrites the WHOLE store file
-    * set each batch. For an unbounded dimension with a trickle of
-    * changes, store the versions key-bucket-partitioned and use dynamic
-    * partition overwrite so the rewrite touches only affected buckets —
-    * the operator composes unchanged; only the write mode differs.
+    * set each batch — fine for a bounded dimension, wrong for an
+    * unbounded one with a trickle of changes. That regime is
+    * [[mergeBatchIntoBucketedScdStore]]: key-hash-bucket-partitioned
+    * store + dynamic partition overwrite, read AND rewrite proportional
+    * to affected buckets.
     */
   def mergeBatchIntoScdStore(batch: DataFrame, keyCols: Seq[String],
       tsCol: String, tieCol: String, storePath: String): Unit = {
@@ -110,5 +115,111 @@ object Scd {
       org.apache.spark.sql.Row] =
     graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
       mergeBatchIntoScdStore(b, keyCols, tsCol, tieCol, storePath)
+    }
+
+  /** The version store's partition column. Internal — [[readScdStore]]
+    * strips it; version semantics never depend on it.
+    */
+  val BucketCol = "__scd_bucket"
+
+  /** Key → hash-bucket assignment for the bucketed store. Keys are
+    * cast to STRING before hashing so the assignment is DTYPE-stable:
+    * a later batch that carries the same key as int where the store
+    * was built with long still lands in the same bucket (xxhash64 on
+    * raw columns would not — the [[Relational.bloomPrefilteredJoin]]
+    * lesson applied at design time).
+    */
+  def bucketOf(keyCols: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(k => col(k).cast("string")): _*),
+      lit(nBuckets.toLong))
+
+  /** Read a version store written by either maintenance path, with the
+    * internal bucket column (if any) stripped.
+    */
+  def readScdStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame = {
+    val df = spark.read.parquet(storePath)
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
+  /** [[mergeBatchIntoScdStore]] with the store hash-bucket-partitioned
+    * on the keys — the 100 TB maintenance path. The plain path's
+    * honest caveat was I/O: compute is changed-keys-proportional but a
+    * flat parquet store is rewritten WHOLE every batch. Here the store
+    * is partitioned by [[bucketOf]] and each batch
+    *
+    *   1. computes the batch's AFFECTED bucket set (≤ min(|batch keys|,
+    *      nBuckets) values — bounded driver metadata),
+    *   2. reads ONLY those buckets (partition-pruned scan),
+    *   3. re-derives them through [[applyBatch]], and
+    *   4. overwrites ONLY them (dynamic partition overwrite — a
+    *      per-write option, no session-conf mutation).
+    *
+    * Untouched buckets are never read and never rewritten, so both I/O
+    * directions scale with the CHANGED key set: a trickle batch against
+    * a billion-key dimension touches ~|batch| buckets of ~|dim|/nBuckets
+    * keys each. Every affected bucket is guaranteed non-empty in the
+    * merged output (applyBatch never drops a key — untouched keys pass
+    * through, affected keys re-derive to ≥1 version), so dynamic
+    * overwrite cannot leave a stale bucket behind.
+    *
+    * `nBuckets` is pinned at store creation (bucket membership is
+    * positional, exactly like the histogram grids): enforced against
+    * the store's own directory layout on every merge.
+    *
+    * Replay semantics are unchanged from the plain path: a replayed
+    * batch re-derives its buckets to identical content (the dedup
+    * identity absorbs duplicates), and the ledger skips the wasted
+    * rewrite entirely.
+    */
+  def mergeBatchIntoBucketedScdStore(batch: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, storePath: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mirror fromHistory's null-key policy BEFORE bucketing so a
+    // null-keyed change can't drag a phantom bucket into the read set
+    val clean = batch.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    if (!fs.exists(p)) {
+      fromHistory(clean, keyCols, tsCol, tieCol)
+        .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(storePath)
+    } else {
+      val existing = fs.listStatus(p).map(_.getPath.getName)
+        .count(_.startsWith(s"$BucketCol="))
+      require(existing <= nBuckets,
+        s"store at $storePath has $existing bucket partitions > nBuckets=" +
+          s"$nBuckets — nBuckets is pinned at store creation")
+      val buckets = clean
+        .select(bucketOf(keyCols, nBuckets).as(BucketCol)).distinct()
+        .collect().map(_.getLong(0)) // bounded: ≤ min(|batch keys|, nBuckets)
+      if (buckets.nonEmpty) {
+        val slice = spark.read.parquet(storePath)
+          .filter(col(BucketCol).isin(buckets.map(Long.box): _*))
+          .drop(BucketCol)
+        val merged = applyBatch(slice, clean, keyCols, tsCol, tieCol)
+          .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
+        val pinned = merged.localCheckpoint(true)
+        pinned.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BucketCol).parquet(storePath)
+        Checkpoints.free(pinned)
+      }
+    }
+  }
+
+  /** [[maintainScd2]] over the bucket-partitioned store — same ledger,
+    * same version semantics ([[readScdStore]] of the two paths is
+    * spec-pinned equal), batch I/O proportional to affected buckets.
+    */
+  def maintainScd2Bucketed(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, storePath: String, ledgerDir: String,
+      nBuckets: Int): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
+      mergeBatchIntoBucketedScdStore(b, keyCols, tsCol, tieCol, storePath,
+        nBuckets)
     }
 }

@@ -116,6 +116,96 @@ class ScdSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed store == plain fromHistory across incremental batches, incl. replay") {
+    val base = java.nio.file.Files.createTempDirectory("scd_bucketed").toString
+    val store = s"$base/store"
+    // out-of-order split: u1's ts=20 change arrives AFTER its ts=30 one
+    val batches = Seq(
+      Seq(("u1", "free", 10L, 1L), ("u1", "free", 30L, 3L), ("u2", "pro", 15L, 4L)),
+      Seq(("u1", "pro", 20L, 2L), ("u3", "free", 10L, 5L)),
+      Seq(("u3", "pro", 10L, 6L)))
+    batches.foreach { b =>
+      Scd.mergeBatchIntoBucketedScdStore(b.toDF("key", "attr", "ts", "id"),
+        Seq("key"), "ts", "id", store, nBuckets = 8)
+    }
+    val want = versions(Scd.fromHistory(
+      history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+    // replayed batch: dedup identity re-derives identical content
+    Scd.mergeBatchIntoBucketedScdStore(
+      batches(1).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+    // null-keyed changes are dropped here too
+    Scd.mergeBatchIntoBucketedScdStore(
+      Seq((Option.empty[String], "x", 99L, 7L)).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+  }
+
+  test("bucketed merge rewrites ONLY the affected buckets' files") {
+    val base = java.nio.file.Files.createTempDirectory("scd_bucketio").toString
+    val store = s"$base/store"
+    val nBuckets = 16
+    // 40 keys spread over the buckets
+    val init = (1 to 40).map(i => (s"k$i", "v0", 10L, i.toLong))
+    Scd.mergeBatchIntoBucketedScdStore(init.toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets)
+    def filesByBucket: Map[String, Set[String]] = {
+      val root = new java.io.File(store)
+      root.listFiles.filter(_.getName.startsWith(s"${Scd.BucketCol}="))
+        .map(d => d.getName -> d.listFiles.map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = filesByBucket
+    assert(before.size > 2, s"want keys spread over >2 buckets: $before")
+    // one-key batch → exactly one affected bucket
+    Scd.mergeBatchIntoBucketedScdStore(
+      Seq(("k7", "v1", 20L, 100L)).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets)
+    val after = filesByBucket
+    val k7Bucket = Seq(("k7", 0)).toDF("key", "z")
+      .select(Scd.bucketOf(Seq("key"), nBuckets)).head.getLong(0)
+    val touchedDir = s"${Scd.BucketCol}=$k7Bucket"
+    assert(after(touchedDir) != before(touchedDir),
+      "affected bucket must be rewritten")
+    (before.keySet - touchedDir).foreach { dir =>
+      assert(after(dir) == before(dir),
+        s"untouched bucket $dir was rewritten")
+    }
+    // and the content is still right
+    val got = Scd.readScdStore(spark, store)
+      .filter($"key" === "k7").select($"attr", $"valid_from", $"valid_to")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == Set(("v0", 10L, Some(20L)), ("v1", 20L, None)))
+  }
+
+  test("bucketed streaming maintenance == plain streaming maintenance") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("scd_bstream").toString
+    val store = s"$base/store"; val ledger = s"$base/ledger"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, Long)]
+    val q = Scd.maintainScd2Bucketed(ms.toDF().toDF("key", "attr", "ts", "id"),
+        Seq("key"), "ts", "id", store, ledger, nBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      val (b1, b2) = history.splitAt(3)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val want = versions(Scd.fromHistory(
+        history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+      assert(versions(Scd.readScdStore(spark, store)) == want)
+      // ledger: a replayed batch id skips the bucket rewrite entirely
+      graft.io.Sinks.runIdempotent(b1.toDF("key", "attr", "ts", "id"), 0L,
+        ledger) { (b, _) =>
+        Scd.mergeBatchIntoBucketedScdStore(b, Seq("key"), "ts", "id", store,
+          nBuckets = 4)
+      }
+      assert(versions(Scd.readScdStore(spark, store)) == want)
+    } finally q.stop()
+  }
+
   test("asOfJoin probes the version table correctly (the SCD2 consumer)") {
     val dim = Scd.fromHistory(
       history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id")
