@@ -469,6 +469,24 @@ object StreamBench {
       finally q.stop()
     }
 
+    bench("top_hitters_grouped")(events.size.toLong) { () =>
+      val mgDir = java.nio.file.Files
+        .createTempDirectory(s"sb_mgg_$tag").toString
+      val ms = MemoryStream[Ev]
+      // live "hottest users PER EVENT TYPE so far": the grouped store
+      // holds ≤ |groups|·capacity rows with per-group n_total, so
+      // guaranteedHittersByGroup certifies against each group's own
+      // bound at any stream length
+      val src = ms.toDF().select($"event_type",
+        $"user_id".cast("string").as("item"))
+      val q = operators.Freq.maintainTopHittersByGroup(src, "event_type",
+          "item", capacity = 256, s"$mgDir/store", s"$mgDir/ledger")
+        .option("checkpointLocation", s"$mgDir/ckpt").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
     bench("scd2_versions")(events.size.toLong) { () =>
       val scdDir = java.nio.file.Files
         .createTempDirectory(s"sb_scd_$tag").toString
@@ -480,6 +498,23 @@ object StreamBench {
         $"event_id")
       val q = operators.Scd.maintainScd2(src, Seq("user_id"), "ts",
           "event_id", s"$scdDir/store", s"$scdDir/ledger")
+        .option("checkpointLocation", s"$scdDir/ckpt").start()
+      val trace = new StateTrace(q)
+      try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
+      finally q.stop()
+    }
+
+    bench("scd2_bucketed")(events.size.toLong) { () =>
+      val scdDir = java.nio.file.Files
+        .createTempDirectory(s"sb_scdb_$tag").toString
+      val ms = MemoryStream[Ev]
+      // scd2_versions on the bucket-partitioned store: per-batch I/O is
+      // affected buckets only (dynamic partition overwrite), the 100 TB
+      // maintenance path measured live
+      val src = ms.toDF().select($"user_id", $"event_type", $"ts",
+        $"event_id")
+      val q = operators.Scd.maintainScd2Bucketed(src, Seq("user_id"), "ts",
+          "event_id", s"$scdDir/store", s"$scdDir/ledger", nBuckets = 64)
         .option("checkpointLocation", s"$scdDir/ckpt").start()
       val trace = new StateTrace(q)
       try (drive(ms, chunksOf(events, nBatches), q, trace), trace)
@@ -604,7 +639,9 @@ object StreamBench {
       "distinct_cube" -> "`Sketches.maintainDistinctRollup` (HLL ROLLUP cube merged into the parquet store per micro-batch, exactly-once ledger)",
       "hist_quantiles" -> "`Sketches.maintainHistograms` (fixed-grid value histograms per event type merged into the parquet store per micro-batch, exactly-once ledger)",
       "scd2_versions" -> "`Scd.maintainScd2` (live user-dimension versioning: affected keys re-derive per micro-batch, exactly-once ledger)",
+      "scd2_bucketed" -> "`Scd.maintainScd2Bucketed` (scd2_versions on the bucket-partitioned store: dynamic partition overwrite touches affected buckets only)",
       "top_hitters" -> "`Freq.maintainTopHitters` (capacity-bounded Misra-Gries store merged per micro-batch, exactly-once ledger)",
+      "top_hitters_grouped" -> "`Freq.maintainTopHittersByGroup` (per-group MG stores with per-group n_total; certified reads per group's own bound)",
       "running_count_tws" -> "`StateV2.runningCountWithTtl` (transformWithState; RocksDB-only)")
     val md = new StringBuilder
     md.append("# STREAMBENCH\n\n")

@@ -44,54 +44,107 @@ object Freq {
     * full → decrement ALL (dropping zeros), which also discards the
     * arriving item. Each decrement round destroys capacity+1 units of
     * count, so rounds <= N/(capacity+1) — that is the undercount bound
-    * and the amortized O(1) argument at once.
+    * and the amortized O(1) argument at once. Returns whether this step
+    * ran a decrement round — a partition whose steps NEVER decremented
+    * holds exact, complete per-partition counts (nothing was ever
+    * dropped), which is the cheap branch of the exactTopK certificate.
     */
   private def mgStep(m: java.util.HashMap[String, Long], v: String,
-      capacity: Int): Unit = {
+      capacity: Int): Boolean = {
     val cur = m.getOrDefault(v, 0L)
-    if (cur > 0L) m.put(v, cur + 1L)
-    else if (m.size < capacity) m.put(v, 1L)
+    if (cur > 0L) { m.put(v, cur + 1L); false }
+    else if (m.size < capacity) { m.put(v, 1L); false }
     else {
       val e = m.entrySet.iterator
       while (e.hasNext) {
         val en = e.next()
         if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
       }
+      true
     }
   }
 
-  private[operators] def mgPartition(capacity: Int)(
-      it: Iterator[String]): Iterator[(String, Long)] = {
+  /** [[mgPartition]] plus the certificate inputs: emits the partition's
+    * counters as (item, est, 0) rows and ONE (null, n_rows, dec_rounds)
+    * marker row — null is unambiguous because callers filter null items
+    * before summarizing. Downstream sums give exactly the two facts the
+    * exactness certificate needs: N (total rows summarized) and whether
+    * ANY decrement round ran anywhere.
+    */
+  private[operators] def mgPartitionCounted(capacity: Int)(
+      it: Iterator[String]): Iterator[(String, Long, Long)] = {
     val m = new java.util.HashMap[String, Long](capacity * 2)
-    while (it.hasNext) mgStep(m, it.next(), capacity)
-    val out = Vector.newBuilder[(String, Long)]
-    m.forEach((k, v) => out += ((k, v)))
+    var n = 0L; var dec = 0L
+    while (it.hasNext) {
+      n += 1L
+      if (mgStep(m, it.next(), capacity)) dec += 1L
+    }
+    val out = Vector.newBuilder[(String, Long, Long)]
+    out += ((null, n, dec))
+    m.forEach((k, v) => out += ((k, v, 0L)))
     out.result().iterator
   }
 
-  /** Per-(partition, group) Misra-Gries: one `capacity`-slot counter map
-    * per group seen in the partition — task memory is
-    * |groups-in-partition|·capacity, so this tier is for LOW-cardinality
-    * groups over HIGH-cardinality items (top URLs per language, top
-    * tokens per source), the regime where the exact
-    * groupBy(group, item) shuffle is the thing to avoid.
+  private[operators] def mgPartition(capacity: Int)(
+      it: Iterator[String]): Iterator[(String, Long)] =
+    mgPartitionCounted(capacity)(it)
+      .filter(_._1 != null).map { case (k, v, _) => (k, v) }
+
+  /** Per-(partition, group) Misra-Gries with certificate markers: one
+    * `capacity`-slot counter map per group seen in the partition — task
+    * memory is |groups-in-partition|·capacity, so this tier is for
+    * LOW-cardinality groups over HIGH-cardinality items (top URLs per
+    * language, top tokens per source), the regime where the exact
+    * groupBy(group, item) shuffle is the thing to avoid. That regime
+    * restriction is ENFORCED task-side: past `maxGroups` distinct groups
+    * in one partition the task fails fast with a readable error instead
+    * of degrading into an executor-OOM-sized map at scale. Emits one
+    * (group, null, n_rows_g, dec_rounds_g) marker per group seen.
     */
-  private[operators] def mgPartitionByGroup(capacity: Int)(
-      it: Iterator[(String, String)]): Iterator[(String, String, Long)] = {
+  private[operators] def mgPartitionByGroupCounted(capacity: Int,
+      maxGroups: Int)(
+      it: Iterator[(String, String)]): Iterator[(String, String, Long, Long)] = {
     val byGroup = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    val nByGroup = new java.util.HashMap[String, Array[Long]]()
     while (it.hasNext) {
       val (g, v) = it.next()
       var m = byGroup.get(g)
       if (m == null) {
+        if (byGroup.size >= maxGroups) throw new IllegalStateException(
+          s"mgCandidatesByGroup: a partition saw more than $maxGroups " +
+            "distinct groups — task memory is |groups|*capacity counters " +
+            "and this tier is for LOW-cardinality groups over " +
+            "high-cardinality items; for high-cardinality groups use a " +
+            "plain groupBy(group, item) count, or raise " +
+            "maxGroupsPerPartition if the memory is genuinely affordable")
         m = new java.util.HashMap[String, Long](capacity * 2)
         byGroup.put(g, m)
+        nByGroup.put(g, Array(0L, 0L))
       }
-      mgStep(m, v, capacity)
+      val c = nByGroup.get(g)
+      c(0) += 1L
+      if (mgStep(m, v, capacity)) c(1) += 1L
     }
-    val out = Vector.newBuilder[(String, String, Long)]
-    byGroup.forEach((g, m) => m.forEach((k, v) => out += ((g, k, v))))
+    val out = Vector.newBuilder[(String, String, Long, Long)]
+    byGroup.forEach { (g, m) =>
+      val c = nByGroup.get(g)
+      out += ((g, null, c(0), c(1)))
+      m.forEach((k, v) => out += ((g, k, v, 0L)))
+    }
     out.result().iterator
   }
+
+  private[operators] def mgPartitionByGroup(capacity: Int, maxGroups: Int)(
+      it: Iterator[(String, String)]): Iterator[(String, String, Long)] =
+    mgPartitionByGroupCounted(capacity, maxGroups)(it)
+      .filter(_._2 != null).map { case (g, k, v, _) => (g, k, v) }
+
+  /** Default task-side cap on distinct groups per partition for the
+    * grouped MG tier — a partition with more distinct groups than this
+    * is plainly in the wrong tier (the map alone would be
+    * maxGroups·capacity counters of task memory).
+    */
+  val DefaultMaxGroupsPerPartition = 4096
 
   /** Global candidate summary: (item, est) with est <= true count <=
     * est + N/(capacity+1), containing every item whose true count
@@ -305,34 +358,64 @@ object Freq {
     * ignored. Shuffle: <= |groups|·capacity·|partitions| summary rows.
     */
   def mgCandidatesByGroup(df: DataFrame, groupCol: String, itemCol: String,
-      capacity: Int): DataFrame = {
+      capacity: Int,
+      maxGroupsPerPartition: Int = DefaultMaxGroupsPerPartition): DataFrame = {
     require(capacity >= 1, s"capacity must be positive: $capacity")
     val spark = df.sparkSession
     import spark.implicits._
     df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
       .select(col(groupCol).cast("string"), col(itemCol).cast("string"))
       .as[(String, String)]
-      .mapPartitions(mgPartitionByGroup(capacity))
+      .mapPartitions(mgPartitionByGroup(capacity, maxGroupsPerPartition))
       .toDF("group", "item", "est")
       .groupBy(col("group"), col("item")).agg(sum(col("est")).as("est"))
   }
 
   /** EXACT top-k per group (count desc, item asc tie-break) — the
-    * sketch-assisted form of a per-group Top-N: candidates from
-    * [[mgCandidatesByGroup]], exact re-count of candidate (group, item)
+    * sketch-assisted form of a per-group Top-N: candidates from the
+    * grouped MG summaries, exact re-count of candidate (group, item)
     * pairs behind a broadcast semi-join, then a rank window that sees
     * ONLY candidate-count rows (bounded by the candidate set, never by
-    * the item vocabulary). Exact whenever each group's k-th count
-    * exceeds N_group/(capacity+1). Output: (group, item, cnt) with the
-    * original column names/types.
+    * the item vocabulary). Output: (group, item, cnt) with the original
+    * column names/types.
+    *
+    * Exactness is CERTIFIED IN-PLAN per group, not assumed: each
+    * group's result rows pass only if (a) no partition ever ran a
+    * decrement round for that group — its candidate counts were exact
+    * and complete — or (b) the group returned k rows and its k-th exact
+    * count clears N_group/(capacity+1), so no non-candidate can outrank
+    * them. Otherwise the query FAILS with the sizing rule in the
+    * message. Documented edge: a group whose every summary decremented
+    * to empty has no rows to carry its certificate and silently
+    * disappears — impossible in practice once capacity exceeds a few
+    * dozen (it needs every counter at exactly 1 on every decrement).
     */
   def exactTopKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
-      k: Int, capacity: Int): DataFrame = {
-    val cand = mgCandidatesByGroup(df, groupCol, itemCol, capacity)
+      k: Int, capacity: Int,
+      maxGroupsPerPartition: Int = DefaultMaxGroupsPerPartition): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summary = df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(mgPartitionByGroupCounted(capacity, maxGroupsPerPartition))
+      .toDF("group", "item", "est", "dec")
+    val cand = summary.filter(col("item").isNotNull)
+      .groupBy(col("group"), col("item")).agg(sum(col("est")).as("est"))
       .select(col("group").as("__mg_g"), col("item").as("__mg_i"))
+    val stats = summary.filter(col("item").isNull)
+      .groupBy(col("group"))
+      .agg(sum(col("est")).as("__n"), sum(col("dec")).as("__dec"))
+      .withColumnRenamed("group", "__mg_sg")
     val fact = df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("cnt").desc, col(itemCol))
+    // both windows below rank BOUNDED candidate/top-k rows, never corpus
+    // rows (the Packing.scala:14 convention)
+    val wg = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     fact.join(broadcast(cand),
         fact(groupCol).cast("string") === cand("__mg_g") &&
           fact(itemCol).cast("string") === cand("__mg_i"), "left_semi")
@@ -340,34 +423,92 @@ object Freq {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
-      .drop("__r")
+      .join(broadcast(stats), col(groupCol).cast("string") === col("__mg_sg"))
+      .withColumn("__kth", min(col("cnt")).over(wg))
+      .withColumn("__rows", count(lit(1)).over(wg))
+      .filter(assert_true(
+        col("__dec") === 0L ||
+          (col("__rows") === k &&
+            col("__kth") * lit((capacity + 1).toLong) > col("__n")),
+        concat(lit(s"exactTopKPerGroup(k=$k, capacity=$capacity) " +
+            "UNCERTIFIED for group '"), col(groupCol).cast("string"),
+          lit("': k-th count "), col("__kth").cast("string"),
+          lit(" does not clear N_g/(capacity+1) = "), col("__n").cast("string"),
+          lit(s"/${capacity + 1} and decrement rounds ran — raise capacity " +
+            "above N_g/kth-count or fall back to the exact groupBy")
+      ).cast("string")).isNull)
+      .drop("__r", "__mg_sg", "__n", "__dec", "__kth", "__rows")
   }
 
   /** EXACT top-k (count desc, item asc tie-break) in two passes.
     *
-    * Exact whenever the true k-th count exceeds N/(capacity+1) — then
-    * every top-k member (and every tie contender at the boundary) is in
-    * the candidate set, and pass 2 counts candidates exactly. Size the
-    * capacity from the expected frequency floor: top-k URLs at >=0.01%
-    * of traffic need capacity >= 10^4.
+    * Pass 1 builds the Misra-Gries candidate superset plus the
+    * certificate inputs (N, decrement-rounds) in the SAME scan; pass 2
+    * re-counts candidates exactly behind a broadcast semi-join. Size
+    * the capacity from the expected frequency floor: top-k URLs at
+    * >=0.01% of traffic need capacity >= 10^4.
+    *
+    * Exactness is CERTIFIED IN-PLAN, not assumed: the k result rows
+    * pass only if (a) NO partition ever ran a decrement round — then
+    * candidate counts were exact and complete — or (b) k rows exist and
+    * the k-th exact count clears N/(capacity+1), in which case every
+    * possible contender was provably a candidate (any non-candidate's
+    * true count is <= N/(capacity+1) < the k-th count). An undersized
+    * capacity therefore FAILS LOUDLY with the sizing rule in the
+    * message instead of silently returning a near-top-k. Documented
+    * edge: a candidate set decremented entirely empty returns an EMPTY
+    * frame (no rows carry the certificate) — visible, and impossible in
+    * practice once capacity exceeds a few dozen.
     *
     * Pass 2 keeps the ORIGINAL column type (the semi-join probes on a
     * string cast; the output groups the raw column). The candidate
     * broadcast is <= capacity·|partitions| rows of (string) keys —
-    * driver-bounded planning metadata, not corpus data.
+    * driver-bounded planning metadata, not corpus data. The certificate
+    * rides the plan as a 1-row cross-joined aggregate of the SAME
+    * pass-1 summary plus two unpartitioned windows over the k retained
+    * rows (bounded, the Packing.scala:14 convention).
     */
   def exactTopK(df: DataFrame, itemCol: String, k: Int,
       capacity: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summary = df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string")).as[String]
+      .mapPartitions(mgPartitionCounted(capacity))
+      .toDF("item", "est", "dec")
     // candidate column renamed + DataFrame-qualified probe so an input
     // column named "item" can't make the join condition ambiguous
-    val cand = mgCandidates(df, itemCol, capacity)
+    val cand = summary.filter(col("item").isNotNull)
+      .groupBy(col("item")).agg(sum(col("est")).as("est"))
       .select(col("item").as("__mg_cand"))
+    val stats = summary.filter(col("item").isNull)
+      .agg(coalesce(sum(col("est")), lit(0L)).as("__n"),
+        coalesce(sum(col("dec")), lit(0L)).as("__dec"))
     val fact = df.filter(col(itemCol).isNotNull)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     fact.join(broadcast(cand),
         fact(itemCol).cast("string") === cand("__mg_cand"), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(itemCol))
       .limit(k)
+      .crossJoin(broadcast(stats))
+      .withColumn("__kth", min(col("cnt")).over(wAll))
+      .withColumn("__rows", count(lit(1)).over(wAll))
+      .filter(assert_true(
+        col("__dec") === 0L ||
+          (col("__rows") === k &&
+            col("__kth") * lit((capacity + 1).toLong) > col("__n")),
+        concat(lit(s"exactTopK(k=$k, capacity=$capacity) UNCERTIFIED: " +
+            "k-th count "), col("__kth").cast("string"),
+          lit(" does not clear N/(capacity+1) = "), col("__n").cast("string"),
+          lit(s"/${capacity + 1} and decrement rounds ran — raise capacity " +
+            "above N/kth-count or fall back to the exact groupBy")
+      ).cast("string")).isNull)
+      .drop("__n", "__dec", "__kth", "__rows")
+      .orderBy(col("cnt").desc, col(itemCol))
   }
 }

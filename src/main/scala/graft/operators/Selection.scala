@@ -342,20 +342,28 @@ object Selection {
     * [[blendByRank]] CAVEAT made a public operator).
     *
     * Rows with a null/NaN `valCol` carry no rank position and are
-    * DROPPED from the output (they also never entered the histogram),
-    * mirroring [[Sketches.histogramSketch]]'s null policy.
+    * DROPPED from the output (they also never entered the histogram):
+    * enforced by filtering ONCE, ahead of both the histogram build and
+    * the probe, so the two sides see byte-identical inputs.
     */
   def percentileBySketch(df: DataFrame, partCol: String, valCol: String,
       lo: Long, width: Long, nBuckets: Int): DataFrame = {
-    val sk = Sketches.histogramSketch(df, partCol, valCol,
-      lo.toDouble, (lo + width * nBuckets).toDouble, nBuckets)
+    val clean = df.filter(col(valCol).isNotNull &&
+      !isnan(col(valCol).cast("double")))
+    // histogram AND probe share ONE exact-integer bucketization
+    // (Sketches.bucketIdxInt) — a double-path histogram against an
+    // integer-path probe could land boundary values at extreme
+    // magnitudes in adjacent buckets and join the wrong cumsum row
+    val sk = Sketches.histogramSketchIntBy(clean, Seq(partCol), valCol,
+      lo, width, nBuckets)
     val wB = Window.partitionBy(col(partCol)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sk.select(col(partCol), col("n").as("__n"),
         posexplode(col("counts")).as(Seq("__b", "__c")))
       .withColumn("__cum", sum(col("__c")).over(wB))
       .select(col(partCol), col("__b"), col("__n"), col("__cum"))
-    df.withColumn("__b", bucketIdx(col(valCol), lo, width, nBuckets))
+    clean.withColumn("__b",
+        Sketches.bucketIdxInt(col(valCol), lo, width, nBuckets).cast("int"))
       .join(broadcast(cum), Seq(partCol, "__b"))
       .withColumn("pct_micro",
         longFloorDiv(col("__cum") * 1000000L, col("__n")))
@@ -378,27 +386,13 @@ object Selection {
   private def longFloorDiv(a: Column, b: Column): Column =
     Num.longFloorDiv(a, b)
 
-  /** Equi-width integer bucket index over [lo, lo + nBuckets·width), edge
-    * clamped — `Sketches.histogramSketch`'s grid in pure integer
-    * arithmetic (the winsorizedStatsBySketch bucketization): the
-    * remainder strip is exact in BIGINT, the clamped numerator is an
-    * exact multiple of `width`, and the one double division scales it
-    * back to an integer-valued quotient ≤ nBuckets — no float drift for
-    * any engine to disagree over.
+  /** The shared exact-integer bucketization — ONE implementation
+    * ([[Sketches.bucketIdxInt]]) for every histogram-build and per-row
+    * probe in this file, so the two sides of any sketch join cannot
+    * disagree on a bucket boundary.
     */
   private def bucketIdx(v: Column, lo: Long, width: Long, nBuckets: Int)
-      : Column = {
-    // exactness precondition: the clamped multiple m must be exactly
-    // representable as a double, or the one double division drifts —
-    // fail loudly on a grid that overflows 2^53 (mirrors the documented
-    // care in longFloorDiv) rather than returning off-by-one buckets.
-    require((nBuckets - 1).toLong * width < (1L << 53),
-      s"histogram grid overflows double exactness: ($nBuckets-1)*$width >= 2^53")
-    val d = v.cast("long") - lit(lo)
-    val m = greatest(least(d - pmod(d, lit(width)),
-      lit((nBuckets - 1).toLong * width)), lit(0L))
-    floor(m / lit(width.toDouble) + lit(0.5)).cast("long")
-  }
+      : Column = Sketches.bucketIdxInt(v, lo, width, nBuckets)
 
   /** The 100 TB form of [[blendByRank]]: per-signal percentiles from
     * HISTOGRAM cumsums and the top-k from a THRESHOLDED candidate band —

@@ -330,6 +330,58 @@ object Sketches {
       .drop("m")
   }
 
+  /** Equi-width integer bucket index over [lo, lo + nBuckets·width),
+    * edge-clamped, in EXACT integer arithmetic: the remainder strip is
+    * exact in BIGINT, the clamped numerator is an exact multiple of
+    * `width`, and the one double division scales it back to an
+    * integer-valued quotient ≤ nBuckets — no float drift for any engine
+    * to disagree over. This is THE bucketization for integer-valued
+    * signals: any operator that histograms on one side and probes
+    * per-row on the other ([[graft.operators.Selection.percentileBySketch]],
+    * blendByRankBySketch) must use it on BOTH sides — a double-path
+    * histogram against an integer-path probe can disagree by one bucket
+    * at extreme magnitudes and join the wrong cumsum row.
+    */
+  def bucketIdxInt(v: org.apache.spark.sql.Column, lo: Long, width: Long,
+      nBuckets: Int): org.apache.spark.sql.Column = {
+    require(width >= 1, s"width must be positive: $width")
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    // exactness precondition: the clamped multiple m must be exactly
+    // representable as a double, or the one double division drifts —
+    // fail loudly on a grid that overflows 2^53 rather than returning
+    // off-by-one buckets.
+    require((nBuckets - 1).toLong * width < (1L << 53),
+      s"histogram grid overflows double exactness: ($nBuckets-1)*$width >= 2^53")
+    val d = v.cast("long") - lit(lo)
+    val m = greatest(least(d - pmod(d, lit(width)),
+      lit((nBuckets - 1).toLong * width)), lit(0L))
+    floor(m / lit(width.toDouble) + lit(0.5)).cast("long")
+  }
+
+  /** [[histogramSketchBy]] on the EXACT-INTEGER bucketization
+    * ([[bucketIdxInt]]) instead of the double grid — same
+    * two-aggregate shape, same null-drop policy (NaN cannot occur in an
+    * integer signal; a null value carries no position). Use this
+    * whenever a per-row probe side will re-derive bucket indices with
+    * [[bucketIdxInt]], so both sides share ONE bucketization by
+    * construction.
+    */
+  def histogramSketchIntBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val b = bucketIdxInt(col(valueCol), lo, width, nBuckets).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ b.as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("n"),
+        map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+          .as("m"))
+      .withColumn("counts", transform(sequence(lit(0), lit(nBuckets - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))))
+      .drop("m")
+  }
+
   /** Merge two histogram-sketch tables: counts add element-wise
     * (explode → per-bucket sum → rebuild; sketch-sized rows only).
     * Both sides MUST share the same (lo, hi, nBuckets) bucketization —

@@ -39,13 +39,16 @@ object ScaleQueries extends QueryModule {
     // whose candidate set provably contains every heavy item): the
     // candidate summary leaves each partition capped at `capacity` rows,
     // pass 2 re-counts candidates exactly behind a broadcast semi-join.
-    // Exactness precondition (k-th count > N/(capacity+1)) holds with
-    // slack at every sf: |parts| ≈ N/30 distinct keys, so counts ≈ 30
-    // vs a bound of N/4097. Tie-break (cnt desc, key asc) matches the
-    // oracle's ORDER BY.
+    // The exactness precondition (k-th count > N/(capacity+1)) is NOT
+    // assumed — exactTopK certifies it IN-PLAN and fails loudly when it
+    // stops holding. Partkey counts stay ~30-50 at every sf while the
+    // bound N/(capacity+1) grows with N, so the capacity must scale
+    // with the data: 16384 certifies through sf0.1 (bound 36 < kth 50);
+    // a bigger run re-sizes capacity or the plan itself refuses.
+    // Tie-break (cnt desc, key asc) matches the oracle's ORDER BY.
     "q190_heavy_hitters" -> ((s, dir) =>
       Freq.exactTopK(Tables.lineitem(s, dir), "l_partkey", k = 10,
-        capacity = 4096)),
+        capacity = 16384)),
 
     // Bloom-prefiltered fact×dim join — the gate is result IDENTITY with
     // the plain join (false positives are re-checked by the join; false
@@ -68,10 +71,11 @@ object ScaleQueries extends QueryModule {
     // per language without ever shuffling the full (lang, token) count
     // table — candidates leave each partition capped per (group,
     // partition), the rank window sees candidate counts only. The
-    // per-group guarantee holds at EVERY sf here: the token vocabulary
-    // is finite, so per-partition maps never decrement and candidates
-    // are complete (and when vocab outgrows capacity, exactness still
-    // only needs each lang's 5th token count > N_lang/(capacity+1)).
+    // per-group certificate (in-plan, loud on failure) holds at EVERY
+    // sf here via its cheap branch: the token vocabulary is finite, so
+    // per-partition maps never decrement and candidates are complete
+    // exact counts (and if vocab ever outgrew capacity, the certificate
+    // would demand each lang's 5th count > N_lang/(capacity+1) or fail).
     "q193_topk_per_group" -> ((s, dir) => {
       import s.implicits._
       val toks = Tables.documents(s, dir)
@@ -370,12 +374,12 @@ object ScaleQueries extends QueryModule {
         |    CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE)
         |      / CAST(COALESCE(nb.n_b, 0) + 16 AS DOUBLE) AS pb
         |  FROM grid
-        |  LEFT JOIN ca ON grid.label = ca.label AND grid.dim = ca.dim
+        |  LEFT JOIN ca ON grid.label IS NOT DISTINCT FROM ca.label AND grid.dim = ca.dim
         |    AND grid.bucket = ca.bucket
-        |  LEFT JOIN cb ON grid.label = cb.label AND grid.dim = cb.dim
+        |  LEFT JOIN cb ON grid.label IS NOT DISTINCT FROM cb.label AND grid.dim = cb.dim
         |    AND grid.bucket = cb.bucket
-        |  LEFT JOIN na ON grid.label = na.label AND grid.dim = na.dim
-        |  LEFT JOIN nb ON grid.label = nb.label AND grid.dim = nb.dim)
+        |  LEFT JOIN na ON grid.label IS NOT DISTINCT FROM na.label AND grid.dim = na.dim
+        |  LEFT JOIN nb ON grid.label IS NOT DISTINCT FROM nb.label AND grid.dim = nb.dim)
         |SELECT label, dim, n_a, n_b,
         |  CAST(SUM(CAST(floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5)
         |    AS BIGINT)) AS BIGINT) AS psi_micro
@@ -411,10 +415,10 @@ object ScaleQueries extends QueryModule {
         |    CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE)
         |      / CAST(COALESCE(nb.n_b, 0) + 16 AS DOUBLE) AS pb
         |  FROM grid
-        |  LEFT JOIN ca ON grid.label = ca.label AND grid.bucket = ca.bucket
-        |  LEFT JOIN cb ON grid.label = cb.label AND grid.bucket = cb.bucket
-        |  LEFT JOIN na ON grid.label = na.label
-        |  LEFT JOIN nb ON grid.label = nb.label)
+        |  LEFT JOIN ca ON grid.label IS NOT DISTINCT FROM ca.label AND grid.bucket = ca.bucket
+        |  LEFT JOIN cb ON grid.label IS NOT DISTINCT FROM cb.label AND grid.bucket = cb.bucket
+        |  LEFT JOIN na ON grid.label IS NOT DISTINCT FROM na.label
+        |  LEFT JOIN nb ON grid.label IS NOT DISTINCT FROM nb.label)
         |SELECT label, n_a, n_b,
         |  CAST(SUM(CAST(floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5)
         |    AS BIGINT)) AS BIGINT) AS psi_micro
@@ -448,10 +452,10 @@ object ScaleQueries extends QueryModule {
         |    CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE)
         |      / CAST(COALESCE(nb.n_b, 0) + 16 AS DOUBLE) AS pb
         |  FROM grid
-        |  LEFT JOIN ca ON grid.lang = ca.lang AND grid.bucket = ca.bucket
-        |  LEFT JOIN cb ON grid.lang = cb.lang AND grid.bucket = cb.bucket
-        |  LEFT JOIN na ON grid.lang = na.lang
-        |  LEFT JOIN nb ON grid.lang = nb.lang)
+        |  LEFT JOIN ca ON grid.lang IS NOT DISTINCT FROM ca.lang AND grid.bucket = ca.bucket
+        |  LEFT JOIN cb ON grid.lang IS NOT DISTINCT FROM cb.lang AND grid.bucket = cb.bucket
+        |  LEFT JOIN na ON grid.lang IS NOT DISTINCT FROM na.lang
+        |  LEFT JOIN nb ON grid.lang IS NOT DISTINCT FROM nb.lang)
         |SELECT lang, n_a, n_b,
         |  CAST(SUM(CAST(floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5)
         |    AS BIGINT)) AS BIGINT) AS psi_micro

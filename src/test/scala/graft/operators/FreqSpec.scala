@@ -134,6 +134,55 @@ class FreqSpec extends SparkSpec {
     }
   }
 
+  test("exactTopK certificate fires loudly on an undersized capacity") {
+    // 64 uniform items, capacity 4 → decrement rounds run and no count
+    // can clear N/5: the old behavior silently returned a near-top-k,
+    // the certificate must refuse instead
+    val rnd = new Random(77)
+    val xs = rnd.shuffle((1 to 64).flatMap(i => Seq.fill(10)(s"u$i")))
+    val df = spark.createDataset(xs).toDF("item").repartition(4)
+    val e = intercept[Exception] {
+      Freq.exactTopK(df, "item", k = 3, capacity = 4).collect()
+    }
+    assert(e.getMessage.contains("UNCERTIFIED"), e.getMessage)
+    // same data certifies once capacity covers the vocabulary (dec==0)
+    val ok = Freq.exactTopK(df, "item", k = 3, capacity = 128)
+      .as[(String, Long)].collect()
+    assert(ok.length == 3 && ok.forall(_._2 == 10L))
+  }
+
+  test("exactTopKPerGroup certificate fires per group, names the group") {
+    // group A is certifiable even at capacity 4 (three items at 30% of
+    // N_A each, all clear N_A/5), group B is uniform — the failure
+    // message must point at B
+    val a = (Seq.fill(900)("h1") ++ Seq.fill(900)("h2") ++
+      Seq.fill(900)("h3") ++ (1 to 300).map(i => s"t$i")).map(("A", _))
+    val rnd = new Random(79)
+    val b = rnd.shuffle((1 to 64).flatMap(i => Seq.fill(10)(s"u$i")))
+      .map(("B", _))
+    val df = spark.createDataset(rnd.shuffle(a ++ b)).toDF("g", "item")
+      .repartition(4)
+    val e = intercept[Exception] {
+      Freq.exactTopKPerGroup(df, "g", "item", k = 3, capacity = 4).collect()
+    }
+    assert(e.getMessage.contains("UNCERTIFIED"), e.getMessage)
+    assert(e.getMessage.contains("'B'"), e.getMessage)
+  }
+
+  test("mgCandidatesByGroup fails fast past maxGroupsPerPartition") {
+    val df = (1 to 50).map(i => (s"g$i", "x")).toDF("g", "item")
+      .repartition(1)
+    val e = intercept[Exception] {
+      Freq.mgCandidatesByGroup(df, "g", "item", capacity = 8,
+        maxGroupsPerPartition = 10).collect()
+    }
+    assert(e.getMessage.contains("distinct groups"), e.getMessage)
+    // and the same shape passes when the cap is honest
+    val ok = Freq.mgCandidatesByGroup(df, "g", "item", capacity = 8,
+      maxGroupsPerPartition = 64).count()
+    assert(ok == 50L)
+  }
+
   test("exactTopKPerGroup equals brute force per group") {
     val rows = skewed(41, 4000).map(("A", _)) ++
       skewed(42, 4000).map(("B", _)) ++ Seq(("C", "only"), ("C", "only"))

@@ -231,6 +231,39 @@ class SketchesSpec extends SparkSpec {
     assert(sk._1 == 1 && sk._2.sum == 1)
   }
 
+  test("integer histogram == double histogram inside the exactness window") {
+    val rnd = new scala.util.Random(51)
+    val rows = Seq.tabulate(400)(i =>
+      (s"g${i % 3}", rnd.nextLong() % 100000L))
+    val df = spark.createDataset(rows).toDF("g", "v")
+    def norm(sk: org.apache.spark.sql.DataFrame) =
+      sk.select($"g", $"n", $"counts").as[(String, Long, Seq[Long])]
+        .collect().toSet
+    val intSk = Sketches.histogramSketchIntBy(df, Seq("g"), "v",
+      lo = -100000L, width = 12800L, nBuckets = 16)
+    val dblSk = Sketches.histogramSketch(df, "g", "v",
+      -100000.0, -100000.0 + 12800.0 * 16, 16)
+    assert(norm(intSk) == norm(dblSk))
+  }
+
+  test("bucketIdxInt stays exact at magnitudes where the double grid drifts") {
+    // 2^53 + 1 is not representable as a double: the double path rounds
+    // it onto 2^53 and buckets it LOW; the integer path keeps it exact.
+    // This is exactly the adjacent-bucket disagreement percentileBySketch
+    // must never see between its histogram and probe sides.
+    val big = (1L << 53) + 1L
+    val lo = (1L << 53) - 4L
+    val df = Seq(big).toDF("v")
+    val ib = df.select(Sketches.bucketIdxInt($"v", lo, 2L, 4).as("b"))
+      .head().getLong(0)
+    assert(ib == 2L, s"integer path must see (2^53+1) - lo = 5 -> bucket 2, got $ib")
+    // and the shared-bucketization histogram agrees with its own probe
+    val sk = Sketches.histogramSketchIntBy(df.withColumn("g", lit("x")),
+      Seq("g"), "v", lo, 2L, 4)
+      .select($"counts").as[Seq[Long]].head()
+    assert(sk(2) == 1L, s"histogram must count the row in bucket 2: $sk")
+  }
+
   test("histogram merge of split halves equals the sketch of the whole") {
     val docs0 = docs.select($"source", $"n_chars")
     val a = Sketches.histogramSketch(

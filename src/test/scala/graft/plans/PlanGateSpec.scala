@@ -58,6 +58,8 @@ class PlanGateSpec extends SparkSpec {
     "q169_score_blend_sketch", // same LM chain; pct tables broadcast by design
     "q189_skew_report",    // 1-row totals frame broadcast (q84/q87 shape)
     "q199_join_fanout",    // same 1-row totals broadcast (q189 shape)
+    "q190_heavy_hitters",  // 1-row exactness-certificate stats broadcast
+    "q200_adaptive_stopwords", // composes exactTopK (same 1-row cert frame)
   )
 
   /** Per-query shuffle-exchange budget (distinct ShuffleExchangeLike
@@ -393,7 +395,9 @@ class PlanGateSpec extends SparkSpec {
     "q189_skew_report" -> 3,
     // MG two-pass: capacity·|partitions| summary rows shuffle once, then
     // the candidate-only exact count — never a vocabulary-sized exchange
-    "q190_heavy_hitters" -> 2,
+    // (+1 single-partition agg of the certificate markers; the in-plan
+    // exactness certificate rides summary rows already shuffled)
+    "q190_heavy_hitters" -> 3,
     // bloom prefilter probes a SCALAR SUBQUERY (plan-native
     // bloom_filter_agg: +1 single-partition exchange over dim hashes,
     // subquery-local); the join's dim side broadcasts at this sf,
@@ -408,8 +412,9 @@ class PlanGateSpec extends SparkSpec {
     "q192_psi_drift" -> 7,
     // grouped MG candidates + candidate-only exact count + the rank
     // window over candidate rows + sort — the (lang, token) vocabulary
-    // itself never crosses the network unsummarized
-    "q193_topk_per_group" -> 4,
+    // itself never crosses the network unsummarized (+1 per-group agg
+    // of the certificate markers, |groups|-scale)
+    "q193_topk_per_group" -> 5,
     // one user-keyed lead window (+ dedup reusing its partitioning) +
     // sort; the incremental applyBatch form touches batch keys only
     "q194_scd2" -> 3,
@@ -429,8 +434,9 @@ class PlanGateSpec extends SparkSpec {
     // top-k limit exchange; totals broadcast, rank over k rows
     "q199_join_fanout" -> 5,
     // q190's two MG passes + the per-doc aggregate + sort; the
-    // discovered stoplist broadcasts into the signal join
-    "q200_adaptive_stopwords" -> 4,
+    // discovered stoplist broadcasts into the signal join (+1
+    // single-partition agg of the exactness-certificate markers)
+    "q200_adaptive_stopwords" -> 5,
     // one user-keyed window shuffle (the asOfJoin single-shuffle
     // shape, time-mirrored) + the output sort
     "q202_time_to_next_error" -> 2,
