@@ -695,6 +695,18 @@ object StreamBench {
     md.append("anti join + rebuild inside foreachBatch. Zero state operators\n")
     md.append("by design. Per-doc cost is intrinsically higher than the map\n")
     md.append("workloads (anchor explosion + join + full-text rebuild).\n")
+    md.append("\nscd2_bucketed is deliberately measured in the bucketed store's\n")
+    md.append("WORST-CASE regime: this stream's random user keys touch every\n")
+    md.append("bucket every micro-batch, so each batch pays 64 partition-dir\n")
+    md.append("rewrites plus bucket discovery for zero pruning benefit — the\n")
+    md.append("plain path (scd2_versions) is the right tier for full-spread\n")
+    md.append("batches against a SMALL dimension, exactly as Scd.scala's\n")
+    md.append("docstrings route it. The bucketed store's regime is trickle\n")
+    md.append("batches against a LARGE stored dimension, where affected\n")
+    md.append("buckets << nBuckets: ScaleSmoke's scd2_bucketed_io phase\n")
+    md.append("measures that proportionality directly (7/64 bucket dirs\n")
+    md.append("rewritten for a 1/1000-key batch). The row is here so the\n")
+    md.append("crossover is a measured fact, not a claim.\n")
     md.append("\nTables regenerate whole per run; the box drifts 15-40% between\n")
     md.append("regenerations (SCALE.md round-11b documents the windows), so\n")
     md.append("compare rows WITHIN a table, and across rounds only through a\n")
