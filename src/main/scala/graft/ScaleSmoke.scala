@@ -678,8 +678,12 @@ object ScaleSmoke {
     run("topk_vocab_shuffle", hhToks.groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item")).limit(10), force = true)
+    // allowBroadcastNlj: the exactness certificate cross-joins a 1-row
+    // (N, decrement-rounds) stats frame onto the k retained rows — the
+    // designed 1-row-broadcast shape (PlanGateSpec allowlist: q190/q200)
     run("topk_mg_twopass", graft.operators.Freq.exactTopK(
-      hhToks, "item", k = 10, capacity = 4096), force = true)
+      hhToks, "item", k = 10, capacity = 4096),
+      allowBroadcastNlj = true, force = true)
     if (only.forall(s => s("topk_vocab_shuffle") || s("topk_mg_twopass"))) {
       val naive = hhToks.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("item")).limit(10)
