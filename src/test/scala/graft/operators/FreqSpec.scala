@@ -169,6 +169,65 @@ class FreqSpec extends SparkSpec {
     assert(e.getMessage.contains("'B'"), e.getMessage)
   }
 
+  test("certificate soundness: whenever exactTopK RETURNS, it equals brute force") {
+    // the theorem the in-plan certificate encodes: returning (not
+    // throwing UNCERTIFIED) implies the result is the exact top-k —
+    // across random data shapes, skews and capacities, including
+    // capacities far too small, where it must throw rather than be wrong
+    val k = 4
+    for (seed <- 1 to 10; cap <- Seq(2, 8, 64)) {
+      val rnd = new Random(seed)
+      val nHeavy = 1 + rnd.nextInt(6)
+      val xs = rnd.shuffle(
+        (1 to nHeavy).flatMap(i => Seq.fill(50 + rnd.nextInt(400))(s"h$i")) ++
+          Seq.fill(500 + rnd.nextInt(1000))(s"t${rnd.nextInt(300)}"))
+      val df = spark.createDataset(xs).toDF("item")
+        .repartition(1 + rnd.nextInt(6))
+      val want = exactCounts(xs).toSeq
+        .sortBy { case (item, cnt) => (-cnt, item) }.take(k)
+      try {
+        val got = Freq.exactTopK(df, "item", k, cap)
+          .as[(String, Long)].collect().toSeq
+        assert(got == want,
+          s"seed=$seed cap=$cap: RETURNED but wrong: $got vs $want")
+      } catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("UNCERTIFIED") => () // refusing is sound
+      }
+    }
+  }
+
+  test("certificate soundness per group: returning groups are exactly right") {
+    val k = 3
+    for (seed <- 21 to 26; cap <- Seq(2, 16)) {
+      val rnd = new Random(seed)
+      val rows = rnd.shuffle(
+        (1 to 3).flatMap { g =>
+          val heavy = (1 to 2).flatMap(i =>
+            Seq.fill(30 + rnd.nextInt(300))((s"g$g", s"h$i")))
+          val tail = Seq.fill(200 + rnd.nextInt(400))(
+            (s"g$g", s"t${rnd.nextInt(150)}"))
+          heavy ++ tail
+        })
+      val df = spark.createDataset(rows).toDF("g", "item")
+        .repartition(1 + rnd.nextInt(4))
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        exactCounts(rs.map(_._2)).toSeq
+          .sortBy { case (item, cnt) => (-cnt, item) }.take(k)
+          .map { case (item, cnt) => (g, item, cnt) }
+      }.toSet
+      try {
+        val got = Freq.exactTopKPerGroup(df, "g", "item", k, cap)
+          .as[(String, String, Long)].collect().toSet
+        assert(got == want,
+          s"seed=$seed cap=$cap: RETURNED but wrong: $got vs $want")
+      } catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("UNCERTIFIED") => ()
+      }
+    }
+  }
+
   test("mgCandidatesByGroup fails fast past maxGroupsPerPartition") {
     val df = (1 to 50).map(i => (s"g$i", "x")).toDF("g", "item")
       .repartition(1)

@@ -143,6 +143,28 @@ class ScdSpec extends SparkSpec {
     assert(versions(Scd.readScdStore(spark, store)) == want)
   }
 
+  test("bucketed store fold-law: any shuffled split, any nBuckets == fromHistory") {
+    // the bucketed twin of the applyBatch fold-law property: late
+    // changes land in already-written buckets and must re-derive exactly
+    for (seed <- Seq(11, 12); nBuckets <- Seq(1, 4, 32)) {
+      val rnd = new Random(seed)
+      val big = (1 to 150).map { i =>
+        (s"u${i % 7}", s"a${rnd.nextInt(4)}", rnd.nextInt(40).toLong, i.toLong)
+      }
+      val want = versions(Scd.fromHistory(
+        big.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+      val base = java.nio.file.Files
+        .createTempDirectory(s"scd_fold_${seed}_$nBuckets").toString
+      val store = s"$base/store"
+      rnd.shuffle(big).grouped(40).foreach { b =>
+        Scd.mergeBatchIntoBucketedScdStore(b.toDF("key", "attr", "ts", "id"),
+          Seq("key"), "ts", "id", store, nBuckets)
+      }
+      assert(versions(Scd.readScdStore(spark, store)) == want,
+        s"seed=$seed nBuckets=$nBuckets")
+    }
+  }
+
   test("bucketed merge rewrites ONLY the affected buckets' files") {
     val base = java.nio.file.Files.createTempDirectory("scd_bucketio").toString
     val store = s"$base/store"
