@@ -221,10 +221,67 @@ object ScaleQueries extends QueryModule {
           floor((num - pmod(num, $"n_tokens")).cast("double") /
             $"n_tokens".cast("double") + 0.5).cast("long"))
         .orderBy($"doc_id")
+    }),
+
+    // The SCD2 CONSUMER path gated cross-engine end to end — the
+    // q92/q128/q146 composition pattern applied to the dimension tier:
+    // the user's status dimension is VERSIONED from non-purchase
+    // events (Scd.fromHistory), empty [t, t) tie intervals dropped (no
+    // instant inhabits them — and dropping them leaves valid_from
+    // UNIQUE per user, which is what makes the as-of probe equal the
+    // interval join), then every purchase probes it with
+    // Relational.asOfJoin on valid_from. The oracle replays the
+    // version build as a lead window and the probe as the half-open
+    // INTERVAL join — on a version table those are provably the same
+    // relation, and this gate pins that equivalence between engines
+    // instead of only within one (ScdSpec's consumer test).
+    // '(none)' = purchases before the user's first status.
+    "q203_scd2_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val changes = ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_type".as("status"), $"ts", $"event_id")
+      val versions = Scd.fromHistory(changes, Seq("user_id"), "ts",
+          "event_id")
+        .filter($"valid_to".isNull || $"valid_from" < $"valid_to")
+        .select($"user_id", $"status", $"valid_from")
+      val facts = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      Relational.asOfJoin(facts, versions, Seq("user_id"), "ts",
+          "valid_from")
+        .select($"user_id",
+          coalesce($"asof.status", lit("(none)")).as("status"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"status")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+
+    // version build replayed as the lead window, probe as the
+    // half-open interval join (== as-of on a version table)
+    "q203_scd2_asof" ->
+      s"""WITH ${Q.eventsUs},
+         |ch AS (SELECT user_id, event_type AS status, ts, event_id
+         |       FROM ev WHERE event_type <> 'purchase'
+         |         AND user_id IS NOT NULL),
+         |v AS (SELECT user_id, status, ts AS valid_from,
+         |        lead(ts) OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS valid_to
+         |      FROM ch),
+         |nv AS (SELECT * FROM v
+         |       WHERE valid_to IS NULL OR valid_from < valid_to),
+         |f AS (SELECT user_id, event_id, ts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |j AS (SELECT f.user_id, COALESCE(nv.status, '(none)') AS status
+         |      FROM f LEFT JOIN nv ON f.user_id = nv.user_id
+         |        AND f.ts >= nv.valid_from
+         |        AND (nv.valid_to IS NULL OR f.ts < nv.valid_to))
+         |SELECT status, COUNT(*) AS n_purchases,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // correlated MIN-over-following replay of the forward as-of
     "q202_time_to_next_error" ->

@@ -418,6 +418,11 @@ class PlanGateSpec extends SparkSpec {
     // one user-keyed lead window (+ dedup reusing its partitioning) +
     // sort; the incremental applyBatch form touches batch keys only
     "q194_scd2" -> 3,
+    // the SCD2→asOf composition: fromHistory's lead window + the
+    // as-of union window (both user-keyed but across a union boundary)
+    // + the two-phase distinct-user aggregate (2) + output sort — every
+    // exchange is user- or status-keyed, nothing pair-shaped
+    "q203_scd2_asof" -> 6,
     // q188's pair join + the p_id weight window + the day rollup —
     // same bound, decay weights are row-local integers
     "q195_decay_attribution" -> 3,
