@@ -402,13 +402,17 @@ object Freq {
       .as[(String, String)]
       .mapPartitions(mgPartitionByGroupCounted(capacity, maxGroupsPerPartition))
       .toDF("group", "item", "est", "dec")
-    val cand = summary.filter(col("item").isNotNull)
-      .groupBy(col("group"), col("item")).agg(sum(col("est")).as("est"))
+    // one aggregate over candidates AND the per-group (group, null)
+    // marker rows, pinned eagerly so both branches read one bounded
+    // table and the pass-1 scan runs once (see exactTopK)
+    val agged = summary.groupBy(col("group"), col("item"))
+      .agg(sum(col("est")).as("est"), sum(col("dec")).as("dec"))
+      .localCheckpoint(true)
+    val cand = agged.filter(col("item").isNotNull)
       .select(col("group").as("__mg_g"), col("item").as("__mg_i"))
-    val stats = summary.filter(col("item").isNull)
-      .groupBy(col("group"))
-      .agg(sum(col("est")).as("__n"), sum(col("dec")).as("__dec"))
-      .withColumnRenamed("group", "__mg_sg")
+    val stats = agged.filter(col("item").isNull)
+      .select(col("group").as("__mg_sg"), col("est").as("__n"),
+        col("dec").as("__dec"))
     val fact = df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("cnt").desc, col(itemCol))
@@ -478,12 +482,23 @@ object Freq {
       .select(col(itemCol).cast("string")).as[String]
       .mapPartitions(mgPartitionCounted(capacity))
       .toDF("item", "est", "dec")
+    // ONE aggregate over candidates AND markers (the null-item marker
+    // rows group under the null key), PINNED eagerly so the candidate
+    // branch and the stats branch read the same bounded table and the
+    // pass-1 corpus scan runs ONCE. Without the pin, column pruning
+    // specializes each branch's aggregate (cand drops `dec`) into
+    // non-identical exchanges ReuseExchange can't deduplicate — measured
+    // as a third full corpus scan in the executed plan. The pinned frame
+    // is ≤ (capacity+1)·|partitions| summary rows — the
+    // blendByRankBySketch construction-job discipline.
+    val agged = summary.groupBy(col("item"))
+      .agg(sum(col("est")).as("est"), sum(col("dec")).as("dec"))
+      .localCheckpoint(true)
     // candidate column renamed + DataFrame-qualified probe so an input
     // column named "item" can't make the join condition ambiguous
-    val cand = summary.filter(col("item").isNotNull)
-      .groupBy(col("item")).agg(sum(col("est")).as("est"))
+    val cand = agged.filter(col("item").isNotNull)
       .select(col("item").as("__mg_cand"))
-    val stats = summary.filter(col("item").isNull)
+    val stats = agged.filter(col("item").isNull)
       .agg(coalesce(sum(col("est")), lit(0L)).as("__n"),
         coalesce(sum(col("dec")), lit(0L)).as("__dec"))
     val fact = df.filter(col(itemCol).isNotNull)

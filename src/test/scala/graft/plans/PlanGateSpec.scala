@@ -393,11 +393,12 @@ class PlanGateSpec extends SparkSpec {
     // one count aggregate + the top-k limit exchanges; totals broadcast,
     // rank window over the k retained rows only
     "q189_skew_report" -> 3,
-    // MG two-pass: capacity·|partitions| summary rows shuffle once, then
-    // the candidate-only exact count — never a vocabulary-sized exchange
-    // (+1 single-partition agg of the certificate markers; the in-plan
-    // exactness certificate rides summary rows already shuffled)
-    "q190_heavy_hitters" -> 3,
+    // MG two-pass: the pass-1 summary aggregate (candidates + the
+    // certificate's marker rows in ONE exchange) runs at construction
+    // and pins bounded; the returned plan is the candidate-only exact
+    // count + the 1-row certificate agg — never a vocabulary-sized
+    // exchange
+    "q190_heavy_hitters" -> 2,
     // bloom prefilter probes a SCALAR SUBQUERY (plan-native
     // bloom_filter_agg: +1 single-partition exchange over dim hashes,
     // subquery-local); the join's dim side broadcasts at this sf,
@@ -410,11 +411,11 @@ class PlanGateSpec extends SparkSpec {
     // scale; the null-group false-alarm fix is worth two tiny
     // exchanges) + sort
     "q192_psi_drift" -> 7,
-    // grouped MG candidates + candidate-only exact count + the rank
-    // window over candidate rows + sort — the (lang, token) vocabulary
-    // itself never crosses the network unsummarized (+1 per-group agg
-    // of the certificate markers, |groups|-scale)
-    "q193_topk_per_group" -> 5,
+    // grouped MG candidates (+ per-group certificate markers) pin at
+    // construction; returned: candidate-only exact count + rank window
+    // over candidate rows + sort — the (lang, token) vocabulary itself
+    // never crosses the network unsummarized
+    "q193_topk_per_group" -> 3,
     // one user-keyed lead window (+ dedup reusing its partitioning) +
     // sort; the incremental applyBatch form touches batch keys only
     "q194_scd2" -> 3,
@@ -438,10 +439,10 @@ class PlanGateSpec extends SparkSpec {
     // two per-side count aggregates + the |keys|-row count join + the
     // top-k limit exchange; totals broadcast, rank over k rows
     "q199_join_fanout" -> 5,
-    // q190's two MG passes + the per-doc aggregate + sort; the
-    // discovered stoplist broadcasts into the signal join (+1
-    // single-partition agg of the exactness-certificate markers)
-    "q200_adaptive_stopwords" -> 5,
+    // q190's pinned-summary pass + exact recount + the per-doc
+    // aggregate + sort; the discovered stoplist broadcasts into the
+    // signal join
+    "q200_adaptive_stopwords" -> 4,
     // one user-keyed window shuffle (the asOfJoin single-shuffle
     // shape, time-mirrored) + the output sort
     "q202_time_to_next_error" -> 2,
