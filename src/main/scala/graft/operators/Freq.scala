@@ -385,10 +385,11 @@ object Freq {
     * and complete — or (b) the group returned k rows and its k-th exact
     * count clears N_group/(capacity+1), so no non-candidate can outrank
     * them. Otherwise the query FAILS with the sizing rule in the
-    * message. Documented edge: a group whose every summary decremented
-    * to empty has no rows to carry its certificate and silently
-    * disappears — impossible in practice once capacity exceeds a few
-    * dozen (it needs every counter at exactly 1 on every decrement).
+    * message — INCLUDING a group whose candidate summaries decremented
+    * entirely empty (the normal state for a high-cardinality uniform
+    * tail): the certificate rides the per-group stats rows, which
+    * left-join the results, so a vanished group fails loudly rather
+    * than silently disappearing.
     */
   def exactTopKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
       k: Int, capacity: Int,
@@ -416,31 +417,40 @@ object Freq {
     val fact = df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("cnt").desc, col(itemCol))
-    // both windows below rank BOUNDED candidate/top-k rows, never corpus
-    // rows (the Packing.scala:14 convention)
-    val wg = Window.partitionBy(col(groupCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    fact.join(broadcast(cand),
+    val topk = fact.join(broadcast(cand),
         fact(groupCol).cast("string") === cand("__mg_g") &&
           fact(itemCol).cast("string") === cand("__mg_i"), "left_semi")
       .groupBy(col(groupCol), col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
-      .join(broadcast(stats), col(groupCol).cast("string") === col("__mg_sg"))
+    // STATS is the LEFT side so every group carries its certificate
+    // even with ZERO result rows: a group whose candidate summaries
+    // decremented entirely empty (the all-counters-at-1 state is NORMAL
+    // for a high-cardinality uniform tail, not exotic) joins nothing
+    // and its carrier row fails the assert instead of the group
+    // silently vanishing. Windows below rank BOUNDED candidate/top-k
+    // rows, never corpus rows (the Packing.scala:14 convention).
+    val wg = Window.partitionBy(col("__mg_sg"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats.join(broadcast(topk),
+        col("__mg_sg") === topk(groupCol).cast("string"), "left_outer")
       .withColumn("__kth", min(col("cnt")).over(wg))
-      .withColumn("__rows", count(lit(1)).over(wg))
+      .withColumn("__rows", count(col("cnt")).over(wg))
       .filter(assert_true(
         col("__dec") === 0L ||
           (col("__rows") === k &&
             col("__kth") * lit((capacity + 1).toLong) > col("__n")),
         concat(lit(s"exactTopKPerGroup(k=$k, capacity=$capacity) " +
-            "UNCERTIFIED for group '"), col(groupCol).cast("string"),
-          lit("': k-th count "), col("__kth").cast("string"),
-          lit(" does not clear N_g/(capacity+1) = "), col("__n").cast("string"),
+            "UNCERTIFIED for group '"), col("__mg_sg"),
+          lit("': its "), col("__rows").cast("string"),
+          lit(s" result rows (want $k) with k-th count "),
+          coalesce(col("__kth").cast("string"), lit("none")),
+          lit(" do not clear N_g/(capacity+1) = "), col("__n").cast("string"),
           lit(s"/${capacity + 1} and decrement rounds ran — raise capacity " +
             "above N_g/kth-count or fall back to the exact groupBy")
       ).cast("string")).isNull)
+      .filter(col("cnt").isNotNull) // drop carrier-only rows
       .drop("__r", "__mg_sg", "__n", "__dec", "__kth", "__rows")
   }
 
@@ -459,10 +469,10 @@ object Freq {
     * possible contender was provably a candidate (any non-candidate's
     * true count is <= N/(capacity+1) < the k-th count). An undersized
     * capacity therefore FAILS LOUDLY with the sizing rule in the
-    * message instead of silently returning a near-top-k. Documented
-    * edge: a candidate set decremented entirely empty returns an EMPTY
-    * frame (no rows carry the certificate) — visible, and impossible in
-    * practice once capacity exceeds a few dozen.
+    * message instead of silently returning a near-top-k — INCLUDING
+    * when the candidate set decremented entirely empty: the
+    * certificate rides the 1-row stats frame, which left-joins the
+    * results, so zero result rows still carry (and fail) the check.
     *
     * Pass 2 keeps the ORIGINAL column type (the semi-join probes on a
     * string cast; the output groups the raw column). The candidate
@@ -504,26 +514,36 @@ object Freq {
     val fact = df.filter(col(itemCol).isNotNull)
     val wAll = Window
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    fact.join(broadcast(cand),
+    val topk = fact.join(broadcast(cand),
         fact(itemCol).cast("string") === cand("__mg_cand"), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(itemCol))
       .limit(k)
-      .crossJoin(broadcast(stats))
+      .withColumn("__one", lit(1))
+    // STATS is the LEFT side so the certificate rides even when the
+    // candidate set decremented entirely empty (0 result rows would
+    // otherwise have no row to carry the assert and the query would
+    // "succeed" with an empty top-k — and q200's stoplist built on it
+    // would silently be empty)
+    stats.withColumn("__one", lit(1))
+      .join(broadcast(topk), Seq("__one"), "left_outer")
       .withColumn("__kth", min(col("cnt")).over(wAll))
-      .withColumn("__rows", count(lit(1)).over(wAll))
+      .withColumn("__rows", count(col("cnt")).over(wAll))
       .filter(assert_true(
         col("__dec") === 0L ||
           (col("__rows") === k &&
             col("__kth") * lit((capacity + 1).toLong) > col("__n")),
-        concat(lit(s"exactTopK(k=$k, capacity=$capacity) UNCERTIFIED: " +
-            "k-th count "), col("__kth").cast("string"),
-          lit(" does not clear N/(capacity+1) = "), col("__n").cast("string"),
+        concat(lit(s"exactTopK(k=$k, capacity=$capacity) UNCERTIFIED: "),
+          col("__rows").cast("string"),
+          lit(s" result rows (want $k) with k-th count "),
+          coalesce(col("__kth").cast("string"), lit("none")),
+          lit(" do not clear N/(capacity+1) = "), col("__n").cast("string"),
           lit(s"/${capacity + 1} and decrement rounds ran — raise capacity " +
             "above N/kth-count or fall back to the exact groupBy")
       ).cast("string")).isNull)
-      .drop("__n", "__dec", "__kth", "__rows")
+      .filter(col("cnt").isNotNull) // drop the carrier-only row
+      .drop("__one", "__n", "__dec", "__kth", "__rows")
       .orderBy(col("cnt").desc, col(itemCol))
   }
 }

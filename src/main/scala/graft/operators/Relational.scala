@@ -283,17 +283,24 @@ object Relational {
     }
     def keyHash(df: DataFrame) = xxhash64(keyCols.map(df(_)): _*)
     val spark = fact.sparkSession
-    // BloomFilterAggregate clamps its sizing to these session caps; lift
-    // them to the documented ceiling of this operator so expectedKeys is
-    // honored rather than silently degraded to a higher fpp.
+    // BloomFilterAggregate clamps its sizing to these session caps AT
+    // EXECUTION TIME — a silent clamp would degrade the fpp without
+    // telling anyone, and mutating session confs from inside an
+    // operator would leak the lift to every other query (the house
+    // style is explicitly "no session-conf mutation"). Require instead:
+    // the caller raises the conf deliberately or sizes down.
     val numBits =
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
         expectedKeys, fpp)
     Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedKeys,
         "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
       .foreach { case (key, need) =>
-        if (spark.conf.get(key).toLong < need)
-          spark.conf.set(key, need.toString)
+        val cap = spark.conf.get(key).toLong
+        require(cap >= need,
+          s"bloomPrefilteredJoin needs $key >= $need (expectedKeys=" +
+            s"$expectedKeys, fpp=$fpp) but the session caps it at $cap — " +
+            "BloomFilterAggregate would silently clamp and raise the real " +
+            s"fpp; set $key explicitly or lower expectedKeys/raise fpp")
       }
     val probe = org.apache.spark.sql.graftexec.ExprBridge.bloomMightContain(
       dim.select(keyHash(dim).as("__k")), expectedKeys, numBits,

@@ -164,8 +164,14 @@ object Scd {
     * overwrite cannot leave a stale bucket behind.
     *
     * `nBuckets` is pinned at store creation (bucket membership is
-    * positional, exactly like the histogram grids): enforced against
-    * the store's own directory layout on every merge.
+    * positional, exactly like the histogram grids) and PERSISTED in a
+    * `_graft_scd_nbuckets` marker file inside the store: every merge
+    * requires exact equality, because a differing nBuckets re-buckets
+    * keys — the affected-bucket read would miss a key's existing
+    * versions and dynamic overwrite would leave its stale rows behind
+    * in the old bucket (silent duplicate version intervals). A
+    * directory-count check could not catch this (8 existing dirs pass
+    * a `<= 16` test; a sparse store passes a smaller nBuckets too).
     *
     * Replay semantics are unchanged from the plain path: a replayed
     * batch re-derives its buckets to identical content (the dedup
@@ -183,15 +189,22 @@ object Scd {
     // null-keyed change can't drag a phantom bucket into the read set
     val clean = batch.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
     if (!fs.exists(p)) {
+      // an empty (or all-null-key) first batch must NOT create the
+      // store: a partitioned write of zero rows emits no schema-bearing
+      // part file, and every later read of the directory would die on
+      // schema inference — skip and let the first real batch create it
+      if (clean.isEmpty) return
       fromHistory(clean, keyCols, tsCol, tieCol)
         .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(storePath)
+      writeNBuckets(fs, p, nBuckets)
     } else {
-      val existing = fs.listStatus(p).map(_.getPath.getName)
-        .count(_.startsWith(s"$BucketCol="))
-      require(existing <= nBuckets,
-        s"store at $storePath has $existing bucket partitions > nBuckets=" +
-          s"$nBuckets — nBuckets is pinned at store creation")
+      val pinned = readNBuckets(fs, p)
+      require(pinned == nBuckets,
+        s"store at $storePath was created with nBuckets=$pinned, merge " +
+          s"called with $nBuckets — bucket membership is positional, so " +
+          "a differing nBuckets would read the wrong bucket slice and " +
+          "leave stale versions behind; pass the creation-time value")
       val buckets = clean
         .select(bucketOf(keyCols, nBuckets).as(BucketCol)).distinct()
         .collect().map(_.getLong(0)) // bounded: ≤ min(|batch keys|, nBuckets)
@@ -208,6 +221,31 @@ object Scd {
         Checkpoints.free(pinned)
       }
     }
+  }
+
+  /** The store's pinned-nBuckets marker file. Underscore-prefixed so
+    * every parquet FileIndex treats it as hidden metadata.
+    */
+  private def nBucketsPath(store: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(store, "_graft_scd_nbuckets")
+
+  private def writeNBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path, nBuckets: Int): Unit = {
+    val out = fs.create(nBucketsPath(store), true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readNBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path): Int = {
+    val mp = nBucketsPath(store)
+    require(fs.exists(mp),
+      s"$mp missing — the store was not created by " +
+        "mergeBatchIntoBucketedScdStore (or the marker was deleted); " +
+        "refusing to guess its bucketization")
+    val in = fs.open(mp)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+    finally in.close()
   }
 
   /** [[maintainScd2]] over the bucket-partitioned store — same ledger,

@@ -228,6 +228,34 @@ class FreqSpec extends SparkSpec {
     }
   }
 
+  test("a candidate set decremented entirely EMPTY fails loudly, not silently-empty") {
+    // capacity 1 over strict a/b alternation: every insert of `a` is
+    // destroyed by the arriving `b` (and vice versa), so the partition
+    // summary ends EMPTY while N=200 rows were seen — the old shape had
+    // no result row to carry the certificate and "succeeded" with an
+    // empty top-k; the stats-side carrier must refuse instead
+    val xs = Seq.fill(100)(Seq("a", "b")).flatten
+    val df = spark.createDataset(xs).toDF("item").repartition(1)
+    val e = intercept[Exception] {
+      Freq.exactTopK(df, "item", k = 1, capacity = 1).collect()
+    }
+    assert(e.getMessage.contains("UNCERTIFIED"), e.getMessage)
+    assert(e.getMessage.contains("0 result rows"), e.getMessage)
+  }
+
+  test("a group decremented entirely empty fails loudly and names itself") {
+    // group G: the emptying alternation; group H: one hot item, zero
+    // decrements — H alone would certify, so the failure must be G's
+    val rows = Seq.fill(100)(Seq(("G", "a"), ("G", "b"))).flatten ++
+      Seq.fill(50)(("H", "x"))
+    val df = spark.createDataset(rows).toDF("g", "item").repartition(1)
+    val e = intercept[Exception] {
+      Freq.exactTopKPerGroup(df, "g", "item", k = 1, capacity = 1).collect()
+    }
+    assert(e.getMessage.contains("UNCERTIFIED"), e.getMessage)
+    assert(e.getMessage.contains("'G'"), e.getMessage)
+  }
+
   test("mgCandidatesByGroup fails fast past maxGroupsPerPartition") {
     val df = (1 to 50).map(i => (s"g$i", "x")).toDF("g", "item")
       .repartition(1)

@@ -333,6 +333,20 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(("a", "d")))
   }
 
+  test("bloomPrefilteredJoin refuses sizes the session caps would silently clamp") {
+    // default spark.sql.optimizer.runtime.bloomFilter.maxNumItems is 4M:
+    // BloomFilterAggregate would clamp a bigger expectedKeys at
+    // execution and quietly raise the real fpp — the operator must
+    // refuse and name the conf instead of mutating it session-wide
+    val fact = Seq((1L, "a")).toDF("k", "v")
+    val dim = Seq((1L, "d")).toDF("k", "d")
+    val e = intercept[IllegalArgumentException] {
+      Relational.bloomPrefilteredJoin(fact, dim, Seq("k"),
+        expectedKeys = 5000000L)
+    }
+    assert(e.getMessage.contains("maxNumItems"), e.getMessage)
+  }
+
   test("bloomPrefilteredJoin probe is plan-native (subquery, no UDF)") {
     val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val dim = Seq((2L, "d")).toDF("k", "d")

@@ -165,6 +165,53 @@ class ScdSpec extends SparkSpec {
     }
   }
 
+  test("bucketed store refuses a mismatched nBuckets instead of corrupting") {
+    val base = java.nio.file.Files.createTempDirectory("scd_nbpin").toString
+    val store = s"$base/store"
+    Scd.mergeBatchIntoBucketedScdStore(
+      history.take(3).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    // a LARGER nBuckets would re-bucket keys: the old dir-count check
+    // (8 <= 16) passed and silently left stale versions behind
+    for (bad <- Seq(16, 4)) {
+      val e = intercept[IllegalArgumentException] {
+        Scd.mergeBatchIntoBucketedScdStore(
+          history.drop(3).toDF("key", "attr", "ts", "id"),
+          Seq("key"), "ts", "id", store, nBuckets = bad)
+      }
+      assert(e.getMessage.contains("nBuckets=8"), e.getMessage)
+    }
+    // the pinned value still merges fine
+    Scd.mergeBatchIntoBucketedScdStore(
+      history.drop(3).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    val want = versions(Scd.fromHistory(
+      history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+  }
+
+  test("an empty or all-null-key first batch does not brick the bucketed store") {
+    val base = java.nio.file.Files.createTempDirectory("scd_empty0").toString
+    val store = s"$base/store"
+    // empty batch 0: a partitioned write of zero rows would emit no
+    // schema-bearing file and every later read would die on inference
+    Scd.mergeBatchIntoBucketedScdStore(
+      Seq.empty[(String, String, Long, Long)].toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    // all-null-key batch 1: same skip path
+    Scd.mergeBatchIntoBucketedScdStore(
+      Seq((Option.empty[String], "x", 1L, 1L)).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    assert(!new java.io.File(store).exists, "no store should exist yet")
+    // the first REAL batch creates it and the store works normally
+    Scd.mergeBatchIntoBucketedScdStore(
+      history.toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    val want = versions(Scd.fromHistory(
+      history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+  }
+
   test("bucketed merge rewrites ONLY the affected buckets' files") {
     val base = java.nio.file.Files.createTempDirectory("scd_bucketio").toString
     val store = s"$base/store"

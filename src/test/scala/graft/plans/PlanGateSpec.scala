@@ -413,9 +413,10 @@ class PlanGateSpec extends SparkSpec {
     "q192_psi_drift" -> 7,
     // grouped MG candidates (+ per-group certificate markers) pin at
     // construction; returned: candidate-only exact count + rank window
-    // over candidate rows + sort — the (lang, token) vocabulary itself
+    // over candidate rows + the stats-carrier join keyed on the group
+    // (sketch-row-sized) + sort — the (lang, token) vocabulary itself
     // never crosses the network unsummarized
-    "q193_topk_per_group" -> 3,
+    "q193_topk_per_group" -> 4,
     // one user-keyed lead window (+ dedup reusing its partitioning) +
     // sort; the incremental applyBatch form touches batch keys only
     "q194_scd2" -> 3,
