@@ -478,9 +478,11 @@ object Freq {
     * string cast; the output groups the raw column). The candidate
     * broadcast is <= capacity·|partitions| rows of (string) keys —
     * driver-bounded planning metadata, not corpus data. The certificate
-    * rides the plan as a 1-row cross-joined aggregate of the SAME
-    * pass-1 summary plus two unpartitioned windows over the k retained
-    * rows (bounded, the Packing.scala:14 convention).
+    * rides the plan as the 1-row stats aggregate of the SAME pinned
+    * pass-1 summary, left-joined UNDER the k result rows (stats side
+    * left, so zero rows still carry it) plus two unpartitioned windows
+    * over the k retained rows (bounded, the Packing.scala:14
+    * convention).
     */
   def exactTopK(df: DataFrame, itemCol: String, k: Int,
       capacity: Int): DataFrame = {

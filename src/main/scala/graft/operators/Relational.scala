@@ -288,7 +288,9 @@ object Relational {
     // telling anyone, and mutating session confs from inside an
     // operator would leak the lift to every other query (the house
     // style is explicitly "no session-conf mutation"). Require instead:
-    // the caller raises the conf deliberately or sizes down.
+    // the caller raises the conf deliberately or sizes down. Scope: the
+    // check runs at CONSTRUCTION; lowering the caps between build and
+    // execute re-enables the silent clamp — don't.
     val numBits =
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
         expectedKeys, fpp)

@@ -199,11 +199,28 @@ object Scd {
         .write.mode("overwrite").partitionBy(BucketCol).parquet(storePath)
       writeNBuckets(fs, p, nBuckets)
     } else {
-      val pinned = readNBuckets(fs, p)
-      require(pinned == nBuckets,
-        s"store at $storePath was created with nBuckets=$pinned, merge " +
-          s"called with $nBuckets — bucket membership is positional, so " +
-          "a differing nBuckets would read the wrong bucket slice and " +
+      // SELF-HEAL a missing marker (the create-crash window between the
+      // data write and the marker write — reachable under the ledger's
+      // replay — or a store that predates the marker, or a corrupt
+      // marker the operator told the user to delete): validate EVERY
+      // stored row's partition against the caller's bucketization, then
+      // pin it. One full store read, once, only on this path — the
+      // alternative was a permanently bricked store.
+      if (!fs.exists(nBucketsPath(p))) {
+        val misplaced = spark.read.parquet(storePath)
+          .filter(bucketOf(keyCols, nBuckets) =!= col(BucketCol).cast("long"))
+          .limit(1).count()
+        require(misplaced == 0L,
+          s"store at $storePath has no nBuckets marker and its layout " +
+            s"does not match nBuckets=$nBuckets — pass the value the " +
+            "store was created with")
+        writeNBuckets(fs, p, nBuckets)
+      }
+      val pinnedNBuckets = readNBuckets(fs, p)
+      require(pinnedNBuckets == nBuckets,
+        s"store at $storePath was created with nBuckets=$pinnedNBuckets, " +
+          s"merge called with $nBuckets — bucket membership is positional, " +
+          "so a differing nBuckets would read the wrong bucket slice and " +
           "leave stale versions behind; pass the creation-time value")
       val buckets = clean
         .select(bucketOf(keyCols, nBuckets).as(BucketCol)).distinct()
@@ -229,10 +246,20 @@ object Scd {
   private def nBucketsPath(store: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(store, "_graft_scd_nbuckets")
 
+  /** Atomic marker write: create under a dot-temp name (hidden to
+    * FileIndex), then rename into place — a crash mid-write can leave a
+    * stale temp but never a truncated marker. A crash BETWEEN the data
+    * write and this call is the self-heal path in
+    * [[mergeBatchIntoBucketedScdStore]].
+    */
   private def writeNBuckets(fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path, nBuckets: Int): Unit = {
-    val out = fs.create(nBucketsPath(store), true)
+    val tmp = new org.apache.hadoop.fs.Path(store, "._graft_scd_nbuckets.tmp")
+    val out = fs.create(tmp, true)
     try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    val mp = nBucketsPath(store)
+    if (fs.exists(mp)) fs.delete(mp, false)
+    require(fs.rename(tmp, mp), s"could not move $tmp to $mp")
   }
 
   private def readNBuckets(fs: org.apache.hadoop.fs.FileSystem,
@@ -243,9 +270,16 @@ object Scd {
         "mergeBatchIntoBucketedScdStore (or the marker was deleted); " +
         "refusing to guess its bucketization")
     val in = fs.open(mp)
-    try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
-    finally in.close()
+    val raw =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$mp is unreadable ('$raw') — delete the marker file and re-merge " +
+          "with the creation-time nBuckets; the merge will validate the " +
+          "store layout against it and re-pin")
+    }
   }
 
   /** [[maintainScd2]] over the bucket-partitioned store — same ledger,

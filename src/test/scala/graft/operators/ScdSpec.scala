@@ -190,6 +190,42 @@ class ScdSpec extends SparkSpec {
     assert(versions(Scd.readScdStore(spark, store)) == want)
   }
 
+  test("a missing or corrupt nBuckets marker self-heals, never bricks the store") {
+    val base = java.nio.file.Files.createTempDirectory("scd_heal").toString
+    val store = s"$base/store"
+    val marker = new java.io.File(store, "_graft_scd_nbuckets")
+    Scd.mergeBatchIntoBucketedScdStore(
+      history.take(3).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    // the create-crash window: data written, marker lost before the
+    // ledger committed — replay must validate the layout and re-pin
+    assert(marker.delete())
+    Scd.mergeBatchIntoBucketedScdStore(
+      history.drop(3).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    assert(marker.exists, "self-heal must re-pin the marker")
+    val want = versions(Scd.fromHistory(
+      history.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+    // but a missing marker + WRONG nBuckets is caught by the layout scan
+    assert(marker.delete())
+    val e = intercept[IllegalArgumentException] {
+      Scd.mergeBatchIntoBucketedScdStore(
+        history.take(1).toDF("key", "attr", "ts", "id"),
+        Seq("key"), "ts", "id", store, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    // and a corrupt (e.g. truncated-empty) marker gets a designed error
+    // pointing at the deletion remedy, not a NumberFormatException
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    val e2 = intercept[IllegalArgumentException] {
+      Scd.mergeBatchIntoBucketedScdStore(
+        history.take(1).toDF("key", "attr", "ts", "id"),
+        Seq("key"), "ts", "id", store, nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("delete the marker"), e2.getMessage)
+  }
+
   test("an empty or all-null-key first batch does not brick the bucketed store") {
     val base = java.nio.file.Files.createTempDirectory("scd_empty0").toString
     val store = s"$base/store"
