@@ -298,13 +298,15 @@ object Freq {
     * marker machinery.
     */
   def mergeBatchIntoGroupHitterStore(batch: DataFrame, groupCol: String,
-      itemCol: String, capacity: Int, storePath: String): Unit = {
+      itemCol: String, capacity: Int, storePath: String,
+      maxGroupsPerPartition: Int = DefaultMaxGroupsPerPartition): Unit = {
     val spark = batch.sparkSession
     val batchTotals = batch
       .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("group"))
       .agg(count(lit(1)).as("n_total"))
-    val newSk = mgCandidatesByGroup(batch, groupCol, itemCol, capacity)
+    val newSk = mgCandidatesByGroup(batch, groupCol, itemCol, capacity,
+      maxGroupsPerPartition)
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (merged, totals) =
@@ -340,15 +342,18 @@ object Freq {
   /** Streaming per-group heavy-hitter maintenance — live "top items per
     * group so far" in ≤ |groups|·capacity rows of state, under the
     * exactly-once ledger (MG counters ADD on merge; replays must not
-    * double-count).
+    * double-count). `maxGroupsPerPartition` forwards to the task-side
+    * group-cardinality guard so a stream whose groups genuinely exceed
+    * the default can raise it instead of hitting an unreachable remedy.
     */
   def maintainTopHittersByGroup(stream: DataFrame, groupCol: String,
-      itemCol: String, capacity: Int, storePath: String, ledgerDir: String)
+      itemCol: String, capacity: Int, storePath: String, ledgerDir: String,
+      maxGroupsPerPartition: Int = DefaultMaxGroupsPerPartition)
       : org.apache.spark.sql.streaming.DataStreamWriter[
       org.apache.spark.sql.Row] =
     graft.io.Sinks.idempotentForeachBatch(stream, ledgerDir) { (b, _) =>
       mergeBatchIntoGroupHitterStore(b, groupCol, itemCol, capacity,
-        storePath)
+        storePath, maxGroupsPerPartition)
     }
 
   /** Grouped candidate summary: (group, item, est) with the
@@ -390,6 +395,19 @@ object Freq {
     * tail): the certificate rides the per-group stats rows, which
     * left-join the results, so a vanished group fails loudly rather
     * than silently disappearing.
+    *
+    * CONSTRUCTION runs the pass-1 corpus scan immediately: the shared
+    * summary is pinned with an eager localCheckpoint so the candidate
+    * and certificate branches of the RETURNED plan read one bounded
+    * table instead of re-scanning (lazy persist cannot promise that —
+    * branch-specialized column pruning defeats exchange reuse, a
+    * measured extra corpus scan — and CacheManager entries are never
+    * auto-freed). The pinned blocks (≤ (capacity+1)·|partitions| summary
+    * rows) are reclaimed by the ContextCleaner once the returned plan
+    * is unreachable, so build the plan when you intend to run it and
+    * drop the reference after; a loop that constructs many of these and
+    * holds them all accumulates executor storage until they go out of
+    * scope.
     */
   def exactTopKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
       k: Int, capacity: Int,
@@ -428,19 +446,25 @@ object Freq {
     // even with ZERO result rows: a group whose candidate summaries
     // decremented entirely empty (the all-counters-at-1 state is NORMAL
     // for a high-cardinality uniform tail, not exotic) joins nothing
-    // and its carrier row fails the assert instead of the group
-    // silently vanishing. Windows below rank BOUNDED candidate/top-k
-    // rows, never corpus rows (the Packing.scala:14 convention).
+    // and its carrier row fails the certificate instead of the group
+    // silently vanishing. Certificate and carrier-drop are ONE
+    // expression — a single column that is the count when certified and
+    // raise_error otherwise — so the loud failure cannot be separated
+    // from the row filter by any predicate reorder (two stacked filters
+    // would rely on Catalyst keeping inner-first evaluation order).
+    // Windows below rank BOUNDED candidate/top-k rows, never corpus
+    // rows (the Packing.scala:14 convention).
     val wg = Window.partitionBy(col("__mg_sg"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     stats.join(broadcast(topk),
         col("__mg_sg") === topk(groupCol).cast("string"), "left_outer")
       .withColumn("__kth", min(col("cnt")).over(wg))
       .withColumn("__rows", count(col("cnt")).over(wg))
-      .filter(assert_true(
+      .withColumn("__cert_cnt", when(
         col("__dec") === 0L ||
           (col("__rows") === k &&
             col("__kth") * lit((capacity + 1).toLong) > col("__n")),
+        col("cnt")).otherwise(raise_error(
         concat(lit(s"exactTopKPerGroup(k=$k, capacity=$capacity) " +
             "UNCERTIFIED for group '"), col("__mg_sg"),
           lit("': its "), col("__rows").cast("string"),
@@ -449,9 +473,9 @@ object Freq {
           lit(" do not clear N_g/(capacity+1) = "), col("__n").cast("string"),
           lit(s"/${capacity + 1} and decrement rounds ran — raise capacity " +
             "above N_g/kth-count or fall back to the exact groupBy")
-      ).cast("string")).isNull)
-      .filter(col("cnt").isNotNull) // drop carrier-only rows
-      .drop("__r", "__mg_sg", "__n", "__dec", "__kth", "__rows")
+      ).cast("string"))))
+      .filter(col("__cert_cnt").isNotNull) // raises when uncertified; drops carrier-only rows
+      .drop("__r", "__mg_sg", "__n", "__dec", "__kth", "__rows", "__cert_cnt")
   }
 
   /** EXACT top-k (count desc, item asc tie-break) in two passes.
@@ -483,6 +507,12 @@ object Freq {
     * left, so zero rows still carry it) plus two unpartitioned windows
     * over the k retained rows (bounded, the Packing.scala:14
     * convention).
+    *
+    * CONSTRUCTION runs the pass-1 corpus scan immediately (eager
+    * localCheckpoint of the shared summary — see [[exactTopKPerGroup]]
+    * for why lazy persist cannot replace it); the pinned blocks are
+    * freed by the ContextCleaner once the returned plan is unreachable,
+    * so don't construct-and-hold these in bulk.
     */
   def exactTopK(df: DataFrame, itemCol: String, k: Int,
       capacity: Int): DataFrame = {
@@ -525,17 +555,21 @@ object Freq {
       .withColumn("__one", lit(1))
     // STATS is the LEFT side so the certificate rides even when the
     // candidate set decremented entirely empty (0 result rows would
-    // otherwise have no row to carry the assert and the query would
+    // otherwise have no row to carry the check and the query would
     // "succeed" with an empty top-k — and q200's stoplist built on it
-    // would silently be empty)
+    // would silently be empty). Certificate and carrier-drop are ONE
+    // expression (certified → cnt, else raise_error) filtered on a
+    // single column, so no Catalyst predicate reorder can evaluate the
+    // carrier-drop before the certificate.
     stats.withColumn("__one", lit(1))
       .join(broadcast(topk), Seq("__one"), "left_outer")
       .withColumn("__kth", min(col("cnt")).over(wAll))
       .withColumn("__rows", count(col("cnt")).over(wAll))
-      .filter(assert_true(
+      .withColumn("__cert_cnt", when(
         col("__dec") === 0L ||
           (col("__rows") === k &&
             col("__kth") * lit((capacity + 1).toLong) > col("__n")),
+        col("cnt")).otherwise(raise_error(
         concat(lit(s"exactTopK(k=$k, capacity=$capacity) UNCERTIFIED: "),
           col("__rows").cast("string"),
           lit(s" result rows (want $k) with k-th count "),
@@ -543,9 +577,9 @@ object Freq {
           lit(" do not clear N/(capacity+1) = "), col("__n").cast("string"),
           lit(s"/${capacity + 1} and decrement rounds ran — raise capacity " +
             "above N/kth-count or fall back to the exact groupBy")
-      ).cast("string")).isNull)
-      .filter(col("cnt").isNotNull) // drop the carrier-only row
-      .drop("__one", "__n", "__dec", "__kth", "__rows")
+      ).cast("string"))))
+      .filter(col("__cert_cnt").isNotNull) // raises when uncertified; drops the carrier-only row
+      .drop("__one", "__n", "__dec", "__kth", "__rows", "__cert_cnt")
       .orderBy(col("cnt").desc, col(itemCol))
   }
 }

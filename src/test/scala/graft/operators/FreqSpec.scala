@@ -270,6 +270,24 @@ class FreqSpec extends SparkSpec {
     assert(ok == 50L)
   }
 
+  test("group-hitter store maintenance forwards maxGroupsPerPartition") {
+    // the guard's documented remedy ("raise maxGroupsPerPartition")
+    // must be reachable from the store-maintenance API, not only from
+    // mgCandidatesByGroup directly
+    val df = (1 to 50).map(i => (s"g$i", "x")).toDF("g", "item")
+      .repartition(1)
+    val base = java.nio.file.Files.createTempDirectory("mg_plumb").toString
+    val e = intercept[Exception] {
+      Freq.mergeBatchIntoGroupHitterStore(df, "g", "item", capacity = 8,
+        storePath = s"$base/s1", maxGroupsPerPartition = 10)
+    }
+    assert(e.getMessage.contains("distinct groups"), e.getMessage)
+    Freq.mergeBatchIntoGroupHitterStore(df, "g", "item", capacity = 8,
+      storePath = s"$base/s2", maxGroupsPerPartition = 64)
+    assert(spark.read.parquet(s"$base/s2")
+      .filter($"item".isNotNull).count() == 50L)
+  }
+
   test("exactTopKPerGroup equals brute force per group") {
     val rows = skewed(41, 4000).map(("A", _)) ++
       skewed(42, 4000).map(("B", _)) ++ Seq(("C", "only"), ("C", "only"))
