@@ -130,8 +130,14 @@ object Scd {
     * lesson applied at design time).
     */
   def bucketOf(keyCols: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(keyCols.map(k => col(k).cast("string")): _*),
-      lit(nBuckets.toLong))
+    bucketOfMod(keyCols, nBuckets.toLong)
+
+  /** Long-modulus form — used by the self-heal ambiguity probe, whose
+    * 2·nBuckets check must not overflow Int.
+    */
+  private def bucketOfMod(keyCols: Seq[String],
+      m: Long): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(k => col(k).cast("string")): _*), lit(m))
 
   /** Read a version store written by either maintenance path, with the
     * internal bucket column (if any) stripped.
@@ -162,6 +168,17 @@ object Scd {
     * merged output (applyBatch never drops a key — untouched keys pass
     * through, affected keys re-derive to ≥1 version), so dynamic
     * overwrite cannot leave a stale bucket behind.
+    *
+    * Sizing rule of thumb: pick nBuckets ≈ |dimension keys| / (target
+    * keys per bucket), where a target bucket is one you are happy to
+    * rewrite whole — a few GB of parquet, i.e. ~10⁷ versions. Prefer
+    * the FLAT store ([[mergeBatchIntoScdStore]]) whenever a typical
+    * batch's |distinct keys| ≳ nBuckets: then every bucket is affected
+    * every batch, pruning saves nothing, and the bucketed path only
+    * adds per-directory write overhead (measured at ~0.31× the flat
+    * path's throughput in STREAMBENCH's full-spread worst case). The
+    * crossover is |batch keys| ≈ nBuckets — trickle changes against a
+    * large dimension sit far below it; rebuild-shaped batches sit above.
     *
     * `nBuckets` is pinned at store creation (bucket membership is
     * positional, exactly like the histogram grids) and PERSISTED in a
@@ -194,8 +211,15 @@ object Scd {
       // part file, and every later read of the directory would die on
       // schema inference — skip and let the first real batch create it
       if (clean.isEmpty) return
+      // repartition on the bucket BEFORE the partitioned write: without
+      // it every upstream task writes into every dir it touches and a
+      // batch leaves up to |tasks|·|affected buckets| files — at 1000
+      // executors that is file proliferation compounding on every
+      // merge. One bucket-keyed exchange caps it at one file per
+      // affected bucket per batch (the bucket IS the rewrite unit).
       fromHistory(clean, keyCols, tsCol, tieCol)
         .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
+        .repartition(col(BucketCol))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(storePath)
       writeNBuckets(fs, p, nBuckets)
     } else {
@@ -206,14 +230,40 @@ object Scd {
       // stored row's partition against the caller's bucketization, then
       // pin it. One full store read, once, only on this path — the
       // alternative was a permanently bricked store.
+      //
+      // AMBIGUITY GUARD: a store created with a LARGER nBuckets whose
+      // keys coincidentally all landed in the low buckets also passes
+      // the row validation for a smaller candidate (pmod(h, c) ==
+      // pmod(h, T) whenever pmod(h, T) < c), and silently re-pinning
+      // the smaller value would make later merges slice the wrong
+      // buckets. The same scan therefore also checks whether the rows
+      // are SIMULTANEOUSLY consistent with a 2·nBuckets layout — true
+      // for a genuine nBuckets store only with probability 2^-|keys|
+      // (each key needs pmod(h, 2n) < n), but ALWAYS true in the
+      // dangerous too-small-candidate case. Ambiguous → refuse with the
+      // manual remedy; the rare false refusal on a tiny store errs
+      // loud-and-safe.
       if (!fs.exists(nBucketsPath(p))) {
-        val misplaced = spark.read.parquet(storePath)
-          .filter(bucketOf(keyCols, nBuckets) =!= col(BucketCol).cast("long"))
-          .limit(1).count()
-        require(misplaced == 0L,
+        val checks = spark.read.parquet(storePath).agg(
+          sum(when(bucketOf(keyCols, nBuckets) =!=
+            col(BucketCol).cast("long"), 1L).otherwise(0L)).as("bad"),
+          sum(when(bucketOfMod(keyCols, 2L * nBuckets) =!=
+            col(BucketCol).cast("long"), 1L).otherwise(0L)).as("bad2x")
+        ).head()
+        require(checks.getLong(0) == 0L,
           s"store at $storePath has no nBuckets marker and its layout " +
             s"does not match nBuckets=$nBuckets — pass the value the " +
             "store was created with")
+        require(checks.getLong(1) > 0L,
+          s"store at $storePath has no nBuckets marker; its rows are " +
+            s"consistent with nBuckets=$nBuckets but ALSO with a larger " +
+            s"layout (every row lands identically under ${2L * nBuckets} " +
+            "buckets), so the store may have been created with a larger " +
+            "value and re-pinning this one would leave stale versions " +
+            "behind on later merges — refusing to self-heal; if " +
+            s"$nBuckets is certainly the creation-time value, write it " +
+            s"by hand as the plain-text content of ${nBucketsPath(p)} " +
+            "and re-run")
         writeNBuckets(fs, p, nBuckets)
       }
       val pinnedNBuckets = readNBuckets(fs, p)
@@ -231,6 +281,7 @@ object Scd {
           .drop(BucketCol)
         val merged = applyBatch(slice, clean, keyCols, tsCol, tieCol)
           .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
+          .repartition(col(BucketCol)) // one file per affected bucket (see create path)
         val pinned = merged.localCheckpoint(true)
         pinned.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

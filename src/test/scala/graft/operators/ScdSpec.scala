@@ -274,6 +274,11 @@ class ScdSpec extends SparkSpec {
     val touchedDir = s"${Scd.BucketCol}=$k7Bucket"
     assert(after(touchedDir) != before(touchedDir),
       "affected bucket must be rewritten")
+    // the bucket-keyed repartition caps files at ONE per affected
+    // bucket per batch — without it every upstream task writes into
+    // every dir it touches and merges compound the file count
+    assert(after(touchedDir).size == 1,
+      s"want 1 file per rewritten bucket, got ${after(touchedDir)}")
     (before.keySet - touchedDir).foreach { dir =>
       assert(after(dir) == before(dir),
         s"untouched bucket $dir was rewritten")
@@ -283,6 +288,76 @@ class ScdSpec extends SparkSpec {
       .filter($"key" === "k7").select($"attr", $"valid_from", $"valid_to")
       .as[(String, Long, Option[Long])].collect().toSet
     assert(got == Set(("v0", 10L, Some(20L)), ("v1", 20L, None)))
+  }
+
+  test("self-heal refuses an AMBIGUOUS candidate nBuckets (sparse-store divisor coincidence)") {
+    // keys "0","1","2","4","7" all land in buckets 0-7 under nBuckets=16
+    // (verified below), so a 16-bucket store of them row-validates
+    // against candidate 8 too — the divisor coincidence a sparse store
+    // can hit. The heal must refuse 8 (its rows are ALSO consistent
+    // with the 16 layout) and still accept the true 16 (some key's
+    // 32-bucket assignment differs, breaking the next-level ambiguity).
+    val keys = Seq("0", "1", "2", "4", "7")
+    val b16 = keys.toDF("key").select(Scd.bucketOf(Seq("key"), 16))
+      .as[Long].collect()
+    assert(b16.forall(_ < 8), s"test keys must collide into 0-7 under 16: ${b16.toSeq}")
+    val b32 = keys.toDF("key").select(
+      pmod(xxhash64($"key".cast("string")), lit(32L))).as[Long].collect()
+    assert(b32.exists(_ >= 16), s"need a key that disambiguates 16 vs 32: ${b32.toSeq}")
+    val base = java.nio.file.Files.createTempDirectory("scd_ambig").toString
+    val store = s"$base/store"
+    val hist = keys.zipWithIndex.map { case (k, i) => (k, "v0", 10L, i.toLong) }
+    Scd.mergeBatchIntoBucketedScdStore(hist.toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 16)
+    val marker = new java.io.File(store, "_graft_scd_nbuckets")
+    assert(marker.delete())
+    val batch = Seq(("0", "v1", 20L, 100L)).toDF("key", "attr", "ts", "id")
+    // candidate 8 row-validates but is refused as ambiguous — silently
+    // pinning it would make later merges slice the wrong buckets
+    val e = intercept[IllegalArgumentException] {
+      Scd.mergeBatchIntoBucketedScdStore(batch, Seq("key"), "ts", "id",
+        store, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("ALSO with a larger"), e.getMessage)
+    assert(!marker.exists, "a refused heal must not pin anything")
+    // the true creation-time value heals and merges normally
+    Scd.mergeBatchIntoBucketedScdStore(batch, Seq("key"), "ts", "id",
+      store, nBuckets = 16)
+    assert(marker.exists)
+    val want = versions(Scd.fromHistory(
+      (hist :+ (("0", "v1", 20L, 100L))).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id"))
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+  }
+
+  test("bucketed merge's store read is partition-pruned (plan gate on the slice scan)") {
+    // the q204 read-path discipline: the scan the merge builds —
+    // read(store).filter(BucketCol isin affected) — must reach the file
+    // index as a partition filter and select ONLY the affected
+    // directories, not post-filter a full-store read (the write half is
+    // measured by effect in "rewrites ONLY the affected buckets").
+    val base = java.nio.file.Files.createTempDirectory("scd_prune").toString
+    val store = s"$base/store"
+    val nBuckets = 16
+    val init = (1 to 40).map(i => (s"k$i", "v0", 10L, i.toLong))
+    Scd.mergeBatchIntoBucketedScdStore(init.toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets)
+    val nDirs = new java.io.File(store).listFiles
+      .count(_.getName.startsWith(s"${Scd.BucketCol}="))
+    assert(nDirs > 2, s"want keys spread over >2 buckets, got $nDirs")
+    val affected = Seq("k7").toDF("key")
+      .select(Scd.bucketOf(Seq("key"), nBuckets)).as[Long].collect().toSeq
+    val slice = spark.read.parquet(store)
+      .filter(col(Scd.BucketCol).isin(affected.map(Long.box): _*))
+    val scans = slice.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"want one file scan, got ${scans.size}")
+    assert(scans.head.metadata("PartitionFilters").contains(Scd.BucketCol),
+      scans.head.metadata("PartitionFilters"))
+    assert(scans.head.selectedPartitions.partitionCount == affected.size,
+      s"scan selected ${scans.head.selectedPartitions.partitionCount} " +
+        s"partition dirs, want ${affected.size} of $nDirs")
   }
 
   test("bucketed streaming maintenance == plain streaming maintenance") {
