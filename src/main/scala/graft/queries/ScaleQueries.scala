@@ -255,6 +255,58 @@ object ScaleQueries extends QueryModule {
         .agg(count(lit(1)).as("n_purchases"),
           countDistinct($"user_id").as("n_users"))
         .orderBy($"status")
+    }),
+
+    // The bucketed SCD2 store's PHYSICAL read path gated cross-engine —
+    // the stored-IVF/BM25 discipline applied to the dimension store:
+    // the change history is folded into an on-disk
+    // hash-bucket-partitioned store in TWO batches (the second a
+    // trickle touching a handful of users, so the merge's store read is
+    // partition-pruned and its dynamic overwrite rewrites only the
+    // affected buckets — ScdSpec plan-gates the pruned scan), then the
+    // store is read back with readScdStore and consumed BOTH ways: raw
+    // version counts per status (pins the stored CONTENT — the fold law
+    // applyBatch∘…∘fromHistory == fromHistory(whole) crossing the disk
+    // round-trip) and the q203 as-of purchase probe (pins the stored
+    // CONSUMER). The oracle rebuilds versions directly from the change
+    // history as a lead window — it never sees the store, so a
+    // hash-match proves the physical store holds exactly the relation
+    // the SQL build defines. The store is rebuilt from scratch per call
+    // (tmp path keyed by the sf dir) to stay hermetic.
+    "q204_scd2_store_read" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val changes = ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_type".as("status"), $"ts", $"event_id")
+      val store = s"${sys.props("java.io.tmpdir")}/graft_q204_store_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val hp = new org.apache.hadoop.fs.Path(store)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      val trickle = $"user_id" % 499 === 0 // a few users → few buckets
+      Scd.mergeBatchIntoBucketedScdStore(changes.filter(!trickle),
+        Seq("user_id"), "ts", "event_id", store, nBuckets = 16)
+      Scd.mergeBatchIntoBucketedScdStore(changes.filter(trickle),
+        Seq("user_id"), "ts", "event_id", store, nBuckets = 16)
+      val stored = Scd.readScdStore(s, store)
+      val vstats = stored.groupBy($"status")
+        .agg(count(lit(1)).as("n_versions"),
+          count(when($"valid_to".isNull, 1)).as("n_current"))
+      val versions = stored
+        .filter($"valid_to".isNull || $"valid_from" < $"valid_to")
+        .select($"user_id", $"status", $"valid_from")
+      val facts = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val pstats = Relational.asOfJoin(facts, versions, Seq("user_id"),
+          "ts", "valid_from")
+        .select(coalesce($"asof.status", lit("(none)")).as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("n_purchases"))
+      vstats.join(pstats, Seq("status"), "full_outer")
+        .select($"status",
+          coalesce($"n_versions", lit(0L)).as("n_versions"),
+          coalesce($"n_current", lit(0L)).as("n_current"),
+          coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+        .orderBy($"status")
     })
   )
 
@@ -282,6 +334,38 @@ object ScaleQueries extends QueryModule {
          |SELECT status, COUNT(*) AS n_purchases,
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the store never reaches DuckDB: versions rebuild as the lead
+    // window over the WHOLE change history (== the two-batch bucketed
+    // fold by the applyBatch law), content pinned by per-status
+    // version/current counts, consumer pinned by the q203 probe shape
+    "q204_scd2_store_read" ->
+      s"""WITH ${Q.eventsUs},
+         |ch AS (SELECT user_id, event_type AS status, ts, event_id
+         |       FROM ev WHERE event_type <> 'purchase'
+         |         AND user_id IS NOT NULL),
+         |v AS (SELECT user_id, status, ts AS valid_from,
+         |        lead(ts) OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS valid_to
+         |      FROM ch),
+         |vs AS (SELECT status, COUNT(*) AS n_versions,
+         |         COUNT(*) FILTER (WHERE valid_to IS NULL) AS n_current
+         |       FROM v GROUP BY 1),
+         |nv AS (SELECT * FROM v
+         |       WHERE valid_to IS NULL OR valid_from < valid_to),
+         |f AS (SELECT user_id, event_id, ts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |j AS (SELECT COALESCE(nv.status, '(none)') AS status
+         |      FROM f LEFT JOIN nv ON f.user_id = nv.user_id
+         |        AND f.ts >= nv.valid_from
+         |        AND (nv.valid_to IS NULL OR f.ts < nv.valid_to)),
+         |ps AS (SELECT status, COUNT(*) AS n_purchases FROM j GROUP BY 1)
+         |SELECT COALESCE(vs.status, ps.status) AS status,
+         |  COALESCE(vs.n_versions, 0) AS n_versions,
+         |  COALESCE(vs.n_current, 0) AS n_current,
+         |  COALESCE(ps.n_purchases, 0) AS n_purchases
+         |FROM vs FULL OUTER JOIN ps ON vs.status = ps.status
+         |ORDER BY 1""".stripMargin,
 
     // correlated MIN-over-following replay of the forward as-of
     "q202_time_to_next_error" ->

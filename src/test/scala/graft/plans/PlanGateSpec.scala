@@ -425,6 +425,12 @@ class PlanGateSpec extends SparkSpec {
     // + the two-phase distinct-user aggregate (2) + output sort — every
     // exchange is user- or status-keyed, nothing pair-shaped
     "q203_scd2_asof" -> 6,
+    // the RETURNED plan over the bucketed store (the two-batch store
+    // BUILD runs at construction, the CC-loop budget precedent):
+    // status-keyed version-count aggregate + the as-of union window +
+    // purchase-count aggregate + the status full-outer join's sort —
+    // the store read is a leaf scan, nothing pair-shaped
+    "q204_scd2_store_read" -> 4,
     // q188's pair join + the p_id weight window + the day rollup —
     // same bound, decay weights are row-local integers
     "q195_decay_attribution" -> 3,
@@ -451,6 +457,18 @@ class PlanGateSpec extends SparkSpec {
     // |dims|-row totals agg + the per-dim report agg + sort — every
     // exchange |dims|·|groups|-sized or smaller
     "q201_diversity" -> 5)
+
+  test("README gate count matches the declared query surface") {
+    // counts in prose drift (the round-15 README lagged by one); pin
+    // the gate count to the code so a hand-bump can't go stale
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = "ALL (\\d+) queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README must state the gate count as 'ALL <n> queries'")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README says ALL ${m.get.group(1)} queries; SparkEntry declares " +
+        s"${SparkEntry.queries.size} — update README.md")
+  }
 
   test("allowBnlj names real queries") {
     val unknown = allowBnlj -- SparkEntry.queries.keySet
