@@ -234,36 +234,52 @@ object Scd {
       // AMBIGUITY GUARD: a store created with a LARGER nBuckets whose
       // keys coincidentally all landed in the low buckets also passes
       // the row validation for a smaller candidate (pmod(h, c) ==
-      // pmod(h, T) whenever pmod(h, T) < c), and silently re-pinning
-      // the smaller value would make later merges slice the wrong
-      // buckets. The same scan therefore also checks whether the rows
-      // are SIMULTANEOUSLY consistent with a 2·nBuckets layout — true
-      // for a genuine nBuckets store only with probability 2^-|keys|
-      // (each key needs pmod(h, 2n) < n), but ALWAYS true in the
-      // dangerous too-small-candidate case. Ambiguous → refuse with the
-      // manual remedy; the rare false refusal on a tiny store errs
-      // loud-and-safe.
+      // pmod(h, T) whenever pmod(h, T) < c). Passing the row validation
+      // makes the store FORWARD-consistent as a c-layout (every stored
+      // row sits where a c-layout merge will look for it, and merges
+      // maintain the invariant), so re-pinning cannot silently corrupt
+      // versions — but it would quietly override the creator's intent,
+      // and the creator's next merge with the true value then fails the
+      // marker equality in a confusing way. The same scan therefore
+      // also checks whether the rows are SIMULTANEOUSLY consistent with
+      // a 2· or 3·nBuckets layout and refuses to re-pin when any larger
+      // layout fits. For a genuine nBuckets store with K distinct keys
+      // the false-refusal probability is ≤ 2^-K + 3^-K; the coincidence
+      // classes this cannot see (true layout a 5c/7c/... multiple with
+      // every key below c AND inconsistent with 2c and 3c) occur with
+      // probability ≤ 5^-K. A refusal errs loud-and-safe with the
+      // manual-marker remedy.
       if (!fs.exists(nBucketsPath(p))) {
         val checks = spark.read.parquet(storePath).agg(
-          sum(when(bucketOf(keyCols, nBuckets) =!=
-            col(BucketCol).cast("long"), 1L).otherwise(0L)).as("bad"),
-          sum(when(bucketOfMod(keyCols, 2L * nBuckets) =!=
-            col(BucketCol).cast("long"), 1L).otherwise(0L)).as("bad2x")
+          count(lit(1)).as("n"),
+          coalesce(sum(when(bucketOf(keyCols, nBuckets) =!=
+            col(BucketCol).cast("long"), 1L).otherwise(0L)), lit(0L))
+            .as("bad"),
+          coalesce(sum(when(bucketOfMod(keyCols, 2L * nBuckets) =!=
+            col(BucketCol).cast("long"), 1L).otherwise(0L)), lit(0L))
+            .as("bad2x"),
+          coalesce(sum(when(bucketOfMod(keyCols, 3L * nBuckets) =!=
+            col(BucketCol).cast("long"), 1L).otherwise(0L)), lit(0L))
+            .as("bad3x")
         ).head()
-        require(checks.getLong(0) == 0L,
-          s"store at $storePath has no nBuckets marker and its layout " +
-            s"does not match nBuckets=$nBuckets — pass the value the " +
-            "store was created with")
-        require(checks.getLong(1) > 0L,
-          s"store at $storePath has no nBuckets marker; its rows are " +
-            s"consistent with nBuckets=$nBuckets but ALSO with a larger " +
-            s"layout (every row lands identically under ${2L * nBuckets} " +
-            "buckets), so the store may have been created with a larger " +
-            "value and re-pinning this one would leave stale versions " +
-            "behind on later merges — refusing to self-heal; if " +
-            s"$nBuckets is certainly the creation-time value, write it " +
-            s"by hand as the plain-text content of ${nBucketsPath(p)} " +
-            "and re-run")
+        // a zero-row store (externally truncated/restored) has nothing
+        // to validate and nothing to mis-slice: pin the caller's value
+        if (checks.getLong(0) > 0L) {
+          require(checks.getLong(1) == 0L,
+            s"store at $storePath has no nBuckets marker and its layout " +
+              s"does not match nBuckets=$nBuckets — pass the value the " +
+              "store was created with")
+          require(checks.getLong(2) > 0L && checks.getLong(3) > 0L,
+            s"store at $storePath has no nBuckets marker; its rows are " +
+              s"consistent with nBuckets=$nBuckets but ALSO with a larger " +
+              s"layout (every row lands identically under " +
+              s"${2L * nBuckets} or ${3L * nBuckets} buckets), so the " +
+              "store may have been created with a larger value — " +
+              "refusing to self-heal; if " +
+              s"$nBuckets is certainly the creation-time value, write it " +
+              s"by hand as the plain-text content of ${nBucketsPath(p)} " +
+              "and re-run")
+        }
         writeNBuckets(fs, p, nBuckets)
       }
       val pinnedNBuckets = readNBuckets(fs, p)

@@ -304,6 +304,9 @@ class ScdSpec extends SparkSpec {
     val b32 = keys.toDF("key").select(
       pmod(xxhash64($"key".cast("string")), lit(32L))).as[Long].collect()
     assert(b32.exists(_ >= 16), s"need a key that disambiguates 16 vs 32: ${b32.toSeq}")
+    val b48 = keys.toDF("key").select(
+      pmod(xxhash64($"key".cast("string")), lit(48L))).as[Long].collect()
+    assert(b48.exists(_ >= 16), s"need a key that disambiguates 16 vs 48: ${b48.toSeq}")
     val base = java.nio.file.Files.createTempDirectory("scd_ambig").toString
     val store = s"$base/store"
     val hist = keys.zipWithIndex.map { case (k, i) => (k, "v0", 10L, i.toLong) }
@@ -328,6 +331,26 @@ class ScdSpec extends SparkSpec {
       (hist :+ (("0", "v1", 20L, 100L))).toDF("key", "attr", "ts", "id"),
       Seq("key"), "ts", "id"))
     assert(versions(Scd.readScdStore(spark, store)) == want)
+  }
+
+  test("self-heal on an externally emptied store pins instead of NPE-ing") {
+    // a zero-row store (external truncate/restore) has nothing to
+    // validate and nothing to mis-slice: the heal must pin the caller's
+    // value — not die on a null sum aggregate over the empty relation
+    val base = java.nio.file.Files.createTempDirectory("scd_empty_heal").toString
+    val store = s"$base/store"
+    Scd.mergeBatchIntoBucketedScdStore(
+      history.take(3).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    val schema = spark.read.parquet(store).schema
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      schema).write.mode("overwrite").parquet(store) // truncation kills the marker too
+    val marker = new java.io.File(store, "_graft_scd_nbuckets")
+    assert(!marker.exists)
+    Scd.mergeBatchIntoBucketedScdStore(
+      Seq.empty[(String, String, Long, Long)].toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 8)
+    assert(marker.exists, "heal over a zero-row store must pin, not NPE")
   }
 
   test("bucketed merge's store read is partition-pruned (plan gate on the slice scan)") {
