@@ -307,6 +307,50 @@ object ScaleQueries extends QueryModule {
           coalesce($"n_current", lit(0L)).as("n_current"),
           coalesce($"n_purchases", lit(0L)).as("n_purchases"))
         .orderBy($"status")
+    }),
+
+    // Attribution segmented by the as-of dimension — the composition
+    // every marketing/curation report actually runs: TWO chained as-of
+    // joins (latest click at-or-before each purchase with a 3-day exact
+    // lookback, the q166 recipe; then the user's SCD2 status as of the
+    // purchase instant, the q203 recipe) feeding one per-status
+    // attributed-vs-total rollup. Each asOfJoin is ONE user-keyed
+    // union-window shuffle — no interval join, no correlated subquery,
+    // no pair explosion — and the first join's output flattens click_ts
+    // before the second so the chain stays struct-collision-free. The
+    // oracle replays the touch as a correlated MAX and the segment as
+    // the half-open interval join: pinning that THAT pair of relational
+    // idioms equals this pair of window idioms is exactly the
+    // cross-engine equivalence the chain rests on.
+    "q205_attribution_by_status" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val changes = ev
+        .filter($"event_type" =!= "purchase" && $"event_type" =!= "click")
+        .select($"user_id", $"event_type".as("status"), $"ts", $"event_id")
+      val versions = Scd.fromHistory(changes, Seq("user_id"), "ts",
+          "event_id")
+        .filter($"valid_to".isNull || $"valid_from" < $"valid_to")
+        .select($"user_id", $"status", $"valid_from")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val touched = Relational.asOfJoin(purchases, clicks, Seq("user_id"),
+          "ts", "click_ts")
+        .select($"user_id", $"event_id", $"ts",
+          $"asof.click_ts".as("click_ts"))
+      val lookbackUs = 3L * 86400L * 1000000L
+      Relational.asOfJoin(touched, versions, Seq("user_id"), "ts",
+          "valid_from")
+        .select(coalesce($"asof.status", lit("(none)")).as("status"),
+          ($"click_ts".isNotNull &&
+            unix_micros($"ts") - unix_micros($"click_ts") <= lookbackUs)
+            .as("attributed"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when($"attributed", 1)).as("n_attributed"))
+        .orderBy($"status")
     })
   )
 
@@ -366,6 +410,38 @@ object ScaleQueries extends QueryModule {
          |  COALESCE(ps.n_purchases, 0) AS n_purchases
          |FROM vs FULL OUTER JOIN ps ON vs.status = ps.status
          |ORDER BY 1""".stripMargin,
+
+    // touch replayed as a correlated MAX over clicks at-or-before the
+    // purchase, segment as the half-open interval join, lookback as an
+    // exact epoch-microsecond difference (259200000000 = 3 days)
+    "q205_attribution_by_status" ->
+      s"""WITH ${Q.eventsUs},
+         |ch AS (SELECT user_id, event_type AS status, ts, event_id
+         |       FROM ev WHERE event_type NOT IN ('purchase', 'click')
+         |         AND user_id IS NOT NULL),
+         |v AS (SELECT user_id, status, ts AS valid_from,
+         |        lead(ts) OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS valid_to
+         |      FROM ch),
+         |nv AS (SELECT * FROM v
+         |       WHERE valid_to IS NULL OR valid_from < valid_to),
+         |p AS (SELECT user_id, event_id, ts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+         |t AS (SELECT p.user_id, p.ts,
+         |        (SELECT MAX(c.ts) FROM c
+         |         WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
+         |      FROM p),
+         |seg AS (SELECT COALESCE(nv.status, '(none)') AS status,
+         |          t.click_ts IS NOT NULL AND
+         |            epoch_us(t.ts) - epoch_us(t.click_ts) <= 259200000000
+         |            AS attributed
+         |        FROM t LEFT JOIN nv ON t.user_id = nv.user_id
+         |          AND t.ts >= nv.valid_from
+         |          AND (nv.valid_to IS NULL OR t.ts < nv.valid_to))
+         |SELECT status, COUNT(*) AS n_purchases,
+         |  COUNT(*) FILTER (WHERE attributed) AS n_attributed
+         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // correlated MIN-over-following replay of the forward as-of
     "q202_time_to_next_error" ->

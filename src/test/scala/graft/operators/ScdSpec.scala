@@ -333,6 +333,53 @@ class ScdSpec extends SparkSpec {
     assert(versions(Scd.readScdStore(spark, store)) == want)
   }
 
+  test("property: whenever self-heal ACCEPTS a candidate, version content stays exact") {
+    // the forward-soundness law behind the guard: heal may refuse (any
+    // designed error) but if it accepts — even a value that differs
+    // from creation-time, on a coincidentally-consistent sparse store —
+    // the full-row validation guarantees every stored row sits where a
+    // candidate-layout merge will look for it, so subsequent merges
+    // must still fold to fromHistory of the whole. No accepted heal may
+    // ever corrupt content.
+    val rnd = new Random(23)
+    for (trueN <- Seq(8, 12); cand <- Seq(2, 3, 4, 6, 8, 12)) {
+      val hist = (1 to 12).map { i =>
+        (s"hk${rnd.nextInt(400)}_$i", s"a${rnd.nextInt(3)}",
+          rnd.nextInt(40).toLong, i.toLong)
+      }
+      val base = java.nio.file.Files
+        .createTempDirectory(s"scd_heal_prop_${trueN}_$cand").toString
+      val store = s"$base/store"
+      val (b1, b2) = hist.splitAt(8)
+      Scd.mergeBatchIntoBucketedScdStore(b1.toDF("key", "attr", "ts", "id"),
+        Seq("key"), "ts", "id", store, trueN)
+      assert(new java.io.File(store, "_graft_scd_nbuckets").delete())
+      val accepted =
+        try {
+          Scd.mergeBatchIntoBucketedScdStore(
+            b2.toDF("key", "attr", "ts", "id"),
+            Seq("key"), "ts", "id", store, cand)
+          true
+        } catch {
+          case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("does not match") ||
+              e.getMessage.contains("ALSO with a larger"), e.getMessage)
+            false
+        }
+      if (accepted) {
+        // fold the rest under the accepted value: content must be exact
+        Scd.mergeBatchIntoBucketedScdStore(
+          b1.take(4).toDF("key", "attr", "ts", "id"), // replay, absorbed
+          Seq("key"), "ts", "id", store, cand)
+        val want = versions(Scd.fromHistory(
+          hist.toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+        assert(versions(Scd.readScdStore(spark, store)) == want,
+          s"trueN=$trueN cand=$cand")
+      } else assert(cand != trueN,
+        s"the creation-time value must always heal (trueN=$trueN)")
+    }
+  }
+
   test("self-heal on an externally emptied store pins instead of NPE-ing") {
     // a zero-row store (external truncate/restore) has nothing to
     // validate and nothing to mis-slice: the heal must pin the caller's

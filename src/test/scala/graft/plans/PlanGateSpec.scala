@@ -431,6 +431,10 @@ class PlanGateSpec extends SparkSpec {
     // purchase-count aggregate + the status full-outer join's sort —
     // the store read is a leaf scan, nothing pair-shaped
     "q204_scd2_store_read" -> 4,
+    // two chained user-keyed as-of union windows (click touch, status
+    // segment — each one shuffle across a union boundary, the q203
+    // precedent ×2) + the status rollup + output sort
+    "q205_attribution_by_status" -> 6,
     // q188's pair join + the p_id weight window + the day rollup —
     // same bound, decay weights are row-local integers
     "q195_decay_attribution" -> 3,
