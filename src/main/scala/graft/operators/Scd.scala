@@ -175,7 +175,7 @@ object Scd {
     * the FLAT store ([[mergeBatchIntoScdStore]]) whenever a typical
     * batch's |distinct keys| ≳ nBuckets: then every bucket is affected
     * every batch, pruning saves nothing, and the bucketed path only
-    * adds per-directory write overhead (measured at ~0.33× the flat
+    * adds per-directory write overhead (measured at ~1/3 the flat
     * path's throughput in STREAMBENCH's full-spread worst case). The
     * crossover is |batch keys| ≈ nBuckets — trickle changes against a
     * large dimension sit far below it; rebuild-shaped batches sit above.

@@ -332,7 +332,11 @@ object ScaleQueries extends QueryModule {
           "event_id")
         .filter($"valid_to".isNull || $"valid_from" < $"valid_to")
         .select($"user_id", $"status", $"valid_from")
-      val clicks = ev.filter($"event_type" === "click")
+      // null-user clicks are droppable on BOTH engines (Spark's as-of
+      // window would otherwise treat NULL as a regular key and match
+      // null-user purchases to them, while SQL equality never does)
+      val clicks = ev.filter($"event_type" === "click" &&
+          $"user_id".isNotNull)
         .select($"user_id", $"ts".as("click_ts"))
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"event_id", $"ts")
@@ -427,7 +431,8 @@ object ScaleQueries extends QueryModule {
          |       WHERE valid_to IS NULL OR valid_from < valid_to),
          |p AS (SELECT user_id, event_id, ts FROM ev
          |      WHERE event_type = 'purchase'),
-         |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+         |c AS (SELECT user_id, ts FROM ev
+         |      WHERE event_type = 'click' AND user_id IS NOT NULL),
          |t AS (SELECT p.user_id, p.ts,
          |        (SELECT MAX(c.ts) FROM c
          |         WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
