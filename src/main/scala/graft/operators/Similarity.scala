@@ -230,11 +230,29 @@ object Similarity {
     * only if a column-of-array layout is required downstream.
     */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
-      outDim: Int, dim: Int, roundScale: Int = 4): DataFrame =
+      outDim: Int, dim: Int, roundScale: Int = 4): DataFrame = {
+    // the final scale rounds IN INTEGER SPACE (half away from zero on
+    // the exact micro sum), then divides once: round()-ing the double
+    // micro/1e6 instead lets the ENGINE's tie rule decide a 50-micro
+    // tie — Spark rounds the shortest decimal representation HALF_UP
+    // while DuckDB rounds the binary double, and the first such tie in
+    // the fixtures (sf0.1) diverged by one ulp of the last place. The
+    // quantized numerator is exact in both engines; the single division
+    // is IEEE-identical everywhere. floor on doubles is exact here
+    // (micro sums are far below 2^52).
+    require(roundScale >= 0 && roundScale <= 6,
+      s"roundScale must be in [0, 6]: $roundScale")
+    val quantum = math.pow(10, 6 - roundScale) // exact power of ten
+    val qmicro = {
+      val m = col("micro").cast("double")
+      when(m < 0, -floor((-m + quantum / 2) / quantum))
+        .otherwise(floor((m + quantum / 2) / quantum))
+    }
     projectMicro(df, idCol, vecCol, outDim, dim, idCol, "pv")
       .select(col(idCol), posexplode(col("pv")).as(Seq("j", "micro")))
       .select(col(idCol), col("j").cast("long").as("j"),
-        round(col("micro").cast("double") / 1e6, roundScale).as("proj_r"))
+        (qmicro.cast("double") / math.pow(10, roundScale)).as("proj_r"))
+  }
 
   /** Packed projected vector in exact micro-units: (as, out Array[Long]
     * of length outDim) — one typed map pass, zero shuffle (posexplode /

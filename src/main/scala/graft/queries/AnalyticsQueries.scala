@@ -314,6 +314,13 @@ object AnalyticsQueries extends QueryModule {
     // cell) the DataSketches HLL sits in exact coupon mode, so DuckDB's
     // exact COUNT(DISTINCT) IS the oracle — the q125/q126 coupon-
     // exactness precedent lifted through ROLLUP's Expand.
+    // BOUNDARY (measured, round-16 sf0.1 sweep): coupon-exactness holds
+    // at the driver's gate scales (sf0.001/sf0.01); at sf0.1 the
+    // largest cells (~500+ distinct users) leave coupon range and the
+    // estimate departs by DESIGN (±1%, e.g. 500 vs 505) — that is the
+    // estimator doing its job, not an oracle defect. Same boundary
+    // applies to q180 (merge) and q185 (sliding union). The oracle
+    // contract for all three is the gate scale.
     "q179_distinct_cube_hll" -> ((s, dir) => {
       import s.implicits._
       graft.operators.Sketches.distinctRollup(

@@ -265,10 +265,15 @@ object VectorQueries extends QueryModule {
         |      || ':' || CAST(d AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
         |    THEN 1 ELSE -1 END AS w
         |  FROM range(8) tp(p) CROSS JOIN range(64) td(d))
-        |SELECT e.vec_id, pl.p AS j,
-        |  ROUND(CAST(SUM(CAST(FLOOR(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 1000000 + 0.5)
-        |      AS BIGINT) * pl.w) AS DOUBLE) / 1000000, 4) AS proj_r
-        |FROM embeddings e CROSS JOIN pl GROUP BY 1, 2""".stripMargin,
+        |, sums AS (
+        |  SELECT e.vec_id, pl.p AS j,
+        |    SUM(CAST(FLOOR(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 1000000 + 0.5)
+        |        AS BIGINT) * pl.w) AS s
+        |  FROM embeddings e CROSS JOIN pl GROUP BY 1, 2)
+        |SELECT vec_id, j,
+        |  CAST(CASE WHEN s < 0 THEN -((-s + 50) // 100)
+        |            ELSE (s + 50) // 100 END AS DOUBLE) / 10000 AS proj_r
+        |FROM sums""".stripMargin,
 
     // mirrors Similarity.rpRerankTopK: q95's projection CTE feeds an
     // integer L2 shortlist, then the q79-style exact micro-L2 rerank
