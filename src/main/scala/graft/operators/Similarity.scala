@@ -35,6 +35,17 @@ object Similarity {
       .withColumn("qn", GraftFunctions.norm(col("qv")))
     val c = corpus.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", GraftFunctions.norm(col("cv")))
+    // NOTE on round(<double quotient>, s) here and in the sibling
+    // cosine/L2 scorers: a quotient that lands within half an ulp of an
+    // s-decimal tie is decided by each engine's tie rule (Spark rounds
+    // the shortest decimal representation HALF_UP, DuckDB rounds the
+    // binary double) — the q95 hazard class. Unlike q95's micro-sum
+    // scale, it CANNOT be eliminated exactly (sqrt norms make the
+    // denominator irrational), so the gates rely on fixture
+    // tie-freedom, verified empirically by the cross-sf and
+    // cross-partitioning oracle sweeps (BASELINE.md round-16 sweep).
+    // If a future fixture ever hits one, the signature is a one-ulp
+    // 4th-decimal mismatch or a rank flip on the rounded score.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vid") =!= col("qid"))
       .withColumn("cos_r",

@@ -171,22 +171,37 @@ class OperatorsSpec extends SparkSpec {
     val dim = 16
     val signs = Similarity.md5ProjSigns(4, dim)
     val v = Array.tabulate(dim)(d => (d + 1) * 0.125f)
+    // tie vector: single component whose micro value is exactly 50, so
+    // every projection is a ±50-micro sum — dead on the 4-decimal
+    // rounding tie the integer-space quantization exists to decide
+    // engine-independently (half away from zero)
+    val tie = Array.tabulate(dim)(d => if (d == 0) 5e-5f else 0.0f)
     val vecs = Seq(
       (0L, v),
       (1L, v.map(x => -x)), // negation => negated projections
-      (2L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+      (2L, Array.fill(dim)(0.0f)),
+      (3L, tie)).toDF("vec_id", "embedding")
     val out = Similarity.randomProject(vecs, "vec_id", "embedding",
       outDim = 4, dim = dim)
     val rows = out.select($"vec_id", $"j", $"proj_r")
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
-    assert(rows.size == 12)
+    assert(rows.size == 16)
+    // reference rounding: half away from zero on the exact integer
+    // micro sum (the implementation's contract — NOT BigDecimal on the
+    // double, whose tie decisions depend on binary representation)
+    def halfAway(micro: Long): Double = {
+      val q = if (micro < 0) -((-micro + 50L) / 100L) else (micro + 50L) / 100L
+      q.toDouble / 1e4
+    }
     for (j <- 0 until 4) {
       val want = (0 until dim).map(d =>
         signs(j)(d) * math.floor(v(d).toDouble * 1e6 + 0.5).toLong).sum
-      assert(rows((0L, j.toLong)) ==
-        BigDecimal(want / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(rows((0L, j.toLong)) == halfAway(want))
       assert(rows((1L, j.toLong)) == -rows((0L, j.toLong)))
       assert(rows((2L, j.toLong)) == 0.0)
+      // the ±50-micro tie rounds AWAY from zero in the sign's direction
+      assert(rows((3L, j.toLong)) == signs(j)(0) * 0.0001,
+        s"tie at j=$j: ${rows((3L, j.toLong))} vs sign ${signs(j)(0)}")
     }
     // scale gate: map-only pass — the executed plan must contain no
     // exchange of any kind
