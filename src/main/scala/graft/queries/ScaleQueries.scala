@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   *    sketches and a zip_with, never raw rows;
   *  - SCD2 dimension versioning (q194: the key-partitioned lead-window
   *    reference whose incremental/streaming forms are law-pinned in
-  *    ScdSpec).
+  *    ScdSpec), its consumer compositions (q203: fromHistory versions
+  *    probed by asOfJoin == the oracle's half-open interval join;
+  *    q205: the q166 last-touch recipe chained into the q203 segment —
+  *    two as-of union windows vs correlated-MAX + interval join), and
+  *    the bucketed store's PHYSICAL read path (q204, round 16: on-disk
+  *    two-batch fold → readScdStore → content + probe, against an
+  *    oracle that never sees the store).
   * Each gate pins the EXACT result against a DuckDB replay — the
   * approximation machinery is internal; what ships is exact or
   * integer-micro deterministic.
