@@ -122,6 +122,25 @@ object Scd {
     */
   val BucketCol = "__scd_bucket"
 
+  /** Records-per-file cap on both bucketed-store writes: the
+    * bucket-keyed repartition makes each bucket a single writer task,
+    * and without a cap a rebuild-shaped batch would emit one multi-GB
+    * file per bucket. 10⁷ matches the sizing rule's target bucket
+    * (~10⁷ versions ≈ a few GB of parquet), so a trickle bucket stays
+    * at one file and only oversized buckets split.
+    */
+  val MaxRecordsPerStoreFile = 10000000L
+
+  /** Distinct-key threshold above which the self-heal's ambiguity
+    * check REFUSES instead of warn-and-pin: at K keys a genuine
+    * nBuckets store coincides with the 2x layout with probability
+    * 2^-K, so below this threshold a refusal would mostly false-brick
+    * genuine crash-recovery replays (K=1: ~2 in 3), while at ≥ 16 keys
+    * the false-refusal probability is ≤ 2^-16 + 3^-16 ≈ 1.6e-5 and
+    * larger-layout consistency is overwhelming evidence.
+    */
+  val AmbiguityMinKeys = 16L
+
   /** Key → hash-bucket assignment for the bucketed store. Keys are
     * cast to STRING before hashing so the assignment is DTYPE-stable:
     * a later batch that carries the same key as int where the store
@@ -215,12 +234,20 @@ object Scd {
       // it every upstream task writes into every dir it touches and a
       // batch leaves up to |tasks|·|affected buckets| files — at 1000
       // executors that is file proliferation compounding on every
-      // merge. One bucket-keyed exchange caps it at one file per
-      // affected bucket per batch (the bucket IS the rewrite unit).
+      // merge. One bucket-keyed exchange caps it at ⌈rows/10⁷⌉ files
+      // per affected bucket per batch (the bucket IS the rewrite unit;
+      // maxRecordsPerFile stops a bucket-sized task from emitting one
+      // multi-GB file). The flip side is WRITE parallelism: each bucket
+      // is one task, so a rebuild-shaped batch (including initial
+      // creation of a large dimension) is bounded by nBuckets writer
+      // tasks — one more reason the sizing rule above says to prefer
+      // the FLAT store for bulk loads and keep this path for trickles.
       fromHistory(clean, keyCols, tsCol, tieCol)
         .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
         .repartition(col(BucketCol))
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(storePath)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", MaxRecordsPerStoreFile)
+        .partitionBy(BucketCol).parquet(storePath)
       writeNBuckets(fs, p, nBuckets)
     } else {
       // SELF-HEAL a missing marker (the create-crash window between the
@@ -237,18 +264,28 @@ object Scd {
       // pmod(h, T) whenever pmod(h, T) < c). Passing the row validation
       // makes the store FORWARD-consistent as a c-layout (every stored
       // row sits where a c-layout merge will look for it, and merges
-      // maintain the invariant), so re-pinning cannot silently corrupt
-      // versions — but it would quietly override the creator's intent,
-      // and the creator's next merge with the true value then fails the
-      // marker equality in a confusing way. The same scan therefore
-      // also checks whether the rows are SIMULTANEOUSLY consistent with
-      // a 2· or 3·nBuckets layout and refuses to re-pin when any larger
-      // layout fits. For a genuine nBuckets store with K distinct keys
-      // the false-refusal probability is ≤ 2^-K + 3^-K; the coincidence
-      // classes this cannot see (true layout a 5c/7c/... multiple with
-      // every key below c AND inconsistent with 2c and 3c) occur with
-      // probability ≤ 5^-K. A refusal errs loud-and-safe with the
-      // manual-marker remedy.
+      // maintain the invariant — the spec-pinned forward-soundness
+      // property), so re-pinning cannot silently corrupt versions — but
+      // it would quietly override the creator's intent, and the
+      // creator's next merge with the true value then fails the marker
+      // equality in a confusing way. The same scan therefore also
+      // checks whether the rows are SIMULTANEOUSLY consistent with a
+      // 2· or 3·nBuckets layout — but consistency with a larger layout
+      // is only EVIDENCE of a larger creation value when coincidence is
+      // improbable, and for a genuine nBuckets store with K distinct
+      // keys the 2x-coincidence probability is 2^-K: at K=1 a refusal
+      // would false-brick ~2 in 3 genuine stores, i.e. exactly the
+      // trickle-first-batch crash-recovery replays this self-heal path
+      // exists for. So the refusal is gated on K ≥
+      // [[AmbiguityMinKeys]]: above it, false-refusal probability is
+      // ≤ 2^-K + 3^-K (≤ 1.6e-5 at 16) and the guard errs loud-and-safe
+      // with the manual-marker remedy; below it, the heal pins the
+      // caller's row-validated value and WARNS, because with that
+      // little evidence either choice is a guess and the row-validated
+      // guess is at least forward-sound. The coincidence classes the
+      // scan cannot see (true layout a 5c/7c/... multiple with every
+      // key below c AND inconsistent with 2c and 3c) occur with
+      // probability ≤ 5^-K.
       if (!fs.exists(nBucketsPath(p))) {
         val checks = spark.read.parquet(storePath).agg(
           count(lit(1)).as("n"),
@@ -260,7 +297,8 @@ object Scd {
             .as("bad2x"),
           coalesce(sum(when(bucketOfMod(keyCols, 3L * nBuckets) =!=
             col(BucketCol).cast("long"), 1L).otherwise(0L)), lit(0L))
-            .as("bad3x")
+            .as("bad3x"),
+          countDistinct(keyCols.head, keyCols.tail: _*).as("k")
         ).head()
         // a zero-row store (externally truncated/restored) has nothing
         // to validate and nothing to mis-slice: pin the caller's value
@@ -269,16 +307,28 @@ object Scd {
             s"store at $storePath has no nBuckets marker and its layout " +
               s"does not match nBuckets=$nBuckets — pass the value the " +
               "store was created with")
-          require(checks.getLong(2) > 0L && checks.getLong(3) > 0L,
-            s"store at $storePath has no nBuckets marker; its rows are " +
-              s"consistent with nBuckets=$nBuckets but ALSO with a larger " +
-              s"layout (every row lands identically under " +
-              s"${2L * nBuckets} or ${3L * nBuckets} buckets), so the " +
-              "store may have been created with a larger value — " +
-              "refusing to self-heal; if " +
-              s"$nBuckets is certainly the creation-time value, write it " +
-              s"by hand as the plain-text content of ${nBucketsPath(p)} " +
-              "and re-run")
+          val largerFits =
+            checks.getLong(2) == 0L || checks.getLong(3) == 0L
+          if (largerFits) {
+            require(checks.getLong(4) < AmbiguityMinKeys,
+              s"store at $storePath has no nBuckets marker; its rows are " +
+                s"consistent with nBuckets=$nBuckets but ALSO with a larger " +
+                s"layout (every row lands identically under " +
+                s"${2L * nBuckets} or ${3L * nBuckets} buckets), and with " +
+                s"${checks.getLong(4)} distinct keys that is not plausibly " +
+                "a coincidence — the store was likely created with a " +
+                "larger value; refusing to self-heal. If " +
+                s"$nBuckets is certainly the creation-time value, write it " +
+                s"by hand as the plain-text content of ${nBucketsPath(p)} " +
+                "and re-run")
+            System.err.println(
+              s"[graft.Scd] WARNING: self-healing the nBuckets marker of " +
+                s"$storePath to $nBuckets from only ${checks.getLong(4)} " +
+                s"distinct keys, which are ALSO consistent with a " +
+                s"${2L * nBuckets}/${3L * nBuckets} layout — if the store " +
+                "was created with a different value, delete " +
+                s"${nBucketsPath(p)} and re-merge with it")
+          }
         }
         writeNBuckets(fs, p, nBuckets)
       }
@@ -297,10 +347,11 @@ object Scd {
           .drop(BucketCol)
         val merged = applyBatch(slice, clean, keyCols, tsCol, tieCol)
           .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
-          .repartition(col(BucketCol)) // one file per affected bucket (see create path)
+          .repartition(col(BucketCol)) // bounded files per bucket (see create path)
         val pinned = merged.localCheckpoint(true)
         pinned.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
+          .option("maxRecordsPerFile", MaxRecordsPerStoreFile)
           .partitionBy(BucketCol).parquet(storePath)
         Checkpoints.free(pinned)
       }

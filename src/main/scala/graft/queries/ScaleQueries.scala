@@ -284,8 +284,13 @@ object ScaleQueries extends QueryModule {
       val ev = Tables.events(s, dir)
       val changes = ev.filter($"event_type" =!= "purchase")
         .select($"user_id", $"event_type".as("status"), $"ts", $"event_id")
+      // path keyed on the SANITIZED full dir (hashCode collides across
+      // dirs) plus the pid (two processes — Verify vs Bench, parallel
+      // CI — racing delete/rebuild on one path flake each other's
+      // lazily-read plans)
       val store = s"${sys.props("java.io.tmpdir")}/graft_q204_store_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+        ProcessHandle.current().pid()
       val hp = new org.apache.hadoop.fs.Path(store)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(hp, true)
@@ -361,6 +366,50 @@ object ScaleQueries extends QueryModule {
         .agg(count(lit(1)).as("n_purchases"),
           count(when($"attributed", 1)).as("n_attributed"))
         .orderBy($"status")
+    }),
+
+    // The histogram store's PHYSICAL read path gated cross-engine —
+    // the q204 discipline applied to the second maintained store
+    // (round-16 verdict #2): the documents' n_chars distribution is
+    // folded into the on-disk store in TWO batches over the pinned
+    // q126 grid ([0,1024)/16) via mergeHistogramsIntoStore (counts ADD
+    // — the store after both batches must equal the one-shot histogram
+    // of the union, the merge law crossing the disk round-trip), then
+    // the store is read back and consumed BOTH ways: every non-empty
+    // (source, bucket, cnt) cell (the stored CONTENT, complete — a
+    // hash match pins every count in every bucket) and the p50/p90
+    // interpolated quantiles derived FROM the stored counts (the
+    // stored CONSUMER, q126's serving shape). The oracle rebuilds the
+    // histogram and quantiles directly from the raw documents and
+    // never sees the store. Store path is per-dir/per-pid and rebuilt
+    // from scratch each call to stay hermetic.
+    "q206_hist_store_read" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val store = s"${sys.props("java.io.tmpdir")}/graft_q206_store_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+        ProcessHandle.current().pid()
+      val hp = new org.apache.hadoop.fs.Path(store)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      val grid = Sketches.Grid(lo = 0L, width = 64L, nBuckets = 16)
+      val trickle = $"doc_id" % 97 === 0 // a thin second batch
+      Sketches.mergeHistogramsIntoStore(docs.filter(!trickle), "source",
+        "n_chars", grid, store)
+      Sketches.mergeHistogramsIntoStore(docs.filter(trickle), "source",
+        "n_chars", grid, store)
+      val stored = s.read.parquet(store)
+      val content = stored.select($"source", $"n",
+          posexplode($"counts").as(Seq("bucket", "cnt")))
+        .filter($"cnt" > 0)
+      val quant = Sketches.quantilesFromHistogram(stored, "source",
+          0.0, 1024.0, 16, Seq(0.5, 0.9))
+        .groupBy($"source")
+        .agg(max(when($"q" === 0.5, $"est")).as("p50"),
+          max(when($"q" === 0.9, $"est")).as("p90"))
+      content.join(quant, Seq("source"))
+        .select($"source", $"bucket", $"cnt", $"n", $"p50", $"p90")
+        .orderBy($"source", $"bucket")
     })
   )
 
@@ -420,6 +469,37 @@ object ScaleQueries extends QueryModule {
          |  COALESCE(ps.n_purchases, 0) AS n_purchases
          |FROM vs FULL OUTER JOIN ps ON vs.status = ps.status
          |ORDER BY 1""".stripMargin,
+
+    // the store never reaches DuckDB: the union-histogram (counts add,
+    // so two batches == one) and the q126 interpolation law rebuild
+    // from the raw documents; a hash match proves the physical store
+    // holds exactly the per-bucket counts the SQL histogram defines
+    "q206_hist_store_read" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    LEAST(15, GREATEST(0, CAST(floor(
+        |      (CAST(n_chars AS DOUBLE) - 0.0) / 64.0) AS INTEGER))) AS bucket
+        |  FROM documents),
+        |c AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY 1),
+        |qq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+        |e AS (
+        |  SELECT c.source, q, tot.n, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY c.source, q ORDER BY bucket) AS cum,
+        |    CEIL(q * CAST(tot.n AS DOUBLE)) AS t
+        |  FROM c JOIN tot USING (source) CROSS JOIN qq),
+        |qv AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN q = 0.5 THEN 0.0 + 64.0 * (bucket +
+        |      CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END) AS p50,
+        |    MAX(CASE WHEN q = 0.9 THEN 0.0 + 64.0 * (bucket +
+        |      CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END) AS p90
+        |  FROM e WHERE cum >= t AND (cum - cnt) < t GROUP BY source)
+        |SELECT c.source, CAST(c.bucket AS INTEGER) AS bucket,
+        |  CAST(c.cnt AS BIGINT) AS cnt, CAST(tot.n AS BIGINT) AS n,
+        |  qv.p50, qv.p90
+        |FROM c JOIN tot USING (source) JOIN qv USING (source)
+        |ORDER BY source, bucket""".stripMargin,
 
     // touch replayed as a correlated MAX over clicks at-or-before the
     // purchase, segment as the half-open interval join, lookback as an

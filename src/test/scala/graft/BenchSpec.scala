@@ -82,6 +82,23 @@ class BenchSpec extends SparkSpec {
     assert(kept.size == Bench.stdoutSlowest && kept.forall(_ % 10 == 0))
   }
 
+  test("benchLine and detailJson carry the intra-run sentinel probes") {
+    // the round-17 regime-drift field: single-shot q104 probes at
+    // start/middle/end of the run, so a contended window is a fact of
+    // the artifact instead of cross-run forensics (round-16 verdict #1)
+    val results = Seq("q104_sentinel" -> 1.23, "q01_a" -> 0.5)
+    val sent = Seq("start" -> 5.6789, "mid" -> 6.1, "end" -> -1.0)
+    val line = Bench.benchLine(results, "0.1", sent)
+    assert(line.contains(""""sentinels":{"start":5.68,"mid":6.1,"end":-1}"""),
+      line)
+    assert(line.length <= Bench.lineBudget)
+    val detail = Bench.detailJson(results, "0.1", sent)
+    assert(detail.contains(
+      """"sentinels":{"start":5.679,"mid":6.100,"end":-1.000}"""), detail)
+    // no probes (unit-test callers) → schema unchanged
+    assert(!Bench.benchLine(results, "0.1").contains("sentinels"))
+  }
+
   test("benchLine with fewer queries than the cap prints them all") {
     val results = Seq("q104_sentinel" -> 1.23, "q01_a" -> 0.5, "q02_b" -> 2.0)
     val line = Bench.benchLine(results, "0.001")

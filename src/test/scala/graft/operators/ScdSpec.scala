@@ -290,45 +290,88 @@ class ScdSpec extends SparkSpec {
     assert(got == Set(("v0", 10L, Some(20L)), ("v1", 20L, None)))
   }
 
-  test("self-heal refuses an AMBIGUOUS candidate nBuckets (sparse-store divisor coincidence)") {
+  test("self-heal WARN-AND-PINS an ambiguous candidate on a small-key store (crash-recovery survives)") {
     // keys "0","1","2","4","7" all land in buckets 0-7 under nBuckets=16
     // (verified below), so a 16-bucket store of them row-validates
-    // against candidate 8 too — the divisor coincidence a sparse store
-    // can hit. The heal must refuse 8 (its rows are ALSO consistent
-    // with the 16 layout) and still accept the true 16 (some key's
-    // 32-bucket assignment differs, breaking the next-level ambiguity).
+    // against candidate 8 too — the divisor coincidence a SPARSE store
+    // hits with high probability (2^-K per key). Below
+    // AmbiguityMinKeys a refusal would mostly false-brick genuine
+    // crash-recovery replays (the round-16 guard's regression, ADVICE
+    // r16), so the heal must pin the caller's row-validated value with
+    // a warning instead of throwing — for BOTH the true creation-time
+    // value and a coincidentally-consistent smaller one (either pin is
+    // forward-sound by the property test below).
     val keys = Seq("0", "1", "2", "4", "7")
     val b16 = keys.toDF("key").select(Scd.bucketOf(Seq("key"), 16))
       .as[Long].collect()
     assert(b16.forall(_ < 8), s"test keys must collide into 0-7 under 16: ${b16.toSeq}")
-    val b32 = keys.toDF("key").select(
-      pmod(xxhash64($"key".cast("string")), lit(32L))).as[Long].collect()
-    assert(b32.exists(_ >= 16), s"need a key that disambiguates 16 vs 32: ${b32.toSeq}")
-    val b48 = keys.toDF("key").select(
-      pmod(xxhash64($"key".cast("string")), lit(48L))).as[Long].collect()
-    assert(b48.exists(_ >= 16), s"need a key that disambiguates 16 vs 48: ${b48.toSeq}")
+    assert(keys.size < Scd.AmbiguityMinKeys)
     val base = java.nio.file.Files.createTempDirectory("scd_ambig").toString
     val store = s"$base/store"
     val hist = keys.zipWithIndex.map { case (k, i) => (k, "v0", 10L, i.toLong) }
     Scd.mergeBatchIntoBucketedScdStore(hist.toDF("key", "attr", "ts", "id"),
       Seq("key"), "ts", "id", store, nBuckets = 16)
     val marker = new java.io.File(store, "_graft_scd_nbuckets")
+    // the create-crash replay with the TRUE value: whether or not the
+    // rows coincide with a 2·16/3·16 layout, at K=5 the heal must NOT
+    // refuse — pin and merge, the automated recovery path intact
     assert(marker.delete())
     val batch = Seq(("0", "v1", 20L, 100L)).toDF("key", "attr", "ts", "id")
-    // candidate 8 row-validates but is refused as ambiguous — silently
-    // pinning it would make later merges slice the wrong buckets
+    Scd.mergeBatchIntoBucketedScdStore(batch, Seq("key"), "ts", "id",
+      store, nBuckets = 16)
+    assert(marker.exists, "small-K heal must re-pin, not refuse")
+    val want = versions(Scd.fromHistory(
+      (hist :+ (("0", "v1", 20L, 100L))).toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id"))
+    assert(versions(Scd.readScdStore(spark, store)) == want)
+    // and a coincidentally-consistent SMALLER candidate also pins
+    // (warned) and stays content-exact through subsequent merges
+    assert(marker.delete())
+    val batch2 = Seq(("1", "v2", 30L, 101L)).toDF("key", "attr", "ts", "id")
+    Scd.mergeBatchIntoBucketedScdStore(batch2, Seq("key"), "ts", "id",
+      store, nBuckets = 8)
+    assert(marker.exists)
+    val want2 = versions(Scd.fromHistory(
+      (hist ++ Seq(("0", "v1", 20L, 100L), ("1", "v2", 30L, 101L)))
+        .toDF("key", "attr", "ts", "id"), Seq("key"), "ts", "id"))
+    assert(versions(Scd.readScdStore(spark, store)) == want2)
+  }
+
+  test("self-heal REFUSES an ambiguous candidate once the key count makes coincidence implausible") {
+    // ≥ AmbiguityMinKeys distinct keys, all landing below 16 under a
+    // 32-bucket layout (searched, not assumed): a 32-created store of
+    // them row-validates against candidate 16, and at K ≥ 16 the
+    // 2x-coincidence probability for a GENUINE 16-store is ≤ 2^-16 —
+    // consistency with the 32 layout is now overwhelming evidence the
+    // creator used a larger value, so the heal must refuse candidate 16
+    // loudly (manual-marker remedy) and still accept the true 32.
+    val pool = (0 until 400).map(i => s"key$i")
+    val low = pool.toDF("key")
+      .withColumn("b", pmod(xxhash64($"key".cast("string")), lit(32L)))
+      .filter($"b" < 16).select($"key").as[String].collect().toSeq
+    val keys = low.take(Scd.AmbiguityMinKeys.toInt + 4)
+    assert(keys.size >= Scd.AmbiguityMinKeys,
+      s"need ≥ ${Scd.AmbiguityMinKeys} low-bucket keys, got ${keys.size}")
+    val base = java.nio.file.Files.createTempDirectory("scd_ambig_bigk").toString
+    val store = s"$base/store"
+    val hist = keys.zipWithIndex.map { case (k, i) => (k, "v0", 10L, i.toLong) }
+    Scd.mergeBatchIntoBucketedScdStore(hist.toDF("key", "attr", "ts", "id"),
+      Seq("key"), "ts", "id", store, nBuckets = 32)
+    val marker = new java.io.File(store, "_graft_scd_nbuckets")
+    assert(marker.delete())
+    val batch = Seq((keys.head, "v1", 20L, 1000L)).toDF("key", "attr", "ts", "id")
     val e = intercept[IllegalArgumentException] {
       Scd.mergeBatchIntoBucketedScdStore(batch, Seq("key"), "ts", "id",
-        store, nBuckets = 8)
+        store, nBuckets = 16)
     }
     assert(e.getMessage.contains("ALSO with a larger"), e.getMessage)
     assert(!marker.exists, "a refused heal must not pin anything")
     // the true creation-time value heals and merges normally
     Scd.mergeBatchIntoBucketedScdStore(batch, Seq("key"), "ts", "id",
-      store, nBuckets = 16)
+      store, nBuckets = 32)
     assert(marker.exists)
     val want = versions(Scd.fromHistory(
-      (hist :+ (("0", "v1", 20L, 100L))).toDF("key", "attr", "ts", "id"),
+      (hist :+ ((keys.head, "v1", 20L, 1000L))).toDF("key", "attr", "ts", "id"),
       Seq("key"), "ts", "id"))
     assert(versions(Scd.readScdStore(spark, store)) == want)
   }
@@ -369,10 +412,12 @@ class ScdSpec extends SparkSpec {
             val m = e.getMessage
             assert(m.contains("does not match") ||
               m.contains("ALSO with a larger"), m)
-            // the creation-time value may only ever be refused as the
-            // documented <= 2^-K + 3^-K ambiguity coincidence, never as
-            // a layout mismatch
-            if (cand == trueN) assert(m.contains("ALSO with a larger"), m)
+            // these pools stay below AmbiguityMinKeys distinct keys, so
+            // the ambiguity branch warn-and-pins instead of refusing:
+            // the creation-time value can only ever be rejected by the
+            // row validation, which it always passes
+            assert(cand != trueN,
+              s"true value refused at small K: $m")
             false
         }
       if (accepted) {

@@ -435,6 +435,12 @@ class PlanGateSpec extends SparkSpec {
     // segment — each one shuffle across a union boundary, the q203
     // precedent ×2) + the status rollup + output sort
     "q205_attribution_by_status" -> 6,
+    // the RETURNED plan over the histogram store (the two-batch store
+    // BUILD runs at construction, the q204 precedent): the store scan
+    // is a |sources|-row leaf; content explode is map-side; quantile
+    // window + pivot agg + the content⋈quantiles join + sort all ride
+    // |sources|(·16)-sized exchanges
+    "q206_hist_store_read" -> 3,
     // q188's pair join + the p_id weight window + the day rollup —
     // same bound, decay weights are row-local integers
     "q195_decay_attribution" -> 3,
