@@ -410,6 +410,45 @@ object ScaleQueries extends QueryModule {
       content.join(quant, Seq("source"))
         .select($"source", $"bucket", $"cnt", $"n", $"p50", $"p90")
         .orderBy($"source", $"bucket")
+    }),
+
+    // The MG hitter store's read path gated cross-engine — the
+    // read-gate discipline's third store, in the one regime where an
+    // EXACT cross-engine gate is sound: with capacity ≥ the per-group
+    // vocabulary (31 tokens per lang in these fixtures, capacity 32)
+    // Misra-Gries never decrements, per-partition summaries are exact
+    // partial counts, mergeMgByGroup's rank-(cap+1) subtrahend never
+    // exists, and the stored est IS the exact count — so the certified
+    // read (est·(cap+1) > n_total_group, heaviness as a THEOREM) must
+    // equal the oracle's exact heavy set, count for count. The
+    // certificate line is still discriminating at capacity 32 (the
+    // bound total/33 cuts 1–8 of each lang's 31 tokens). Two-batch
+    // on-disk fold (totals and counters both ADD across the disk
+    // round-trip), then guaranteedHittersByGroup serves the gate
+    // output. Below-vocab capacities stay gate-less by design: est
+    // becomes partition-order-dependent and only the certified-subset
+    // PROPERTY (FreqSpec) holds, not cross-engine equality.
+    "q207_hitter_store_read" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          explode(split(trim($"text"), "\\s+")).as("tok"))
+        .filter(length($"tok") > 0)
+      val store = s"${sys.props("java.io.tmpdir")}/graft_q207_store_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+        ProcessHandle.current().pid()
+      val hp = new org.apache.hadoop.fs.Path(store)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      val cap = 32
+      val trickle = $"doc_id" % 101 === 0 // a thin second batch
+      Freq.mergeBatchIntoGroupHitterStore(toks.filter(!trickle), "lang",
+        "tok", cap, store)
+      Freq.mergeBatchIntoGroupHitterStore(toks.filter(trickle), "lang",
+        "tok", cap, store)
+      Freq.guaranteedHittersByGroup(s.read.parquet(store), cap)
+        .select($"group".as("lang"), $"item".as("tok"), $"est", $"n_total")
+        .orderBy($"lang", $"tok")
     })
   )
 
@@ -500,6 +539,24 @@ object ScaleQueries extends QueryModule {
         |  qv.p50, qv.p90
         |FROM c JOIN tot USING (source) JOIN qv USING (source)
         |ORDER BY source, bucket""".stripMargin,
+
+    // the store never reaches DuckDB: exact per-(lang, token) counts +
+    // per-lang totals (== the no-decrement store by the exact-branch
+    // argument at the gate), then the certificate inequality verbatim —
+    // cnt·33 > total at capacity 32
+    "q207_hitter_store_read" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT CAST(lang AS VARCHAR) AS lang, tok FROM t
+        |       WHERE len(tok) > 0 AND lang IS NOT NULL),
+        |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(cnt) AS total FROM c GROUP BY 1)
+        |SELECT c.lang, c.tok, CAST(c.cnt AS BIGINT) AS est,
+        |  CAST(tot.total AS BIGINT) AS n_total
+        |FROM c JOIN tot USING (lang)
+        |WHERE c.cnt * 33 > tot.total
+        |ORDER BY lang, tok""".stripMargin,
 
     // touch replayed as a correlated MAX over clicks at-or-before the
     // purchase, segment as the half-open interval join, lookback as an

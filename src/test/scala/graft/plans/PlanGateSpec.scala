@@ -441,6 +441,11 @@ class PlanGateSpec extends SparkSpec {
     // window + pivot agg + the content⋈quantiles join + sort all ride
     // |sources|(·16)-sized exchanges
     "q206_hist_store_read" -> 3,
+    // the RETURNED plan over the hitter store (the two-batch store
+    // BUILD runs at construction, the q204/q206 precedent): the store
+    // IS the ≤ |langs|·capacity-row summary — one output sort over a
+    // scan-side certificate filter, nothing corpus-sized moves
+    "q207_hitter_store_read" -> 1,
     // q188's pair join + the p_id weight window + the day rollup —
     // same bound, decay weights are row-local integers
     "q195_decay_attribution" -> 3,
