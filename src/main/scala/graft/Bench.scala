@@ -28,11 +28,19 @@ object Bench {
     // first absorbing the one-time index build (a 5× per-query
     // accounting swing across otherwise-identical runs, round-16
     // verdict finding #2; BASELINE.md names the convention)
+    // ...and run q104 itself once: the start-of-run sentinel probe
+    // below must measure the BOX, not q104's one-time codegen/JIT cost
+    // — an unwarmed first probe reads systematically high and the
+    // BASELINE.md reading rule would then adjust first-half queries
+    // against an inflated baseline, masking real first-half moves
+    val sentinelFn = SparkEntry.queries
+      .find(kv => shortKey(kv._1) == "104").map(_._2)
     try {
       Tables.lineitem(spark, sfDir).count()
       Tables.events(spark, sfDir).count()
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q116_bm25_retrieval").foreach(_(spark, sfDir).count())
+      sentinelFn.foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // best of 2 runs per query: single-run local[32] numbers swing 2-4x
     // on sub-second queries (JIT/GC timing), which reads as a phantom
@@ -66,8 +74,6 @@ object Bench {
     // measurements — single-run by design (best-of-2 would hide the
     // very drift they exist to show); q104's own best-of-2 timing in
     // the per-query map is unchanged.
-    val sentinelFn = SparkEntry.queries
-      .find(kv => shortKey(kv._1) == "104").map(_._2)
     def probeSentinel(): Double = sentinelFn.map { fn =>
       spark.catalog.clearCache()
       System.gc()

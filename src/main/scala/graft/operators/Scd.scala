@@ -298,7 +298,15 @@ object Scd {
           coalesce(sum(when(bucketOfMod(keyCols, 3L * nBuckets) =!=
             col(BucketCol).cast("long"), 1L).otherwise(0L)), lit(0L))
             .as("bad3x"),
-          countDistinct(keyCols.head, keyCols.tail: _*).as("k")
+          // distinct-key EVIDENCE, not an exact count: the only use is
+          // K ≥/< AmbiguityMinKeys, so approx_count_distinct keeps the
+          // whole scan map-side partial sums + a 1-row reduce (an exact
+          // countDistinct would add a keys-sized shuffle to a path
+          // sized for billion-key stores). HLL++ is exact in its sparse
+          // regime (far beyond 16), so the threshold compare is in
+          // practice exact where it matters; even a misestimate only
+          // shifts a heuristic boundary whose both sides are defensible
+          approx_count_distinct(struct(keyCols.map(col): _*)).as("k")
         ).head()
         // a zero-row store (externally truncated/restored) has nothing
         // to validate and nothing to mis-slice: pin the caller's value

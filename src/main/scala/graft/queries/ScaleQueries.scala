@@ -37,6 +37,28 @@ import org.apache.spark.sql.functions._
 object ScaleQueries extends QueryModule {
   import Q._
 
+  /** Hermetic tmp store path for the read-path gates (q204/q206/q207):
+    * keyed on the SANITIZED full data dir (`dir.hashCode` could collide
+    * two dirs onto one store) plus the pid (two concurrent driver
+    * processes — Verify vs Bench, parallel CI — would otherwise race
+    * delete/rebuild against each other's lazily-read plans). Deleted
+    * fresh here so every call rebuilds from scratch, and registered for
+    * JVM-exit cleanup so pid-keyed paths can't accumulate in tmpdir
+    * across processes (a stable key self-overwrote; a pid key would
+    * otherwise leak one dir per process per gate).
+    */
+  private def freshTmpStore(s: SparkSession, dir: String,
+      tag: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_${tag}_store_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      ProcessHandle.current().pid()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    fs.deleteOnExit(hp)
+    path
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-10 hottest part keys via the Misra-Gries two-pass —
@@ -284,16 +306,7 @@ object ScaleQueries extends QueryModule {
       val ev = Tables.events(s, dir)
       val changes = ev.filter($"event_type" =!= "purchase")
         .select($"user_id", $"event_type".as("status"), $"ts", $"event_id")
-      // path keyed on the SANITIZED full dir (hashCode collides across
-      // dirs) plus the pid (two processes — Verify vs Bench, parallel
-      // CI — racing delete/rebuild on one path flake each other's
-      // lazily-read plans)
-      val store = s"${sys.props("java.io.tmpdir")}/graft_q204_store_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
-        ProcessHandle.current().pid()
-      val hp = new org.apache.hadoop.fs.Path(store)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
+      val store = freshTmpStore(s, dir, "q204")
       val trickle = $"user_id" % 499 === 0 // a few users → few buckets
       Scd.mergeBatchIntoBucketedScdStore(changes.filter(!trickle),
         Seq("user_id"), "ts", "event_id", store, nBuckets = 16)
@@ -386,12 +399,7 @@ object ScaleQueries extends QueryModule {
     "q206_hist_store_read" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val store = s"${sys.props("java.io.tmpdir")}/graft_q206_store_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
-        ProcessHandle.current().pid()
-      val hp = new org.apache.hadoop.fs.Path(store)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
+      val store = freshTmpStore(s, dir, "q206")
       val grid = Sketches.Grid(lo = 0L, width = 64L, nBuckets = 16)
       val trickle = $"doc_id" % 97 === 0 // a thin second batch
       Sketches.mergeHistogramsIntoStore(docs.filter(!trickle), "source",
@@ -434,12 +442,7 @@ object ScaleQueries extends QueryModule {
         .select($"doc_id", $"lang",
           explode(split(trim($"text"), "\\s+")).as("tok"))
         .filter(length($"tok") > 0)
-      val store = s"${sys.props("java.io.tmpdir")}/graft_q207_store_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
-        ProcessHandle.current().pid()
-      val hp = new org.apache.hadoop.fs.Path(store)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
+      val store = freshTmpStore(s, dir, "q207")
       val cap = 32
       val trickle = $"doc_id" % 101 === 0 // a thin second batch
       Freq.mergeBatchIntoGroupHitterStore(toks.filter(!trickle), "lang",
