@@ -40,8 +40,11 @@ object Bench {
       Tables.events(spark, sfDir).count()
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q116_bm25_retrieval").foreach(_(spark, sfDir).count())
-      sentinelFn.foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    // its own try: a transient failure in the earlier warmup steps must
+    // not silently skip the q104 warm and reinstate the cold-probe bias
+    try sentinelFn.foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     // best of 2 runs per query: single-run local[32] numbers swing 2-4x
     // on sub-second queries (JIT/GC timing), which reads as a phantom
     // regression round over round; min-of-2 measures the query, not the

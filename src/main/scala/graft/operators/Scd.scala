@@ -302,11 +302,16 @@ object Scd {
           // K ≥/< AmbiguityMinKeys, so approx_count_distinct keeps the
           // whole scan map-side partial sums + a 1-row reduce (an exact
           // countDistinct would add a keys-sized shuffle to a path
-          // sized for billion-key stores). HLL++ is exact in its sparse
-          // regime (far beyond 16), so the threshold compare is in
-          // practice exact where it matters; even a misestimate only
-          // shifts a heuristic boundary whose both sides are defensible
-          approx_count_distinct(struct(keyCols.map(col): _*)).as("k")
+          // sized for billion-key stores). Spark's HLL++ has no exact
+          // sparse mode, so the estimate CAN be off by ±1 right at the
+          // boundary: at rsd 0.005 (~49k registers, linear counting at
+          // small K) a register collision among ~16 keys has
+          // probability ≈ C(16,2)/49k ≈ 0.25%, and a ±1-key shift only
+          // trades false-refusal odds 2^-15 ↔ 2^-16 — both sides of
+          // the heuristic threshold are defensible, so the decision is
+          // insensitive to the residual estimation error
+          approx_count_distinct(struct(keyCols.map(col): _*), rsd = 0.005)
+            .as("k")
         ).head()
         // a zero-row store (externally truncated/restored) has nothing
         // to validate and nothing to mis-slice: pin the caller's value

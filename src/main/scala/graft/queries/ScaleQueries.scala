@@ -37,25 +37,32 @@ import org.apache.spark.sql.functions._
 object ScaleQueries extends QueryModule {
   import Q._
 
-  /** Hermetic tmp store path for the read-path gates (q204/q206/q207):
-    * keyed on the SANITIZED full data dir (`dir.hashCode` could collide
-    * two dirs onto one store) plus the pid (two concurrent driver
-    * processes — Verify vs Bench, parallel CI — would otherwise race
-    * delete/rebuild against each other's lazily-read plans). Deleted
-    * fresh here so every call rebuilds from scratch, and registered for
-    * JVM-exit cleanup so pid-keyed paths can't accumulate in tmpdir
-    * across processes (a stable key self-overwrote; a pid key would
-    * otherwise leak one dir per process per gate).
+  /** Hermetic tmp store for the read-path gates (q204/q206/q207):
+    * path keyed on the SANITIZED full data dir (`dir.hashCode` could
+    * collide two dirs onto one store) plus the pid (two concurrent
+    * driver processes — Verify vs Bench, parallel CI — would otherwise
+    * race delete/rebuild against each other's lazily-read plans).
+    * Deleted fresh so every call rebuilds from scratch, then `build`
+    * runs (the gate's merge calls — they must CREATE the path: the
+    * store maintainers take the path's existence as "store present",
+    * so pre-creating it here would corrupt their first-batch branch),
+    * and only THEN is the path registered for JVM-exit cleanup —
+    * `FileSystem.deleteOnExit` refuses to register a path that does
+    * not exist yet, so registering before the build would be a silent
+    * no-op and pid-keyed dirs would leak one per process per gate.
     */
-  private def freshTmpStore(s: SparkSession, dir: String,
-      tag: String): String = {
+  private def freshTmpStore(s: SparkSession, dir: String, tag: String)(
+      build: String => Unit): String = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_${tag}_store_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       ProcessHandle.current().pid()
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(hp, true)
-    fs.deleteOnExit(hp)
+    build(path)
+    require(fs.deleteOnExit(hp),
+      s"gate store $path missing after its build — the merge calls " +
+        "must create it")
     path
   }
 
@@ -306,12 +313,13 @@ object ScaleQueries extends QueryModule {
       val ev = Tables.events(s, dir)
       val changes = ev.filter($"event_type" =!= "purchase")
         .select($"user_id", $"event_type".as("status"), $"ts", $"event_id")
-      val store = freshTmpStore(s, dir, "q204")
       val trickle = $"user_id" % 499 === 0 // a few users → few buckets
-      Scd.mergeBatchIntoBucketedScdStore(changes.filter(!trickle),
-        Seq("user_id"), "ts", "event_id", store, nBuckets = 16)
-      Scd.mergeBatchIntoBucketedScdStore(changes.filter(trickle),
-        Seq("user_id"), "ts", "event_id", store, nBuckets = 16)
+      val store = freshTmpStore(s, dir, "q204") { p =>
+        Scd.mergeBatchIntoBucketedScdStore(changes.filter(!trickle),
+          Seq("user_id"), "ts", "event_id", p, nBuckets = 16)
+        Scd.mergeBatchIntoBucketedScdStore(changes.filter(trickle),
+          Seq("user_id"), "ts", "event_id", p, nBuckets = 16)
+      }
       val stored = Scd.readScdStore(s, store)
       val vstats = stored.groupBy($"status")
         .agg(count(lit(1)).as("n_versions"),
@@ -399,13 +407,14 @@ object ScaleQueries extends QueryModule {
     "q206_hist_store_read" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val store = freshTmpStore(s, dir, "q206")
       val grid = Sketches.Grid(lo = 0L, width = 64L, nBuckets = 16)
       val trickle = $"doc_id" % 97 === 0 // a thin second batch
-      Sketches.mergeHistogramsIntoStore(docs.filter(!trickle), "source",
-        "n_chars", grid, store)
-      Sketches.mergeHistogramsIntoStore(docs.filter(trickle), "source",
-        "n_chars", grid, store)
+      val store = freshTmpStore(s, dir, "q206") { p =>
+        Sketches.mergeHistogramsIntoStore(docs.filter(!trickle), "source",
+          "n_chars", grid, p)
+        Sketches.mergeHistogramsIntoStore(docs.filter(trickle), "source",
+          "n_chars", grid, p)
+      }
       val stored = s.read.parquet(store)
       val content = stored.select($"source", $"n",
           posexplode($"counts").as(Seq("bucket", "cnt")))
@@ -442,13 +451,14 @@ object ScaleQueries extends QueryModule {
         .select($"doc_id", $"lang",
           explode(split(trim($"text"), "\\s+")).as("tok"))
         .filter(length($"tok") > 0)
-      val store = freshTmpStore(s, dir, "q207")
       val cap = 32
       val trickle = $"doc_id" % 101 === 0 // a thin second batch
-      Freq.mergeBatchIntoGroupHitterStore(toks.filter(!trickle), "lang",
-        "tok", cap, store)
-      Freq.mergeBatchIntoGroupHitterStore(toks.filter(trickle), "lang",
-        "tok", cap, store)
+      val store = freshTmpStore(s, dir, "q207") { p =>
+        Freq.mergeBatchIntoGroupHitterStore(toks.filter(!trickle), "lang",
+          "tok", cap, p)
+        Freq.mergeBatchIntoGroupHitterStore(toks.filter(trickle), "lang",
+          "tok", cap, p)
+      }
       Freq.guaranteedHittersByGroup(s.read.parquet(store), cap)
         .select($"group".as("lang"), $"item".as("tok"), $"est", $"n_total")
         .orderBy($"lang", $"tok")
