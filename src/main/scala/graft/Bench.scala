@@ -103,9 +103,15 @@ object Bench {
       .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // Full per-query detail (full names, 3 decimals) goes to a FILE the
     // judge can read; stdout carries the driver line only.
-    scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      detailJson(results, sfNum, sentinels)))
+    // BENCH_DETAIL.json is the CANONICAL committed record of the FULL
+    // surface — a SPARK_GRAFT_BENCH_ONLY subset run must never clobber
+    // it (a 4-query iteration artifact in its place reads as 201
+    // missing queries and a phantom 10× speedup to the next round's
+    // comparison; this bit round 17)
+    if (only.isEmpty)
+      scala.util.Try(java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detailJson(results, sfNum, sentinels)))
     println(benchLine(results, sfNum, sentinels))
     spark.stop()
   }

@@ -304,11 +304,12 @@ object Scd {
           // countDistinct would add a keys-sized shuffle to a path
           // sized for billion-key stores). Spark's HLL++ has no exact
           // sparse mode, so the estimate CAN be off by ±1 right at the
-          // boundary: at rsd 0.005 (~49k registers, linear counting at
-          // small K) a register collision among ~16 keys has
-          // probability ≈ C(16,2)/49k ≈ 0.25%, and a ±1-key shift only
-          // trades false-refusal odds 2^-15 ↔ 2^-16 — both sides of
-          // the heuristic threshold are defensible, so the decision is
+          // boundary: rsd 0.005 → p = ceil(2·log2(1.106/rsd)) = 16 →
+          // 2^16 = 65536 registers (linear counting at small K), so a
+          // register collision among ~16 keys has probability
+          // ≈ C(16,2)/65536 ≈ 0.18%, and a ±1-key shift only trades
+          // false-refusal odds 2^-15 ↔ 2^-16 — both sides of the
+          // heuristic threshold are defensible, so the decision is
           // insensitive to the residual estimation error
           approx_count_distinct(struct(keyCols.map(col): _*), rsd = 0.005)
             .as("k")

@@ -59,10 +59,16 @@ object ScaleQueries extends QueryModule {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(hp, true)
-    build(path)
-    require(fs.deleteOnExit(hp),
-      s"gate store $path missing after its build — the merge calls " +
-        "must create it")
+    // register in a finally: a build that fails AFTER its first merge
+    // created the dir must still leave the partial store registered for
+    // exit cleanup, or exactly the pid-keyed leak this helper closes
+    // comes back through the failure path
+    try {
+      build(path)
+      require(fs.exists(hp),
+        s"gate store $path missing after its build — the merge calls " +
+          "must create it")
+    } finally if (fs.exists(hp)) fs.deleteOnExit(hp)
     path
   }
 
