@@ -736,6 +736,35 @@ class OperatorsSpec extends SparkSpec {
     assert(sqlOut > 0.0)
   }
 
+  test("DotProduct interpreted eval matches its own codegen bit-for-bit") {
+    // The sibling test pins native-codegen against the HOF fold, but both
+    // sides run under the session's default CODEGEN factory — DotProduct's
+    // nullSafeEval never executes anywhere in the suite unless codegen is
+    // forced off. Flip the factory to NO_CODEGEN for one pass so a future
+    // doGenCode/eval divergence (the class scaladoc's bit-identical
+    // contract) fails here, not only in a session-level verify sweep.
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    def run(): Map[Long, Double] =
+      df.select(col("vec_id"), GraftFunctions.dot(col("v"), col("v")).as("d"))
+        .as[(Long, Double)].collect().toMap
+    val codegen = run()
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    val interpreted = try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      run()
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+    assert(codegen.nonEmpty && codegen == interpreted,
+      "DotProduct eval diverged from doGenCode")
+  }
+
   test("BloomDistinct estimates distinct counts within a few percent") {
     val agg = udaf(new graft.functions.BloomDistinct(1 << 16))
     val df = (1 to 10000).map(i => (i % 1000).toLong).toDF("id")
