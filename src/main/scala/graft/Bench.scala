@@ -35,11 +35,23 @@ object Bench {
     // against an inflated baseline, masking real first-half moves
     val sentinelFn = SparkEntry.queries
       .find(kv => shortKey(kv._1) == "104").map(_._2)
+    // ...and the remaining Shared* session frames (round-17 verdict #1,
+    // extending the same convention): the span-dedup corpus
+    // (q142/q146/q148), the DSIR table (q136/q139) and the bigram-LM
+    // scored frame (q134/q137/q141) are build-once/consume-many session
+    // materializations — pre-building them here makes each family gate
+    // price its own CONSUMPTION instead of whichever query runs first
+    // absorbing the shared build (q146 swung 0.55↔1.92 s between
+    // same-plan runs on that accounting alone). BASELINE.md re-bases
+    // the six family queries.
     try {
       Tables.lineitem(spark, sfDir).count()
       Tables.events(spark, sfDir).count()
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q116_bm25_retrieval").foreach(_(spark, sfDir).count())
+      queries.SharedSpanDedup.deduped(spark, sfDir).count()
+      queries.SharedDsir.table(spark, sfDir).count()
+      queries.SharedLm.scored(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // its own try: a transient failure in the earlier warmup steps must
     // not silently skip the q104 warm and reinstate the cold-probe bias
@@ -158,7 +170,8 @@ object Bench {
     * total + errs + sf + the q104 sentinel + the [[stdoutSlowest]]
     * slowest queries, and **`BENCH_DETAIL.json` is the CANONICAL
     * per-query record** (full names, 3 decimals, every query, written
-    * on every run). `value` remains the sum over ALL non-failed
+    * on every FULL-surface run; subset `SPARK_GRAFT_BENCH_ONLY` runs
+    * leave it untouched). `value` remains the sum over ALL non-failed
     * queries, not just the printed ones; `errs` lists every failed
     * query whether or not its timing made the line.
     */

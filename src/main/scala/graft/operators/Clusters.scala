@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution: turn near-dup PAIRS (from MinHash/LSH,
   * SimHash, or exact Jaccard — [[Dedup]]) into connected components and
@@ -42,12 +41,18 @@ import org.apache.spark.storage.StorageLevel
   *    checkpoint statistics OOMed the local driver at 80x).
   *  - `localCheckpoint` after each round truncates lineage, so round k
   *    doesn't replay rounds 1..k-1 (iterative-DataFrame trap).
-  *  - convergence is detected EARLY from the live set: an empty
+  *  - convergence is detected from the live set ALONE: an empty
   *    relabelLive means every edge already joins same-labeled nodes, so
-  *    the round (and its |V|-scale joins) is skipped entirely. The
-  *    `sum(label)` checksum (labels only ever decrease; an unchanged
-  *    round leaves the sum fixed; DECIMAL(38,0) so 100 TB of long ids
-  *    can't overflow) remains as a belt-and-braces secondary gate.
+  *    the round (and its |V|-scale joins) is skipped entirely — and a
+  *    NON-empty one strictly decreases some label, so no per-round
+  *    convergence probe is needed at all (round 18 removed the
+  *    per-round `sum(label)` checksum actions; the checksum survives
+  *    only inside the final pointer-jump flattening, the one place
+  *    change detection is still load-bearing).
+  *  - within a live round, the propagation and the contraction both
+  *    read the same checkpointed live set and are independent — their
+  *    materializations run as CONCURRENT jobs, so the round's wall
+  *    clock is max(propagate, contract) instead of the sum.
   *
   * Reference analog: the tutorial's iterate/closeWith feedback loop
   * (java/.../transformation/IterateDemo.java:22-50) is the same
@@ -91,23 +96,23 @@ object Clusters {
       .union(e.select(col("d").as("id"))).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var sum = checksum(labels)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      // round 0: labels are identity — the neighbor-min needs no join.
-      // rounds 1+: one relabel pass feeds both the propagation and the
-      // contraction; serialized-columnar cache, freed end of round.
+      // round 0: labels are identity — the neighbor-min needs no join,
+      // and no convergence probe either: any edge at all strictly
+      // decreases its larger endpoint's label, so round 0 can only
+      // "converge" on an empty graph — which round 1's empty live set
+      // detects anyway. rounds 1+: one relabel pass feeds both the
+      // propagation and the contraction, eagerly checkpointed so the
+      // two consumers read materialized blocks instead of racing to
+      // compute the double join twice.
       if (round == 0) {
         val jumped = neighborMinRound(labels, e).localCheckpoint()
-        val newSum = checksum(jumped)
-        converged = newSum == sum
-        sum = newSum
         freeCheckpoint(labels)
         labels = jumped
       } else {
-        val lv = relabelLive(e, labels)
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val lv = relabelLive(e, labels).localCheckpoint()
         if (lv.isEmpty) {
           // CONVERGED-EARLY EXIT: zero live edges means the contracted
           // graph is label-consistent — no further PROPAGATION can change
@@ -118,8 +123,13 @@ object Clusters {
           // 0), so finish with jump-only rounds: one |V| self-join each,
           // O(log depth) of them (usually 1-2), no edge-side work at all.
           // This caps the per-round fixed cost that dominated the
-          // CC-composed queries (q80/q85/q90/q92) on slow boxes.
-          lv.unpersist(blocking = false)
+          // CC-composed queries (q80/q85/q90/q92) on slow boxes. The
+          // label-sum checksum (labels only ever decrease; an unchanged
+          // jump leaves the sum fixed; DECIMAL(38,0) so 100 TB of long
+          // ids can't overflow) detects flatness — computed on entry
+          // only, the one place a convergence probe is still needed.
+          freeCheckpoint(lv)
+          var sum = checksum(labels)
           var flat = false
           while (!flat) {
             val jumped = pointerJump(labels).localCheckpoint()
@@ -131,27 +141,36 @@ object Clusters {
           }
           converged = true
         } else {
-          val jumped = liveRound(labels, lv).localCheckpoint()
-          val newSum = checksum(jumped)
-          // a non-empty live set strictly decreases some label, so the
-          // checksum is a belt-and-braces check here, not the main gate
-          converged = newSum == sum
-          sum = newSum
-          if (!converged) {
-            // CONTRACT: settled edges are already gone from `live`;
-            // survivors re-attach to label roots (load-bearing, not
-            // cosmetic — label updates propagate by nodes PULLING from
-            // their label node, so keeping original endpoints strands any
-            // component whose only bridge had both endpoints sharing a
-            // then-non-final label; regression-tested: "survives pruning
-            // a same-label bridge"). `distinct` collapses the parallel
-            // root-edges that inter-cluster noise creates (without it
-            // rounds 2+ re-scan every copy — measured +80 s at 80x).
-            val eNew = contractLive(lv).localCheckpoint()
-            freeCheckpoint(e)
-            e = eNew
-          }
-          lv.unpersist(blocking = false)
+          // A NON-EMPTY live set strictly decreases some label (the live
+          // edge's larger-labeled endpoint takes the smaller label, and
+          // labels are monotone non-increasing), so the round can never
+          // be the converged one — the per-round checksum probe this
+          // branch used to pay was provably dead weight (round-18
+          // measurement: one action of ~3 per round). Propagation and
+          // CONTRACTION both consume the checkpointed live set and are
+          // independent, so their materializations run CONCURRENTLY
+          // (guide §2.6 job overlap — the contraction back-fills
+          // executors the propagation's tail leaves idle):
+          //  - propagation: min-label + pointer jump (liveRound);
+          //  - contraction: settled edges are already gone from `live`;
+          //    survivors re-attach to label roots (load-bearing, not
+          //    cosmetic — label updates propagate by nodes PULLING from
+          //    their label node, so keeping original endpoints strands any
+          //    component whose only bridge had both endpoints sharing a
+          //    then-non-final label; regression-tested: "survives pruning
+          //    a same-label bridge"). `distinct` collapses the parallel
+          //    root-edges that inter-cluster noise creates (without it
+          //    rounds 2+ re-scan every copy — measured +80 s at 80x).
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fJump = Future(liveRound(labels, lv).localCheckpoint())
+          val fContract = Future(contractLive(lv).localCheckpoint())
+          val jumped = Await.result(fJump, Duration.Inf)
+          val eNew = Await.result(fContract, Duration.Inf)
+          freeCheckpoint(e)
+          e = eNew
+          freeCheckpoint(lv)
           // the superseded round's checkpoint blocks are dead the moment
           // `jumped` materializes — free them now instead of waiting for
           // the ContextCleaner's GC-driven cleanup (25 stale |V|-row

@@ -826,10 +826,18 @@ object Dedup {
     * final levenshtein filter kills the rare dist-2 key collisions.
     *
     * Scale: len+1 keys per string, hash-uniform (near-dup corpora cluster
-    * per key only as much as they genuinely collide); one shuffle on the
-    * key, candidate pairs streamed by the join — never an unbounded
-    * per-key array. Run exact dedup first: exact duplicates all share
-    * every key, so m copies of one string stream m^2 candidate pairs.
+    * per key only as much as they genuinely collide); ONE shuffle on the
+    * key — per-key ids collected, pairs exploded, verified, and only
+    * then deduplicated. The per-key array is O(m) for a key shared by m
+    * strings while the pair OUTPUT is O(m²) either way, so the array is
+    * never the binding constraint (a key's m is bounded by
+    * (len+1)·|alphabet| distinct one-insert parents plus exact copies;
+    * run exact dedup first — m copies of one string stream m² candidate
+    * pairs under any shape). The self-join form this replaced shuffled
+    * the strings TWICE and deduplicated the full candidate set before
+    * verifying: verify-then-dedup moves the distinct below the >90%
+    * selective filter, and the round-18 bench measured the join itself
+    * (sort + two string exchanges) at 2.3x the whole bucket shape.
     * Output: (id_a, id_b, dist) with dist in {0, 1}.
     */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
@@ -840,22 +848,24 @@ object Dedup {
     val dels = transform(sequence(lit(0), length(col("__s")) - 1), i =>
       concat(col("__s").substr(lit(1), i),
         col("__s").substr(i + lit(2), length(col("__s")))))
-    // join on the variant's xxhash64, not the variant string: the
+    // group on the variant's xxhash64, not the variant string: the
     // shuffle carries 8-byte longs instead of len-char strings, and the
     // final levenshtein verify kills any hash-collision false candidate
     val keyed = base
       .select(col("__id"), col("__s"),
         explode(array_union(array(col("__s")), dels)).as("__k"))
       .select(col("__id"), col("__s"), xxhash64(col("__k")).as("__kh"))
-    val l = keyed.select(col("__kh"), col("__id").as("id_a"), col("__s").as("__sa"))
-    val r = keyed.select(col("__kh").as("__kh_r"), col("__id").as("id_b"),
-      col("__s").as("__sb"))
-    l.join(r, col("__kh") === col("__kh_r") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
+    keyed.groupBy(col("__kh"))
+      .agg(collect_list(struct(col("__id"), col("__s"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.__id") < col("b.__id"))
       // threshold form = banded O(len) verify; -1 means "over threshold"
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1))
+      .withColumn("dist", levenshtein(col("a.__s"), col("b.__s"), 1))
       .filter(col("dist") >= 0)
-      .select("id_a", "id_b", "dist")
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("dist"))
+      .distinct()
   }
 
   /** All pairs at edit distance <= maxDist, EXACT and COMPLETE, via

@@ -27,7 +27,14 @@ object Graphs {
 
   /** PageRank over a directed edge list (`src`, `dst`), `iters` fixed
     * iterations: returns (id, rank) for every node, rank on the
-    * `scale` integer scale. Duplicate edges count once (deduped here).
+    * `scale` integer scale. Duplicate edges count once (deduped here
+    * unless the caller passes `edgesDistinct = true` — the
+    * [[Clusters.connectedComponents]] `edgesDeduped` contract: purely an
+    * optimization skipping one full-|E| dedup shuffle when the edge
+    * build already ends in a distinct, as the co-occurrence and
+    * trade-graph builders do; a caller passing true with messy edges
+    * gets double-counted contributions, so only assert it when the
+    * producer guarantees it).
     *
     * The rank and node tables are |V|-sized and are NEVER broadcast
     * (shuffle_hash hints — the [[Clusters]] rule: checkpoint statistics
@@ -40,12 +47,12 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampPct: Int = 85,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 3, edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampPct > 0 && dampPct < 100, s"dampPct in (0,100): $dampPct")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (edgesDistinct) e0 else e0.distinct()
     // one edge artifact with out-degree attached (the posting-norm trick)
     val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .hint("shuffle_hash"), Seq("src"))
@@ -101,12 +108,14 @@ object Graphs {
     * long — the default scale 10^6 allows degrees to ~9·10^6.
     */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 3, edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(scale > 0, s"scale must be positive: $scale")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // edgesDistinct: the pageRank contract — skip the full-|E| dedup
+    // shuffle when the edge build already ends in a distinct
+    val e = (if (edgesDistinct) e0 else e0.distinct()).localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)

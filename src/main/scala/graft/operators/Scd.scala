@@ -329,8 +329,8 @@ object Scd {
                 s"consistent with nBuckets=$nBuckets but ALSO with a larger " +
                 s"layout (every row lands identically under " +
                 s"${2L * nBuckets} or ${3L * nBuckets} buckets), and with " +
-                s"${checks.getLong(4)} distinct keys that is not plausibly " +
-                "a coincidence — the store was likely created with a " +
+                s"~${checks.getLong(4)} distinct keys (estimate) that is " +
+                "not plausibly a coincidence — the store was likely created with a " +
                 "larger value; refusing to self-heal. If " +
                 s"$nBuckets is certainly the creation-time value, write it " +
                 s"by hand as the plain-text content of ${nBucketsPath(p)} " +

@@ -185,9 +185,13 @@ object CurationQueries extends QueryModule {
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sup"))
         .distinct()
+      // ol is distinct and the two directions are disjoint (even
+      // customer ids vs odd supplier ids), so the union is distinct by
+      // construction — skip pageRank's dedup shuffle (edgesDistinct)
       val edges = ol.select($"c".as("src"), $"sup".as("dst"))
         .union(ol.select($"sup".as("src"), $"c".as("dst")))
-      graft.operators.Graphs.pageRank(edges, iters = 2)
+      graft.operators.Graphs.pageRank(edges, iters = 2,
+          edgesDistinct = true)
         .orderBy($"id")
     }),
 
@@ -236,7 +240,7 @@ object CurationQueries extends QueryModule {
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
-      graft.operators.Graphs.hits(edges, iters = 2)
+      graft.operators.Graphs.hits(edges, iters = 2, edgesDistinct = true)
         .orderBy($"id")
     }),
 
@@ -259,7 +263,9 @@ object CurationQueries extends QueryModule {
         conv(substring(md5($"host"), 1, 15), 16, 10).cast("long").as("hid"))
       val edges = graft.operators.Graphs.cooccurrenceEdges(
         hostLangs, "lang", "hid", maxPerKey = 50)
-      val ranks = graft.operators.Graphs.pageRank(edges, iters = 2)
+      // cooccurrenceEdges ends in a distinct — skip pageRank's re-dedup
+      val ranks = graft.operators.Graphs.pageRank(edges, iters = 2,
+        edgesDistinct = true)
       val hosts = hostLangs.select($"host", $"hid").distinct()
       ranks.join(hosts, ranks("id") === hosts("hid"))
         .select($"host", $"rank")

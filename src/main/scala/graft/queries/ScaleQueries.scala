@@ -458,6 +458,20 @@ object ScaleQueries extends QueryModule {
           explode(split(trim($"text"), "\\s+")).as("tok"))
         .filter(length($"tok") > 0)
       val cap = 32
+      // exactness precondition, asserted so a regenerated corpus whose
+      // vocabulary outgrows the capacity fails with a READABLE message
+      // instead of an opaque oracle row diff (round-17 ADVICE): the
+      // cross-engine equality below is a theorem ONLY in the
+      // no-decrement regime, i.e. per-lang distinct tokens <= capacity
+      val maxVocab = toks.groupBy($"lang")
+        .agg(countDistinct($"tok").as("v"))
+        .agg(max($"v")).head().getLong(0)
+      require(maxVocab <= cap,
+        s"q207 exactness precondition broken: a lang has $maxVocab " +
+          s"distinct tokens > capacity $cap — Misra-Gries would decrement " +
+          "and the stored est is no longer the exact count; regenerated " +
+          "fixtures must keep per-lang vocab <= cap (or the gate needs a " +
+          "larger capacity)")
       val trickle = $"doc_id" % 101 === 0 // a thin second batch
       val store = freshTmpStore(s, dir, "q207") { p =>
         Freq.mergeBatchIntoGroupHitterStore(toks.filter(!trickle), "lang",
@@ -537,7 +551,7 @@ object ScaleQueries extends QueryModule {
         |  SELECT source,
         |    LEAST(15, GREATEST(0, CAST(floor(
         |      (CAST(n_chars AS DOUBLE) - 0.0) / 64.0) AS INTEGER))) AS bucket
-        |  FROM documents),
+        |  FROM documents WHERE n_chars IS NOT NULL),
         |c AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
         |tot AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY 1),
         |qq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),

@@ -87,7 +87,11 @@ class PlanGateSpec extends SparkSpec {
     "q101_length_batches" -> 1,
     "q102_kmeans" -> 1,
     "q103_cluster_sample" -> 3,
-    "q104_edit_distance_pairs" -> 1,
+    // round 18: 2 exchanges but strictly fewer bytes — the variant-key
+    // groupBy (strings cross ONCE; the old self-join's reused exchange
+    // shipped them twice and sorted) plus the post-verify distinct,
+    // which now moves only matched pairs (~2% of candidates)
+    "q104_edit_distance_pairs" -> 2,
     "q105_edjoin_dist2" -> 2,
     "q106_window_frames" -> 1,
     "q107_salted_join" -> 1,
