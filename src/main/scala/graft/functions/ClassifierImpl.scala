@@ -34,6 +34,54 @@ object ClassifierImpl {
     java.lang.Math.floorMod(v, buckets.toLong).toInt
   }
 
+  /** Per-document bucket occurrence counts: (bucket, count) pairs for
+    * every distinct feature bucket the doc's tokens hash into. The
+    * row kernel behind the exact-integer gradient/count aggregations
+    * (`Classifier.gradientAtZero` / `softmaxGradientAtZero`) — the
+    * column-HOF form re-interpreted the md5+conv lambda per token
+    * (round-18 measurement: ~25 µs per occurrence, the documented
+    * interpreted-HOF tax), and pre-aggregating per doc also shrinks the
+    * exploded row count from one-per-occurrence to one-per-distinct-
+    * bucket (≤ min(tokens, buckets)). Null text contributes nothing
+    * (the column twin's `explode(null)` semantics); empty-trimmed text
+    * contributes its [""] token like the column `split` does.
+    */
+  def bucketCounts(text: String, buckets: Int): Array[(Int, Int)] = {
+    if (text == null) return Array.empty
+    val toks = MinhashImpl.tokens(text)
+    if (buckets <= (1 << 16)) {
+      val cnt = new Array[Int](buckets)
+      var t = 0
+      while (t < toks.length) { cnt(tokenBucket(toks(t), buckets)) += 1; t += 1 }
+      val out = Array.newBuilder[(Int, Int)]
+      var b = 0
+      while (b < buckets) { if (cnt(b) > 0) out += ((b, cnt(b))); b += 1 }
+      out.result()
+    } else {
+      val m = scala.collection.mutable.LongMap.empty[Int]
+      var t = 0
+      while (t < toks.length) {
+        val b = tokenBucket(toks(t), buckets)
+        m(b) = m.getOrElse(b, 0) + 1; t += 1
+      }
+      m.iterator.map { case (b, c) => (b.toInt, c) }.toArray
+    }
+  }
+
+  /** (nToks, scoreMicro): exact integer weight sum over the token
+    * buckets — `Classifier.scoreMicro`'s row kernel (same rationale as
+    * [[bucketCounts]]; null text scores as empty, the
+    * [[scoreSoftmax]] convention).
+    */
+  def scoreMicro(text: String, weightsMicro: Array[Long]): (Long, Long) = {
+    val toks = MinhashImpl.tokens(if (text == null) "" else text)
+    val buckets = weightsMicro.length
+    var s = 0L
+    var t = 0
+    while (t < toks.length) { s += weightsMicro(tokenBucket(toks(t), buckets)); t += 1 }
+    (toks.length.toLong, s)
+  }
+
   /** (nToks, predIdx, bestMicro): exact integer per-class sums over the
     * token buckets, argmax with ties to the LOWEST class index.
     */

@@ -49,16 +49,29 @@ object Classifier {
   /** Twice the logistic-loss gradient at w = 0 per feature bucket:
     * grad2(b) = Σ_docs (1 − 2·y) · count_b(doc) — exact BIGINT (at the
     * zero vector p = ½ exactly, so (p − y) = ±½). Also emits the bucket's
-    * total occurrence count. One bucket-keyed aggregation.
+    * total occurrence count. One bucket-keyed aggregation over the typed
+    * per-doc kernel ([[graft.functions.ClassifierImpl.bucketCounts]]):
+    * the column-HOF form paid the interpreted-lambda tax per token
+    * occurrence AND shipped one row per occurrence — the kernel hashes
+    * natively and pre-aggregates per doc, so ≤ min(tokens, buckets)
+    * rows per doc feed the (map-side-combined) aggregation.
     */
   def gradientAtZero(df: DataFrame, textCol: String, labelCol: String,
-      buckets: Int): DataFrame =
+      buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     df.select(
         when(col(labelCol), lit(-1L)).otherwise(lit(1L)).as("s"),
-        explode(bucketArr(col(textCol), buckets)).as("bucket"))
+        col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (s, t) =>
+        graft.functions.ClassifierImpl.bucketCounts(t, buckets).iterator
+          .map { case (b, c) => (b.toLong, s * c, c.toLong) }
+      }.toDF("bucket", "g", "c")
       .groupBy(col("bucket"))
-      .agg(sum(col("s")).cast("long").as("grad2"),
-        count(lit(1)).as("n_terms"))
+      .agg(sum(col("g")).cast("long").as("grad2"),
+        sum(col("c")).as("n_terms"))
+  }
 
   /** Trained model: `weights(b)` per bucket + intercept. */
   final case class LogRegModel(weights: Array[Double], bias: Double) {
@@ -141,10 +154,20 @@ object Classifier {
     */
   def softmaxGradientAtZero(df: DataFrame, textCol: String, labelCol: String,
       buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed per-doc kernel — the gradientAtZero rationale: native md5
+    // instead of the interpreted HOF lambda, per-doc pre-aggregation
+    // instead of one row per occurrence
     val cnt = df.select(col(labelCol).cast("string").as("cls"),
-        explode(bucketArr(col(textCol), buckets)).as("bucket"))
+        col(textCol).cast("string").as("t"))
+      .as[(String, String)]
+      .flatMap { case (cls, t) =>
+        graft.functions.ClassifierImpl.bucketCounts(t, buckets).iterator
+          .map { case (b, c) => (b.toLong, cls, c.toLong) }
+      }.toDF("bucket", "cls", "c")
       .groupBy(col("bucket"), col("cls"))
-      .agg(count(lit(1)).as("n_bc"))
+      .agg(sum(col("c")).as("n_bc"))
     val nb = cnt.groupBy(col("bucket")).agg(sum(col("n_bc")).as("nb"))
     val classes = cnt.select(col("cls")).distinct()
     val k = cnt.agg(countDistinct(col("cls")).as("k"))
@@ -301,16 +324,17 @@ object Classifier {
     */
   def scoreMicro(df: DataFrame, idCol: String, textCol: String,
       weightsMicro: Array[Long]): DataFrame = {
-    val wLit = typedLit(weightsMicro.toSeq)
-    val bk = bucketArr(col(textCol), weightsMicro.length)
-    // the hashed array is referenced exactly once (inside the aggregate);
-    // n_toks re-splits without hashing — the scoreWith CollapseProject
-    // lesson
-    df.select(col(idCol),
-      size(tokenArr(col(textCol))).cast("long").as("n_toks"),
-      aggregate(bk, lit(0L),
-        (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
-        .as("score_micro"))
+    // typed row kernel ([[graft.functions.ClassifierImpl.scoreMicro]]) —
+    // the gradientAtZero rationale: the columnar fold re-interpreted
+    // the md5 lambda per token occurrence
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (n, s) = graft.functions.ClassifierImpl.scoreMicro(t, weightsMicro)
+        (id, n, s)
+      }.toDF(idCol, "n_toks", "score_micro")
   }
 
   /** Threshold filter over [[score]] — keep documents the model rates

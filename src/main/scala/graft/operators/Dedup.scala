@@ -74,48 +74,56 @@ object Dedup {
             graft.functions.MinhashImpl.shingles(t, n).iterator.map(s => (id, s)) }
           .toDF(idCol, "shingle")
     }
-    val sh = if (maxShingleFreq > 0) {
-      // (id, shingle) rows are distinct by construction (shingles are
-      // de-duped per doc), so doc frequency is a plain count — no
-      // distinct-aggregate expand. Join against the STOP set (freq > cap),
-      // not the keep set: heavy hitters are few (Zipf), so the anti side
-      // broadcasts and the big shingle table is never shuffled for the
-      // pruning — a keep-set semi-join would shuffle it a second time.
-      val stop = sh0.groupBy("shingle").agg(count(lit(1)).as("__f"))
-        .filter(col("__f") > maxShingleFreq).select("shingle")
-      sh0.join(broadcast(stop), Seq("shingle"), "left_anti")
-    } else sh0
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // Pair generation, two shapes:
-    //  - capped (maxShingleFreq > 0): bucket + collect_list + pair
-    //    explode — evaluates the shingling subtree once and shuffles once
-    //    (on the shingle); the per-shingle id array is bounded by the cap,
-    //    so no single row can blow the 2 GB record limit.
-    //  - uncapped: streamed self-join — evaluates the subtree per side and
-    //    shuffles twice, but a stop-shingle shared by m docs streams m²
-    //    pairs instead of materializing one m-element array in a single
-    //    row. Never collect_list without a bound.
-    val inter0 =
+    //  - capped (maxShingleFreq > 0): stop prune (count agg + broadcast
+    //    anti — heavy hitters are few by Zipf, so the anti side
+    //    broadcasts and the big shingle table is never shuffled for the
+    //    pruning), then bucket + collect_list + pair explode — the
+    //    per-shingle id array is bounded by the cap post-prune, so no
+    //    single row can blow the 2 GB record limit. The per-doc SIZES
+    //    derive from the same bucket table (explode the kept buckets
+    //    back to (id) rows): the bucket exchange is reused, so the
+    //    corpus is shingled TWICE (stop pass + bucket pass) instead of
+    //    three times — at 100 TB one fewer full corpus scan. (A fully
+    //    one-pass form — bounded-set aggregation replacing the stop
+    //    pass too — measured ~1.6x SLOWER at sf0.1: the typed bounded
+    //    aggregator and its array-bearing freq exchange cost more than
+    //    the codegen count scan they saved; see OPTIMIZATION_r18.md.)
+    //  - uncapped: streamed self-join — evaluates the subtree per side
+    //    and shuffles twice, but a stop-shingle shared by m docs streams
+    //    m² pairs instead of materializing one m-element array in a
+    //    single row. Never collect_list without a bound.
+    val (inter0, sizes) =
       if (maxShingleFreq > 0) {
+        // (id, shingle) rows are distinct by construction (shingles are
+        // de-duped per doc), so doc frequency is a plain count — no
+        // distinct-aggregate expand.
+        val stop = sh0.groupBy("shingle").agg(count(lit(1)).as("__f"))
+          .filter(col("__f") > maxShingleFreq).select("shingle")
+        val sh = sh0.join(broadcast(stop), Seq("shingle"), "left_anti")
         val buckets = blockCol match {
           case Some(b) => sh.groupBy(col("shingle"), col(b))
             .agg(collect_list(col(idCol)).as("ids"))
           case None => sh.groupBy(col("shingle"))
             .agg(collect_list(col(idCol)).as("ids"))
         }
-        buckets
+        val pairs = buckets
           .filter(size(col("ids")) > 1)
           .select(explode(col("ids")).as("id_a"), col("ids"))
           .select(col("id_a"), explode(col("ids")).as("id_b"))
           .filter(col("id_a") < col("id_b"))
+        val sz = buckets.select(explode(col("ids")).as(idCol))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        (pairs, sz)
       } else {
         val keys = "shingle" :: blockCol.toList
-        val l = sh.select(col(idCol).as("id_a") :: keys.map(col): _*)
-        val r = sh.select(col(idCol).as("id_b") ::
+        val l = sh0.select(col(idCol).as("id_a") :: keys.map(col): _*)
+        val r = sh0.select(col(idCol).as("id_b") ::
           keys.map(k => col(k).as(s"${k}__r")): _*)
         val cond = keys.map(k => col(k) === col(s"${k}__r"))
           .reduce(_ && _) && col("id_a") < col("id_b")
-        l.join(r, cond).select(col("id_a"), col("id_b"))
+        val sz = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        (l.join(r, cond).select(col("id_a"), col("id_b")), sz)
       }
     val inter = inter0
       .groupBy(col("id_a"), col("id_b"))
@@ -141,8 +149,11 @@ object Dedup {
     import spark.implicits._
     // Single typed pass per doc (see MinhashImpl: the Column HOF version
     // re-interprets the shingle tree per hash fn). Docs with no shingles
-    // are skipped — they cannot collide.
-    val banded = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // are skipped — they cannot collide. Respread.cores: k md5 hashes
+    // per shingle make this pass hash-dominated (the q63 rationale;
+    // measured 1.7→0.9 s on the q65 candidate pass at sf0.1)
+    val banded = Respread.cores(df)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = graft.functions.MinhashImpl.shingles(text, shingleN)
@@ -702,8 +713,12 @@ object Dedup {
     import spark.implicits._
     // typed single pass per doc (SimhashMd5Impl, parity-spec'd vs the
     // Column form below): no token explode, no `bits` aggregate columns —
-    // measured ~3x faster at sf0.1 with bits=48, same shuffle-free shape
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // measured ~3x faster at sf0.1 with bits=48, same shuffle-free shape.
+    // Respread.cores: one md5 per token makes this the rare pass whose
+    // per-row CPU dwarfs the spread exchange (q63 2.1→0.3 s; no-op on a
+    // many-split corpus)
+    Respread.cores(df)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .map { case (id, t) =>
         (id, graft.functions.SimhashMd5Impl.signature(t, bits)) }

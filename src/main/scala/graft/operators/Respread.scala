@@ -15,12 +15,23 @@ import org.apache.spark.sql.DataFrame
   * synthesized corpora) fall back to the RDD partition count.
   */
 private[graft] object Respread {
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = spread(df, 2)
+
+  /** Core-count-width variant for passes whose per-row CPU is heavy but
+    * short (the md5 signature tiers): round-18 measurement — width p
+    * cut the single-split md5 passes 2–7x (q63 2.1→0.3 s, q65's
+    * candidate pass 1.7→0.9 s at sf0.1) while the stock 2p width LOST
+    * time on the same passes (per-task fixed cost exceeded the ~30 ms
+    * of hashing each sliver carried). Same no-op-at-scale contract.
+    */
+  def cores(df: DataFrame): DataFrame = spread(df, 1)
+
+  private def spread(df: DataFrame, mult: Int): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val splits = {
       val files = df.inputFiles.length
       if (files > 0) files else df.rdd.getNumPartitions
     }
-    if (splits < p) df.repartition(2 * p) else df
+    if (splits < p) df.repartition(mult * p) else df
   }
 }

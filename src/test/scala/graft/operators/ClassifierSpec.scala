@@ -94,6 +94,36 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("typed gradientAtZero/scoreMicro equal the column-HOF reference on real fixture text") {
+    // round-18: the exact-integer classifier passes moved to typed row
+    // kernels (ClassifierImpl) for the interpreted-HOF tax; pin them
+    // against the original column-expression forms on real corpus text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", ($"lang" === "en").as("is_ref"))
+    val B = 64
+    val typedG = Classifier.gradientAtZero(docs, "text", "is_ref", B)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val columnG = docs.select(
+        when($"is_ref", lit(-1L)).otherwise(lit(1L)).as("s"),
+        explode(Classifier.bucketArr($"text", B)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(sum($"s").cast("long").as("grad2"), count(lit(1)).as("n_terms"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(typedG == columnG)
+    val w = Array.tabulate(B)(b => (b * 37L) % 101L - 50L)
+    val typedS = Classifier.scoreMicro(docs, "doc_id", "text", w)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val wLit = typedLit(w.toSeq)
+    val bk = Classifier.bucketArr($"text", B)
+    val columnS = docs.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_toks"),
+        aggregate(bk, lit(0L),
+          (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+          .as("score_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(typedS == columnS)
+  }
+
   test("fitSoftmax matches a single-node GD replay and separates the classes") {
     val B = 32
     val m = Classifier.fitSoftmax(triCorpus, "text", "lang", B,
