@@ -339,6 +339,45 @@ object Freq {
       col("est") * (capacity + 1).toLong > col("n_total"))
   }
 
+  /** Loud EXACTNESS-REGIME precondition on a grouped hitter store
+    * ([[mergeBatchIntoGroupHitterStore]] layout): per group,
+    * `sum(est) == n_total` ⟺ no Misra-Gries decrement (task-side
+    * eviction) and no merge subtrahend ever fired for that group — a
+    * decrement subtracts 1 from every full counter while the running
+    * total gains 1, and a subtrahend strictly lowers counter mass with
+    * totals unchanged, so ANY departure from the no-decrement regime
+    * leaves the summary's mass strictly below its total, and nothing
+    * ever raises it back. Under mass == total, every distinct item is
+    * present with its EXACT count (occurrences only ever land in their
+    * own key's counter), which is the premise that makes the certified
+    * read a cross-engine theorem rather than an estimate.
+    *
+    * This check is derived ENTIRELY from the store — a sketch-sized
+    * aggregate over ≤ |groups|·(capacity+1) rows — where the equivalent
+    * vocabulary precondition (per-group distinct items ≤ capacity)
+    * costs a full distinct-count re-scan of the data per call
+    * (round-18 measurement: +0.45 s per q207 run at sf0.1,
+    * proportionally worse at corpus scale).
+    */
+  def requireExactRegime(store: DataFrame, capacity: Int): Unit = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val bad = store.groupBy(col("group"))
+      .agg(sum(coalesce(col("est"), lit(0L))).as("mass"),
+        max(col("n_total")).as("n_total"))
+      .filter(col("mass") =!= col("n_total"))
+      .limit(1).collect()
+    require(bad.isEmpty, {
+      val r = bad.head
+      s"exactness precondition broken: group '${r.get(0)}' summary mass " +
+        s"${r.getLong(1)} != its total ${r.getLong(2)} — a Misra-Gries " +
+        s"decrement fired (the group's distinct items exceed capacity " +
+        s"$capacity), so stored counts are no longer exact and a " +
+        "cross-engine exact gate is unsound; regenerated fixtures must " +
+        "keep per-group vocabulary <= capacity (or the gate needs a " +
+        "larger capacity)"
+    })
+  }
+
   /** Streaming per-group heavy-hitter maintenance — live "top items per
     * group so far" in ≤ |groups|·capacity rows of state, under the
     * exactly-once ledger (MG counters ADD on merge; replays must not

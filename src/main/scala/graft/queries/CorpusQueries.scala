@@ -248,9 +248,21 @@ object CorpusQueries extends QueryModule {
       val d2 = Decontam.decontaminate(
         d1.filter($"doc_id" % 20 =!= 0), docs.filter($"doc_id" % 20 === 0),
         "doc_id", "text", n = 3, maxShared = 0)
-      val heavy = Dedup.dupSpanCoverage(d2, "doc_id", "text", n = 5)
+      // The dedup+decontaminate DECISION is just a survivor-id set: pin
+      // it ids-only (narrow — never the text-bearing corpus, which the
+      // house scale rule forbids checkpointing) so the chain above runs
+      // ONCE instead of twice — previously BOTH consumers below (the
+      // span-coverage branch and the final anti-join branch) re-evaluated
+      // the full normalize+md5+3-gram subtree (round-18 measurement:
+      // the chain is ~half of q92's serial task time). Each branch then
+      // re-derives its rows as a doc_id semi-join against the base scan
+      // — still two corpus scans, per the house rule (guide §5 bounded
+      // intermediates).
+      val survivorIds = d2.select($"doc_id").localCheckpoint(true)
+      val d2r = docs.join(survivorIds, Seq("doc_id"), "left_semi")
+      val heavy = Dedup.dupSpanCoverage(d2r, "doc_id", "text", n = 5)
         .filter($"covered_frac" > 0.5).select($"doc_id")
-      d2.join(heavy, Seq("doc_id"), "left_anti")
+      d2r.join(heavy, Seq("doc_id"), "left_anti")
         .withColumn("nt", tokenCount($"text"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"))

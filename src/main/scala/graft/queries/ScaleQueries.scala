@@ -458,20 +458,6 @@ object ScaleQueries extends QueryModule {
           explode(split(trim($"text"), "\\s+")).as("tok"))
         .filter(length($"tok") > 0)
       val cap = 32
-      // exactness precondition, asserted so a regenerated corpus whose
-      // vocabulary outgrows the capacity fails with a READABLE message
-      // instead of an opaque oracle row diff (round-17 ADVICE): the
-      // cross-engine equality below is a theorem ONLY in the
-      // no-decrement regime, i.e. per-lang distinct tokens <= capacity
-      val maxVocab = toks.groupBy($"lang")
-        .agg(countDistinct($"tok").as("v"))
-        .agg(max($"v")).head().getLong(0)
-      require(maxVocab <= cap,
-        s"q207 exactness precondition broken: a lang has $maxVocab " +
-          s"distinct tokens > capacity $cap — Misra-Gries would decrement " +
-          "and the stored est is no longer the exact count; regenerated " +
-          "fixtures must keep per-lang vocab <= cap (or the gate needs a " +
-          "larger capacity)")
       val trickle = $"doc_id" % 101 === 0 // a thin second batch
       val store = freshTmpStore(s, dir, "q207") { p =>
         Freq.mergeBatchIntoGroupHitterStore(toks.filter(!trickle), "lang",
@@ -479,7 +465,18 @@ object ScaleQueries extends QueryModule {
         Freq.mergeBatchIntoGroupHitterStore(toks.filter(trickle), "lang",
           "tok", cap, p)
       }
-      Freq.guaranteedHittersByGroup(s.read.parquet(store), cap)
+      val stored = s.read.parquet(store)
+      // exactness precondition, asserted so a regenerated corpus whose
+      // vocabulary outgrows the capacity fails with a READABLE message
+      // instead of an opaque oracle row diff (round-17 ADVICE): the
+      // cross-engine equality below is a theorem ONLY in the
+      // no-decrement regime. Checked from the STORE's own per-group mass
+      // invariant (sum(est) == n_total ⟺ no decrement ever fired — see
+      // [[Freq.requireExactRegime]]), a sketch-sized aggregate; the
+      // round-18 shape re-scanned every token for a distinct count per
+      // call (+0.45 s at sf0.1, a full extra corpus pass at scale)
+      Freq.requireExactRegime(stored, cap)
+      Freq.guaranteedHittersByGroup(stored, cap)
         .select($"group".as("lang"), $"item".as("tok"), $"est", $"n_total")
         .orderBy($"lang", $"tok")
     })

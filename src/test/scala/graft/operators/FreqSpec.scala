@@ -288,6 +288,34 @@ class FreqSpec extends SparkSpec {
       .filter($"item".isNotNull).count() == 50L)
   }
 
+  test("requireExactRegime: exact store passes, decremented store fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("mg_exact").toString
+    // exact regime: per-group vocab <= capacity across a two-batch fold
+    // — mass (sum est) equals each group's n_total through the disk
+    // round-trip, so the store-derived precondition holds
+    val ok1 = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "p"))
+      .toDF("g", "item")
+    val ok2 = Seq(("A", "z"), ("B", "q"), ("B", "p")).toDF("g", "item")
+    Freq.mergeBatchIntoGroupHitterStore(ok1, "g", "item", capacity = 4,
+      storePath = s"$base/ok")
+    Freq.mergeBatchIntoGroupHitterStore(ok2, "g", "item", capacity = 4,
+      storePath = s"$base/ok")
+    Freq.requireExactRegime(spark.read.parquet(s"$base/ok"), 4) // no throw
+    // broken regime: one group's vocabulary (10) exceeds the capacity
+    // (2), so a task-side Misra-Gries decrement MUST fire — and the
+    // store's own mass invariant catches it without re-scanning the
+    // data (the q207 read-gate failure path)
+    val bad = (1 to 10).map(i => ("A", s"t$i")).toDF("g", "item")
+      .repartition(1)
+    Freq.mergeBatchIntoGroupHitterStore(bad, "g", "item", capacity = 2,
+      storePath = s"$base/bad")
+    val e = intercept[Exception] {
+      Freq.requireExactRegime(spark.read.parquet(s"$base/bad"), 2)
+    }
+    assert(e.getMessage.contains("exactness precondition broken"),
+      e.getMessage)
+  }
+
   test("exactTopKPerGroup equals brute force per group") {
     val rows = skewed(41, 4000).map(("A", _)) ++
       skewed(42, 4000).map(("B", _)) ++ Seq(("C", "only"), ("C", "only"))
