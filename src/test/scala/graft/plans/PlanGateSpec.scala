@@ -310,7 +310,11 @@ class PlanGateSpec extends SparkSpec {
     "q89_dup_spans" -> 3,
     "q90_cluster_dedup" -> 6,
     "q91_epoch_replication" -> 3,
-    "q92_curation_pipeline" -> 21,
+    // round 19: 21 -> 5 — the dedup+decontaminate chain pins its
+    // survivor-id DECISION (ids-only localCheckpoint) and both branches
+    // semi-join the base scan, so the duplicated chain subtree (and its
+    // 16 exchanges) left the returned plan
+    "q92_curation_pipeline" -> 5,
     "q93_heavy_hitters" -> 0,
     "q94_quality_band" -> 7,
     "q95_random_projection" -> 0,
