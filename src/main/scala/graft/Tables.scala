@@ -22,8 +22,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** One DataSource resolution per (session, dir, table) — a LAZY plan
+    * memo, not a result cache: nothing is materialized, every action
+    * still scans the parquet. `spark.read.parquet` eagerly reads the
+    * footer and lists the path on EVERY call (measured 77 ms per load
+    * at sf0.1 — with 1-3 table loads per query over a 207-query bench
+    * run this was the single largest slice of the per-query floor), and
+    * at corpus scale re-listing a many-thousand-file table per query is
+    * exactly the repeated-listing cost guide §6 warns about (Spark's
+    * own catalog tables persist their FileIndex for the same reason).
+    * Keyed by applicationId via [[graft.queries.SharedFrames]] (the
+    * Shared* discipline); the static test tables never change under a
+    * running app, and store-read gates build/read their own per-call
+    * tmp paths directly, never through this.
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    graft.queries.SharedFrames.cached(spark, s"table:$name", dir)(
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet")))(_ => ())
 
   /** Normalize a `ts` column (either stored encoding — see class doc) to
     * TimestampType. Public so streaming readers over the same parquet

@@ -68,7 +68,12 @@ object SharedDsir {
   * every in-flight consumer finishes). A later request simply recomputes.
   */
 object SharedFrames {
-  private val maxEntries = 16
+  // sized for the round-19 table-plan memo (graft.Tables: 10 lazy plans
+  // per dir) next to the materialized Shared* families: a one-dir
+  // session holds ~13 entries, a multi-dir sweep cycles without
+  // thrashing the checkpointed families. Table entries are lazy plans —
+  // no pinned blocks, eviction is reference-drop either way.
+  private val maxEntries = 64
   private final case class Entry(value: Any)
   private val cache = new java.util.LinkedHashMap[String, Entry](
     32, 0.75f, /*accessOrder=*/ true) {
